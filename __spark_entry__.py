@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` / ``oracle_sql()`` — the SURVEY §2 operator inventory, each
+implemented Spark-first in fluvio_duck_spark and paired with an ANSI-SQL
+DuckDB oracle (see fluvio_duck_spark/queries/).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference README's transit demo shape
+    (README.md:152-184) on the events stand-in — consume the topic from the
+    beginning with a typed JSON column mapping, then aggregate over the
+    mapped column grouped by a route-like derived key."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    sf_dir = "/root/testdata/sf0.001"
+    mapped = fluvio_consume(
+        spark, "events -A -B --rows 1000000 -c k:i=k -c kd:d=k", sf_dir=sf_dir
+    )
+    return (
+        mapped.groupBy((F.col("k") % 10).alias("route"))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("kd").alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("route")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fluvio_duck_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fluvio_duck_spark.queries import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,169 @@
+"""Consume-surface queries (SURVEY §2.1, §2.3-2.5, §2.11) with DuckDB
+oracles over the same parquet fixtures.
+
+Every query exercises the ``fluvio_consume`` builder the way the reference's
+README sessions exercise the table function, and every oracle states the
+same semantics in ANSI SQL (``events`` view = the topic stand-in, offset =
+``event_id``, payload = ``props``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.sources.consume import fluvio_consume
+from fluvio_duck_spark.sources.metadata import fluvio_partitions, fluvio_topics
+
+_DEFAULT_COLS = 'event_id AS "offset", ts AS "timestamp", props AS "value"'
+
+
+def _q(opts: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fluvio_consume(spark, opts, sf_dir=sf_dir)
+
+    return run
+
+
+def _sum_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # README.md:73-83 demo: SELECT sum(LEO) FROM fluvio_partitions()
+    return fluvio_partitions(spark, sf_dir).agg(
+        F.sum("LEO").cast(T.LongType()).alias("sum_leo")
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    # F1/L2: tail — last 100 records of the whole log (offset >= LEO-100)
+    "consume_tail_default": QuerySpec(
+        _q("events -A -T 100"),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events
+        WHERE event_id >= (SELECT max(event_id) + 1 - 100 FROM events)
+        """,
+        doc="default schema, -T tail positioning (reference src/consume.rs:598-599)",
+    ),
+    # F1 + L1: from beginning with a row budget (first 500 in log order)
+    "consume_beginning_rows": QuerySpec(
+        _q("events -A -B --rows 500"),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events ORDER BY event_id LIMIT 500
+        """,
+        doc="-B + --rows scan budget (reference src/consume.rs:75-93,:500-501)",
+    ),
+    # F1/F2: absolute start + inclusive end (end enforced — SURVEY §1.4.4 fix)
+    "consume_start_end": QuerySpec(
+        _q("events -A --start 100 --end 299 --rows 100000"),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events
+        WHERE event_id >= 100 AND event_id <= 299
+        """,
+        doc="--start/--end offset range (reference src/consume.rs:503-505,:592-594)",
+    ),
+    # F1: head — skip the first 50 records, then a 200-row budget
+    "consume_head_rows": QuerySpec(
+        _q("events -A -H 50 --rows 200"),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events
+        WHERE event_id >= 50 ORDER BY event_id LIMIT 200
+        """,
+        doc="-H head positioning (reference src/consume.rs:595-596)",
+    ),
+    # ST2 default: no position flag = Offset::end → empty in bounded mode
+    "consume_default_end_empty": QuerySpec(
+        _q("events -A"),
+        f"SELECT {_DEFAULT_COLS} FROM events WHERE 1 = 0",
+        doc="default Offset::end semantics (reference src/consume.rs:601-604)",
+    ),
+    # P4-P11: typed JSON column mapping, all numeric/string codes
+    "consume_mapped_typed": QuerySpec(
+        _q("events -A -B --rows 1000000 -c k:i=k -c ks=k -c kd:d=k -c kf:f=k -c kl:l=k"),
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               json_extract_string(props, '$.k') AS ks,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd,
+               CAST(json_extract_string(props, '$.k') AS FLOAT) AS kf,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS kl
+        FROM events
+        """,
+        doc="-c name[:code]=path mapping (reference src/consume.rs:223-245,:311-443)",
+    ),
+    # S1 topic + partition selection (fix of reference partition pinning)
+    "consume_partition_select": QuerySpec(
+        _q("click -p 2 -B --rows 1000000"),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events
+        WHERE event_type = 'click' AND user_id % 4 = 2
+        """,
+        doc="topic + -p partition filter (SURVEY §1.4.2 fix of src/consume.rs:179)",
+    ),
+    # tail within a sub-topic: LEO computed over the topic's own log
+    "consume_topic_tail": QuerySpec(
+        _q("purchase -A -T 50 --rows 100000"),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events
+        WHERE event_type = 'purchase'
+          AND event_id >= (SELECT max(event_id) + 1 - 50 FROM events
+                           WHERE event_type = 'purchase')
+        """,
+        doc="per-topic LEO for tail positioning",
+    ),
+    # ST5: jolt-shift transform chain rewriting the payload, then typed mapping
+    "consume_transform_jolt": QuerySpec(
+        _q(
+            "events -A -B --rows 1000000 "
+            "--transform '"
+            '{"uses":"infinyon/jolt@0.1.0","with":{"spec":[{"operation":"shift","spec":{"k":"kk"}}]}}'
+            "' -c kk:i=kk"
+        ),
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS kk FROM events
+        """,
+        doc="inline --transform jolt shift (reference src/consume.rs:655-660, examples/short.yaml)",
+    ),
+    # ST5/F3: filter-kind smartmodule (server-side predicate analogue)
+    "consume_smartmodule_filter": QuerySpec(
+        _q(
+            "events -A -B --rows 1000000 --smartmodule sql-filter "
+            "-e \"where=cast(get_json_object(value, '$.k') as int) >= 50\""
+        ),
+        f"""
+        SELECT {_DEFAULT_COLS} FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+        """,
+        doc="filter smartmodule as pushed-down predicate (reference SmartModuleKind, src/consume.rs:713-741)",
+    ),
+    # S2: fluvio_topics()
+    "fluvio_topics": QuerySpec(
+        lambda spark, sf_dir: fluvio_topics(spark, sf_dir),
+        """
+        SELECT event_type AS name,
+               CAST(count(DISTINCT user_id % 4) AS INTEGER) AS partitions
+        FROM events GROUP BY event_type
+        """,
+        doc="topics metadata scan (reference src/topic.rs:97-126)",
+    ),
+    # S3: fluvio_partitions()
+    "fluvio_partitions": QuerySpec(
+        lambda spark, sf_dir: fluvio_partitions(spark, sf_dir),
+        """
+        SELECT event_type AS topic,
+               CAST(user_id % 4 AS VARCHAR) AS partition,
+               CAST(max(event_id) + 1 AS BIGINT) AS "LEO"
+        FROM events GROUP BY 1, 2
+        """,
+        doc="partitions metadata scan with LEO (reference src/partition.rs:97-140)",
+    ),
+    # README.md:73-83: sum of log-end offsets across partitions
+    "partitions_sum_leo": QuerySpec(
+        _sum_leo,
+        """
+        SELECT CAST(sum("LEO") AS BIGINT) AS sum_leo FROM (
+          SELECT CAST(max(event_id) + 1 AS BIGINT) AS "LEO"
+          FROM events GROUP BY event_type, user_id % 4
+        )
+        """,
+        doc="aggregate over metadata scan (reference README.md:73-83)",
+    ),
+}

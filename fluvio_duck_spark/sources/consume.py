@@ -1,0 +1,152 @@
+"""``fluvio_consume`` — the streaming-topic scan as a DataFrame builder.
+
+Reference lifecycle (SURVEY §3): option string → bind (parse opts, resolve
+start offset, declare schema) → pull-based scan that stops at the row budget
+or end of data (reference src/consume.rs:27-210, :63-134).  Spark-first
+re-expression: the option string *declares a logical plan* —
+
+    record log (parquet/stream)
+      → topic + partition selection            (filters; pushed to the scan)
+      → offset-range predicates                 (-B/-H/-T/--start/--end)
+      → transform chain                         (ST5; DataFrame ops)
+      → row budget                              (--rows; ordered limit)
+      → column-mapping projection               (-c; typed JSON extraction)
+
+Catalyst then fuses the whole thing with whatever query sits on top —
+filters and projections reach the parquet scan (predicate pushdown + column
+pruning give us, for free, the projection pushdown the reference scaffolded
+but disabled, reference src/consume.rs:41,140-144).
+
+Offset semantics (reference ``calculate_offset``, src/consume.rs:580-605):
+a Fluvio partition log has dense offsets 0..LEO-1, so every position is an
+offset-range predicate — no sort, no shuffle, prunable at the scan:
+
+  -B            offset >= 0
+  -H n          offset >= n            (n past the beginning)
+  --start n     offset >= n
+  -T n          offset >= LEO - n      (last n records)
+  (default)     offset >= LEO          (Offset::end; empty in bounded mode)
+  --end n       offset <= n            (inclusive; the reference parses but
+                 never enforces this — SURVEY §1.4.4 — we enforce it)
+
+LEO (log-end offset) is computed as a 1-row aggregate joined back via
+broadcast — a single plan, no driver-side collect, scale-safe.
+
+The row budget (--rows, default 1000; reference src/consume.rs:75-93,:500)
+bounds records *in log order from the start position*: expressed as
+``ORDER BY offset LIMIT n``, which Spark executes as TakeOrderedAndProject
+(per-partition top-n + merge — no global sort at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluvio_duck_spark.mappings import projection
+from fluvio_duck_spark.options import ConsumeOptions, parse_consume_opts
+from fluvio_duck_spark.transforms import apply_transform_chain, load_transform_chain
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Number of partitions each topic stand-in presents (events.user_id % N).
+STANDIN_PARTITIONS = 4
+
+#: Topic names that map to the entire events table.
+_WHOLE_LOG_TOPICS = {"events", "*"}
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the ``events`` fixture.  Its ``ts`` column is parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects; read nanos
+    as long (legacy conf) and truncate to microseconds in the plan —
+    integer ``div`` so the truncation matches DuckDB's ns→µs narrowing."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if isinstance(events.schema["ts"].dataType, T.LongType):
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return events
+
+
+def record_log(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, topic: str = "events"
+) -> DataFrame:
+    """The record-log DataFrame standing in for a Fluvio topic.
+
+    Maps the ``events`` fixture onto the reference record shape
+    (``fluvio::consumer::Record`` — offset/timestamp/value, reference
+    src/consume.rs:111-116,:289): ``event_id``→offset, ``ts``→timestamp,
+    ``props``→value (JSON payload).  Topic = ``events`` for the whole log,
+    or one of the ``event_type`` values for a sub-topic; partition stand-in
+    is ``user_id % 4``.
+    """
+    events = read_events(spark, sf_dir)
+    if topic not in _WHOLE_LOG_TOPICS:
+        events = events.filter(F.col("event_type") == topic)
+    return events.select(
+        F.col("event_id").cast(T.LongType()).alias("offset"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % STANDIN_PARTITIONS).cast(T.IntegerType()).alias("partition"),
+        F.col("props").alias("value"),
+    )
+
+
+def _with_offset_bounds(log: DataFrame, opts: ConsumeOptions) -> DataFrame:
+    """Apply the offset algebra as pure predicates on ``offset``."""
+    start = opts.calculate_start()
+    if start.kind == "beginning":
+        pass  # offset >= 0 always holds
+    elif start.kind in ("head", "start"):
+        log = log.filter(F.col("offset") >= start.n)
+    elif start.kind in ("tail", "end"):
+        # LEO as a broadcast 1-row aggregate — no collect, single plan.
+        lower = 0 if start.kind == "end" else start.n
+        leo = log.agg((F.coalesce(F.max("offset"), F.lit(-1)) + 1).alias("__leo"))
+        log = log.crossJoin(F.broadcast(leo)).filter(
+            F.col("offset") >= F.col("__leo") - F.lit(lower)
+        ).drop("__leo")
+    if opts.end is not None:
+        log = log.filter(F.col("offset") <= opts.end)
+    return log
+
+
+def fluvio_consume(
+    spark: SparkSession,
+    opts: str | ConsumeOptions,
+    sf_dir: str = DEFAULT_SF_DIR,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """``fluvio_consume('<topic> <flags>')`` → DataFrame.
+
+    ``source`` optionally injects a pre-built record log (columns
+    ``offset, timestamp, partition, value``) in place of the parquet
+    stand-in — the seam a real Fluvio connector or a readStream source
+    plugs into (see fluvio_duck_spark.streaming).
+    """
+    if isinstance(opts, str):
+        opts = parse_consume_opts(opts)
+
+    log = source if source is not None else record_log(spark, sf_dir, opts.topic)
+
+    # Partition selection — honored (the reference parses -p/-A but pins
+    # partition 0, reference src/consume.rs:179; SURVEY §1.4.2 fix).
+    if not opts.all_partitions:
+        log = log.filter(F.col("partition") == opts.partition)
+
+    log = _with_offset_bounds(log, opts)
+
+    # Server-side SmartModule transform chain (reference src/consume.rs:
+    # 645-673) → DataFrame transforms applied before the row budget, like
+    # the SPU applies them before records reach the scan.
+    chain = load_transform_chain(opts)
+    log = apply_transform_chain(log, chain)
+
+    # Row budget: first N records in log order from the start position
+    # (reference src/consume.rs:75-93). TakeOrderedAndProject at exec time.
+    if opts.rows is not None:
+        log = log.orderBy("offset").limit(opts.rows)
+
+    return log.select(projection(opts.columns))

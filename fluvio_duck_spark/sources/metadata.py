@@ -1,0 +1,60 @@
+"""``fluvio_topics()`` / ``fluvio_partitions()`` — cluster-metadata scans.
+
+The reference materializes these from the Fluvio admin API in a single
+batch: topics with partition counts (reference src/topic.rs:97-126, schema
+:52-53) and partitions with LEO = log-end offset (reference
+src/partition.rs:97-140, LEO from ``partition.status.leader.leo`` :131,
+replica-key split "topic-partition" :113-122).
+
+Stand-in derivation over the ``events`` fixture (FIXTURES.md §1): topics are
+the distinct ``event_type`` values, a topic's partitions are the distinct
+``user_id % 4`` buckets present, and LEO is ``max(offset)+1`` per
+(topic, partition).  Both are single partial-aggregated groupBys over two
+pruned columns — at 100 TB this is a metadata query, not a data query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluvio_duck_spark.sources.consume import (
+    DEFAULT_SF_DIR,
+    STANDIN_PARTITIONS,
+    read_events,
+)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_events(spark, sf_dir)
+
+
+def fluvio_topics(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Schema ``(name VARCHAR, partitions INTEGER)`` — reference
+    src/topic.rs:52-53."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("name"),
+            (F.col("user_id") % STANDIN_PARTITIONS).alias("p"),
+        )
+        .groupBy("name")
+        .agg(F.countDistinct("p").cast(T.IntegerType()).alias("partitions"))
+    )
+
+
+def fluvio_partitions(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Schema ``(topic VARCHAR, partition VARCHAR, LEO)`` — reference
+    src/partition.rs:52-54.  LEO is LONG here (the reference narrows to
+    u32/int32, src/partition.rs:131 — SURVEY §1.4 widening applies)."""
+    return (
+        _events(spark, sf_dir)
+        .select(
+            F.col("event_type").alias("topic"),
+            (F.col("user_id") % STANDIN_PARTITIONS).cast(T.StringType()).alias("partition"),
+            F.col("event_id").alias("offset"),
+        )
+        .groupBy("topic", "partition")
+        .agg((F.max("offset") + F.lit(1)).cast(T.LongType()).alias("LEO"))
+    )

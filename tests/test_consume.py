@@ -1,0 +1,162 @@
+"""End-to-end tests of the fluvio_consume pipeline over the sf0.001 fixture
+(FIXTURES.md §1) — offset algebra, row budget, typed JSON mapping, NULL
+semantics (SURVEY §1.4 divergences), metadata scans, transforms."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluvio_duck_spark.options import ConsumeOptError
+from fluvio_duck_spark.sources.consume import fluvio_consume, read_events
+from fluvio_duck_spark.sources.metadata import fluvio_partitions, fluvio_topics
+
+
+@pytest.fixture(scope="module")
+def n_events(spark, sf_dir):
+    return read_events(spark, sf_dir).count()
+
+
+def test_default_schema_names_and_types(spark, sf_dir):
+    df = fluvio_consume(spark, "events -A -B --rows 10", sf_dir=sf_dir)
+    assert df.columns == ["offset", "timestamp", "value"]
+    types = dict(df.dtypes)
+    assert types["offset"] == "bigint"  # widened, SURVEY §1.4.1
+    assert types["timestamp"].startswith("timestamp")
+    assert types["value"] == "string"
+
+
+def test_tail(spark, sf_dir, n_events):
+    df = fluvio_consume(spark, "events -A -T 25", sf_dir=sf_dir)
+    offsets = sorted(r.offset for r in df.select("offset").collect())
+    assert offsets == list(range(n_events - 25, n_events))
+
+
+def test_head_skips_n(spark, sf_dir):
+    df = fluvio_consume(spark, "events -A -H 10 --rows 5", sf_dir=sf_dir)
+    offsets = sorted(r.offset for r in df.select("offset").collect())
+    assert offsets == [10, 11, 12, 13, 14]
+
+
+def test_start_end_inclusive(spark, sf_dir):
+    df = fluvio_consume(spark, "events -A --start 100 --end 104 --rows 99", sf_dir=sf_dir)
+    offsets = sorted(r.offset for r in df.select("offset").collect())
+    assert offsets == [100, 101, 102, 103, 104]  # --end enforced (§1.4.4 fix)
+
+
+def test_rows_budget_takes_lowest_offsets(spark, sf_dir):
+    df = fluvio_consume(spark, "events -A -B --rows 7", sf_dir=sf_dir)
+    offsets = sorted(r.offset for r in df.select("offset").collect())
+    assert offsets == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_default_position_is_end_empty(spark, sf_dir):
+    assert fluvio_consume(spark, "events -A", sf_dir=sf_dir).count() == 0
+
+
+def test_crossing_offsets_raises(spark, sf_dir):
+    with pytest.raises(ConsumeOptError):
+        fluvio_consume(spark, "events -A --start 9 --end 3", sf_dir=sf_dir)
+
+
+def test_partition_filter(spark, sf_dir):
+    df = fluvio_consume(spark, "events -p 2 -B --rows 100000", sf_dir=sf_dir)
+    src = read_events(spark, sf_dir)
+    expected = src.filter(F.col("user_id") % 4 == 2).count()
+    assert df.count() == expected
+
+
+def test_topic_filter(spark, sf_dir):
+    df = fluvio_consume(spark, "click -A -B --rows 100000", sf_dir=sf_dir)
+    src = read_events(spark, sf_dir)
+    assert df.count() == src.filter(F.col("event_type") == "click").count()
+
+
+def test_mapped_columns_types(spark, sf_dir):
+    df = fluvio_consume(
+        spark, "events -A -B --rows 5 -c k:i=k -c kd:d=k -c ks=k -c kf:f=k -c kl:l=k",
+        sf_dir=sf_dir,
+    )
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    assert schema == {
+        "k": T.IntegerType(),
+        "kd": T.DoubleType(),
+        "ks": T.StringType(),
+        "kf": T.FloatType(),
+        "kl": T.LongType(),
+    }
+    row = df.first()
+    assert row.k == int(row.ks) == int(row.kd) == int(row.kf) == row.kl
+
+
+def test_missing_json_path_yields_null(spark, sf_dir):
+    # divergence §1.4.3: reference writes 0 / "null" / error text; we emit NULL
+    df = fluvio_consume(spark, "events -A -B --rows 5 -c gone:i=no.such.path", sf_dir=sf_dir)
+    assert all(r.gone is None for r in df.collect())
+
+
+def test_rfc3339_timestamp_mapping(spark):
+    # synthesize a record log with an RFC-3339 payload field (transit `tst`)
+    rows = [
+        (0, None, 0, '{"tst":"2022-11-15T09:41:59.564Z","spd":3.2}'),
+        (1, None, 0, '{"tst":"not-a-time","spd":1.0}'),
+    ]
+    src = spark.createDataFrame(
+        rows, "offset long, timestamp timestamp, partition int, value string"
+    )
+    df = fluvio_consume(spark, "t -A -B --rows 10 -c time:t=tst -c spd:d=spd", source=src)
+    got = sorted(df.collect(), key=lambda r: r.spd, reverse=True)
+    assert got[0].time is not None and got[0].time.year == 2022
+    assert got[1].time is None  # parse failure → NULL (§1.4.6)
+
+
+def test_fluvio_topics_schema(spark, sf_dir):
+    df = fluvio_topics(spark, sf_dir)
+    assert df.columns == ["name", "partitions"]
+    rows = {r.name: r.partitions for r in df.collect()}
+    assert set(rows) == {"click", "view", "purchase", "error", "signup"}
+    assert all(1 <= v <= 4 for v in rows.values())
+
+
+def test_fluvio_partitions_leo(spark, sf_dir, n_events):
+    df = fluvio_partitions(spark, sf_dir)
+    assert df.columns == ["topic", "partition", "LEO"]
+    assert df.agg(F.max("LEO")).first()[0] == n_events
+
+
+def test_transforms_file_yaml(spark, sf_dir, tmp_path):
+    yaml_file = tmp_path / "shift.yaml"
+    yaml_file.write_text(
+        "transforms:\n"
+        "  - uses: infinyon/jolt@0.1.0\n"
+        "    with:\n"
+        "      spec:\n"
+        "        - operation: shift\n"
+        "          spec:\n"
+        '            k: "kk"\n'
+    )
+    df = fluvio_consume(
+        spark, f"events -A -B --rows 5 --transforms-file {yaml_file} -c kk:i=kk",
+        sf_dir=sf_dir,
+    )
+    assert all(r.kk is not None for r in df.collect())
+
+
+def test_smartmodule_filter(spark, sf_dir):
+    df = fluvio_consume(
+        spark,
+        "events -A -B --rows 100000 --smartmodule sql-filter "
+        "-e \"where=cast(get_json_object(value, '$.k') as int) < 10\"",
+        sf_dir=sf_dir,
+    )
+    import json
+
+    ks = [json.loads(r.value)["k"] for r in df.collect()]
+    assert ks and all(k < 10 for k in ks)
+
+
+def test_help_surfaces_from_consume(spark, sf_dir):
+    with pytest.raises(ConsumeOptError) as exc:
+        fluvio_consume(spark, "--help", sf_dir=sf_dir)
+    assert "usage" in str(exc.value).lower()
