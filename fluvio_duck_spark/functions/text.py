@@ -1,0 +1,104 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (no Python in the hot path): token
+counting, quality scoring, language-ID heuristics, document fingerprinting,
+and w-shingling for near-dup detection.  Each is a building block used by
+operators/dedup.py and the oracle-paired queries in queries/llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny deterministic stopword list (language-ID + quality heuristics).
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization — the only splitter the fixtures need; a
+    BPE-ish fallback regex splitter is in token_count_bpe below."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("int")
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """BPE-ish proxy: count alnum runs and standalone punctuation marks the
+    way a byte-pair tokenizer's pre-tokenizer splits."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?=[^\w])|(?<=[^\w])"), lambda t: (F.trim(t) != "")
+        )
+    ).cast("int")
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c).cast("int")
+
+
+def stopword_ratio(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return (hits.cast("double") / F.size(toks)).alias("stopword_ratio")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double") / F.length(c)
+
+
+def mean_token_len(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    return (F.length(c) - F.size(toks) + 1).cast("double") / F.size(toks)
+
+
+def quality_score(col: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    """Composite [0,1]-ish quality heuristic: stopword presence (fluency
+    proxy) + reasonable mean token length.  Deterministic arithmetic only —
+    reproducible across engines and cluster runs."""
+    sw = stopword_ratio(col, stopwords)
+    mtl = mean_token_len(col)
+    len_term = 1.0 - F.least(F.abs(mtl - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    return (F.least(sw * 4.0, F.lit(1.0)) * 0.5 + len_term * 0.5).alias("quality_score")
+
+
+def lang_id(col: Column | str, en_threshold: float = 0.04) -> Column:
+    """N-gram-free heuristic language ID: English stopword density.  The
+    fixtures' text is synthetic, so this is the *shape* of a fastText-style
+    classifier: per-language marker-token densities + argmax."""
+    return F.when(stopword_ratio(col) >= en_threshold, F.lit("en")).otherwise(
+        F.lit("unknown")
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Full-content fingerprint: md5 of the normalized text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))
+
+
+def prefix_fingerprint(col: Column | str, k: int = 3) -> Column:
+    """Fingerprint of the first k tokens — a cheap rolling-hash-style key
+    for blocking/canonicalization."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, k)))
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct w-shingles (k-word n-grams) — the unit of Jaccard
+    similarity for near-dup detection.  Pure expression: split + transform
+    over an index sequence; guarded for texts shorter than k tokens."""
+    toks = tokens(col)
+    make = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= k, make).otherwise(F.array().cast("array<string>"))
+    )

@@ -1,0 +1,131 @@
+"""Multimodal column conventions + operators.
+
+Convention: a modality column is an opaque ``binary`` payload next to a
+typed metadata struct —
+
+    content   BINARY          -- encoded bytes (jpeg/wav/mp4/...)
+    meta      STRUCT<format: STRING, width: INT, height: INT,
+                     duration_ms: INT, sample_rate: INT>
+
+Operators run as Arrow-batched ``mapInPandas`` so bytes never round-trip
+through Python row-at-a-time; each batch is a pandas DataFrame whose
+``content`` cells are ``bytes``.  The actual codec work (PIL/ffmpeg/
+torchaudio) is NOT available in this environment, so the decode kernel is
+stubbed: ``decode_fn=None`` uses a deterministic fake (feature vector from
+a hash of the bytes) and real decoders plug in via the ``decode_fn``
+parameter — the Spark-side plumbing (schema, batching, partitioning) is
+real and tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "format string, width int, height int, duration_ms int, sample_rate int"
+)
+
+
+def attach_binary_content(
+    df: DataFrame, source_col: str = "text", fmt: str = "utf8"
+) -> DataFrame:
+    """Fixture adapter: promote a string column to the binary-content
+    convention (the testdata ships no real media bytes)."""
+    return df.withColumn("content", F.encode(F.col(source_col), "utf-8")).withColumn(
+        "meta",
+        F.struct(
+            F.lit(fmt).alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ),
+    )
+
+
+def _fake_decode(content: bytes, n_features: int) -> np.ndarray:
+    """Deterministic stand-in for a decode+embed kernel: expands a sha256
+    of the payload into n float32 features in [0, 1)."""
+    out = np.empty(n_features, dtype=np.float32)
+    h = b""
+    i = 0
+    while i < n_features:
+        h = hashlib.sha256(content + i.to_bytes(4, "little")).digest()
+        take = min(n_features - i, 8)
+        for j in range(take):
+            out[i + j] = int.from_bytes(h[j * 4 : j * 4 + 4], "little") / 2**32
+        i += take
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    n_features: int = 16,
+    decode_fn: Callable[[bytes], np.ndarray] | None = None,
+) -> DataFrame:
+    """binary content → fixed-width float feature vector, Arrow-batched.
+
+    ``decode_fn`` is the real kernel seam (e.g. PIL decode + CNN embed);
+    None → deterministic fake (STUB — codec libs absent here)."""
+    kernel = decode_fn or (lambda b: _fake_decode(b, n_features))
+    schema = f"{id_col} long, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        kernel(bytes(c)).tolist() if c is not None else None
+                        for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int = 64,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled "frame" of the
+    payload (byte-window stand-in for video frame extraction; a real
+    implementation swaps the slicer for an ffmpeg keyframe reader).
+    Output rows per input row is bounded by max_frames — predictable
+    fan-out for the downstream shuffle."""
+    schema = f"{id_col} long, frame_no int, frame binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                if c is None:
+                    continue
+                data = bytes(c)
+                for n in range(min(max_frames, max(1, len(data) // every_n_bytes))):
+                    ids.append(i)
+                    nos.append(n)
+                    frames.append(data[n * every_n_bytes : (n + 1) * every_n_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_no": nos, "frame": frames})
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+def decode_image(*args, **kwargs):
+    """Real image decode requires PIL/opencv — not in this container."""
+    raise NotImplementedError(
+        "image decode requires a codec library (PIL/opencv); plug a real "
+        "kernel into extract_features(decode_fn=...) instead"
+    )

@@ -1,0 +1,132 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* ``cosine_topk`` — brute-force exact top-k: full scan + per-partition
+  heap (TakeOrderedAndProject).  At 100 TB this is the *correct baseline*:
+  embarrassingly parallel, no shuffle, bounded driver memory (k rows).
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH signatures
+  (sign bits of projections onto seeded Gaussian planes) partition vectors
+  into 2^n_planes buckets; the query probes its own bucket plus all
+  hamming-1 neighbors, then scores candidates exactly.  Candidate set is
+  ~(n_probes/2^n_planes) of the data — the scan is pruned, not the math.
+* ``embedding_near_dup_pairs`` — all-pairs cosine ≥ threshold; exact via
+  self-join (bounded fixtures / verification), LSH-bucketed variant for
+  scale via ``bucketed=True``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.functions.vectors import cosine, dot
+
+
+def _query_df(df: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
+    return df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to the vector with ``query_id`` (excluded from
+    the results).  The 1-row query side is broadcast; ordering carries the
+    id tie-break so results are total-ordered and reproducible."""
+    q = _query_df(df, query_id, id_col, vec_col)
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(id_col, cosine(F.col(vec_col), F.col("__qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col, planes: list[list[float]]):
+    """Pack sign bits of plane projections into one integer signature.
+    Pure expression — evaluated JVM-side per row."""
+    bits = [
+        F.when(
+            dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    hamming distance 1 of the query's bucket (n_planes+1 probes of
+    2^n_planes buckets).  In production the signature column is
+    precomputed and the table is partitioned/bucketed by it, turning each
+    query into a partition-pruned scan."""
+    planes = _planes(dim, n_planes, seed)
+    signed = df.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
+    q = (
+        signed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("__qv"), F.col("__sig").alias("__qsig"))
+    )
+    probe_ok = F.col("__sig") == F.col("__qsig")
+    for i in range(n_planes):
+        probe_ok = probe_ok | (
+            F.col("__sig") == F.col("__qsig").bitwiseXOR(F.lit(1 << i))
+        )
+    return (
+        signed.crossJoin(F.broadcast(q))
+        .filter(probe_ok & (F.col(id_col) != query_id))
+        .select(id_col, cosine(F.col(vec_col), F.col("__qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucketed: bool = False,
+    n_planes: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    bucketed=False: exact all-pairs self-join (n² — verification scale).
+    bucketed=True: equi-join on the LSH signature first (same-bucket pairs
+    only), then exact cosine — the 100 TB plan, trading recall for a
+    shuffle bounded by bucket sizes."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if bucketed:
+        planes = _planes(dim, n_planes, seed)
+        a = a.withColumn("__sig", lsh_signature(F.col("va"), planes))
+        b = b.withColumn("__sig", lsh_signature(F.col("vb"), planes))
+        joined = a.join(b, ["__sig"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -24,10 +24,10 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from fluvio_duck_spark.queries import consume_queries
+    from fluvio_duck_spark.queries import consume_queries, llm, relational
 
     merged: dict[str, QuerySpec] = {}
-    for module in (consume_queries,):
+    for module in (consume_queries, relational, llm):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

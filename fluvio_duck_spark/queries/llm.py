@@ -1,0 +1,222 @@
+"""Training-data-pipeline queries (dedup / similarity / text analysis)
+over the ``documents`` and ``embeddings`` fixtures, oracle-paired where the
+semantics are SQL-expressible.
+
+Where an operator is hash-based (MinHash, SimHash, hyperplane LSH) the
+Spark hash functions have no DuckDB equivalent, so those entries are
+rows-only; their *verification* happens in tests/test_llm_ops.py against
+the exact (oracle-checked) variants — e.g. LSH candidate pairs must
+contain every exact-Jaccard pair above the banding curve's high-recall
+region, and the ANN result is measured for recall against brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.functions.text import (
+    char_count,
+    fingerprint,
+    lang_id,
+    mean_token_len,
+    prefix_fingerprint,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from fluvio_duck_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from fluvio_duck_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.sources.tables import load
+
+_STOPLIST_SQL = "('the','a','of','and','to','in','is','it')"
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars_m"),
+        stopword_ratio("text").alias("stopword_ratio"),
+        mean_token_len("text").alias("mean_token_len"),
+    )
+
+
+ORACLE_TEXT_STATS = f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_m,
+  CAST(len(list_filter(string_split(text, ' '), t -> t IN {_STOPLIST_SQL})) AS DOUBLE)
+    / len(string_split(text, ' ')) AS stopword_ratio,
+  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+    / len(string_split(text, ' ')) AS mean_token_len
+FROM documents
+"""
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality_score"),
+        lang_id("text").alias("lang_guess"),
+    )
+
+
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN {_STOPLIST_SQL})) AS DOUBLE)
+      / len(string_split(text,' ')) AS sw,
+    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+      / len(string_split(text,' ')) AS mtl
+  FROM documents)
+SELECT doc_id,
+  least(sw * 4.0, 1.0) * 0.5 + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.5
+    AS quality_score,
+  CASE WHEN sw >= 0.04 THEN 'en' ELSE 'unknown' END AS lang_guess
+FROM t
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_prefix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key canonicalization: docs sharing the first-3-token
+    fingerprint collapse to the minimum doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", prefix_fingerprint("text", 3).alias("block"))
+        .groupBy("block")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+ORACLE_DEDUP_PREFIX = """
+WITH b AS (
+  SELECT doc_id,
+         md5(concat_ws(' ', string_split(text,' ')[1],
+                            string_split(text,' ')[2],
+                            string_split(text,' ')[3])) AS block
+  FROM documents)
+SELECT block, min(doc_id) AS canonical_id, COUNT(*) AS n_docs
+FROM b GROUP BY block HAVING COUNT(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), k=5, threshold=0.8)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+ORACLE_SIM_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+ORACLE_EMBEDDING_NEAR_DUPS = """
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_aggregate(list_transform(range(1, len(a.embedding)+1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
+        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+WHERE sim >= 0.45
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS,
+                            doc="token/char counts, stopword ratio"),
+    "text_quality_langid": QuerySpec(q_quality, ORACLE_QUALITY,
+                                     doc="quality score + language-ID heuristic"),
+    "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
+                             doc="exact dedup via content fingerprint groupBy"),
+    "dedup_prefix_blocks": QuerySpec(q_dedup_prefix_blocks, ORACLE_DEDUP_PREFIX,
+                                     doc="blocking-key canonicalization"),
+    "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,
+                                     doc="exact 5-gram Jaccard near-dup pairs"),
+    "dedup_minhash_lsh": QuerySpec(q_minhash_lsh, None,
+                                   doc="MinHash+LSH near-dups (hash-based; verified vs exact in tests)"),
+    "dedup_simhash": QuerySpec(q_simhash_pairs, None,
+                               doc="SimHash hamming≤3 pairs (hash-based; rows-only)"),
+    "sim_topk_bruteforce": QuerySpec(q_sim_topk, ORACLE_SIM_TOPK,
+                                     doc="exact cosine top-10"),
+    "sim_embedding_near_dups": QuerySpec(q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS,
+                                         doc="all-pairs cosine ≥ 0.45"),
+    "sim_ann_lsh": QuerySpec(q_ann_lsh, None,
+                             doc="hyperplane-LSH ANN top-10 (recall-tested vs brute force)"),
+}

@@ -1,0 +1,578 @@
+"""Relational surface queries (SURVEY §2.6-2.10) — the half of the
+reference's usable surface that DuckDB's engine supplied (joins, windows,
+aggregations, set ops, sorts, scalar functions; reference README.md:149-184
+documents the SQL-over-views workflow).  Spark SQL/Catalyst supplies it
+here; each query is paired with an ANSI oracle so the parity is *measured*,
+not assumed.
+
+Determinism rules used throughout (see functions/exact.py): float
+aggregates accumulate in DECIMAL and emit double; every window/top-k
+ordering carries a unique tie-break key; derived integer widths are cast
+to match across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.functions.exact import davg, dmul, dsum
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.sources.tables import load, register_views
+
+_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+
+# --- §2.7 aggregations -----------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate groupBy; Catalyst runs it as
+    partial (map-side) + final hash aggregation — one shuffle on the
+    2-value grouping key."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= _TS("2000-01-01"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("sum_disc_price"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        davg("l_discount", scale=4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").alias("yr"), F.col("o_orderpriority").alias("pri")
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+
+
+ORACLE_ROLLUP = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority AS pri,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+"""
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("qty")
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT year(o_orderdate) AS yr, o_orderpriority AS pri,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority AS pri, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+"""
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch values differ from DuckDB's
+    approx algorithm by design, so this is a rows-only check."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("p50_price"),
+    )
+
+
+# --- §2.6 joins --------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape.  Join strategy at scale: lineitem⋈orders⋈customer are
+    the big shuffles (AQE handles skew); nation/region are broadcast —
+    no shuffle for the dimension side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1997-01-01"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_left_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+ORACLE_LEFT_JOIN = """
+SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+
+
+ORACLE_SEMI_JOIN = """
+SELECT c_mktsegment, COUNT(*) AS n_with_orders
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no 1995 orders (anti join against a filtered build
+    side — non-degenerate at every sf)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1995-01-01")) & (F.col("o_orderdate") < _TS("1996-01-01"))
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+
+
+ORACLE_ANTI_JOIN = """
+SELECT c_nationkey, COUNT(*) AS n_without_orders
+FROM customer WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')
+GROUP BY c_nationkey
+"""
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+ORACLE_FULL_OUTER = """
+SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(c.n_cust, 0) AS n_cust, COALESCE(s.n_supp, 0) AS n_supp
+FROM      (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+FULL JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+ON c.k = s.k
+"""
+
+
+# --- §2.8 windows ------------------------------------------------------------
+
+def q_window_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+ORACLE_WINDOW_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def q_window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+ORACLE_WINDOW_RUNNING = """
+SELECT o_custkey, o_orderkey,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def q_window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+ORACLE_WINDOW_GAPS = """
+SELECT o_custkey, o_orderkey,
+  CAST(date_diff('day',
+       lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       o_orderdate) AS INTEGER) AS gap_days,
+  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+"""
+
+
+def q_window_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w_ties = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    w_total = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT c_mktsegment, c_custkey,
+  rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+  dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk,
+  ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+"""
+
+
+# --- §2.5 sort / top-k -------------------------------------------------------
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: TakeOrderedAndProject — per-partition heap + driver
+    merge of k rows, never a full sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+ORACLE_TOPK = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- §2.9 set operations -----------------------------------------------------
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer vs supplier nations,
+    tagged and unioned into one result."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    u = c.union(s).distinct().withColumn("op", F.lit("union"))
+    i = c.intersect(s).withColumn("op", F.lit("intersect"))
+    e = c.subtract(s).withColumn("op", F.lit("except"))
+    return u.union(i).union(e)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'union' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'intersect' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+"""
+
+
+# --- pivot -------------------------------------------------------------------
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- scalar subquery ---------------------------------------------------------
+
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter without a driver round-trip: the global avg is
+    a 1-row aggregate broadcast back onto the scan."""
+    o = load(spark, sf_dir, "orders")
+    avg = o.agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "thr"
+        )
+    )
+    return (
+        o.crossJoin(F.broadcast(avg))
+        .filter(F.col("o_totalprice") > F.col("thr"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+ORACLE_ABOVE_AVG = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+"""
+
+
+# --- §2.10 scalar function families -------------------------------------------
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("uname"),
+        F.lower("p_brand").alias("lbrand"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.trim(F.lit("  x  ")).alias("trimmed"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT p_partkey,
+  upper(p_name) AS uname, lower(p_brand) AS lbrand,
+  CAST(length(p_name) AS INTEGER) AS name_len,
+  substring(p_type, 1, 5) AS type5,
+  concat(p_brand, '-', p_type) AS brand_type,
+  replace(p_name, ' ', '_') AS snake_name,
+  trim('  x  ') AS trimmed
+FROM part
+"""
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+ORACLE_DATE_FUNCS = """
+SELECT o_orderkey,
+  CAST(year(o_orderdate) AS INTEGER) AS yr,
+  CAST(month(o_orderdate) AS INTEGER) AS mo,
+  CAST(day(o_orderdate) AS INTEGER) AS dom,
+  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95
+FROM orders
+"""
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("abal"),
+        F.round(F.col("c_acctbal").cast("decimal(18,2)"), 1).cast("double").alias("rounded1"),
+        F.ceil("c_acctbal").cast("long").alias("ceil_bal"),
+        F.floor("c_acctbal").cast("long").alias("floor_bal"),
+        F.sqrt(F.abs("c_acctbal")).alias("sqrt_abal"),
+        (F.col("c_custkey") % 7).cast("long").alias("mod7"),
+    )
+
+
+ORACLE_MATH_FUNCS = """
+SELECT c_custkey,
+  abs(c_acctbal) AS abal,
+  CAST(round(CAST(c_acctbal AS DECIMAL(18,2)), 1) AS DOUBLE) AS rounded1,
+  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+  sqrt(abs(c_acctbal)) AS sqrt_abal,
+  CAST(c_custkey % 7 AS BIGINT) AS mod7
+FROM customer
+"""
+
+
+def q_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.when(F.col("o_totalprice") < 50000, "small")
+            .when(F.col("o_totalprice") < 200000, "medium")
+            .otherwise("large")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_CASE = """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "agg_pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING,
+                                     doc="TPC-H Q1 shape — §2.7 A4"),
+    "agg_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, doc="ROLLUP — §2.7 A4"),
+    "agg_cube": QuerySpec(q_cube, ORACLE_CUBE, doc="CUBE — §2.7 A4"),
+    "agg_grouping_sets": QuerySpec(q_grouping_sets, ORACLE_GROUPING_SETS,
+                                   doc="GROUPING SETS — §2.7 A4"),
+    "agg_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT,
+                              doc="COUNT DISTINCT — §2.7 A4"),
+    "agg_approx": QuerySpec(q_approx_distinct, None,
+                            doc="approx_count_distinct/percentile (sketches differ by engine; rows-only)"),
+    "join_revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_BY_NATION,
+                                        doc="TPC-H Q5 shape w/ broadcast dims — §2.6"),
+    "join_left_order_counts": QuerySpec(q_left_join_order_counts, ORACLE_LEFT_JOIN,
+                                        doc="LEFT OUTER — §2.6"),
+    "join_semi": QuerySpec(q_semi_join, ORACLE_SEMI_JOIN, doc="LEFT SEMI / EXISTS — §2.6"),
+    "join_anti": QuerySpec(q_anti_join, ORACLE_ANTI_JOIN, doc="LEFT ANTI / NOT EXISTS — §2.6"),
+    "join_full_outer": QuerySpec(q_full_outer_join, ORACLE_FULL_OUTER,
+                                 doc="FULL OUTER — §2.6"),
+    "window_topk_per_customer": QuerySpec(q_window_topk_per_customer, ORACLE_WINDOW_TOPK,
+                                          doc="row_number top-k per group — §2.8"),
+    "window_running_spend": QuerySpec(q_window_running_spend, ORACLE_WINDOW_RUNNING,
+                                      doc="cumulative frame — §2.8"),
+    "window_order_gaps": QuerySpec(q_window_order_gaps, ORACLE_WINDOW_GAPS,
+                                   doc="lag/lead — §2.8"),
+    "window_rank_ntile": QuerySpec(q_window_rank_ntile, ORACLE_WINDOW_RANK,
+                                   doc="rank/dense_rank/ntile — §2.8"),
+    "topk_orders": QuerySpec(q_topk_orders, ORACLE_TOPK, doc="ORDER BY + LIMIT — §2.5 L3"),
+    "set_ops": QuerySpec(q_set_ops, ORACLE_SET_OPS,
+                         doc="UNION/INTERSECT/EXCEPT — §2.9"),
+    "pivot_qty_by_status": QuerySpec(q_pivot, ORACLE_PIVOT, doc="pivot — §2.7"),
+    "above_avg_orders": QuerySpec(q_above_avg_orders, ORACLE_ABOVE_AVG,
+                                  doc="scalar subquery via broadcast agg"),
+    "scalar_string_funcs": QuerySpec(q_string_funcs, ORACLE_STRING_FUNCS, doc="§2.10"),
+    "scalar_date_funcs": QuerySpec(q_date_funcs, ORACLE_DATE_FUNCS, doc="§2.10"),
+    "scalar_math_funcs": QuerySpec(q_math_funcs, ORACLE_MATH_FUNCS, doc="§2.10"),
+    "scalar_case_buckets": QuerySpec(q_case_coalesce, ORACLE_CASE, doc="§2.10"),
+}

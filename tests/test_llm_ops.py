@@ -1,0 +1,141 @@
+"""Verification of the training-data-pipeline operators: hash-based
+approximations (MinHash-LSH, SimHash, hyperplane ANN) measured against
+their exact counterparts, plus the multimodal plumbing contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from fluvio_duck_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_features,
+    sample_frames,
+)
+from fluvio_duck_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from fluvio_duck_spark.sources.tables import load
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.8).collect()
+    }
+
+
+def test_exact_dedup_covers_all_docs(docs):
+    groups = exact_dedup(docs)
+    assert groups.agg(F.sum("n_copies")).first()[0] == docs.count()
+
+
+def test_planted_near_dups_found(exact_pairs):
+    # the fixture plants near-duplicate documents
+    assert len(exact_pairs) >= 5
+
+
+def test_minhash_lsh_matches_exact(docs, exact_pairs):
+    """b=8/r=4 banding: P(candidate | j>=0.8) ≈ 0.99 — expect full recall
+    on the planted pairs, and verification removes false positives."""
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact_pairs
+
+
+def test_minhash_candidates_without_verify_are_superset(docs, exact_pairs):
+    cands = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.8, verify=False).collect()
+    }
+    assert cands >= exact_pairs
+
+
+def test_simhash_pairs_are_near_dups(docs, exact_pairs):
+    sh = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    # hamming<=3 of 64 is tighter than jaccard 0.8; everything it finds
+    # must be a genuine exact-Jaccard near-dup, and it must find most
+    assert sh <= exact_pairs
+    assert len(sh) >= len(exact_pairs) // 3
+
+
+def test_cosine_topk_excludes_query_and_is_ordered(emb):
+    top = cosine_topk(emb, query_id=0, k=10).collect()
+    assert len(top) == 10
+    assert all(r.vec_id != 0 for r in top)
+    sims = [r.sim for r in top]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall_vs_bruteforce(emb):
+    exact = [r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()]
+    approx = {r.vec_id for r in ann_lsh_topk(emb, query_id=0, k=10).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall too low: {recall}"
+
+
+def test_embedding_near_dups_symmetric_free(emb):
+    pairs = embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(r.sim >= 0.45 for r in pairs)
+
+
+def test_lsh_bucketed_near_dups_subset_of_exact(emb):
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.45, bucketed=True).collect()
+    }
+    assert bucketed <= exact
+
+
+def test_multimodal_feature_extraction(docs):
+    blobs = attach_binary_content(docs.limit(20))
+    assert dict(blobs.dtypes)["content"] == "binary"
+    feats = extract_features(blobs, n_features=16)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.features) == 16 for r in rows)
+    # deterministic: same bytes → same features
+    again = extract_features(blobs, n_features=16).collect()
+    assert {r.doc_id: r.features for r in rows} == {r.doc_id: r.features for r in again}
+
+
+def test_multimodal_frame_sampling_bounded(docs):
+    blobs = attach_binary_content(docs.limit(10))
+    frames = sample_frames(blobs, every_n_bytes=64, max_frames=4)
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+
+
+def test_decode_image_is_explicit_stub():
+    from fluvio_duck_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image()
