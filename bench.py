@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries are materialized through the noop sink so every column is fully
+computed (a bare count() would let Catalyst prune the work away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: one per engine pillar (consume, agg, join, window, top-k,
+#: dedup, similarity, streaming).
+HEADLINE = [
+    "consume_mapped_typed",
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_per_customer",
+    "topk_orders",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "stream_tumbling_windows",
+]
+
+
+def main() -> None:
+    from fluvio_duck_spark.queries import all_queries
+    from fluvio_duck_spark.session import get_spark
+
+    spark = get_spark("fluvio-duck-spark-bench")
+    specs = all_queries()
+
+    # warm the JVM/codegen paths with a trivial job
+    spark.range(1000).select("id").write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

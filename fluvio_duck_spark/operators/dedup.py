@@ -102,13 +102,19 @@ def minhash_signatures(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """n_hashes MinHash values per doc: min over shingles of
-    ``xxhash64(seed_i, shingle)``.  One explode + one groupBy(doc) with
-    n_hashes partial-aggregated mins — a single shuffle on the doc id."""
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"mh{i}") for i in range(n_hashes)
+    ``xxhash64(seed_i, shingle)``.
+
+    Computed as pure per-row array expressions (``array_min ∘ transform``)
+    — no explode, no shuffle, fully inside whole-stage codegen.  On a
+    cluster this stage is map-only: each task emits one signature row per
+    document, and the only shuffle in the whole LSH pipeline is the band
+    bucket join."""
+    sh = shingles(F.col(text_col), k)
+    cols = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh{i}")
+        for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return df.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_pairs(
@@ -130,7 +136,11 @@ def minhash_lsh_pairs(
     the banding curve)."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signatures(df, k, n_hashes, text_col, id_col)
+    # docs shorter than k tokens have no shingles → null signature; they
+    # can't be near-dups under shingle Jaccard, so drop them pre-banding
+    sig = minhash_signatures(df, k, n_hashes, text_col, id_col).filter(
+        F.col("mh0").isNotNull()
+    )
 
     bands = F.array(
         *[
@@ -160,21 +170,22 @@ def minhash_lsh_pairs(
     if not verify:
         return cands
 
-    sh = df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s").alias("s"))
-    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s").alias("s"))
-    common = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    # Exact verification on candidates only: join each side's shingle SET
+    # onto the pair and intersect in-row (array_intersect in codegen) —
+    # no explode, no groupBy; cost is O(|candidates| × shingles/doc).
+    sets = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
+    common = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - common
     return (
-        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (common.cast("double") / union).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -24,10 +24,15 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from fluvio_duck_spark.queries import consume_queries, llm, relational
+    from fluvio_duck_spark.queries import (
+        consume_queries,
+        llm,
+        relational,
+        streaming_queries,
+    )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (consume_queries, relational, llm):
+    for module in (consume_queries, relational, llm, streaming_queries):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,133 @@
+"""Streaming-mode queries (SURVEY §2.11) run to bounded completion via
+``Trigger.AvailableNow`` + memory sink, so the driver's batch correctness
+harness can hash-compare them against ANSI oracles.
+
+Each entry exercises a *streaming* plan — file-stream source, watermarks,
+event-time windows, state-store folds — but over the same bounded fixture,
+which is exactly the reference's default consume mode (read to the end of
+the log, then stop; SURVEY §1.4.5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.sources.consume import fluvio_consume
+from fluvio_duck_spark.streaming.consume_stream import (
+    fluvio_consume_stream,
+    record_log_stream,
+    run_stream_to_table,
+)
+from fluvio_duck_spark.streaming.stateful import aggregate_fold_stream
+from fluvio_duck_spark.streaming.windows import session_window_agg, tumbling_window_agg
+
+_DEFAULT_COLS = 'event_id AS "offset", ts AS "timestamp", props AS "value"'
+
+
+def q_stream_consume_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = fluvio_consume_stream(
+        spark, "events -A -H 100 --end 699 -c k:i=k -c kd:d=k", sf_dir=sf_dir
+    )
+    return run_stream_to_table(stream, spark)
+
+
+ORACLE_STREAM_PARITY = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd
+FROM events WHERE event_id >= 100 AND event_id <= 699
+"""
+
+
+def q_stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = record_log_stream(spark, sf_dir)
+    agg = tumbling_window_agg(stream, window="6 hours", watermark="12 hours")
+    return run_stream_to_table(agg, spark, output_mode="complete")
+
+
+ORACLE_TUMBLING = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)) AS TIMESTAMP)
+         AS window_start,
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)) AS TIMESTAMP)
+         AS window_end,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = record_log_stream(spark, sf_dir)
+    agg = session_window_agg(stream, gap="1 hour", watermark="2 hours", key_col="partition")
+    return run_stream_to_table(agg, spark, output_mode="complete")
+
+
+ORACLE_SESSION = """
+WITH e AS (
+  SELECT CAST(user_id % 4 AS INTEGER) AS p, ts, event_id FROM events),
+m AS (
+  SELECT p, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY p ORDER BY ts, event_id)),
+s AS (
+  SELECT p, ts,
+    SUM(new_s) OVER (PARTITION BY p ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m)
+SELECT p AS "partition", min(ts) AS session_start,
+       max(ts) + INTERVAL 1 HOUR AS session_end, COUNT(*) AS n
+FROM s GROUP BY p, sid
+"""
+
+
+def q_stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = record_log_stream(spark, sf_dir)
+    folded = aggregate_fold_stream(stream, initial=0, json_field="k")
+    return run_stream_to_table(folded, spark, output_mode="update")
+
+
+ORACLE_STATEFUL_FOLD = """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS acc,
+       COUNT(*) AS n_records
+FROM events GROUP BY 1
+"""
+
+
+def q_consume_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch A1: the aggregate-kind smartmodule folding payload values in
+    offset order with a seeded accumulator (reference --aggregate-initial,
+    src/consume.rs:511-513,:687-695)."""
+    return fluvio_consume(
+        spark,
+        "events -A -B --rows 200 --smartmodule sum-aggregate "
+        "--aggregate-initial 1000 -e field=k",
+        sf_dir=sf_dir,
+    )
+
+
+ORACLE_AGGREGATE_FOLD = f"""
+SELECT {_DEFAULT_COLS.replace('props AS "value"', '')}
+       CAST(1000 + SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS VARCHAR) AS "value"
+FROM events ORDER BY event_id LIMIT 200
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "stream_consume_parity": QuerySpec(
+        q_stream_consume_parity, ORACLE_STREAM_PARITY,
+        doc="readStream consume pipeline, AvailableNow bounded parity — ST1"),
+    "stream_tumbling_windows": QuerySpec(
+        q_stream_tumbling_windows, ORACLE_TUMBLING,
+        doc="event-time tumbling windows + watermark — ST6"),
+    "stream_session_windows": QuerySpec(
+        q_stream_session_windows, ORACLE_SESSION,
+        doc="session windows (gap merge) — ST6"),
+    "stream_stateful_fold": QuerySpec(
+        q_stream_stateful_fold, ORACLE_STATEFUL_FOLD,
+        doc="applyInPandasWithState accumulator fold — A1 streaming"),
+    "consume_aggregate_fold": QuerySpec(
+        q_consume_aggregate_fold, ORACLE_AGGREGATE_FOLD,
+        doc="aggregate smartmodule with seeded accumulator — A1 batch"),
+}

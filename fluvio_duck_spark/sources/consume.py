@@ -58,6 +58,15 @@ STANDIN_PARTITIONS = 4
 #: Topic names that map to the entire events table.
 _WHOLE_LOG_TOPICS = {"events", "*"}
 
+#: Built-in transforms that never drop rows — for these the --rows budget
+#: commutes with the chain and can become a scan predicate.
+_ROW_PRESERVING_TRANSFORMS = {
+    "infinyon/jolt@0.1.0",
+    "jolt",
+    "sql-map",
+    "sum-aggregate",
+}
+
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the ``events`` fixture.  Its ``ts`` column is parquet
@@ -136,17 +145,52 @@ def fluvio_consume(
     if not opts.all_partitions:
         log = log.filter(F.col("partition") == opts.partition)
 
-    log = _with_offset_bounds(log, opts)
-
     # Server-side SmartModule transform chain (reference src/consume.rs:
     # 645-673) → DataFrame transforms applied before the row budget, like
     # the SPU applies them before records reach the scan.
     chain = load_transform_chain(opts)
-    log = apply_transform_chain(log, chain)
 
-    # Row budget: first N records in log order from the start position
-    # (reference src/consume.rs:75-93). TakeOrderedAndProject at exec time.
-    if opts.rows is not None:
-        log = log.orderBy("offset").limit(opts.rows)
+    # Row budget (--rows, reference src/consume.rs:75-93). Two plans:
+    #  (a) offset-range predicate — when the selection is the dense whole
+    #      log and the chain drops no rows, "first N records" ≡
+    #      "offset < start + N": a pure pushdown predicate, pruned at the
+    #      parquet scan.  This is the scale path: no sort, no per-partition
+    #      top-N heaps, no driver merge.
+    #  (b) ordered limit (TakeOrderedAndProject) — the general fallback
+    #      (sub-topic / single-partition selections have sparse offsets in
+    #      the stand-in; filtering transforms change the row count).
+    budget_as_predicate = (
+        opts.rows is not None
+        and opts.topic in _WHOLE_LOG_TOPICS
+        and opts.all_partitions
+        and all(spec.uses in _ROW_PRESERVING_TRANSFORMS for spec in chain)
+    )
+    start = opts.calculate_start()
+    if budget_as_predicate and start.kind in ("beginning", "head", "start"):
+        lo = 0 if start.kind == "beginning" else start.n
+        log = log.filter(
+            (F.col("offset") >= lo) & (F.col("offset") < lo + opts.rows)
+        )
+        if opts.end is not None:
+            log = log.filter(F.col("offset") <= opts.end)
+        log = apply_transform_chain(log, chain)
+    elif budget_as_predicate and start.kind == "tail":
+        leo = log.agg((F.coalesce(F.max("offset"), F.lit(-1)) + 1).alias("__leo"))
+        log = (
+            log.crossJoin(F.broadcast(leo))
+            .filter(
+                (F.col("offset") >= F.col("__leo") - start.n)
+                & (F.col("offset") < F.col("__leo") - start.n + opts.rows)
+            )
+            .drop("__leo")
+        )
+        if opts.end is not None:
+            log = log.filter(F.col("offset") <= opts.end)
+        log = apply_transform_chain(log, chain)
+    else:
+        log = _with_offset_bounds(log, opts)
+        log = apply_transform_chain(log, chain)
+        if opts.rows is not None:
+            log = log.orderBy("offset").limit(opts.rows)
 
     return log.select(projection(opts.columns))

@@ -1,0 +1,126 @@
+"""``fluvio_consume`` in streaming mode (ST1) — Structured Streaming.
+
+The reference's ``-d`` flag toggles bounded vs continuous consumption
+(reference src/consume.rs:480-482, :675; behavior inversion documented in
+SURVEY §1.4.5).  Batch mode is sources/consume.py; this module is the
+continuous side: ``spark.readStream`` over the record log with the same
+topic/partition/offset/transform/mapping pipeline.  ``Trigger.
+AvailableNow`` gives bounded-parity runs (process everything currently in
+the log, then stop) — the exact analogue of the reference's default
+stop-at-end behavior, while leaving the same query runnable forever with a
+processing-time trigger.
+
+Streaming-specific semantics:
+
+* ``-T/tail`` and the default end-position need the log-end offset, which
+  is a property of a *bounded* scan — they raise here (the reference's
+  streaming default "wait at the end for new data" corresponds to starting
+  a fresh stream: every new record is new data).
+* ``--rows`` is a scan budget in the reference; for an unbounded stream it
+  has no one-shot meaning and is ignored (documented divergence; bound
+  per-trigger intake with reader options instead, the ``--maxbytes``
+  analogue, reference src/consume.rs:641-643).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fluvio_duck_spark.mappings import projection
+from fluvio_duck_spark.options import ConsumeOptError, ConsumeOptions, parse_consume_opts
+from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR, STANDIN_PARTITIONS
+from fluvio_duck_spark.transforms import apply_transform_chain, load_transform_chain
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def record_log_stream(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, topic: str = "events"
+) -> DataFrame:
+    """readStream over the events fixture, normalized to the record shape
+    (offset, timestamp, partition, value) used by the batch source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources take a directory; select just the events table
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    if topic not in ("events", "*"):
+        events = events.filter(F.col("event_type") == topic)
+    return events.select(
+        F.col("event_id").cast(T.LongType()).alias("offset"),
+        F.col("ts").alias("timestamp"),
+        (F.col("user_id") % STANDIN_PARTITIONS).cast(T.IntegerType()).alias("partition"),
+        F.col("props").alias("value"),
+    )
+
+
+def fluvio_consume_stream(
+    spark: SparkSession,
+    opts: str | ConsumeOptions,
+    sf_dir: str = DEFAULT_SF_DIR,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """Streaming DataFrame with the consume pipeline applied.  Offset
+    positions that require the log end (tail / default-end) are batch-only."""
+    if isinstance(opts, str):
+        opts = parse_consume_opts(opts)
+
+    start = opts.calculate_start()
+    if start.kind in ("tail", "end"):
+        raise ConsumeOptError(
+            f"offset position {start.kind!r} requires a bounded scan; "
+            "use -B/-H/--start in streaming mode (or batch fluvio_consume)"
+        )
+
+    log = source if source is not None else record_log_stream(spark, sf_dir, opts.topic)
+    if not opts.all_partitions:
+        log = log.filter(F.col("partition") == opts.partition)
+    if start.kind in ("head", "start"):
+        log = log.filter(F.col("offset") >= start.n)
+    if opts.end is not None:
+        log = log.filter(F.col("offset") <= opts.end)
+
+    log = apply_transform_chain(log, load_transform_chain(opts))
+    return log.select(projection(opts.columns))
+
+
+def run_stream_to_table(
+    df: DataFrame,
+    spark: SparkSession,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow
+    semantics into a memory sink; returns the materialized batch result.
+
+    This is the bounded-parity runner (reference default mode: consume
+    everything available, then stop); it is also what lets streaming
+    pipelines participate in the batch correctness harness."""
+    name = name or f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

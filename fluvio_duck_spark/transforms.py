@@ -132,7 +132,29 @@ def sql_map_transform(df: DataFrame, params: dict) -> DataFrame:
     return df.withColumn("value", F.expr(expr).cast("string"))
 
 
+def aggregate_sum_transform(df: DataFrame, params: dict, accumulator: str = "0") -> DataFrame:
+    """Built-in aggregate-kind smartmodule (A1): sequential fold over the
+    record log in offset order — ``acc := acc + payload[field]`` seeded by
+    ``--aggregate-initial`` — rewriting each record's value with the
+    accumulator so far, exactly how a WASM aggregate emits per record.
+
+    A sequential fold is inherently serial, so this uses a global ordered
+    window (single-partition shuffle) — faithful to the reference, which
+    folds on one SPU partition; for parallel folds use
+    streaming.stateful.aggregate_fold_stream per partition instead."""
+    from pyspark.sql import Window
+
+    field = params.get("field", "k")
+    init = int(accumulator or "0")
+    w = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.lit(init) + F.sum(
+        F.get_json_object(F.col("value"), f"$.{field}").try_cast("long")
+    ).over(w)
+    return df.withColumn("value", running.cast("string"))
+
+
 register_smartmodule("infinyon/jolt@0.1.0", jolt_transform)
+register_smartmodule("sum-aggregate", aggregate_sum_transform)
 register_smartmodule("jolt", jolt_transform)
 register_smartmodule("sql-filter", sql_filter_transform)
 register_smartmodule("sql-map", sql_map_transform)

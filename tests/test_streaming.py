@@ -1,0 +1,78 @@
+"""Streaming-mode tests: bounded parity with batch consume, windowed
+aggregation, stateful fold, and the streaming-only option restrictions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.options import ConsumeOptError
+from fluvio_duck_spark.sources.consume import fluvio_consume
+from fluvio_duck_spark.streaming.consume_stream import (
+    fluvio_consume_stream,
+    record_log_stream,
+    run_stream_to_table,
+)
+from fluvio_duck_spark.streaming.stateful import aggregate_fold_stream
+from fluvio_duck_spark.streaming.windows import session_window_agg, tumbling_window_agg
+
+
+def test_stream_matches_batch_consume(spark, sf_dir):
+    opts = "events -A -H 10 --end 209 -c k:i=k"
+    streamed = run_stream_to_table(
+        fluvio_consume_stream(spark, opts, sf_dir=sf_dir), spark
+    )
+    # batch --rows budget large enough to not truncate
+    batch = fluvio_consume(spark, opts + " --rows 100000", sf_dir=sf_dir)
+    assert streamed.count() == batch.count() == 200
+    assert sorted(r.k for r in streamed.collect()) == sorted(
+        r.k for r in batch.collect()
+    )
+
+
+def test_stream_rejects_tail_and_default_end(spark, sf_dir):
+    with pytest.raises(ConsumeOptError, match="bounded"):
+        fluvio_consume_stream(spark, "events -A -T 5", sf_dir=sf_dir)
+    with pytest.raises(ConsumeOptError, match="bounded"):
+        fluvio_consume_stream(spark, "events -A", sf_dir=sf_dir)
+
+
+def test_stream_is_streaming_plan(spark, sf_dir):
+    df = fluvio_consume_stream(spark, "events -A -B", sf_dir=sf_dir)
+    assert df.isStreaming
+
+
+def test_tumbling_windows_cover_all_events(spark, sf_dir):
+    stream = record_log_stream(spark, sf_dir)
+    out = run_stream_to_table(
+        tumbling_window_agg(stream, window="1 day", watermark="1 day"),
+        spark,
+        output_mode="complete",
+    )
+    total = out.agg(F.sum("n")).first()[0]
+    assert total == 1000  # sf0.001 events
+
+
+def test_session_windows_have_positive_spans(spark, sf_dir):
+    stream = record_log_stream(spark, sf_dir)
+    out = run_stream_to_table(
+        session_window_agg(stream, gap="1 hour"), spark, output_mode="complete"
+    )
+    rows = out.collect()
+    assert rows and all(r.session_end > r.session_start for r in rows)
+    assert out.agg(F.sum("n")).first()[0] == 1000
+
+
+def test_stateful_fold_accumulates(spark, sf_dir):
+    stream = record_log_stream(spark, sf_dir)
+    out = run_stream_to_table(
+        aggregate_fold_stream(stream, initial=7, json_field="k"),
+        spark,
+        output_mode="update",
+    )
+    rows = {r.partition: (r.acc, r.n_records) for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert sum(n for _, n in rows.values()) == 1000
+    # accumulators seeded with 7
+    batch = fluvio_consume(spark, "events -A -B --rows 100000 -c k:l=k", sf_dir=sf_dir)
+    assert sum(a for a, _ in rows.values()) == batch.agg(F.sum("k")).first()[0] + 4 * 7
