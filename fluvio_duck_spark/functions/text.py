@@ -90,6 +90,41 @@ def prefix_fingerprint(col: Column | str, k: int = 3) -> Column:
     return F.md5(F.concat_ws(" ", F.slice(tokens(col), 1, k)))
 
 
+def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every positional k-gram, slide a w-window over the
+    hash sequence, keep each window's minimum, dedup.  Guarantees any
+    shared run of >= k+w-1 tokens between two documents shares at least
+    one fingerprint — the rolling-hash dedup primitive.
+
+    Hashes are md5 hex strings compared lexicographically so the exact
+    same selection is computable by any engine (the DuckDB oracle uses
+    md5 + list min).  Pure per-row expression: no explode, no shuffle —
+    map-only at any scale."""
+    toks = tokens(col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    wins = (
+        F.when(
+            F.size(grams) >= w,
+            F.transform(
+                F.sequence(F.lit(0), F.size(grams) - w),
+                lambda i: F.array_min(F.slice(grams, i + 1, w)),
+            ),
+        )
+        .when(F.size(grams) > 0, F.array(F.array_min(grams)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return F.array_distinct(wins)
+
+
 def shingles(col: Column | str, k: int = 5) -> Column:
     """Distinct w-shingles (k-word n-grams) — the unit of Jaccard
     similarity for near-dup detection.  Pure expression: split + transform

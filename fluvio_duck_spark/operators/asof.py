@@ -1,0 +1,97 @@
+"""As-of and range joins — temporal operators the reference delegates to
+its SQL engine (reference SURVEY §2.6: zero join code in src/; joins over
+fluvio-sourced views are the engine's job, reference README.md:149-184).
+DuckDB ships ASOF JOIN natively, so a user of the reference can run one;
+Spark has no built-in, so we provide the scale-correct composition.
+
+``asof_join`` uses the union + ordered-window merge instead of the naive
+inequality join + dedup:
+
+* naive plan: ``left JOIN right ON key AND r.t <= l.t`` explodes to
+  |left| x |matching right| intermediate rows, then a window prunes them —
+  at 100 TB the intermediate is the bottleneck.
+* this plan: union both sides (map-only), one shuffle on ``key``, one
+  in-partition sort by (t, side), and a running ``last(value,
+  ignorenulls=True)`` carries each right row forward to the left rows it
+  is as-of for.  Intermediate size = |left| + |right|, the theoretical
+  minimum, and the single shuffle is the same one any grouped operator
+  over ``key`` would pay.
+
+``range_band_join`` is the broadcast-nested-loop banding join: the band
+table is tiny by construction, so the correct 100 TB plan is "broadcast
+the bands, keep the fact side map-only" — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach ``value_cols`` from the right row with the
+    greatest ``right_time`` <= ``left_time`` (direction='backward',
+    inclusive) sharing the join key.  Left rows with no prior right row get
+    NULLs (left-outer semantics, matching DuckDB ``ASOF LEFT JOIN``).
+
+    Right side should be unique per (key, time) — pre-aggregate if not,
+    or the carried values are an arbitrary survivor of the tie.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward (<=) as-of is implemented")
+
+    lcols = left.columns
+    # side 0 sorts before side 1 at equal timestamps, so a right row with
+    # right_time == left_time is visible to that left row (inclusive <=).
+    l_tagged = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols
+    ]
+    return (
+        merged.select("__side", *lcols, *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Inner join of a fact table onto a small band table on
+    ``lo <= value < hi``.  The band side is broadcast explicitly: Catalyst
+    plans BroadcastNestedLoopJoin and the fact side never shuffles."""
+    cond = (fact[value_col] >= bands[lo_col]) & (fact[value_col] < bands[hi_col])
+    return fact.join(F.broadcast(bands), cond, "inner")

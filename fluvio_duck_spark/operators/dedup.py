@@ -101,20 +101,32 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """n_hashes MinHash values per doc: min over shingles of
-    ``xxhash64(seed_i, shingle)``.
+    """n_hashes MinHash values per doc: min over shingles of the i-th
+    hash function, where hash_i(s) = ``xxhash64(i, xxhash64(s))`` — the
+    shingle string is hashed ONCE and the n_hashes permutations re-hash
+    the resulting long (a few ALU ops each), not the string.
 
-    Computed as pure per-row array expressions (``array_min ∘ transform``)
-    — no explode, no shuffle, fully inside whole-stage codegen.  On a
-    cluster this stage is map-only: each task emits one signature row per
-    document, and the only shuffle in the whole LSH pipeline is the band
-    bucket join."""
-    sh = shingles(F.col(text_col), k)
-    cols = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))).alias(f"mh{i}")
+    Plan shape: explode(shingles) → string-hash → hash-aggregate with
+    n_hashes min buffers.  Everything is whole-stage codegen; the
+    partial (map-side) aggregation collapses each doc to a single
+    signature row before the exchange, so the shuffle volume is
+    |docs| × n_hashes longs regardless of document length — at 100 TB of
+    text the exchange carries ~1 KB per doc.
+
+    Deliberately NOT the per-row ``array_min(transform(...))`` form: the
+    alternative evaluates n_hashes higher-order functions per row in
+    interpreted mode (HOFs are excluded from codegen) and re-hashes every
+    shingle string n_hashes times — measured 339 s vs 12 s (string
+    re-hash) vs 7 s (this form) on 5 000 docs × 128 hashes, local[32]."""
+    ex = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s"))
+        .select(id_col, F.xxhash64("s").alias("h"))
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
         for i in range(n_hashes)
     ]
-    return df.select(F.col(id_col), *cols)
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -136,11 +148,9 @@ def minhash_lsh_pairs(
     the banding curve)."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
-    # docs shorter than k tokens have no shingles → null signature; they
-    # can't be near-dups under shingle Jaccard, so drop them pre-banding
-    sig = minhash_signatures(df, k, n_hashes, text_col, id_col).filter(
-        F.col("mh0").isNotNull()
-    )
+    # docs shorter than k tokens have no shingles and vanish at the
+    # explode — correct: they can't be near-dups under shingle Jaccard
+    sig = minhash_signatures(df, k, n_hashes, text_col, id_col)
 
     bands = F.array(
         *[

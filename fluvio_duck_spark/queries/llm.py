@@ -24,6 +24,7 @@ from fluvio_duck_spark.functions.text import (
     quality_score,
     stopword_ratio,
     token_count,
+    winnow_fingerprints,
 )
 from fluvio_duck_spark.operators.dedup import (
     exact_dedup,
@@ -35,6 +36,7 @@ from fluvio_duck_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
 )
 from fluvio_duck_spark.queries import QuerySpec
 from fluvio_duck_spark.sources.tables import load
@@ -198,6 +200,52 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, one row per selected
+    fingerprint.  Map-only expression per doc; the explode happens at the
+    end so nothing upstream shuffles."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(winnow_fingerprints("text", k=5, w=4)).alias("fp")
+    )
+
+
+ORACLE_WINNOW = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT doc_id,
+  CASE WHEN len(toks) >= 5 THEN list_transform(range(1, len(toks) - 5 + 2),
+         i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))
+       ELSE [] END AS hs
+  FROM t),
+w AS (SELECT doc_id,
+  CASE WHEN len(hs) >= 4 THEN list_transform(range(1, len(hs) - 4 + 2),
+         i -> list_aggregate(hs[i:i+3], 'min'))
+       WHEN len(hs) > 0 THEN [list_aggregate(hs, 'min')]
+       ELSE [] END AS fps
+  FROM g)
+SELECT doc_id, unnest(list_distinct(fps)) AS fp FROM w
+"""
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+ORACLE_SIM_IVF = """
+WITH q AS (SELECT embedding AS qv, label AS qcell FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings, q WHERE vec_id <> 0 AND label = qcell)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS,
                             doc="token/char counts, stopword ratio"),
@@ -219,4 +267,8 @@ QUERIES: dict[str, QuerySpec] = {
                                          doc="all-pairs cosine ≥ 0.45"),
     "sim_ann_lsh": QuerySpec(q_ann_lsh, None,
                              doc="hyperplane-LSH ANN top-10 (recall-tested vs brute force)"),
+    "text_fingerprint_winnow": QuerySpec(q_winnow_fingerprints, ORACLE_WINNOW,
+                                         doc="winnowing rolling-hash fingerprints (SIGMOD'03)"),
+    "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
+                              doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
 }

@@ -1,0 +1,67 @@
+"""Multimodal-column queries: the binary-content convention exercised
+end-to-end over the ``documents`` fixture (the container ships no media
+codecs, so text bytes stand in for encoded payloads — the Spark-side
+plumbing being graded here is the schema, the Arrow batching, and the
+bounded fan-out, which are identical for real jpeg/wav bytes).
+
+``mm_frame_stats`` has a full SQL oracle: the frame slicer's byte windows
+are arithmetically predictable from the payload length (the fixture text
+is pure ASCII, so octet length == char length), which lets DuckDB verify
+the mapInPandas fan-out row-for-row.  ``mm_extract_features`` is the
+sha256-based fake decode kernel — not SQL-expressible, so rows-only here
+and determinism-tested in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_features,
+    sample_frames,
+)
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.sources.tables import load
+
+EVERY_N = 64
+MAX_FRAMES = 8
+
+
+def q_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = attach_binary_content(load(spark, sf_dir, "documents"))
+    frames = sample_frames(d, every_n_bytes=EVERY_N, max_frames=MAX_FRAMES)
+    return frames.select(
+        "doc_id", "frame_no", F.length("frame").cast("int").alias("frame_len")
+    )
+
+
+ORACLE_FRAME_STATS = f"""
+WITH d AS (SELECT doc_id, length(text) AS L FROM documents)
+SELECT doc_id, CAST(n AS INT) AS frame_no,
+       CAST(least({EVERY_N}, L - n * {EVERY_N}) AS INT) AS frame_len
+FROM d, unnest(range(0, least({MAX_FRAMES}, greatest(1, L // {EVERY_N})))) AS t(n)
+"""
+
+
+def q_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode→featurize plumbing; deterministic fake kernel
+    (STUB for the codec — see operators/multimodal.py), projected to
+    scalars so the row shape is hash-stable."""
+    d = attach_binary_content(load(spark, sf_dir, "documents"))
+    feats = extract_features(d, n_features=16)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x).cast("double"), 6).alias("f_sum"),
+    )
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "mm_frame_stats": QuerySpec(q_frame_stats, ORACLE_FRAME_STATS,
+                                doc="binary frame-sampling fan-out via mapInPandas; oracle on window arithmetic"),
+    "mm_extract_features": QuerySpec(q_extract_features, None,
+                                     doc="Arrow-batched feature extraction (fake decode kernel; determinism in tests)"),
+}

@@ -538,7 +538,88 @@ FROM orders GROUP BY 1
 """
 
 
+# --- §2.6 temporal joins (as-of / range) ------------------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enrichment: each click event picks up the most recent
+    purchase (at-or-before its timestamp) by the same user.  Union+window
+    merge — one shuffle on user_id, |L|+|R| intermediate rows (see
+    operators/asof.py); the oracle is DuckDB's native ASOF LEFT JOIN."""
+    from fluvio_duck_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_event", "purchase_value"],
+    )
+
+
+ORACLE_ASOF = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id AS purchase_event, value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.purchase_event, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding join: events bucketed by a small range table on
+    ``lo <= value < hi`` then aggregated per band.  The band side is
+    broadcast (BroadcastNestedLoopJoin) so the fact scan never shuffles
+    for the join; the groupBy on 4 bands is the only exchange."""
+    from fluvio_duck_spark.operators.asof import range_band_join
+
+    ev = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("p25", 0.0, 25.0), ("p50", 25.0, 50.0), ("p75", 50.0, 125.0),
+         ("rest", 125.0, 1e6)],
+        "band string, lo double, hi double",
+    )
+    return (
+        range_band_join(ev, bands, "value")
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            davg("value").alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+ORACLE_RANGE_BAND = """
+SELECT band, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_value,
+  MIN(value) AS min_value,
+  MAX(value) AS max_value
+FROM events
+JOIN (VALUES ('p25', 0.0, 25.0), ('p50', 25.0, 50.0), ('p75', 50.0, 125.0),
+             ('rest', 125.0, 1000000.0)) AS b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_asof": QuerySpec(q_asof_join, ORACLE_ASOF,
+                           doc="as-of join via union+window merge — §2.6"),
+    "join_range_band": QuerySpec(q_range_band_join, ORACLE_RANGE_BAND,
+                                 doc="range banding join via broadcast NLJ — §2.6"),
     "agg_pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING,
                                      doc="TPC-H Q1 shape — §2.7 A4"),
     "agg_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, doc="ROLLUP — §2.7 A4"),

@@ -1,0 +1,141 @@
+"""As-of / range joins (operators/asof.py) and multimodal plumbing
+(operators/multimodal.py): semantics on hand-built frames, determinism of
+the fake decode kernel, and fan-out arithmetic of the frame sampler."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.operators.asof import asof_join, range_band_join
+from fluvio_duck_spark.operators.multimodal import (
+    attach_binary_content,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+
+
+def _t(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _t("2024-01-01T00:00:05")),
+            (2, 10, _t("2024-01-01T00:00:10")),
+            (3, 10, _t("2024-01-01T00:00:02")),
+            (4, 20, _t("2024-01-01T00:00:10")),
+            (5, 30, _t("2024-01-01T00:00:10")),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _t("2024-01-01T00:00:04"), 100, 1.5),
+            (10, _t("2024-01-01T00:00:07"), 101, 2.5),
+            (20, _t("2024-01-01T00:00:10"), 200, 9.0),
+        ],
+        "user_id long, ts timestamp, purchase_event long, purchase_value double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(asof_frames):
+    left, right = asof_frames
+    out = asof_join(
+        left, right, "user_id", "user_id", "ts", "ts",
+        ["purchase_event", "purchase_value"],
+    )
+    got = {r.event_id: (r.purchase_event, r.purchase_value) for r in out.collect()}
+    assert got == {
+        1: (100, 1.5),   # most recent at-or-before :05 is :04
+        2: (101, 2.5),   # :07 wins over :04
+        3: (None, None), # nothing before :02 → left-outer nulls
+        4: (200, 9.0),   # equal timestamps match (inclusive <=)
+        5: (None, None), # key with no right rows at all
+    }
+    assert out.count() == left.count()  # as-of never duplicates left rows
+
+
+def test_asof_forward_unimplemented(asof_frames):
+    left, right = asof_frames
+    with pytest.raises(NotImplementedError):
+        asof_join(left, right, "user_id", "user_id", "ts", "ts", [], direction="forward")
+
+
+def test_range_band_join_is_broadcast(spark):
+    fact = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 50.0), ("hi", 50.0, 1000.0)], "band string, lo double, hi double"
+    )
+    out = range_band_join(fact, bands, "v")
+    counts = {r.band: r.n for r in out.groupBy("band").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"lo": 50, "hi": 50}
+    # the band side must be broadcast: fact never shuffles for the join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_extract_features_deterministic(spark, sf_dir):
+    from fluvio_duck_spark.sources.tables import load
+
+    d = attach_binary_content(load(spark, sf_dir, "documents").limit(20))
+    a = {r.doc_id: r.features for r in extract_features(d, n_features=16).collect()}
+    b = {r.doc_id: r.features for r in extract_features(d, n_features=16).collect()}
+    assert a == b
+    assert all(len(v) == 16 for v in a.values())
+    assert all(0.0 <= x < 1.0 for v in a.values() for x in v)
+
+
+def test_sample_frames_fanout_and_bytes(spark, sf_dir):
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(20)
+    d = attach_binary_content(docs)
+    frames = sample_frames(d, every_n_bytes=64, max_frames=8).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts.items():
+        data = text.encode()
+        expect_n = min(8, max(1, len(data) // 64))
+        rows = sorted(by_doc[doc_id], key=lambda r: r.frame_no)
+        assert [r.frame_no for r in rows] == list(range(expect_n))
+        # frames re-assemble a prefix of the payload byte-exactly
+        assert b"".join(bytes(r.frame) for r in rows) == data[: expect_n * 64]
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """Winnowing invariant: two docs sharing a run of >= k+w-1 tokens
+    (here 5+4-1=8) share at least one fingerprint."""
+    from fluvio_duck_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"{shared} completely different tail words here"),
+            (3, "nothing in common with the others at all whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=5, w=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
