@@ -615,7 +615,25 @@ GROUP BY band
 """
 
 
+def q_salted_hotkey_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted COUNT BY key (operators/skew.py): the hot key's
+    rows spread over n_salts reducers in shuffle 1; shuffle 2 carries one
+    row per (key, salt).  Semantically identical to plain groupBy — the
+    oracle proves it."""
+    from fluvio_duck_spark.operators.skew import salted_agg_count
+
+    ev = load(spark, sf_dir, "events")
+    return salted_agg_count(ev, "event_type", n_salts=8)
+
+
+ORACLE_SALTED_AGG = """
+SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "agg_salted_hotkey": QuerySpec(q_salted_hotkey_agg, ORACLE_SALTED_AGG,
+                                   doc="two-phase salted aggregation (skew pattern) — §2.7"),
     "join_asof": QuerySpec(q_asof_join, ORACLE_ASOF,
                            doc="as-of join via union+window merge — §2.6"),
     "join_range_band": QuerySpec(q_range_band_join, ORACLE_RANGE_BAND,

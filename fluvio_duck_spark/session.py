@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # binary multimodal payloads can be MBs each: bound the Arrow batch
+        # row count so mapInPandas batches stay memory-safe with media bytes
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

@@ -1,0 +1,79 @@
+"""Sinks (SURVEY §2.2 K1/K2) and skew-mitigation operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.operators.skew import (
+    explain_shuffle_count,
+    salted_agg_count,
+    salted_join,
+)
+from fluvio_duck_spark.sinks import copy_to_parquet, register_view
+from fluvio_duck_spark.sources.tables import load
+
+
+def test_copy_to_parquet_roundtrip(spark, sf_dir, tmp_path):
+    """K1: COPY ... TO (FORMAT 'parquet') equivalent — write, read back,
+    byte-identical rows; partitioned layout prunes on the partition key."""
+    src = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "events_out")
+    copy_to_parquet(src, out, partition_by=["event_type"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    a = {tuple(r) for r in src.collect()}
+    b = {(r.event_id, r.event_type, r.value) for r in back.collect()}
+    assert a == b
+
+    # partition pruning: a filter on the partition key reads one directory
+    pruned = back.filter(F.col("event_type") == "click")
+    scan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in scan
+
+
+def test_register_view_sql_roundtrip(spark, sf_dir):
+    """K2: CREATE VIEW over a consume scan, then plain SQL on top —
+    the reference's documented workflow (README.md:152-167)."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    df = fluvio_consume(spark, "events -A -B --rows 100", sf_dir=sf_dir)
+    register_view(df, "transit")
+    n = spark.sql("SELECT COUNT(*) AS n FROM transit").collect()[0].n
+    assert n == 100
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    plain = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    salted = {r.event_type: r.n for r in salted_agg_count(ev, "event_type", n_salts=8).collect()}
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 2.0),
+         ("error", 0.0)],
+        "event_type string, weight double",
+    )
+    plain = ev.join(dim, "event_type")
+    salted = salted_join(ev, dim, "event_type", n_salts=4)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("event_id", "weight").collect()}
+    b = {tuple(r) for r in salted.select("event_id", "weight").collect()}
+    assert a == b
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (3, "zzz")], "id long, k string")
+    dim = spark.createDataFrame([("a", 10), ("b", 20)], "k string, v int")
+    out = salted_join(fact, dim, "k", n_salts=4, how="left").collect()
+    got = {r.id: r.v for r in out}
+    assert got == {1: 10, 2: 20, 3: None}
+
+
+def test_shuffle_budget_helper(spark):
+    df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
+    assert explain_shuffle_count(df) >= 1
