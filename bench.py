@@ -20,16 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-#: Headline set: one per engine pillar (consume, agg, join, window, top-k,
-#: dedup, similarity, streaming).
+#: Headline set: one per engine pillar (consume, agg, join, as-of, window,
+#: top-k, dedup, fingerprint, similarity, multimodal, streaming).
 HEADLINE = [
     "consume_mapped_typed",
     "agg_pricing_summary",
     "join_revenue_by_nation",
+    "join_asof",
     "window_topk_per_customer",
     "topk_orders",
     "dedup_minhash_lsh",
+    "text_fingerprint_winnow",
     "sim_topk_bruteforce",
+    "mm_frame_stats",
     "stream_tumbling_windows",
 ]
 

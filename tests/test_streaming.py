@@ -76,3 +76,22 @@ def test_stateful_fold_accumulates(spark, sf_dir):
     # accumulators seeded with 7
     batch = fluvio_consume(spark, "events -A -B --rows 100000 -c k:l=k", sf_dir=sf_dir)
     assert sum(a for a, _ in rows.values()) == batch.agg(F.sum("k")).first()[0] + 4 * 7
+
+
+def test_foreach_batch_parquet_sink_parity(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: streamed output == batch consume output."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.streaming.consume_stream import (
+        fluvio_consume_stream,
+        run_stream_to_parquet,
+    )
+
+    opts = "events -A -H 50 --end 299 -c k:i=k"
+    out = str(tmp_path / "sink_out")
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_to_parquet(
+        fluvio_consume_stream(spark, opts, sf_dir=sf_dir), out, ckpt
+    )
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {tuple(r) for r in fluvio_consume(spark, opts, sf_dir=sf_dir).collect()}
+    assert streamed == batch
