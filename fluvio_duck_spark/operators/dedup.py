@@ -248,7 +248,14 @@ def simhash_near_dup_pairs(
     any pair within hamming distance ≤ 3 shares at least one chunk
     (pigeonhole), so the candidate join is an equi-join on the chunk, then
     an exact popcount filter."""
-    sig = simhash(df, text_col, id_col)
+    # Materialization barrier: the signature feeds BOTH sides of the
+    # self-join plus the hamming filter, and without a barrier Catalyst
+    # inlines the pandas UDF into each consumer — 4 ArrowEvalPython
+    # passes over the corpus (observed in the executed plan).  A
+    # repartition on the id materializes (id, simhash) — 16 bytes/doc —
+    # into one exchange that every consumer re-reads (ReusedExchange),
+    # so Python runs exactly once per document.
+    sig = simhash(df, text_col, id_col).repartition(F.col(id_col))
     chunks = F.array(
         *[
             F.struct(
