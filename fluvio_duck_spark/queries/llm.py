@@ -200,6 +200,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB near-dup plan: LSH-signature equi-join (same-bucket
+    pairs only) then exact cosine — shuffle bounded by bucket sizes, not
+    n².  Rows-only; recall vs the exact all-pairs variant is asserted in
+    tests/test_llm_ops.py."""
+    return embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.45, bucketed=True
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints, one row per selected
     fingerprint.  Map-only expression per doc; the explode happens at the
@@ -271,4 +281,6 @@ QUERIES: dict[str, QuerySpec] = {
                                          doc="winnowing rolling-hash fingerprints (SIGMOD'03)"),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                               doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
+    "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,
+                                        doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
 }

@@ -631,7 +631,30 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """
 
 
+# --- SQL passthrough --------------------------------------------------------
+
+# One SQL text, two engines: a user of the reference runs plain SQL over
+# registered views (reference README.md:149-184); the same string must
+# work submitted to spark.sql() over our temp views AND to the DuckDB
+# oracle.  TPC-H Q4 shape — EXISTS decorrelation exercises the planner.
+SQL_PASSTHROUGH = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, names=("orders", "lineitem"))
+    return spark.sql(SQL_PASSTHROUGH)
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sql_passthrough": QuerySpec(q_sql_passthrough, SQL_PASSTHROUGH,
+                                 doc="identical SQL text on Spark and DuckDB (EXISTS/Q4 shape)"),
     "agg_salted_hotkey": QuerySpec(q_salted_hotkey_agg, ORACLE_SALTED_AGG,
                                    doc="two-phase salted aggregation (skew pattern) — §2.7"),
     "join_asof": QuerySpec(q_asof_join, ORACLE_ASOF,
