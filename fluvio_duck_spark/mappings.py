@@ -95,3 +95,29 @@ def projection(columns: list[tuple[str, str]]) -> list[Column]:
     if columns:
         return mapped_columns(columns, F.col("value"))
     return default_columns()
+
+
+def infer_value_schema(df, value_col: str = "value", sample: int = 1000):
+    """Schema inference over the JSON payload column — the extension
+    SURVEY §1.2 allows beyond the reference's explicit-mappings-only
+    surface (the reference never infers; fidelity mode is ``-c`` flags).
+
+    Inference is inherently a bounded-sample, driver-side decision: we
+    read ``sample`` payloads and let Spark's JSON reader unify their
+    types.  The *application* of the schema (``from_json``) is still a
+    distributed JVM expression — only the tiny sample crosses to the
+    driver, never the data."""
+    spark = df.sparkSession
+    strings = df.select(value_col).limit(sample).rdd.map(lambda r: r[0] or "{}")
+    return spark.read.json(strings).schema
+
+
+def expand_value(df, value_col: str = "value", schema=None, sample: int = 1000):
+    """``value`` JSON text → one typed column per inferred/given field,
+    keeping all non-value columns.  ``from_json`` + star-expansion runs
+    in codegen; malformed payloads yield NULL fields (PERMISSIVE)."""
+    schema = schema or infer_value_schema(df, value_col, sample)
+    others = [c for c in df.columns if c != value_col]
+    return df.select(
+        *others, F.from_json(F.col(value_col), schema).alias("__j")
+    ).select(*others, "__j.*")

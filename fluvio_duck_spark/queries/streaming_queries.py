@@ -19,7 +19,11 @@ from fluvio_duck_spark.streaming.consume_stream import (
     run_stream_to_table,
 )
 from fluvio_duck_spark.streaming.stateful import aggregate_fold_stream
-from fluvio_duck_spark.streaming.windows import session_window_agg, tumbling_window_agg
+from fluvio_duck_spark.streaming.windows import (
+    session_window_agg,
+    stream_dedup_keys,
+    tumbling_window_agg,
+)
 
 _DEFAULT_COLS = 'event_id AS "offset", ts AS "timestamp", props AS "value"'
 
@@ -115,6 +119,43 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the payload key: the surviving key set
+    equals batch DISTINCT (which record survives per key is a micro-batch
+    race, so only keys are emitted — deterministic either way)."""
+    from pyspark.sql import functions as F
+
+    stream = record_log_stream(spark, sf_dir).withColumn(
+        "k",
+        F.get_json_object(F.col("value"), "$.k").try_cast("int"),
+    )
+    deduped = stream_dedup_keys(stream, ["k"], watermark="30 days")
+    return run_stream_to_table(deduped, spark, output_mode="append")
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+"""
+
+
+def q_consume_infer_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference extension (SURVEY §1.2): consume the default
+    (offset, timestamp, value) schema, infer the payload's JSON schema
+    from a bounded sample, expand to typed columns via from_json."""
+    from fluvio_duck_spark.mappings import expand_value
+
+    df = fluvio_consume(spark, "events -A -B --rows 1000000", sf_dir=sf_dir)
+    return expand_value(df.select("offset", "value"))
+
+
+ORACLE_INFER = """
+SELECT event_id AS "offset",
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
 def q_consume_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch A1: the aggregate-kind smartmodule folding payload values in
     offset order with a seeded accumulator (reference --aggregate-initial,
@@ -155,4 +196,10 @@ QUERIES: dict[str, QuerySpec] = {
     "consume_aggregate_fold": QuerySpec(
         q_consume_aggregate_fold, ORACLE_AGGREGATE_FOLD,
         doc="aggregate smartmodule with seeded accumulator — A1 batch"),
+    "stream_dedup_keys": QuerySpec(
+        q_stream_dedup, ORACLE_STREAM_DEDUP,
+        doc="streaming exact dedup (dropDuplicatesWithinWatermark)"),
+    "consume_infer_typed": QuerySpec(
+        q_consume_infer_typed, ORACLE_INFER,
+        doc="JSON schema inference + from_json expansion (extension)"),
 }

@@ -57,3 +57,23 @@ def session_window_agg(
             "n",
         )
     )
+
+
+def stream_dedup_keys(
+    stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "1 day",
+    ts_col: str = "timestamp",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key within the
+    watermark horizon survives; state for keys older than the watermark
+    is dropped, so memory is bounded by keys-per-horizon, not by stream
+    length — the streaming counterpart of operators/dedup.exact_dedup.
+
+    Emits only the key columns: *which* record survives per key is a
+    race across micro-batches, but the surviving key set is exact."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(key_cols + [])
+        .select(*key_cols)
+    )

@@ -95,3 +95,44 @@ def test_foreach_batch_parquet_sink_parity(spark, sf_dir, tmp_path):
     streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
     batch = {tuple(r) for r in fluvio_consume(spark, opts, sf_dir=sf_dir).collect()}
     assert streamed == batch
+
+
+def test_stream_dedup_matches_batch_distinct(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sources.consume import read_events
+    from fluvio_duck_spark.streaming.consume_stream import (
+        record_log_stream,
+        run_stream_to_table,
+    )
+    from fluvio_duck_spark.streaming.windows import stream_dedup_keys
+
+    stream = record_log_stream(spark, sf_dir).withColumn(
+        "k", F.get_json_object(F.col("value"), "$.k").try_cast("int")
+    )
+    got = {
+        r.k
+        for r in run_stream_to_table(
+            stream_dedup_keys(stream, ["k"], watermark="30 days"), spark
+        ).collect()
+    }
+    want = {
+        r.k
+        for r in read_events(spark, sf_dir)
+        .select(F.get_json_object("props", "$.k").try_cast("int").alias("k"))
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_infer_and_expand_value_schema(spark, sf_dir):
+    from fluvio_duck_spark.mappings import expand_value, infer_value_schema
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    df = fluvio_consume(spark, "events -A -B --rows 500", sf_dir=sf_dir)
+    schema = infer_value_schema(df)
+    assert [f.name for f in schema.fields] == ["k"]
+    out = expand_value(df.select("offset", "value"))
+    assert out.columns == ["offset", "k"]
+    assert out.filter(out.k.isNull()).count() == 0
