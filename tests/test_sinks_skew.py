@@ -77,3 +77,39 @@ def test_salted_join_left_preserves_unmatched(spark):
 def test_shuffle_budget_helper(spark):
     df = spark.range(100).groupBy((F.col("id") % 5).alias("k")).count()
     assert explain_shuffle_count(df) >= 1
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: both sides bucketed by the join key — the join
+    plan contains no shuffle exchange on either side."""
+    from fluvio_duck_spark.sinks import write_bucketed
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "orders_b", "o_orderkey", 8, path=str(tmp_path / "ob"))
+    write_bucketed(li, "lineitem_b", "l_orderkey", 8, path=str(tmp_path / "lb"))
+
+    # disable broadcast to force the join to actually use bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            spark.table("lineitem_b")
+            .join(spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # correctness: same row count as the plain join
+        n_bucketed = (
+            spark.table("lineitem_b")
+            .join(spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .count()
+        )
+        n_plain = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).count()
+        assert n_bucketed == n_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
