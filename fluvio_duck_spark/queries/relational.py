@@ -631,6 +631,58 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """
 
 
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 array/collection family: collect_list → sort → size/element/
+    contains/fold, all JVM-side expressions over grouped rows."""
+    li = load(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines")
+    )
+    return grouped.select(
+        "l_orderkey",
+        F.size("lines").alias("n_lines"),
+        F.element_at("lines", 1).alias("first_line"),
+        F.array_contains("lines", 3).alias("has3"),
+        F.aggregate("lines", F.lit(0), lambda a, x: a + x).cast("long").alias("sum_lines"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+SELECT l_orderkey,
+       CAST(len(l) AS INTEGER) AS n_lines,
+       l[1] AS first_line,
+       list_contains(l, 3) AS has3,
+       CAST(list_aggregate(l, 'sum') AS BIGINT) AS sum_lines
+FROM (SELECT l_orderkey, list_sort(list(l_linenumber)) AS l
+      FROM lineitem GROUP BY 1)
+"""
+
+
+def q_regex_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 regex + null-handling family (RE2-safe patterns so both
+    engines agree)."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.regexp_extract("o_orderpriority", "(\\d+)", 1).alias("pri_num"),
+        F.regexp_replace("o_orderpriority", "-", "_").alias("pri_u"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_x"),
+        F.when(F.col("o_totalprice").isNull(), -1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price_nn"),
+    )
+
+
+ORACLE_REGEX_NULL = """
+SELECT o_orderkey,
+       regexp_extract(o_orderpriority, '(\\d+)', 1) AS pri_num,
+       regexp_replace(o_orderpriority, '-', '_') AS pri_u,
+       coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_x,
+       CASE WHEN o_totalprice IS NULL THEN -1.0 ELSE o_totalprice END AS price_nn
+FROM orders
+"""
+
+
 # --- SQL passthrough --------------------------------------------------------
 
 # One SQL text, two engines: a user of the reference runs plain SQL over
@@ -697,4 +749,8 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_date_funcs": QuerySpec(q_date_funcs, ORACLE_DATE_FUNCS, doc="§2.10"),
     "scalar_math_funcs": QuerySpec(q_math_funcs, ORACLE_MATH_FUNCS, doc="§2.10"),
     "scalar_case_buckets": QuerySpec(q_case_coalesce, ORACLE_CASE, doc="§2.10"),
+    "scalar_array_funcs": QuerySpec(q_array_funcs, ORACLE_ARRAY_FUNCS,
+                                    doc="array/collection family — §2.10"),
+    "scalar_regex_null_funcs": QuerySpec(q_regex_null_funcs, ORACLE_REGEX_NULL,
+                                         doc="regex + null-handling family — §2.10"),
 }
