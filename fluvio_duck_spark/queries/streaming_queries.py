@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from fluvio_duck_spark.queries import QuerySpec
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.streaming.consume_stream import (
+    event_stream,
     fluvio_consume_stream,
     record_log_stream,
     run_stream_to_table,
@@ -156,6 +157,53 @@ FROM events
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    click→purchase attribution within 1 hour.  Both sides carry
+    watermarks, so the join state for clicks older than the horizon is
+    dropped — the unbounded-stream-safe formulation.  The oracle is the
+    equivalent batch range join."""
+    from pyspark.sql import functions as F
+
+    ev = event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    return run_stream_to_table(joined, spark, output_mode="append")
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_consume_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch A1: the aggregate-kind smartmodule folding payload values in
     offset order with a seeded accumulator (reference --aggregate-initial,
@@ -199,6 +247,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_keys": QuerySpec(
         q_stream_dedup, ORACLE_STREAM_DEDUP,
         doc="streaming exact dedup (dropDuplicatesWithinWatermark)"),
+    "stream_stream_join": QuerySpec(
+        q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
+        doc="watermarked stream-stream join with event-time range bound"),
     "consume_infer_typed": QuerySpec(
         q_consume_infer_typed, ORACLE_INFER,
         doc="JSON schema inference + from_json expansion (extension)"),

@@ -48,20 +48,26 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
-def record_log_stream(
-    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, topic: str = "events"
-) -> DataFrame:
-    """readStream over the events fixture, normalized to the record shape
-    (offset, timestamp, partition, value) used by the batch source."""
+def event_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """readStream over the events fixture with its native typed schema
+    (event_id, ts, user_id, event_type, value, props)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream sources take a directory; select just the events table
-    events = (
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+
+
+def record_log_stream(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, topic: str = "events"
+) -> DataFrame:
+    """readStream over the events fixture, normalized to the record shape
+    (offset, timestamp, partition, value) used by the batch source."""
+    events = event_stream(spark, sf_dir)
     if topic not in ("events", "*"):
         events = events.filter(F.col("event_type") == topic)
     return events.select(
