@@ -27,6 +27,24 @@ def _q(opts: str):
     return run
 
 
+def _chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 ordered chain: filter (k < 50) → jolt shift (k→n) → typed map.
+    Order matters: the jolt renames k, so the filter must run first —
+    exactly the reference's ordered SmartModule invocation list
+    (reference src/consume.rs:650-673)."""
+    argv = [
+        "events", "-A", "-B", "--rows", "1000000",
+        "--transform",
+        '{"uses":"sql-filter","with":'
+        '{"where":"cast(get_json_object(value, \'$.k\') as int) < 50"}}',
+        "--transform",
+        '{"uses":"infinyon/jolt@0.1.0","with":'
+        '{"spec":[{"operation":"shift","spec":{"k":"n"}}]}}',
+        "-c", "n:d=n",
+    ]
+    return fluvio_consume(spark, argv, sf_dir=sf_dir)
+
+
 def _sum_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # README.md:73-83 demo: SELECT sum(LEO) FROM fluvio_partitions()
     return fluvio_partitions(spark, sf_dir).agg(
@@ -121,6 +139,16 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS kk FROM events
         """,
         doc="inline --transform jolt shift (reference src/consume.rs:655-660, examples/short.yaml)",
+    ),
+    # ST5: ordered multi-transform chain (filter → jolt → map)
+    "consume_transform_chain": QuerySpec(
+        _chain,
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS DOUBLE) AS n
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+        """,
+        doc="ordered transform chain: filter then jolt then typed mapping — ST5",
     ),
     # ST5/F3: filter-kind smartmodule (server-side predicate analogue)
     "consume_smartmodule_filter": QuerySpec(

@@ -683,6 +683,27 @@ FROM orders
 """
 
 
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — both engines use the
+    p·(n−1) linear-interpolation definition (Spark ``percentile``, DuckDB
+    ``quantile_cont``), so results are bit-comparable.  For 100 TB use
+    ``approx_percentile`` (see agg_approx) — exact percentiles need a
+    per-group sort."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("q"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q,
+       quantile_cont(l_extendedprice, 0.5) AS median_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- SQL passthrough --------------------------------------------------------
 
 # One SQL text, two engines: a user of the reference runs plain SQL over
@@ -753,4 +774,6 @@ QUERIES: dict[str, QuerySpec] = {
                                     doc="array/collection family — §2.10"),
     "scalar_regex_null_funcs": QuerySpec(q_regex_null_funcs, ORACLE_REGEX_NULL,
                                          doc="regex + null-handling family — §2.10"),
+    "agg_exact_percentiles": QuerySpec(q_exact_percentiles, ORACLE_PERCENTILES,
+                                       doc="exact interpolated percentiles — §2.7 A4"),
 }

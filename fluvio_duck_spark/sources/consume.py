@@ -124,18 +124,20 @@ def _with_offset_bounds(log: DataFrame, opts: ConsumeOptions) -> DataFrame:
 
 def fluvio_consume(
     spark: SparkSession,
-    opts: str | ConsumeOptions,
+    opts: str | list[str] | ConsumeOptions,
     sf_dir: str = DEFAULT_SF_DIR,
     source: DataFrame | None = None,
 ) -> DataFrame:
     """``fluvio_consume('<topic> <flags>')`` → DataFrame.
 
-    ``source`` optionally injects a pre-built record log (columns
-    ``offset, timestamp, partition, value``) in place of the parquet
-    stand-in — the seam a real Fluvio connector or a readStream source
-    plugs into (see fluvio_duck_spark.streaming).
+    ``opts`` also accepts a pre-split argv list (for option values that
+    embed quotes, e.g. inline ``--transform`` JSON) or a parsed
+    ``ConsumeOptions``.  ``source`` optionally injects a pre-built record
+    log (columns ``offset, timestamp, partition, value``) in place of the
+    parquet stand-in — the seam a real Fluvio connector or a readStream
+    source plugs into (see fluvio_duck_spark.streaming).
     """
-    if isinstance(opts, str):
+    if isinstance(opts, (str, list)):
         opts = parse_consume_opts(opts)
 
     log = source if source is not None else record_log(spark, sf_dir, opts.topic)
