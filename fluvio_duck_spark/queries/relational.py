@@ -683,6 +683,46 @@ FROM orders
 """
 
 
+def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature scaling for training-data
+    pipelines) as aggregates-over-window — one shuffle on the group key.
+    Variance from exact decimal sums: var = (n·Σx² − (Σx)²) / (n·(n−1)),
+    all-integer-exact until one double division + sqrt, so both engines
+    produce identical bits (a naive stddev_samp is accumulation-order-
+    dependent and not oracle-comparable)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type")
+    x = F.col("value").cast("decimal(18,2)")
+    sx = F.sum(x).over(w)
+    sxx = F.sum(x * x).over(w)
+    n = F.count("value").over(w)
+    var = (
+        (n * sxx - sx * sx).cast("double")
+        / (n * (n - 1)).cast("double")
+    )
+    mean = sx.cast("double") / n
+    return ev.select(
+        "event_id",
+        "event_type",
+        ((F.col("value") - mean) / F.sqrt(var)).alias("z"),
+    )
+
+
+ORACLE_ZSCORE = """
+WITH s AS (
+  SELECT event_id, event_type, value,
+         SUM(CAST(value AS DECIMAL(18,2))) OVER w AS sx,
+         SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS sxx,
+         COUNT(value) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY event_type))
+SELECT event_id, event_type,
+       (value - CAST(sx AS DOUBLE) / n)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS z
+FROM s
+"""
+
+
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group — both engines use the
     p·(n−1) linear-interpolation definition (Spark ``percentile``, DuckDB
@@ -776,4 +816,6 @@ QUERIES: dict[str, QuerySpec] = {
                                          doc="regex + null-handling family — §2.10"),
     "agg_exact_percentiles": QuerySpec(q_exact_percentiles, ORACLE_PERCENTILES,
                                        doc="exact interpolated percentiles — §2.7 A4"),
+    "window_zscore": QuerySpec(q_window_zscore, ORACLE_ZSCORE,
+                               doc="per-group z-score normalization, deterministic variance — §2.8"),
 }
