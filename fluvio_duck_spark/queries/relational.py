@@ -723,6 +723,42 @@ FROM s
 """
 
 
+def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization of the event log (operators/sessions.py):
+    per-user sessions at a 1-hour gap — backfill counterpart of the
+    streaming session windows, same semantics, one shuffle."""
+    from fluvio_duck_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    out = session_stats(ev, "user_id", "ts", gap="1 hour", order_tiebreak="event_id")
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 1 HOUR AS session_end,
+       COUNT(*) AS n
+FROM s GROUP BY 1, 2
+"""
+
+
 def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group — both engines use the
     p·(n−1) linear-interpolation definition (Spark ``percentile``, DuckDB
@@ -818,4 +854,6 @@ QUERIES: dict[str, QuerySpec] = {
                                        doc="exact interpolated percentiles — §2.7 A4"),
     "window_zscore": QuerySpec(q_window_zscore, ORACLE_ZSCORE,
                                doc="per-group z-score normalization, deterministic variance — §2.8"),
+    "batch_sessionize": QuerySpec(q_batch_sessionize, ORACLE_SESSIONIZE,
+                                  doc="batch sessionization (gap merge) — backfill twin of session windows"),
 }

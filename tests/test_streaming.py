@@ -136,3 +136,42 @@ def test_infer_and_expand_value_schema(spark, sf_dir):
     out = expand_value(df.select("offset", "value"))
     assert out.columns == ["offset", "k"]
     assert out.filter(out.k.isNull()).count() == 0
+
+
+def test_batch_sessionize_matches_streaming_sessions(spark, sf_dir):
+    """operators/sessions.py (batch) and session_window (streaming) must
+    produce the identical session set for the same key and gap."""
+    from fluvio_duck_spark.operators.sessions import session_stats
+    from fluvio_duck_spark.sources.consume import record_log
+    from fluvio_duck_spark.streaming.consume_stream import (
+        record_log_stream,
+        run_stream_to_table,
+    )
+    from fluvio_duck_spark.streaming.windows import session_window_agg
+
+    streamed = run_stream_to_table(
+        session_window_agg(
+            record_log_stream(spark, sf_dir),
+            gap="1 hour",
+            watermark="2 hours",
+            key_col="partition",
+        ),
+        spark,
+        output_mode="complete",
+    )
+    got_stream = {
+        (r.partition, r.session_start, r.session_end, r.n)
+        for r in streamed.collect()
+    }
+    batch = session_stats(
+        record_log(spark, sf_dir),
+        "partition",
+        "timestamp",
+        gap="1 hour",
+        order_tiebreak="offset",
+    )
+    got_batch = {
+        (r.partition, r.session_start, r.session_end, r.n)
+        for r in batch.collect()
+    }
+    assert got_batch == got_stream
