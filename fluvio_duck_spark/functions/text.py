@@ -164,3 +164,64 @@ def shingles(col: Column | str, k: int = 5) -> Column:
             )
         )
     )
+
+
+#: Tiny deterministic char-trigram profiles (top trigrams of each
+#: language's common function words) — the fastText-style n-gram profile
+#: shape at toy size; swap for real trained profiles in production.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "he ", " th", "ing", "nd ", " an", "and", " of", "of ",
+           " to", "to ", " in", "ed ", "ion", " is", "is "),
+    "es": ("de ", " de", "la ", " la", "el ", " el", "os ", "ión", " qu",
+           "que", "ue ", " en", "en ", "ar ", " co", "con"),
+}
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct lowercase character trigrams — lambda-bound so the string
+    is materialized once (see winnow_fingerprints on interpreted HOFs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.array(F.lower(c)),
+                lambda s: F.when(
+                    F.length(s) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.length(s) - 3),
+                        lambda i: F.substr(s, i + 1, F.lit(3)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )
+        )
+    )
+
+
+def lang_scores_ngram(col: Column | str, profiles=None) -> dict[str, Column]:
+    """Per-language trigram-profile overlap scores in [0,1]:
+    |trigrams(text) ∩ profile| / |profile|.  One trigram pass per row;
+    each profile intersect is an in-row array op (codegen)."""
+    profiles = profiles or LANG_TRIGRAM_PROFILES
+    tg = char_trigrams(col)
+    return {
+        lang: (
+            F.size(F.array_intersect(tg, F.array(*[F.lit(t) for t in prof])))
+            .cast("double")
+            / F.lit(float(len(prof)))
+        )
+        for lang, prof in profiles.items()
+    }
+
+
+def lang_id_ngram(col: Column | str, threshold: float = 0.25, profiles=None) -> Column:
+    """Argmax over the n-gram profile scores; 'unknown' below threshold.
+    The n-gram counterpart of the stopword-density lang_id above."""
+    scores = lang_scores_ngram(col, profiles)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs]) if len(langs) > 1 else scores[langs[0]]
+    out = F.lit("unknown")
+    for lang in reversed(langs):
+        out = F.when(
+            (scores[lang] >= threshold) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(out)
+    return out

@@ -123,6 +123,61 @@ def sample_frames(
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
+def resize_content(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    meta_col: str = "meta",
+    resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Resize plumbing: binary content → resized binary content with the
+    metadata struct updated to the target dimensions.  ``resize_fn`` is
+    the real kernel seam (PIL/opencv decode→resize→re-encode — STUB, the
+    codec libs are absent here); None → deterministic fake that
+    hash-extends/truncates the payload to ``target_w*target_h/64`` bytes
+    so batch shapes and output sizes behave like a real resizer.
+
+    Output schema (id, content, meta) matches the input convention, so
+    resize chains with extract_features / sample_frames."""
+
+    def fake(content: bytes, w: int, h: int) -> bytes:
+        n = max(1, (w * h) // 64)
+        if len(content) >= n:
+            return content[:n]
+        reps = n // max(1, len(content)) + 1
+        return (content * reps)[:n]
+
+    kernel = resize_fn or fake
+    schema = f"{id_col} long, content binary, meta struct<{META_SCHEMA.replace(', ', ',')}>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                {
+                    "format": (m or {}).get("format"),
+                    "width": target_w,
+                    "height": target_h,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                    "sample_rate": (m or {}).get("sample_rate"),
+                }
+                for m in pdf[meta_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": [
+                        kernel(bytes(c), target_w, target_h) if c is not None else None
+                        for c in pdf[content_col]
+                    ],
+                    "meta": metas,
+                }
+            )
+
+    return df.select(id_col, content_col, meta_col).mapInPandas(run, schema=schema)
+
+
 def decode_image(*args, **kwargs):
     """Real image decode requires PIL/opencv — not in this container."""
     raise NotImplementedError(

@@ -210,6 +210,44 @@ def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram profile language ID (the n-gram heuristic): one
+    trigram pass per row, per-language overlap scores, argmax with an
+    'unknown' floor — all in-row array expressions."""
+    from fluvio_duck_spark.functions.text import lang_id_ngram, lang_scores_ngram
+
+    d = load(spark, sf_dir, "documents")
+    scores = lang_scores_ngram("text")
+    return d.select(
+        "doc_id",
+        scores["en"].alias("en_score"),
+        scores["es"].alias("es_score"),
+        lang_id_ngram("text").alias("lang"),
+    )
+
+
+_EN_PROF = "['the','he ',' th','ing','nd ',' an','and',' of','of ',' to','to ',' in','ed ','ion',' is','is ']"
+_ES_PROF = "['de ',' de','la ',' la','el ',' el','os ','ión',' qu','que','ue ',' en','en ','ar ',' co','con']"
+
+ORACLE_LANGID_NGRAM = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+                  i -> lower(text)[i:i+2])) AS tg
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(list_intersect(tg, {_EN_PROF})) AS DOUBLE) / 16.0 AS en_score,
+    CAST(len(list_intersect(tg, {_ES_PROF})) AS DOUBLE) / 16.0 AS es_score
+  FROM g)
+SELECT doc_id, en_score, es_score,
+  CASE WHEN en_score >= 0.25 AND en_score >= es_score THEN 'en'
+       WHEN es_score >= 0.25 THEN 'es'
+       ELSE 'unknown' END AS lang
+FROM s
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints, one row per selected
     fingerprint.  Map-only expression per doc; the explode happens at the
@@ -279,6 +317,8 @@ QUERIES: dict[str, QuerySpec] = {
                              doc="hyperplane-LSH ANN top-10 (recall-tested vs brute force)"),
     "text_fingerprint_winnow": QuerySpec(q_winnow_fingerprints, ORACLE_WINNOW,
                                          doc="winnowing rolling-hash fingerprints (SIGMOD'03)"),
+    "text_langid_ngram": QuerySpec(q_langid_ngram, ORACLE_LANGID_NGRAM,
+                                   doc="char-trigram profile language ID (n-gram heuristic)"),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                               doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,

@@ -139,3 +139,22 @@ def test_winnow_shared_run_guarantee(spark):
     }
     assert fps[1] & fps[2], "docs sharing an 8-token run must share a fingerprint"
     assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+
+def test_resize_content_shapes_and_meta(spark, sf_dir):
+    from fluvio_duck_spark.operators.multimodal import resize_content
+    from fluvio_duck_spark.sources.tables import load
+
+    d = attach_binary_content(load(spark, sf_dir, "documents").limit(10))
+    out = resize_content(d, target_w=64, target_h=64).collect()
+    assert len(out) == 10
+    for r in out:
+        assert len(bytes(r.content)) == 64 * 64 // 64  # deterministic fake size
+        assert r.meta.width == 64 and r.meta.height == 64
+        assert r.meta.format == "utf8"  # passthrough of untouched meta fields
+    # chains with the feature extractor (same column convention)
+    from fluvio_duck_spark.operators.multimodal import extract_features
+
+    d2 = resize_content(d, target_w=64, target_h=64)
+    feats = extract_features(d2, n_features=8).collect()
+    assert all(len(r.features) == 8 for r in feats)
