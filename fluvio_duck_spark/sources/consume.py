@@ -140,6 +140,11 @@ def fluvio_consume(
     if isinstance(opts, (str, list)):
         opts = parse_consume_opts(opts)
 
+    # -d (continuous, SURVEY §1.4.5): over the bounded parquet stand-in,
+    # "read to the end then wait for new records" returns exactly the
+    # bounded result — accepted as a no-op here; a live unbounded run is
+    # fluvio_consume_stream (streaming/consume_stream.py), same options.
+
     log = source if source is not None else record_log(spark, sf_dir, opts.topic)
 
     # Partition selection — honored (the reference parses -p/-A but pins

@@ -98,3 +98,12 @@ def test_crossing_offsets_error_matches_reference_shape():
     (src/consume.rs:580-590); same error surface here."""
     with pytest.raises(ConsumeOptError, match="greater than or equal"):
         parse_consume_opts("events --start 10 --end 3")
+
+
+def test_dash_d_batch_is_bounded_noop(spark, sf_dir):
+    """-d over the bounded stand-in returns the same rows as the bounded
+    read (the 'wait for more' tail of continuous mode has nothing to wait
+    for on a static log); unbounded mode is fluvio_consume_stream."""
+    a = fluvio_consume(spark, "events -A -B --rows 40", sf_dir=sf_dir).collect()
+    b = fluvio_consume(spark, "events -A -B --rows 40 -d", sf_dir=sf_dir).collect()
+    assert a == b
