@@ -158,3 +158,57 @@ def test_resize_content_shapes_and_meta(spark, sf_dir):
     d2 = resize_content(d, target_w=64, target_h=64)
     feats = extract_features(d2, n_features=8).collect()
     assert all(len(r.features) == 8 for r in feats)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check: asof_join vs pandas.merge_asof (backward,
+    inclusive) on 300 left x 200 right rows over 25 keys, fixed seed."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame(
+        {
+            "event_id": np.arange(300),
+            "user_id": rng.integers(0, 25, 300),
+            "t": rng.integers(0, 10_000, 300),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 25, 200),
+            "t": rng.integers(0, 10_000, 200),
+            "val": rng.integers(0, 1_000_000, 200),
+        }
+    # merge_asof requires uniqueness per (key, time) on the right for a
+    # deterministic answer — same precondition asof_join documents
+    ).drop_duplicates(subset=["user_id", "t"])
+
+    expected = pd.merge_asof(
+        left_pd.assign(ts=pd.to_datetime(left_pd.t, unit="s")).sort_values("ts"),
+        right_pd.assign(ts=pd.to_datetime(right_pd.t, unit="s")).sort_values("ts")[
+            ["user_id", "ts", "val"]
+        ],
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+        for r in expected.itertuples()
+    }
+
+    left = spark.createDataFrame(
+        left_pd.assign(ts=pd.to_datetime(left_pd.t, unit="s"))[
+            ["event_id", "user_id", "ts"]
+        ]
+    )
+    right = spark.createDataFrame(
+        right_pd.assign(ts=pd.to_datetime(right_pd.t, unit="s"))[
+            ["user_id", "ts", "val"]
+        ]
+    )
+    out = asof_join(left, right, "user_id", "user_id", "ts", "ts", ["val"])
+    got = {int(r.event_id): (None if r.val is None else int(r.val)) for r in out.collect()}
+    assert got == want
