@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""End-to-end training-data pipeline demo: the composition a 100 TB
+corpus-curation job runs, expressed entirely in this repo's operators.
+
+    documents
+      → text stats + quality scoring + language ID   (map-only)
+      → quality/lang gate                            (filter, pushed down)
+      → exact dedup (canonical id per fingerprint)   (1 shuffle)
+      → MinHash-LSH near-dup edges → drop non-canonical duplicates
+      → token accounting for the survivors
+      → partitioned parquet of the curated corpus
+
+Usage: python scripts/demo_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def curate(spark, sf_dir: str, out_dir: str):
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.text import (
+        fingerprint,
+        lang_id_ngram,
+        quality_score,
+        token_count,
+    )
+    from fluvio_duck_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from fluvio_duck_spark.sinks import copy_to_parquet
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    n0 = docs.count()
+
+    # 1. score + gate (map-only; the filter reaches the scan)
+    scored = docs.select(
+        "doc_id", "text",
+        quality_score("text").alias("q"),
+        lang_id_ngram("text").alias("lang"),
+        token_count("text").alias("n_tokens"),
+    )
+    gated = scored.filter((F.col("q") >= 0.3) & (F.col("n_tokens") >= 8))
+    n1 = gated.count()
+
+    # 2. exact dedup: keep the canonical doc per content fingerprint
+    canon = exact_dedup(gated)  # (fp, canonical_id, n_copies)
+    exact_survivors = gated.join(
+        canon.select(F.col("canonical_id").alias("doc_id")), "doc_id", "left_semi"
+    ).withColumn("fp", fingerprint("text"))
+    n2 = exact_survivors.count()
+
+    # 3. near-dup removal: LSH pairs above 0.8 Jaccard; drop the higher id
+    #    of each edge (greedy canonicalization — one pass, no iteration)
+    pairs = minhash_lsh_pairs(exact_survivors, threshold=0.8)
+    to_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = exact_survivors.join(to_drop, "doc_id", "left_anti")
+    n3 = survivors.count()
+
+    # 4. token accounting + curated output partitioned by language
+    stats = survivors.groupBy("lang").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    copy_to_parquet(
+        survivors.select("doc_id", "text", "lang", "q", "n_tokens"),
+        out_dir,
+        partition_by=["lang"],
+    )
+    return n0, n1, n2, n3, stats
+
+
+def main() -> None:
+    from fluvio_duck_spark.session import get_spark
+
+    spark = get_spark("fluvio-duck-spark-pipeline", shuffle_partitions=8)
+    with tempfile.TemporaryDirectory() as tmp:
+        n0, n1, n2, n3, stats = curate(spark, SF_DIR, f"{tmp}/curated")
+        print(f"input docs:          {n0}")
+        print(f"after quality gate:  {n1}")
+        print(f"after exact dedup:   {n2}")
+        print(f"after near-dup drop: {n3}")
+        print("token accounting per language:")
+        stats.show()
+        back = spark.read.parquet(f"{tmp}/curated")
+        assert back.count() == n3
+        print(f"curated corpus round-trip OK ({n3} docs)")
+
+
+if __name__ == "__main__":
+    main()
