@@ -210,6 +210,27 @@ def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas) feature scaling, verified
+    against the equivalent SQL window formula — the §2.12 grouped-map
+    surface with a real oracle (pandas and SQL produce identical IEEE
+    doubles for (x−min)/(max−min))."""
+    from fluvio_duck_spark.operators.grouped import minmax_scale_grouped
+
+    ev = load(spark, sf_dir, "events")
+    return minmax_scale_grouped(ev, "event_type", "value", "event_id")
+
+
+ORACLE_GROUPED_MINMAX = """
+SELECT event_id, event_type,
+       CASE WHEN mx = mn THEN 0.5 ELSE (value - mn) / (mx - mn) END AS scaled
+FROM (SELECT event_id, event_type, value,
+             min(value) OVER (PARTITION BY event_type) AS mn,
+             max(value) OVER (PARTITION BY event_type) AS mx
+      FROM events)
+"""
+
+
 def q_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Char-trigram profile language ID (the n-gram heuristic): one
     trigram pass per row, per-language overlap scores, argmax with an
@@ -319,6 +340,8 @@ QUERIES: dict[str, QuerySpec] = {
                                          doc="winnowing rolling-hash fingerprints (SIGMOD'03)"),
     "text_langid_ngram": QuerySpec(q_langid_ngram, ORACLE_LANGID_NGRAM,
                                    doc="char-trigram profile language ID (n-gram heuristic)"),
+    "grouped_minmax_scale": QuerySpec(q_grouped_minmax, ORACLE_GROUPED_MINMAX,
+                                      doc="applyInPandas grouped-map scaling vs SQL window oracle — §2.12"),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                               doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,
