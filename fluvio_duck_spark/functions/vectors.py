@@ -27,3 +27,20 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a vector (map-only; after this, cosine reduces to a
+    plain dot product — normalize once at ingest, save a sqrt per
+    comparison at query time).  Zero vectors pass through unchanged."""
+    # norm lambda-bound (transform over a 1-element wrapper) so the fold
+    # runs once per row, not once per element (interpreted HOFs have no
+    # common-subexpression elimination — see functions/text.py)
+    return F.flatten(
+        F.transform(
+            F.array(norm(a)),
+            lambda n: F.when(
+                n == 0.0, F.transform(a, lambda x: x.cast("double"))
+            ).otherwise(F.transform(a, lambda x: x.cast("double") / n)),
+        )
+    )

@@ -210,6 +210,27 @@ def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (map-only ingest step: cosine
+    then reduces to a dot product at query time)."""
+    from fluvio_duck_spark.functions.vectors import l2_normalize
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_normalize(F.col("embedding")).alias("unit"))
+
+
+ORACLE_NORMALIZE = """
+SELECT vec_id,
+  CASE WHEN nrm = 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit
+FROM (SELECT vec_id, embedding,
+        sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             'sum')) AS nrm
+      FROM embeddings)
+"""
+
+
 def q_grouped_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDF (applyInPandas) feature scaling, verified
     against the equivalent SQL window formula — the §2.12 grouped-map
@@ -342,6 +363,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="char-trigram profile language ID (n-gram heuristic)"),
     "grouped_minmax_scale": QuerySpec(q_grouped_minmax, ORACLE_GROUPED_MINMAX,
                                       doc="applyInPandas grouped-map scaling vs SQL window oracle — §2.12"),
+    "sim_normalize_embeddings": QuerySpec(q_normalize_embeddings, ORACLE_NORMALIZE,
+                                          doc="map-only L2 normalization of the embedding column"),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                               doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,

@@ -780,6 +780,67 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_topk_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filters → broadcast join → agg →
+    global top-10 (TakeOrderedAndProject: per-partition heaps, 10 rows to
+    the driver)."""
+    cu = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < _TS("1998-01-01"))
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_TOPK_SHIPPING = """
+SELECT l_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average)
+    decorrelated into an aggregate + join; the per-part avg side is tiny
+    after aggregation, so it broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        (davg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("p_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count("*").alias("n_small"),
+            dsum("l_extendedprice").alias("small_revenue"),
+        )
+    )
+
+
+ORACLE_CORRELATED = """
+SELECT COUNT(*) AS n_small,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) * 0.5
+  FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
 # --- SQL passthrough --------------------------------------------------------
 
 # One SQL text, two engines: a user of the reference runs plain SQL over
@@ -856,4 +917,8 @@ QUERIES: dict[str, QuerySpec] = {
                                doc="per-group z-score normalization, deterministic variance — §2.8"),
     "batch_sessionize": QuerySpec(q_batch_sessionize, ORACLE_SESSIONIZE,
                                   doc="batch sessionization (gap merge) — backfill twin of session windows"),
+    "join_topk_shipping": QuerySpec(q_topk_shipping, ORACLE_TOPK_SHIPPING,
+                                    doc="TPC-H Q3 shape: broadcast joins + agg + global top-10 — §2.6/§2.5"),
+    "correlated_small_quantity": QuerySpec(q_correlated_small_quantity, ORACLE_CORRELATED,
+                                           doc="TPC-H Q17 shape: correlated subquery decorrelated to broadcast agg-join"),
 }
