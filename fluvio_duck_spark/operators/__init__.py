@@ -1,3 +1,4 @@
+from fluvio_duck_spark.operators.asof import asof_join, range_band_join
 from fluvio_duck_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -6,20 +7,42 @@ from fluvio_duck_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
+from fluvio_duck_spark.operators.grouped import minmax_scale_grouped
+from fluvio_duck_spark.operators.multimodal import (
+    attach_binary_content,
+    extract_features,
+    resize_content,
+    sample_frames,
+)
+from fluvio_duck_spark.operators.sessions import session_stats, sessionize
 from fluvio_duck_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
 )
+from fluvio_duck_spark.operators.skew import salted_agg_count, salted_join
 
 __all__ = [
     "ann_lsh_topk",
+    "asof_join",
+    "attach_binary_content",
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "extract_features",
+    "ivf_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",
+    "minmax_scale_grouped",
     "ngram_jaccard_pairs",
+    "range_band_join",
+    "resize_content",
+    "salted_agg_count",
+    "salted_join",
+    "sample_frames",
+    "session_stats",
+    "sessionize",
     "simhash",
     "simhash_near_dup_pairs",
 ]
