@@ -393,6 +393,32 @@ SELECT nationkey, 'except' AS op FROM
 """
 
 
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (ALL) variants: intersectAll/exceptAll keep duplicate
+    multiplicity — summarized as counts per nationkey so the result stays
+    small while the multiplicities are what's compared."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    ia = c.intersectAll(s).groupBy("nationkey").agg(F.count("*").alias("n")).withColumn("op", F.lit("intersect_all"))
+    ea = c.exceptAll(s).groupBy("nationkey").agg(F.count("*").alias("n")).withColumn("op", F.lit("except_all"))
+    ua = c.unionAll(s).groupBy("nationkey").agg(F.count("*").alias("n")).withColumn("op", F.lit("union_all"))
+    return ia.union(ea).union(ua)
+
+
+ORACLE_SET_OPS_ALL = """
+WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+s AS (SELECT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, COUNT(*) AS n, 'intersect_all' AS op
+  FROM (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s) GROUP BY 1
+UNION ALL
+SELECT nationkey, COUNT(*) AS n, 'except_all' AS op
+  FROM (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s) GROUP BY 1
+UNION ALL
+SELECT nationkey, COUNT(*) AS n, 'union_all' AS op
+  FROM (SELECT nationkey FROM c UNION ALL SELECT nationkey FROM s) GROUP BY 1
+"""
+
+
 # --- pivot -------------------------------------------------------------------
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,6 +926,8 @@ QUERIES: dict[str, QuerySpec] = {
     "topk_orders": QuerySpec(q_topk_orders, ORACLE_TOPK, doc="ORDER BY + LIMIT — §2.5 L3"),
     "set_ops": QuerySpec(q_set_ops, ORACLE_SET_OPS,
                          doc="UNION/INTERSECT/EXCEPT — §2.9"),
+    "set_ops_all": QuerySpec(q_set_ops_all, ORACLE_SET_OPS_ALL,
+                             doc="multiset INTERSECT ALL/EXCEPT ALL/UNION ALL — §2.9"),
     "pivot_qty_by_status": QuerySpec(q_pivot, ORACLE_PIVOT, doc="pivot — §2.7"),
     "above_avg_orders": QuerySpec(q_above_avg_orders, ORACLE_ABOVE_AVG,
                                   doc="scalar subquery via broadcast agg"),
