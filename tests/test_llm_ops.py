@@ -139,3 +139,27 @@ def test_decode_image_is_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image()
+
+
+def test_l2_normalize_unit_norm_and_zero_vector(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.vectors import l2_normalize, norm
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])],
+        "id long, v array<double>",
+    )
+    out = {
+        r.id: (r.unit, r.n)
+        for r in df.select(
+            "id",
+            l2_normalize(F.col("v")).alias("unit"),
+            norm(l2_normalize(F.col("v"))).alias("n"),
+        ).collect()
+    }
+    assert out[1][0] == [0.6, 0.8] and math.isclose(out[1][1], 1.0)
+    assert out[2][0] == [0.0, 0.0] and out[2][1] == 0.0  # zero passes through
+    assert out[3][0] == [1.0, 0.0]
