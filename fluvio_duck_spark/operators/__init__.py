@@ -17,6 +17,7 @@ from fluvio_duck_spark.operators.multimodal import (
 from fluvio_duck_spark.operators.sessions import session_stats, sessionize
 from fluvio_duck_spark.operators.similarity import (
     ann_lsh_topk,
+    blocked_near_dup_pairs,
     cosine_topk,
     embedding_near_dup_pairs,
     ivf_topk,
@@ -26,6 +27,7 @@ from fluvio_duck_spark.operators.skew import salted_agg_count, salted_join
 __all__ = [
     "ann_lsh_topk",
     "asof_join",
+    "blocked_near_dup_pairs",
     "attach_binary_content",
     "cosine_topk",
     "embedding_near_dup_pairs",

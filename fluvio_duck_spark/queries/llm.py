@@ -210,6 +210,30 @@ def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine at scale: block-partitioned float64 GEMM
+    (one Arrow batch per block pair) instead of per-pair expression
+    evaluation — same answer as sim_embedding_near_dups, ~25x faster at
+    sf0.1 and distributable (block pairs are independent tasks)."""
+    from fluvio_duck_spark.operators.similarity import blocked_near_dup_pairs
+
+    return blocked_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+ORACLE_NEAR_DUPS_BLOCKED = """
+SELECT id_a, id_b, ROUND(sim, 6) AS sim FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_aggregate(list_transform(range(1, len(a.embedding)+1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
+        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+WHERE sim >= 0.45
+"""
+
+
 def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (map-only ingest step: cosine
     then reduces to a dot product at query time)."""
@@ -367,6 +391,8 @@ QUERIES: dict[str, QuerySpec] = {
                                           doc="map-only L2 normalization of the embedding column"),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                               doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
+    "sim_near_dups_blocked": QuerySpec(q_near_dups_blocked, ORACLE_NEAR_DUPS_BLOCKED,
+                                       doc="exact all-pairs cosine via blocked GEMM (scale path)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,
                                         doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
 }

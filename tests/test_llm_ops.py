@@ -104,6 +104,22 @@ def test_embedding_near_dups_symmetric_free(emb):
     assert all(r.sim >= 0.45 for r in pairs)
 
 
+def test_blocked_near_dups_matches_exact(emb):
+    from fluvio_duck_spark.operators.similarity import blocked_near_dup_pairs
+
+    exact = {
+        (r.id_a, r.id_b): round(r.sim, 6)
+        for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.sim
+        for r in blocked_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert set(exact) == set(blocked)
+    # GEMM vs sequential-fold summation differ below rounding precision
+    assert all(abs(exact[k] - blocked[k]) < 1e-9 for k in exact)
+
+
 def test_lsh_bucketed_near_dups_subset_of_exact(emb):
     exact = {
         (r.id_a, r.id_b) for r in embedding_near_dup_pairs(emb, threshold=0.45).collect()
