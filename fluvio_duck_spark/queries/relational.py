@@ -867,6 +867,142 @@ WHERE l_quantity < (
 """
 
 
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — orders whose total lineitem quantity exceeds a
+    threshold, joined back to customer, top 100 by price.
+
+    Scale shape: the HAVING-filtered aggregate runs first (one shuffle on
+    l_orderkey with map-side combine) and survives as a tiny relation, so
+    BOTH joins broadcast it — the orders and customer tables never
+    shuffle; the top-k is a per-partition heap."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey",
+                F.col("o_totalprice").alias("price"), "total_qty")
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+ORACLE_LARGE_ORDERS = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice AS price, total_qty
+FROM orders
+JOIN (SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY price DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_conditional_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation: CASE expressions inside
+    SUM classify orders by priority class per return flag.  Map-side the
+    CASE collapses each row to two ints, so the shuffle carries only
+    partial counts — the canonical 'pivot without a pivot' at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_CONDITIONAL_PRIORITY = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — ratio of conditional revenue to total revenue.
+    part broadcasts into the lineitem scan; both sums accumulate exactly
+    in DECIMAL and the single double division happens once at the end, so
+    the ratio is bit-identical on any cluster size."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    disc = dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(promo, disc).otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+ORACLE_PROMO_REVENUE = """
+SELECT 100.0
+  * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE)
+  AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_rich_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — customers with above-average account balance and
+    no recent orders: scalar subquery (1-row broadcast) + broadcast anti
+    join on the distinct custkeys of recent orders.  Neither side of the
+    fact table shuffles; the aggregate output is grouped per market
+    segment."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    has_orders = (
+        o.filter(F.col("o_orderdate") >= _TS("2000-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(has_orders), c.c_custkey == has_orders.o_custkey,
+              "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
+
+
+ORACLE_RICH_IDLE = """
+SELECT c_mktsegment, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
+"""
+
+
 # --- SQL passthrough --------------------------------------------------------
 
 # One SQL text, two engines: a user of the reference runs plain SQL over
@@ -949,4 +1085,12 @@ QUERIES: dict[str, QuerySpec] = {
                                     doc="TPC-H Q3 shape: broadcast joins + agg + global top-10 — §2.6/§2.5"),
     "correlated_small_quantity": QuerySpec(q_correlated_small_quantity, ORACLE_CORRELATED,
                                            doc="TPC-H Q17 shape: correlated subquery decorrelated to broadcast agg-join"),
+    "join_large_orders": QuerySpec(q_large_orders, ORACLE_LARGE_ORDERS,
+                                   doc="TPC-H Q18 shape: HAVING-filtered agg broadcast into two joins + top-k"),
+    "agg_conditional_priority": QuerySpec(q_conditional_priority_counts, ORACLE_CONDITIONAL_PRIORITY,
+                                          doc="TPC-H Q12 shape: CASE-inside-SUM conditional aggregation"),
+    "agg_promo_ratio": QuerySpec(q_promo_revenue_ratio, ORACLE_PROMO_REVENUE,
+                                 doc="TPC-H Q14 shape: ratio of exact decimal sums, one double division"),
+    "join_rich_idle_customers": QuerySpec(q_rich_idle_customers, ORACLE_RICH_IDLE,
+                                          doc="TPC-H Q22 shape: scalar subquery + broadcast anti join"),
 }
