@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_fingerprint_winnow",
     "sim_topk_bruteforce",
+    "sim_near_dups_blocked",
+    "join_large_orders",
     "mm_frame_stats",
     "stream_tumbling_windows",
 ]

@@ -14,6 +14,13 @@ from fluvio_duck_spark.operators.multimodal import (
     resize_content,
     sample_frames,
 )
+from fluvio_duck_spark.operators.rollup import (
+    Measure,
+    cascade_rollup,
+    finalize_rollup,
+    hypertable_rollup,
+    time_bucket,
+)
 from fluvio_duck_spark.operators.sessions import session_stats, sessionize
 from fluvio_duck_spark.operators.similarity import (
     ann_lsh_topk,
@@ -40,6 +47,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "range_band_join",
     "resize_content",
+    "Measure",
+    "cascade_rollup",
+    "finalize_rollup",
+    "hypertable_rollup",
+    "time_bucket",
     "salted_agg_count",
     "salted_join",
     "sample_frames",

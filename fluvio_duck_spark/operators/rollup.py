@@ -1,0 +1,156 @@
+"""Hypertable-style time-bucket rollups (continuous aggregates).
+
+The reference has no rollup operator (its aggregate surface is DuckDB SQL
+plus the SmartModule aggregate fold, reference src/consume.rs:687-695);
+this is one of the brief's beyond-the-reference operators for time-series
+/ training-data pipelines, built the way TimescaleDB continuous
+aggregates and Druid rollups work — but expressed as plain DataFrame
+aggregation so Catalyst plans it.
+
+Design for 100 TB:
+
+* ``hypertable_rollup`` computes the *finest* rollup once from raw data —
+  one shuffle on (bucket, keys), partial aggregation map-side.
+* Every measure is stored as **mergeable state**, not a final value:
+  sums accumulate in DECIMAL (exact, order-independent — see
+  functions/exact.py), counts are longs, min/max are closed under merge.
+* ``cascade_rollup`` derives any coarser granularity by re-aggregating a
+  finer rollup — it never rescans raw data.  An hourly rollup of a 100 TB
+  hypertable is GBs; the daily/weekly/monthly cascade is then effectively
+  free, and correctness is *provable*: cascaded results are bit-identical
+  to a direct GROUP BY on raw (the paired oracle query checks exactly
+  that).
+* ``finalize_rollup`` turns state into user-facing values (double sums,
+  derived averages) — applied only at the serving edge.
+
+Bucketing uses integer floor of epoch seconds so Spark and ANSI engines
+agree exactly: ``timestamp_seconds(floor(epoch(ts)/w)*w)``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KINDS = ("sum", "count", "min", "max", "avg")
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One rolled-up measure: ``kind`` ∈ sum|count|min|max|avg over
+    ``col``, surfaced as ``name``.  ``scale`` is the DECIMAL scale used
+    for exact sum accumulation of float inputs."""
+
+    name: str
+    col: str
+    kind: str
+    scale: int = 2
+
+    def __post_init__(self) -> None:
+        if self.kind not in KINDS:
+            raise ValueError(f"unknown measure kind {self.kind!r}; use one of {KINDS}")
+
+    @property
+    def _dec(self) -> str:
+        return f"decimal(28,{self.scale})"
+
+
+def time_bucket(ts: Column | str, width_seconds: int) -> Column:
+    """Floor ``ts`` to a ``width_seconds`` bucket start (TIMESTAMP)."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    w = int(width_seconds)
+    return F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(c) / w) * w).cast("long")
+    )
+
+
+def _initial_aggs(measures: list[Measure]) -> list[Column]:
+    out: list[Column] = []
+    for m in measures:
+        c = F.col(m.col)
+        if m.kind == "sum":
+            out.append(F.sum(c.cast(m._dec)).alias(m.name))
+        elif m.kind == "count":
+            out.append(F.count(c).alias(m.name))
+        elif m.kind == "min":
+            out.append(F.min(c).alias(m.name))
+        elif m.kind == "max":
+            out.append(F.max(c).alias(m.name))
+        else:  # avg → mergeable (sum, count) pair
+            out.append(F.sum(c.cast(m._dec)).alias(f"{m.name}_sum"))
+            out.append(F.count(c).alias(f"{m.name}_cnt"))
+    return out
+
+
+def _merge_aggs(measures: list[Measure]) -> list[Column]:
+    out: list[Column] = []
+    for m in measures:
+        if m.kind in ("sum",):
+            out.append(F.sum(F.col(m.name).cast(m._dec)).alias(m.name))
+        elif m.kind == "count":
+            out.append(F.sum(m.name).alias(m.name))
+        elif m.kind == "min":
+            out.append(F.min(m.name).alias(m.name))
+        elif m.kind == "max":
+            out.append(F.max(m.name).alias(m.name))
+        else:
+            out.append(F.sum(F.col(f"{m.name}_sum").cast(m._dec)).alias(f"{m.name}_sum"))
+            out.append(F.sum(f"{m.name}_cnt").alias(f"{m.name}_cnt"))
+    return out
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    width_seconds: int,
+    keys: list[str],
+    measures: list[Measure],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """The finest-granularity continuous aggregate: one shuffle on
+    (bucket, keys); every measure lands as mergeable state."""
+    return (
+        df.withColumn(bucket_col, time_bucket(ts_col, width_seconds))
+        .groupBy(bucket_col, *keys)
+        .agg(*_initial_aggs(measures))
+    )
+
+
+def cascade_rollup(
+    rollup: DataFrame,
+    width_seconds: int,
+    keys: list[str],
+    measures: list[Measure],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Coarsen an existing rollup by re-aggregating its mergeable state —
+    never touches raw data.  ``width_seconds`` must be a multiple of the
+    input rollup's width for buckets to nest exactly."""
+    return (
+        rollup.withColumn(bucket_col, time_bucket(bucket_col, width_seconds))
+        .groupBy(bucket_col, *keys)
+        .agg(*_merge_aggs(measures))
+    )
+
+
+def finalize_rollup(rollup: DataFrame, measures: list[Measure]) -> DataFrame:
+    """State → user-facing values: decimal sums emit double, averages are
+    one double division of exact state (deterministic on any cluster)."""
+    cols = [c for c in rollup.columns]
+    state = {m.name for m in measures} | {
+        n for m in measures if m.kind == "avg" for n in (f"{m.name}_sum", f"{m.name}_cnt")
+    }
+    out: list[Column] = [F.col(c) for c in cols if c not in state]
+    for m in measures:
+        if m.kind == "sum":
+            out.append(F.col(m.name).cast("double").alias(m.name))
+        elif m.kind == "avg":
+            out.append(
+                (F.col(f"{m.name}_sum").cast("double") / F.col(f"{m.name}_cnt"))
+                .alias(m.name)
+            )
+        else:
+            out.append(F.col(m.name))
+    return rollup.select(*out)

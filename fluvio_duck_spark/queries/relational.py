@@ -1003,6 +1003,82 @@ GROUP BY c_mktsegment
 """
 
 
+# --- hypertable rollups (beyond-reference time-series operator) ------------
+
+_ROLLUP_MEASURES = None  # built lazily to avoid import-order cycles
+
+
+def _rollup_measures():
+    from fluvio_duck_spark.operators.rollup import Measure
+
+    return [
+        Measure("total", "value", "sum"),
+        Measure("n", "value", "count"),
+        Measure("lo", "value", "min"),
+        Measure("hi", "value", "max"),
+        Measure("avg_value", "value", "avg"),
+    ]
+
+
+def q_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: hourly continuous aggregate of events by type —
+    one shuffle on (bucket, event_type), sums held exactly in DECIMAL
+    (mergeable state), finalized to doubles at the edge."""
+    from fluvio_duck_spark.operators.rollup import finalize_rollup, hypertable_rollup
+
+    ev = load(spark, sf_dir, "events")
+    m = _rollup_measures()
+    return finalize_rollup(
+        hypertable_rollup(ev, "ts", 3600, ["event_type"], m), m
+    )
+
+
+ORACLE_ROLLUP_HOURLY = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP)
+         AS bucket,
+       event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+       COUNT(value) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded rollup: the daily aggregate is re-aggregated FROM the
+    hourly rollup's mergeable state — raw data is scanned once for the
+    hourly level and never again.  The oracle below aggregates raw data
+    directly at daily granularity, so a hash match proves the cascade is
+    exactly lossless (decimal sums merge associatively; min/max/count are
+    closed under merge)."""
+    from fluvio_duck_spark.operators.rollup import (
+        cascade_rollup,
+        finalize_rollup,
+        hypertable_rollup,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    m = _rollup_measures()
+    hourly = hypertable_rollup(ev, "ts", 3600, ["event_type"], m)
+    daily = cascade_rollup(hourly, 86400, ["event_type"], m)
+    return finalize_rollup(daily, m)
+
+
+ORACLE_ROLLUP_CASCADE = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS TIMESTAMP)
+         AS bucket,
+       event_type,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total,
+       COUNT(value) AS n,
+       MIN(value) AS lo,
+       MAX(value) AS hi,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- SQL passthrough --------------------------------------------------------
 
 # One SQL text, two engines: a user of the reference runs plain SQL over
@@ -1093,4 +1169,8 @@ QUERIES: dict[str, QuerySpec] = {
                                  doc="TPC-H Q14 shape: ratio of exact decimal sums, one double division"),
     "join_rich_idle_customers": QuerySpec(q_rich_idle_customers, ORACLE_RICH_IDLE,
                                           doc="TPC-H Q22 shape: scalar subquery + broadcast anti join"),
+    "rollup_hourly": QuerySpec(q_rollup_hourly, ORACLE_ROLLUP_HOURLY,
+                               doc="hypertable rollup: hourly continuous aggregate, mergeable decimal state"),
+    "rollup_cascade_daily": QuerySpec(q_rollup_cascade_daily, ORACLE_ROLLUP_CASCADE,
+                                      doc="cascaded daily-from-hourly rollup, provably lossless vs direct raw agg"),
 }
