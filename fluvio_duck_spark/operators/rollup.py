@@ -22,6 +22,12 @@ Design for 100 TB:
   that).
 * ``finalize_rollup`` turns state into user-facing values (double sums,
   derived averages) — applied only at the serving edge.
+* Distinct counts are NOT exactly mergeable, so the ``approx_distinct``
+  kind stores an HLL sketch (Datasketches binary, built-in
+  ``hll_sketch_agg``) as its state: sketches union losslessly under
+  ``cascade_rollup``, so a daily distinct-estimate derived from hourly
+  sketches equals the direct daily estimate exactly — the standard
+  trade (bounded ~2% error for mergeability) every rollup store makes.
 
 Bucketing uses integer floor of epoch seconds so Spark and ANSI engines
 agree exactly: ``timestamp_seconds(floor(epoch(ts)/w)*w)``.
@@ -34,7 +40,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-KINDS = ("sum", "count", "min", "max", "avg")
+KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
 
 
 @dataclass(frozen=True)
@@ -78,9 +84,11 @@ def _initial_aggs(measures: list[Measure]) -> list[Column]:
             out.append(F.min(c).alias(m.name))
         elif m.kind == "max":
             out.append(F.max(c).alias(m.name))
-        else:  # avg → mergeable (sum, count) pair
+        elif m.kind == "avg":  # mergeable (sum, count) pair
             out.append(F.sum(c.cast(m._dec)).alias(f"{m.name}_sum"))
             out.append(F.count(c).alias(f"{m.name}_cnt"))
+        else:  # approx_distinct → HLL sketch state (binary, mergeable)
+            out.append(F.hll_sketch_agg(c).alias(m.name))
     return out
 
 
@@ -95,9 +103,11 @@ def _merge_aggs(measures: list[Measure]) -> list[Column]:
             out.append(F.min(m.name).alias(m.name))
         elif m.kind == "max":
             out.append(F.max(m.name).alias(m.name))
-        else:
+        elif m.kind == "avg":
             out.append(F.sum(F.col(f"{m.name}_sum").cast(m._dec)).alias(f"{m.name}_sum"))
             out.append(F.sum(f"{m.name}_cnt").alias(f"{m.name}_cnt"))
+        else:
+            out.append(F.hll_union_agg(m.name).alias(m.name))
     return out
 
 
@@ -151,6 +161,8 @@ def finalize_rollup(rollup: DataFrame, measures: list[Measure]) -> DataFrame:
                 (F.col(f"{m.name}_sum").cast("double") / F.col(f"{m.name}_cnt"))
                 .alias(m.name)
             )
+        elif m.kind == "approx_distinct":
+            out.append(F.hll_sketch_estimate(m.name).alias(m.name))
         else:
             out.append(F.col(m.name))
     return rollup.select(*out)

@@ -1079,6 +1079,26 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rollup_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user estimates derived from *hourly HLL sketches*
+    (mergeable state — distinct counts are not exactly mergeable, sketch
+    unions are lossless).  Rows-only: the estimate is deterministic but
+    engine-specific; test_rollup.py proves cascade == direct and the
+    estimate lands within 5% of the exact distinct count."""
+    from fluvio_duck_spark.operators.rollup import (
+        Measure,
+        cascade_rollup,
+        finalize_rollup,
+        hypertable_rollup,
+    )
+
+    m = [Measure("users", "user_id", "approx_distinct"),
+         Measure("n", "event_id", "count")]
+    ev = load(spark, sf_dir, "events")
+    hourly = hypertable_rollup(ev, "ts", 3600, ["event_type"], m)
+    return finalize_rollup(cascade_rollup(hourly, 86400, ["event_type"], m), m)
+
+
 # --- SQL passthrough --------------------------------------------------------
 
 # One SQL text, two engines: a user of the reference runs plain SQL over
@@ -1173,4 +1193,6 @@ QUERIES: dict[str, QuerySpec] = {
                                doc="hypertable rollup: hourly continuous aggregate, mergeable decimal state"),
     "rollup_cascade_daily": QuerySpec(q_rollup_cascade_daily, ORACLE_ROLLUP_CASCADE,
                                       doc="cascaded daily-from-hourly rollup, provably lossless vs direct raw agg"),
+    "rollup_hll_daily_users": QuerySpec(q_rollup_hll_daily_users, None,
+                                        doc="daily distinct-user estimate from mergeable hourly HLL sketches"),
 }

@@ -66,6 +66,33 @@ def test_time_bucket_floors_to_width(spark):
     assert got == ["2024-03-05T10:00:00", "2024-03-05T11:00:00"]
 
 
+def test_hll_cascade_estimate_equals_direct(spark, sf_dir):
+    """HLL sketch state unions losslessly: daily-from-hourly estimates
+    must equal direct daily estimates, and land near the exact count."""
+    m = [Measure("users", "user_id", "approx_distinct")]
+    ev = load(spark, sf_dir, "events")
+    hourly = hypertable_rollup(ev, "ts", 3600, ["event_type"], m)
+    cascaded = finalize_rollup(
+        cascade_rollup(hourly, 86400, ["event_type"], m), m
+    )
+    direct = finalize_rollup(
+        hypertable_rollup(ev, "ts", 86400, ["event_type"], m), m
+    )
+    got, want = _by_key(cascaded.collect()), _by_key(direct.collect())
+    assert set(got) == set(want)
+    assert all(got[k].users == want[k].users for k in want)
+    exact = {
+        (r.bucket, r.event_type): r.cnt
+        for r in ev.select(
+            time_bucket("ts", 86400).alias("bucket"), "event_type", "user_id"
+        ).groupBy("bucket", "event_type")
+        .agg(F.countDistinct("user_id").alias("cnt"))
+        .collect()
+    }
+    for k in want:
+        assert abs(got[k].users - exact[k]) <= max(2, 0.05 * exact[k]), k
+
+
 def test_rollup_state_sum_is_decimal(spark, sf_dir):
     """Mergeable state: sums must stay DECIMAL until finalize."""
     ev = load(spark, sf_dir, "events")
