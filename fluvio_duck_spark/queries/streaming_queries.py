@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.queries.relational import ORACLE_ROLLUP_HOURLY
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.streaming.consume_stream import (
     event_stream,
@@ -225,6 +226,30 @@ FROM events ORDER BY event_id LIMIT 200
 """
 
 
+def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained hourly rollup: streaming twin of
+    rollup_hourly with identical mergeable state — shares that query's
+    oracle, proving the stream-maintained aggregate equals a batch
+    GROUP BY over raw."""
+    from fluvio_duck_spark.operators.rollup import Measure, finalize_rollup
+    from fluvio_duck_spark.streaming.windows import stream_rollup
+
+    m = [
+        Measure("total", "value", "sum"),
+        Measure("n", "value", "count"),
+        Measure("lo", "value", "min"),
+        Measure("hi", "value", "max"),
+        Measure("avg_value", "value", "avg"),
+    ]
+    agg = stream_rollup(
+        event_stream(spark, sf_dir), 3600, ["event_type"], m,
+        watermark="12 hours",
+    )
+    return finalize_rollup(
+        run_stream_to_table(agg, spark, output_mode="complete"), m
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     "stream_consume_parity": QuerySpec(
         q_stream_consume_parity, ORACLE_STREAM_PARITY,
@@ -247,6 +272,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_dedup_keys": QuerySpec(
         q_stream_dedup, ORACLE_STREAM_DEDUP,
         doc="streaming exact dedup (dropDuplicatesWithinWatermark)"),
+    "stream_rollup_hourly": QuerySpec(
+        q_stream_rollup_hourly, ORACLE_ROLLUP_HOURLY,  # shared with batch rollup_hourly
+        doc="continuously-maintained hourly hypertable rollup (streaming twin of rollup_hourly)"),
     "stream_stream_join": QuerySpec(
         q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
         doc="watermarked stream-stream join with event-time range bound"),

@@ -59,6 +59,37 @@ def session_window_agg(
     )
 
 
+def stream_rollup(
+    stream: DataFrame,
+    width_seconds: int,
+    keys: list[str],
+    measures,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Continuously-maintained hypertable rollup: the streaming twin of
+    ``operators.rollup.hypertable_rollup`` — identical mergeable state
+    (DECIMAL sums, counts, min/max, HLL sketches), maintained
+    incrementally per micro-batch with watermark-bounded state.  Tumbling
+    windows align to epoch floor, so ``window.start`` equals the batch
+    operator's ``time_bucket`` exactly; ``finalize_rollup`` applies
+    unchanged downstream.  This is how the hourly level stays fresh at
+    100 TB: the stream maintains the finest rollup, the batch cascade
+    derives every coarser granularity from it."""
+    from fluvio_duck_spark.operators.rollup import _initial_aggs
+
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), f"{width_seconds} seconds"), *keys)
+        .agg(*_initial_aggs(measures))
+    )
+    state = [c for c in out.columns if c != "window" and c not in keys]
+    return out.select(
+        F.col("window.start").alias(bucket_col), *keys, *state
+    )
+
+
 def stream_dedup_keys(
     stream: DataFrame,
     key_cols: list[str],
