@@ -285,3 +285,65 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → the cluster
+    assignment a dedup pipeline actually needs (pairs alone can't pick
+    survivors: A~B and B~C must collapse to ONE keeper even when A~C was
+    never emitted).  Output: ``(id, component)`` where component = min
+    node id in the cluster — i.e. the canonical survivor.
+
+    Algorithm: iterative min-label propagation.  Each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup clusters are shallow
+    (diameter rarely >3), so this terminates in a handful of shuffles.
+    Each round ``localCheckpoint``s to truncate lineage (an iterative
+    plan otherwise grows unboundedly and re-executes from scratch).
+    At web scale the same loop is the core of the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce"); the
+    propagation step here IS small-star — large-star only matters for
+    high-diameter graphs, which near-dup clusters are not.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.id == nbr.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

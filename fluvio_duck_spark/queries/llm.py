@@ -234,6 +234,46 @@ WHERE sim >= 0.45
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical survivor per
+    cluster (component = min id).  Pairs from the blocked-GEMM exact
+    scorer; clustering via iterative min-label propagation.  The oracle
+    computes the same components with a recursive CTE — transitive
+    closure by reachability, min reachable id per node."""
+    from fluvio_duck_spark.operators.dedup import connected_components
+    from fluvio_duck_spark.operators.similarity import blocked_near_dup_pairs
+
+    pairs = blocked_near_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+    return connected_components(pairs)
+
+
+ORACLE_DEDUP_COMPONENTS = """
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      list_aggregate(list_transform(range(1, len(a.embedding)+1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+      / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+       * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+  WHERE sim >= 0.45
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+walk(node, reach) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.node, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+)
+SELECT node AS id, MIN(reach) AS component FROM walk GROUP BY node
+"""
+
+
 def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (map-only ingest step: cosine
     then reduces to a dot product at query time)."""
@@ -391,6 +431,8 @@ QUERIES: dict[str, QuerySpec] = {
                                           doc="map-only L2 normalization of the embedding column"),
     "sim_ivf_topk": QuerySpec(q_sim_ivf, ORACLE_SIM_IVF,
                               doc="IVF cell-probed ANN top-10 (coarse quantizer = label)"),
+    "dedup_components": QuerySpec(q_dedup_components, ORACLE_DEDUP_COMPONENTS,
+                                  doc="near-dup clusters via min-label propagation vs recursive-CTE oracle"),
     "sim_near_dups_blocked": QuerySpec(q_near_dups_blocked, ORACLE_NEAR_DUPS_BLOCKED,
                                        doc="exact all-pairs cosine via blocked GEMM (scale path)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,

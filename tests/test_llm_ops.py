@@ -104,6 +104,19 @@ def test_embedding_near_dups_symmetric_free(emb):
     assert all(r.sim >= 0.45 for r in pairs)
 
 
+def test_connected_components_chain_and_islands(spark):
+    from fluvio_duck_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 → needs >1 propagation round),
+    # pair 10-11, and 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_blocked_near_dups_matches_exact(emb):
     from fluvio_duck_spark.operators.similarity import blocked_near_dup_pairs
 
