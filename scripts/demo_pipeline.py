@@ -32,7 +32,11 @@ def curate(spark, sf_dir: str, out_dir: str):
         quality_score,
         token_count,
     )
-    from fluvio_duck_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+    from fluvio_duck_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
     from fluvio_duck_spark.sinks import copy_to_parquet
     from fluvio_duck_spark.sources.tables import load
 
@@ -56,10 +60,15 @@ def curate(spark, sf_dir: str, out_dir: str):
     ).withColumn("fp", fingerprint("text"))
     n2 = exact_survivors.count()
 
-    # 3. near-dup removal: LSH pairs above 0.8 Jaccard; drop the higher id
-    #    of each edge (greedy canonicalization — one pass, no iteration)
+    # 3. near-dup removal: LSH pairs above 0.8 Jaccard → connected
+    #    components → keep one doc per transitive cluster (A~B and B~C
+    #    collapse to one survivor even though A~C was never scored —
+    #    the cluster-level convention corpus dedup uses)
     pairs = minhash_lsh_pairs(exact_survivors, threshold=0.8)
-    to_drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    comps = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    to_drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
     survivors = exact_survivors.join(to_drop, "doc_id", "left_anti")
     n3 = survivors.count()
 
