@@ -1,5 +1,6 @@
 from fluvio_duck_spark.operators.asof import asof_join, range_band_join
 from fluvio_duck_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -14,6 +15,7 @@ from fluvio_duck_spark.operators.multimodal import (
     resize_content,
     sample_frames,
 )
+from fluvio_duck_spark.operators.kmeans import kmeans_assign, kmeans_fit
 from fluvio_duck_spark.operators.rollup import (
     Measure,
     cascade_rollup,
@@ -49,8 +51,11 @@ __all__ = [
     "resize_content",
     "Measure",
     "cascade_rollup",
+    "connected_components",
     "finalize_rollup",
     "hypertable_rollup",
+    "kmeans_assign",
+    "kmeans_fit",
     "time_bucket",
     "salted_agg_count",
     "salted_join",

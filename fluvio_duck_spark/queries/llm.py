@@ -200,6 +200,22 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(load(spark, sf_dir, "embeddings"), query_id=0, k=10)
 
 
+def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a *trained* coarse quantizer: distributed Lloyd's
+    k-means fits the codebook (shuffle-free iterations — broadcast
+    centroids, map-side partial sums, driver reduce), assignment is a
+    map-only argmin, then the probe scores only the query's cell.
+    Rows-only (the codebook is engine-specific); recall vs brute force
+    and fit determinism are asserted in tests/test_kmeans.py."""
+    from fluvio_duck_spark.operators.kmeans import kmeans_assign, kmeans_fit
+    from fluvio_duck_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, max_iter=10)
+    assigned = kmeans_assign(emb, centroids)
+    return ivf_topk(assigned, query_id=0, k=10, cell_col="cell")
+
+
 def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB near-dup plan: LSH-signature equi-join (same-bucket
     pairs only) then exact cosine — shuffle bounded by bucket sizes, not
@@ -435,6 +451,8 @@ QUERIES: dict[str, QuerySpec] = {
                                   doc="near-dup clusters via min-label propagation vs recursive-CTE oracle"),
     "sim_near_dups_blocked": QuerySpec(q_near_dups_blocked, ORACLE_NEAR_DUPS_BLOCKED,
                                        doc="exact all-pairs cosine via blocked GEMM (scale path)"),
+    "sim_ivf_trained": QuerySpec(q_sim_ivf_trained, None,
+                                 doc="IVF ANN over a k-means-trained codebook (shuffle-free Lloyd's fit)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,
                                         doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
 }

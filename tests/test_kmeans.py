@@ -1,0 +1,62 @@
+"""Distributed Lloyd's k-means: determinism, convergence, IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.operators.kmeans import kmeans_assign, kmeans_fit
+from fluvio_duck_spark.operators.similarity import cosine_topk, ivf_topk
+from fluvio_duck_spark.sources.tables import load
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_fit_is_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    c1 = kmeans_fit(emb, k=4, max_iter=5)
+    c2 = kmeans_fit(emb, k=4, max_iter=5)
+    assert np.array_equal(c1, c2)
+
+
+def test_iterations_reduce_inertia(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    vecs = np.stack(
+        [np.asarray(r[0], dtype=np.float64) for r in emb.select("embedding").collect()]
+    )
+
+    def inertia(cent):
+        d2 = ((vecs * vecs).sum(1)[:, None] - 2 * vecs @ cent.T
+              + (cent * cent).sum(1)[None, :])
+        return float(d2.min(axis=1).sum())
+
+    c0 = kmeans_fit(emb, k=4, max_iter=1)
+    c5 = kmeans_fit(emb, k=4, max_iter=5)
+    assert inertia(c5) <= inertia(c0) + 1e-9
+
+
+def test_assign_partitions_all_rows(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_fit(emb, k=4, max_iter=3)
+    assigned = kmeans_assign(emb, cent)
+    n = emb.count()
+    assert assigned.count() == n
+    cells = [r.cell for r in assigned.select("cell").distinct().collect()]
+    assert all(0 <= c < 4 for c in cells)
+    # every row got exactly one cell
+    assert assigned.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_trained_ivf_recall_vs_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_fit(emb, k=4, max_iter=5)
+    assigned = kmeans_assign(emb, cent)
+    exact = [r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()]
+    approx = {
+        r.vec_id
+        for r in ivf_topk(assigned, query_id=0, k=10, cell_col="cell").collect()
+    }
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.3, f"trained-IVF recall too low: {recall}"
