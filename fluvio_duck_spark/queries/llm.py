@@ -44,6 +44,52 @@ from fluvio_duck_spark.sources.tables import load
 _STOPLIST_SQL = "('the','a','of','and','to','in','is','it')"
 
 
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf.
+
+    Corpus-level feature extraction shape: term explode → per-(doc,term)
+    counts (shuffle on doc+term) → vocabulary doc-frequencies (agg to
+    vocab size, then *broadcast* back — the vocabulary is orders smaller
+    than the corpus) → per-doc ranking window.  idf uses the rational
+    form N/df (no log) so the score is an exact integer product over one
+    double division — bit-identical across engines."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        terms.select("doc_id", "term").distinct()
+        .groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "score")
+    )
+
+
+ORACLE_TFIDF = """
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT doc_id, term, CAST(tf * n AS DOUBLE) / df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+      FROM s)
+SELECT doc_id, term, score FROM r WHERE rn <= 3
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
@@ -417,6 +463,8 @@ SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
 
 
 QUERIES: dict[str, QuerySpec] = {
+    "text_tfidf_topterms": QuerySpec(q_text_tfidf_topterms, ORACLE_TFIDF,
+                                     doc="top-3 tf-idf terms per doc (vocab broadcast, rational idf)"),
     "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS,
                             doc="token/char counts, stopword ratio"),
     "text_quality_langid": QuerySpec(q_quality, ORACLE_QUALITY,
