@@ -1003,6 +1003,364 @@ GROUP BY c_mktsegment
 """
 
 
+def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — pure filter-scan aggregate, the predicate-pushdown
+    showcase: all three predicates reach the parquet scan (row-group
+    min/max pruning on l_shipdate), only 3 columns are read, and the
+    single global sum needs no shuffle at all (partial sums → one final
+    merge)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1997-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(dmul(F.col("l_extendedprice"), F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+ORACLE_FILTERED_REVENUE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations by
+    ship year.  The nation dimension is filtered to the pair *before*
+    joining, so supplier and customer rows outside the pair die at their
+    broadcast joins and never reach the big orders⋈lineitem shuffle; the
+    OR-of-pairs predicate is a residual filter after both nation names
+    are attached."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1998-01-01"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    pair = F.col("n_name").isin("NATION_1", "NATION_2")
+    n1 = load(spark, sf_dir, "nation").filter(pair).select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = load(spark, sf_dir, "nation").filter(pair).select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s.join(F.broadcast(n1), s.s_nationkey == F.col("sn_key"))),
+                li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(n2), c.c_nationkey == F.col("cn_key")),
+              o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+ORACLE_VOLUME_SHIPPING = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4)) AS volume
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+) t
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — one nation's market share of SMALL-type part
+    revenue among ASIA-region customers, by order year: a two-level
+    conditional-ratio aggregate over a 6-way join.  Every dimension
+    (part, supplier, nation, region) broadcasts; only orders⋈lineitem
+    shuffles.  Both the conditional and total sums accumulate in DECIMAL
+    so the one double division per year is bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("an_key"))
+    )
+    supp_nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(27,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(supp_nation),
+                                 s.s_nationkey == F.col("sn_key"))),
+              li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.join(F.broadcast(asia_nations), c.c_nationkey == F.col("an_key")),
+              o.o_custkey == c.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+ORACLE_MARKET_SHARE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))
+                ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE)
+  AS mkt_share
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey AND p_type = 'SMALL'
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n2.n_regionkey AND r_name = 'ASIA'
+GROUP BY year(o_orderdate)
+"""
+
+
+def q_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: the fixture set has no partsupp table, so
+    profit is gross revenue rather than revenue − supplycost): revenue on
+    parts matching a name substring, by supplier nation and order year.
+    part/supplier/nation broadcast; the LIKE filter prunes lineitem at
+    its broadcast join before the orders shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == F.col("sn_key"))),
+              li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+ORACLE_PROFIT_NATION_YEAR = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by revenue lost to returned
+    items in one quarter.  The quarter filter prunes orders at the scan;
+    the returnflag filter prunes lineitem at the scan; nation broadcasts;
+    the top-20 is a per-partition heap (TakeOrderedAndProject), not a
+    global sort."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01"))
+        & (F.col("o_orderdate") < _TS("1996-04-01"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("cn_key"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+ORACLE_RETURNED_TOP = """
+SELECT c_custkey, c_name, n_name, c_acctbal,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation   ON n_nationkey = c_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — supplier(s) with the maximum 3-month revenue:
+    an aggregate reused twice (per-supplier revenue, then its global max
+    as a 1-row broadcast), equality on the exact decimal-summed double so
+    the max-match is deterministic on both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _TS("1996-01-01"))
+        & (F.col("l_shipdate") < _TS("1996-04-01"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+ORACLE_TOP_SUPPLIER = """
+WITH revenue AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (adapted: the fixture part table has no
+    p_container, so the bands use p_size): revenue from three disjunctive
+    brand/size/quantity bands.  The equi key (partkey) drives a broadcast
+    hash join; the OR-of-ANDs lands as a residual join filter — never a
+    cartesian product."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_DISJUNCTIVE_BANDS = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the fixture lineitem has no commit/
+    receipt dates, so 'late' is proxied by l_returnflag = 'R'): suppliers
+    who were the *sole* returner on a multi-supplier finished order —
+    EXISTS (another supplier on the order) AND NOT EXISTS (another
+    supplier who also returned).  Both the semi and the anti are
+    equi-joins on l_orderkey with a supplier-inequality residual; supplier
+    broadcasts; ordering ties broken by name for the deterministic
+    top-100."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+              "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+              "left_anti")
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+ORACLE_WAITING_SUPPLIERS = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 # --- hypertable rollups (beyond-reference time-series operator) ------------
 
 _ROLLUP_MEASURES = None  # built lazily to avoid import-order cycles
@@ -1131,6 +1489,22 @@ QUERIES: dict[str, QuerySpec] = {
                                  doc="range banding join via broadcast NLJ — §2.6"),
     "agg_pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING,
                                      doc="TPC-H Q1 shape — §2.7 A4"),
+    "agg_filtered_revenue": QuerySpec(q_filtered_revenue, ORACLE_FILTERED_REVENUE,
+                                      doc="TPC-H Q6 shape: shuffle-free filter-scan aggregate, full pushdown"),
+    "join_volume_shipping": QuerySpec(q_volume_shipping, ORACLE_VOLUME_SHIPPING,
+                                      doc="TPC-H Q7 shape: bilateral nation-pair trade volume by year"),
+    "agg_market_share": QuerySpec(q_market_share, ORACLE_MARKET_SHARE,
+                                  doc="TPC-H Q8 shape: conditional-ratio market share over 6-way join"),
+    "join_profit_by_nation_year": QuerySpec(q_profit_by_nation_year, ORACLE_PROFIT_NATION_YEAR,
+                                            doc="TPC-H Q9 shape (no partsupp fixture): profit by supplier nation/year"),
+    "join_returned_top_customers": QuerySpec(q_returned_top_customers, ORACLE_RETURNED_TOP,
+                                             doc="TPC-H Q10 shape: top-20 customers by returned-item revenue"),
+    "join_top_supplier": QuerySpec(q_top_supplier, ORACLE_TOP_SUPPLIER,
+                                   doc="TPC-H Q15 shape: max-revenue supplier via reused agg + 1-row broadcast"),
+    "join_disjunctive_bands": QuerySpec(q_disjunctive_bands, ORACLE_DISJUNCTIVE_BANDS,
+                                        doc="TPC-H Q19 shape: OR-of-ANDs bands as residual join filter"),
+    "join_waiting_suppliers": QuerySpec(q_waiting_suppliers, ORACLE_WAITING_SUPPLIERS,
+                                        doc="TPC-H Q21 shape: semi+anti self-join, sole-returner suppliers"),
     "agg_rollup": QuerySpec(q_rollup, ORACLE_ROLLUP, doc="ROLLUP — §2.7 A4"),
     "agg_cube": QuerySpec(q_cube, ORACLE_CUBE, doc="CUBE — §2.7 A4"),
     "agg_grouping_sets": QuerySpec(q_grouping_sets, ORACLE_GROUPING_SETS,
