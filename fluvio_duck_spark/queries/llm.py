@@ -90,6 +90,93 @@ SELECT doc_id, term, score FROM r WHERE rn <= 3
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, adapted to the fixture's
+    token streams (no newlines → token n-grams instead of lines):
+    distinct-token ratio, fraction of tokens covered by the most frequent
+    bigram, and fraction of trigram occurrences that are duplicated
+    within the doc.
+
+    Scale shape: n-grams are built as array expressions inside the row
+    (no self-join), then explode → two (doc_id, gram) aggregations with
+    map-side combine; the per-doc reductions join back on doc_id.  All
+    ratios are exact-integer numerators over one double division."""
+    from fluvio_duck_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = docs.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "transform(slice(toks, 1, size(toks)-1), (t, i) -> concat(t, ' ', toks[i+1]))"
+        ).alias("bigrams"),
+        F.expr(
+            "transform(slice(toks, 1, size(toks)-2),"
+            " (t, i) -> concat(t, ' ', toks[i+1], ' ', toks[i+2]))"
+        ).alias("trigrams"),
+    )
+    base = d.select(
+        "doc_id",
+        "n_tokens",
+        (F.size(F.array_distinct("toks")).cast("double") / F.col("n_tokens"))
+        .alias("distinct_ratio"),
+    )
+    top_bg = (
+        d.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id").agg(F.max("c").alias("top_c"))
+    )
+    dup_tg = (
+        d.select("doc_id", F.explode("trigrams").alias("g"))
+        .groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("dup"),
+            F.sum("c").alias("tot"),
+        )
+    )
+    return (
+        base.join(top_bg, "doc_id")
+        .join(dup_tg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_ratio",
+            ((F.col("top_c") * F.lit(2)).cast("double") / F.col("n_tokens"))
+            .alias("top_bigram_frac"),
+            (F.col("dup").cast("double") / F.col("tot")).alias("dup_trigram_frac"),
+        )
+    )
+
+
+ORACLE_REPETITION = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS n_tokens,
+                CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+         FROM d),
+t AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos FROM d),
+grams AS (SELECT doc_id,
+                 tok || ' ' || lead(tok)    OVER w AS bg,
+                 tok || ' ' || lead(tok)    OVER w || ' ' || lead(tok, 2) OVER w AS tg
+          FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+topbg AS (SELECT doc_id, MAX(c) AS top_c
+          FROM (SELECT doc_id, bg, COUNT(*) AS c FROM grams
+                WHERE bg IS NOT NULL GROUP BY 1, 2) GROUP BY 1),
+duptg AS (SELECT doc_id,
+                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+          FROM (SELECT doc_id, tg, COUNT(*) AS c FROM grams
+                WHERE tg IS NOT NULL GROUP BY 1, 2) GROUP BY 1)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, distinct_ratio,
+       CAST(top_c * 2 AS DOUBLE) / n_tokens AS top_bigram_frac,
+       CAST(dup AS DOUBLE) / tot AS dup_trigram_frac
+FROM base JOIN topbg USING (doc_id) JOIN duptg USING (doc_id)
+"""
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
@@ -260,6 +347,26 @@ def q_sim_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_fit(emb, k=8, max_iter=10)
     assigned = kmeans_assign(emb, centroids)
     return ivf_topk(assigned, query_id=0, k=10, cell_col="cell")
+
+
+def q_sim_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact re-rank: per-subspace codebooks
+    (distributed Lloyd's), map-only encode to m uint8-range codes (16-32×
+    smaller scan footprint than the float column), ADC shortlist via
+    broadcast lookup tables, exact cosine only on the shortlist.
+    Rows-only (codebooks are engine-specific); shortlist recall vs brute
+    force is asserted in tests/test_kmeans.py."""
+    from fluvio_duck_spark.operators.pq import pq_encode, pq_topk_rerank, pq_train
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=16, k=32, max_iter=10)
+    enc = pq_encode(emb, books).select("vec_id", "pq_code")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return pq_topk_rerank(
+        emb.filter(F.col("vec_id") != 0),
+        enc.filter(F.col("vec_id") != 0),
+        books, qv, k=10, shortlist=50,
+    )
 
 
 def q_near_dups_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +572,8 @@ SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
 QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_topterms": QuerySpec(q_text_tfidf_topterms, ORACLE_TFIDF,
                                      doc="top-3 tf-idf terms per doc (vocab broadcast, rational idf)"),
+    "text_repetition": QuerySpec(q_text_repetition, ORACLE_REPETITION,
+                                 doc="Gopher-style repetition signals: distinct ratio, top-bigram + dup-trigram fractions"),
     "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS,
                             doc="token/char counts, stopword ratio"),
     "text_quality_langid": QuerySpec(q_quality, ORACLE_QUALITY,
@@ -485,6 +594,8 @@ QUERIES: dict[str, QuerySpec] = {
                                          doc="all-pairs cosine ≥ 0.45"),
     "sim_ann_lsh": QuerySpec(q_ann_lsh, None,
                              doc="hyperplane-LSH ANN top-10 (recall-tested vs brute force)"),
+    "sim_pq_rerank": QuerySpec(q_sim_pq_rerank, None,
+                               doc="product-quantized ANN: ADC shortlist + exact re-rank (recall-tested)"),
     "text_fingerprint_winnow": QuerySpec(q_winnow_fingerprints, ORACLE_WINNOW,
                                          doc="winnowing rolling-hash fingerprints (SIGMOD'03)"),
     "text_langid_ngram": QuerySpec(q_langid_ngram, ORACLE_LANGID_NGRAM,

@@ -205,6 +205,45 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each streaming event is enriched with a
+    *batch-computed* dimension (its type's corpus-wide average value) via
+    a broadcast join — no streaming state at the join, the canonical
+    lookup/enrichment topology.  Downstream counts events beating their
+    type average.  The static side uses exact decimal averaging so both
+    engines agree bit-for-bit on the comparison threshold."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.exact import davg
+    from fluvio_duck_spark.sources.tables import load
+
+    dim = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("et"))
+        .agg(davg("value").alias("type_avg"))
+    )
+    ev = event_stream(spark, sf_dir)
+    enriched = (
+        ev.join(F.broadcast(dim), ev.event_type == F.col("et"))
+        .filter(F.col("value") > F.col("type_avg"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_above"))
+    )
+    return run_stream_to_table(enriched, spark, output_mode="complete")
+
+
+ORACLE_STREAM_STATIC = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS type_avg
+  FROM events GROUP BY event_type)
+SELECT e.event_type, COUNT(*) AS n_above
+FROM events e JOIN dim USING (event_type)
+WHERE e.value > dim.type_avg
+GROUP BY e.event_type
+"""
+
+
 def q_consume_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch A1: the aggregate-kind smartmodule folding payload values in
     offset order with a seeded accumulator (reference --aggregate-initial,
@@ -254,6 +293,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_consume_parity": QuerySpec(
         q_stream_consume_parity, ORACLE_STREAM_PARITY,
         doc="readStream consume pipeline, AvailableNow bounded parity — ST1"),
+    "stream_static_enrich": QuerySpec(
+        q_stream_static_enrich, ORACLE_STREAM_STATIC,
+        doc="stream-static broadcast enrichment join (batch dim into the stream)"),
     "stream_tumbling_windows": QuerySpec(
         q_stream_tumbling_windows, ORACLE_TUMBLING,
         doc="event-time tumbling windows + watermark — ST6"),

@@ -60,3 +60,40 @@ def test_trained_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(set(exact) & approx) / len(exact)
     assert recall >= 0.3, f"trained-IVF recall too low: {recall}"
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    from fluvio_duck_spark.operators.pq import pq_encode, pq_train
+
+    emb = _emb(spark, sf_dir)
+    books = pq_train(emb, m=16, k=32, max_iter=5)
+    assert books.shape == (16, 32, 4)  # 64-dim fixture → 4-dim subspaces
+    enc = pq_encode(emb, books)
+    rows = enc.select("pq_code").limit(20).collect()
+    for r in rows:
+        assert len(r.pq_code) == 16
+        assert all(0 <= c < 32 for c in r.pq_code)
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
+    from fluvio_duck_spark.operators.pq import pq_encode, pq_topk_rerank, pq_train
+
+    emb = _emb(spark, sf_dir).cache()
+    books = pq_train(emb, m=16, k=32, max_iter=10)
+    enc = pq_encode(emb, books).select("vec_id", "pq_code").cache()
+    recalls = []
+    for qid in (0, 7, 42):
+        qv = emb.filter(F.col("vec_id") == qid).select("embedding").first()[0]
+        exact = {r.vec_id for r in cosine_topk(emb, query_id=qid, k=10).collect()}
+        approx = {
+            r.vec_id
+            for r in pq_topk_rerank(
+                emb.filter(F.col("vec_id") != qid),
+                enc.filter(F.col("vec_id") != qid),
+                books, qv, k=10, shortlist=50,
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    mean = sum(recalls) / len(recalls)
+    assert all(r >= 0.5 for r in recalls), f"pq recall floor: {recalls}"
+    assert mean >= 0.7, f"pq mean recall too low: {recalls}"
