@@ -129,6 +129,58 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def band_buckets(
+    sig: DataFrame,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode a MinHash signature row into its (band, band-hash) LSH
+    bucket keys — one row per band.  Shared by the batch pair-join and
+    the streaming gate so both sides hash identically."""
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bh"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def rowwise_minhash(
+    df: DataFrame,
+    k: int = 5,
+    n_hashes: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-row (stateless) MinHash — bit-identical values to the
+    aggregate form in minhash_signatures, but computed with array HOFs
+    inside the row so a *stream* can evaluate it with no stateful
+    aggregation.  Interpreted-HOF cost is the price of statelessness
+    (see minhash_signatures' measured comparison); batch pipelines should
+    keep using the codegen aggregate form.  Docs with fewer than k tokens
+    (empty shingle set) are dropped, matching the aggregate form."""
+    def perm(i: int):
+        # single-arg lambda: a two-arg lambda would receive the array
+        # *index* as its second argument and shadow the captured i
+        return lambda h: F.xxhash64(F.lit(i), h)
+
+    hs = F.transform(shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+    out = df.withColumn("__hs", hs).filter(F.size("__hs") > 0)
+    for i in range(n_hashes):
+        out = out.withColumn(f"mh{i}", F.array_min(F.transform(F.col("__hs"), perm(i))))
+    return out.drop("__hs")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     k: int = 5,
@@ -146,26 +198,10 @@ def minhash_lsh_pairs(
     with verify=True each candidate is checked with exact Jaccard so the
     output has no false positives (LSH then only costs recall, bounded by
     the banding curve)."""
-    assert n_hashes % n_bands == 0
-    rows_per_band = n_hashes // n_bands
     # docs shorter than k tokens have no shingles and vanish at the
     # explode — correct: they can't be near-dups under shingle Jaccard
     sig = minhash_signatures(df, k, n_hashes, text_col, id_col)
-
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
-            for band in range(n_bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
-    )
+    buckets = band_buckets(sig, n_hashes, n_bands, id_col)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(

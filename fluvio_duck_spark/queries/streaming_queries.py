@@ -205,6 +205,25 @@ FROM events c JOIN events p
 """
 
 
+def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous corpus curation: arriving documents are MinHash-banded
+    in-row (stateless) and gated against the batch corpus's LSH band
+    index via a broadcast stream-static join.  Rows-only (xxhash64-based);
+    exact parity with the batch candidate pairs is asserted in
+    tests/test_streaming.py."""
+    from fluvio_duck_spark.operators.dedup import band_buckets, minhash_signatures
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import (
+        document_stream,
+        stream_neardup_gate,
+    )
+
+    corpus = load(spark, sf_dir, "documents")
+    index = band_buckets(minhash_signatures(corpus))
+    gated = stream_neardup_gate(document_stream(spark, sf_dir), index)
+    return run_stream_to_table(gated, spark, output_mode="append")
+
+
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: each streaming event is enriched with a
     *batch-computed* dimension (its type's corpus-wide average value) via
@@ -296,6 +315,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_static_enrich": QuerySpec(
         q_stream_static_enrich, ORACLE_STREAM_STATIC,
         doc="stream-static broadcast enrichment join (batch dim into the stream)"),
+    "stream_neardup_gate": QuerySpec(
+        q_stream_neardup_gate, None,
+        doc="streaming near-dup gate: row-wise MinHash vs static LSH index (batch-parity-tested)"),
     "stream_tumbling_windows": QuerySpec(
         q_stream_tumbling_windows, ORACLE_TUMBLING,
         doc="event-time tumbling windows + watermark — ST6"),

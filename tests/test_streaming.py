@@ -175,3 +175,38 @@ def test_batch_sessionize_matches_streaming_sessions(spark, sf_dir):
         for r in batch.collect()
     }
     assert got_batch == got_stream
+
+
+def test_stream_neardup_gate_matches_batch_candidates(spark, sf_dir):
+    """The streaming gate's flagged set must equal the docs that appear
+    in the batch LSH candidate pairs (same hashes, same banding)."""
+    from fluvio_duck_spark.operators.dedup import (
+        band_buckets,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from fluvio_duck_spark.queries.streaming_queries import q_stream_neardup_gate
+    from fluvio_duck_spark.sources.tables import load
+
+    gated = {r.doc_id for r in q_stream_neardup_gate(spark, sf_dir).collect()}
+    pairs = minhash_lsh_pairs(load(spark, sf_dir, "documents"), verify=False)
+    batch = set()
+    for r in pairs.collect():
+        batch.add(r.doc_a)
+        batch.add(r.doc_b)
+    assert gated == batch
+
+
+def test_rowwise_minhash_matches_aggregate(spark, sf_dir):
+    """Stateless per-row MinHash must be bit-identical to the codegen
+    aggregate form on every doc."""
+    from fluvio_duck_spark.operators.dedup import minhash_signatures, rowwise_minhash
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    agg = {r.doc_id: tuple(r[f"mh{i}"] for i in range(32))
+           for r in minhash_signatures(docs).collect()}
+    row = {r.doc_id: tuple(r[f"mh{i}"] for i in range(32))
+           for r in rowwise_minhash(docs).select(
+               "doc_id", *[f"mh{i}" for i in range(32)]).collect()}
+    assert agg == row
