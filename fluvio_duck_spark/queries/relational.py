@@ -349,6 +349,35 @@ FROM customer
 """
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist over the
+    same single per-group sort, plus first/last analytic values with an
+    explicit full-partition frame (both engines require the frame to make
+    last_value deterministic)."""
+    c = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.first("c_custkey").over(w_full).alias("poorest"),
+        F.last("c_custkey").over(w_full).alias("richest"),
+    )
+
+
+ORACLE_WINDOW_DISTRIBUTION = """
+SELECT c_mktsegment, c_custkey,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist()    OVER w AS cdist,
+  first_value(c_custkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS poorest,
+  last_value(c_custkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+"""
+
+
 # --- §2.5 sort / top-k -------------------------------------------------------
 
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1558,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="lag/lead — §2.8"),
     "window_rank_ntile": QuerySpec(q_window_rank_ntile, ORACLE_WINDOW_RANK,
                                    doc="rank/dense_rank/ntile — §2.8"),
+    "window_distribution": QuerySpec(q_window_distribution, ORACLE_WINDOW_DISTRIBUTION,
+                                     doc="percent_rank/cume_dist/first/last with explicit frames — §2.8"),
     "topk_orders": QuerySpec(q_topk_orders, ORACLE_TOPK, doc="ORDER BY + LIMIT — §2.5 L3"),
     "set_ops": QuerySpec(q_set_ops, ORACLE_SET_OPS,
                          doc="UNION/INTERSECT/EXCEPT — §2.9"),
