@@ -40,14 +40,17 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the right row with the
     greatest ``right_time`` <= ``left_time`` (direction='backward',
-    inclusive) sharing the join key.  Left rows with no prior right row get
-    NULLs (left-outer semantics, matching DuckDB ``ASOF LEFT JOIN``).
+    inclusive) or the smallest ``right_time`` >= ``left_time``
+    (direction='forward') sharing the join key.  Left rows with no
+    matching right row get NULLs (left-outer semantics, matching DuckDB
+    ``ASOF LEFT JOIN``).  Forward is the same union+window merge with the
+    time sort reversed — identical shuffle/intermediate cost.
 
     Right side should be unique per (key, time) — pre-aggregate if not,
     or the carried values are an arbitrary survivor of the tie.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward (<=) as-of is implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
 
     lcols = left.columns
     # side 0 sorts before side 1 at equal timestamps, so a right row with
@@ -68,9 +71,13 @@ def asof_join(
     )
     merged = l_tagged.unionByName(r_tagged)
 
+    # backward scans time ascending; forward scans descending.  Either way
+    # right rows (side 0) sort before left rows at equal __t, so an exact
+    # timestamp match is visible to its left row (inclusive <= / >=).
+    t_order = F.asc("__t") if direction == "backward" else F.desc("__t")
     w = (
         Window.partitionBy("__k")
-        .orderBy("__t", "__side")
+        .orderBy(t_order, F.asc("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [

@@ -632,6 +632,46 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click picks up the NEXT purchase (at-or-after
+    its timestamp) by the same user — conversion-attribution shape.  Same
+    union+window merge as backward with the time sort reversed, so the
+    plan cost is identical (one shuffle on user_id, |L|+|R| intermediate
+    rows); the oracle is DuckDB's ASOF LEFT JOIN with the inequality
+    flipped (l.ts <= r.ts picks the smallest r.ts >= l.ts)."""
+    from fluvio_duck_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_event", "purchase_value"],
+        direction="forward",
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id AS purchase_event, value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.purchase_event, r.purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
 def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding join: events bucketed by a small range table on
     ``lo <= value < hi`` then aggregated per band.  The band side is
@@ -1514,6 +1554,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="two-phase salted aggregation (skew pattern) — §2.7"),
     "join_asof": QuerySpec(q_asof_join, ORACLE_ASOF,
                            doc="as-of join via union+window merge — §2.6"),
+    "join_asof_forward": QuerySpec(q_asof_join_forward, ORACLE_ASOF_FORWARD,
+                                   doc="forward (next-at-or-after) as-of join — §2.6"),
     "join_range_band": QuerySpec(q_range_band_join, ORACLE_RANGE_BAND,
                                  doc="range banding join via broadcast NLJ — §2.6"),
     "agg_pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING,

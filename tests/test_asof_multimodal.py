@@ -62,10 +62,28 @@ def test_asof_backward_semantics(asof_frames):
     assert out.count() == left.count()  # as-of never duplicates left rows
 
 
-def test_asof_forward_unimplemented(asof_frames):
+def test_asof_forward_semantics(asof_frames):
     left, right = asof_frames
-    with pytest.raises(NotImplementedError):
-        asof_join(left, right, "user_id", "user_id", "ts", "ts", [], direction="forward")
+    out = asof_join(
+        left, right, "user_id", "user_id", "ts", "ts",
+        ["purchase_event", "purchase_value"],
+        direction="forward",
+    )
+    got = {r.event_id: (r.purchase_event, r.purchase_value) for r in out.collect()}
+    assert got == {
+        1: (101, 2.5),   # earliest at-or-after :05 is :07
+        2: (None, None), # nothing at-or-after :10 for key 10
+        3: (100, 1.5),   # earliest at-or-after :02 is :04
+        4: (200, 9.0),   # equal timestamps match (inclusive >=)
+        5: (None, None), # key with no right rows at all
+    }
+    assert out.count() == left.count()
+
+
+def test_asof_unknown_direction(asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, "user_id", "user_id", "ts", "ts", [], direction="nearest")
 
 
 def test_range_band_join_is_broadcast(spark):
@@ -212,3 +230,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     out = asof_join(left, right, "user_id", "user_id", "ts", "ts", ["val"])
     got = {int(r.event_id): (None if r.val is None else int(r.val)) for r in out.collect()}
     assert got == want
+
+    # same frames, forward direction, vs merge_asof direction='forward'
+    expected_fwd = pd.merge_asof(
+        left_pd.assign(ts=pd.to_datetime(left_pd.t, unit="s")).sort_values("ts"),
+        right_pd.assign(ts=pd.to_datetime(right_pd.t, unit="s")).sort_values("ts")[
+            ["user_id", "ts", "val"]
+        ],
+        on="ts",
+        by="user_id",
+        direction="forward",
+        allow_exact_matches=True,
+    )
+    want_fwd = {
+        int(r.event_id): (None if pd.isna(r.val) else int(r.val))
+        for r in expected_fwd.itertuples()
+    }
+    out_fwd = asof_join(
+        left, right, "user_id", "user_id", "ts", "ts", ["val"], direction="forward"
+    )
+    got_fwd = {
+        int(r.event_id): (None if r.val is None else int(r.val))
+        for r in out_fwd.collect()
+    }
+    assert got_fwd == want_fwd
