@@ -1,0 +1,117 @@
+"""Deterministic sampling / data-mixture operators for training-data
+curation — brief-mandated extensions beyond the reference surface (the
+reference delegates all relational work to its SQL engine, SURVEY §2.6;
+sampling a corpus into a training mix is the 100 TB pipeline step that
+follows the dedup/quality operators in this package).
+
+Design rules shared by both operators:
+
+* **Deterministic.** ``df.sample()`` is seed-stable only per partitioning;
+  these operators instead rank by an explicit pure function of the data
+  (a hash of a unique id, or a quality ordering), so the same corpus
+  always yields the same sample regardless of cluster layout, partition
+  count, or execution order.  That is what makes a 100 TB run resumable
+  and auditable.
+* **One shuffle.** Both are a single window over ``partitionBy(strata)``
+  — the same exchange any per-stratum aggregate would pay.  No
+  driver-side collection, no global sort.
+* **Skew note.** A stratum is processed by one task; strata are
+  language/source-grained (thousands of rows to low billions).  For a
+  pathological mega-stratum, pre-split by adding a salt column to
+  ``strata`` and dividing per-salt quotas — same pattern as
+  ``operators/skew.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Knuth multiplicative constant — used by :func:`uniform_key` so the
+#: pseudo-random ordering is reproducible in plain integer SQL on any
+#: engine (the oracle cannot evaluate Spark's xxhash64).
+_KNUTH = 2654435761
+_MOD = 1_000_003  # prime modulus keeps the key well-mixed and small
+_SEED_STRIDE = 98_765_431  # spreads seeds far apart in multiplier space
+
+
+def uniform_key(id_col: str | Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-uniform ordering key from an integer id:
+    ``((id + 1) * (2654435761 + seed * 98765431)) % 1000003``.
+
+    The seed perturbs the *multiplier*, not an additive offset — the
+    modulus is prime, so each multiplier is a different permutation of
+    the keyspace, whereas ``(id*K + seed) % M`` would only rotate it
+    (same relative order, nearly the same bottom-n sample).  The seed is
+    scaled by a large stride because neighbouring multipliers perturb
+    small ids by only ~id; and ``id + 1`` avoids the fixed point
+    ``0 * m = 0`` (id 0 would be drawn first under every seed).
+
+    Engine-portable (plain 64-bit integer arithmetic — the DuckDB oracle
+    computes the identical expression), which is why the oracle-paired
+    query uses it.  At real scale with non-integer or composite ids,
+    pass ``F.xxhash64(*cols, F.lit(seed))`` as ``order_key`` instead —
+    same operator, stronger mixing, no SQL-oracle requirement.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod((c + F.lit(1)) * F.lit(_KNUTH + seed * _SEED_STRIDE), F.lit(_MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    order_key: Column,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact per-stratum quota sample: the ``n_per_stratum`` rows with the
+    smallest ``order_key`` within each stratum.
+
+    With a hash ``order_key`` this is a uniform-without-replacement draw
+    of exactly ``min(n, |stratum|)`` rows per stratum — the building
+    block of a fixed-mixture training set ("20 docs per language").
+    Plan: one shuffle on ``strata``, in-partition top-n via
+    ``row_number`` (Spark runs the window sort per partition; no global
+    sort, no second exchange).
+    """
+    order = [order_key.asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(*strata).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    strata: list[str],
+    order_by: list[Column],
+    token_col: Column,
+    budget: int,
+    cum_alias: str = "cum_tokens",
+) -> DataFrame:
+    """Greedy prefix packing: within each stratum, walk rows in
+    ``order_by`` order (best-first) accumulating ``token_col``; keep the
+    prefix whose running total (inclusive) stays ``<= budget``.
+
+    The data-mixture step of a training pipeline — "the best documents
+    per language up to N tokens each".  Prefix semantics (not knapsack):
+    the first row that would overflow the budget ends the stratum's
+    intake even if a later smaller row would fit; that is what makes the
+    result a deterministic function of the ordering, expressible as one
+    running-sum window in any engine.  ``order_by`` must be a total
+    order (append a unique id) or the packing is ambiguous.
+
+    Adds ``cum_alias`` (the inclusive running token total) to the
+    output.  Plan: one shuffle on ``strata``, one in-partition sort.
+    """
+    w = (
+        Window.partitionBy(*strata)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(cum_alias, F.sum(token_col).over(w))
+        .filter(F.col(cum_alias) <= budget)
+    )

@@ -569,7 +569,70 @@ SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-mixture corpus sample: exactly 20 docs per language, drawn
+    uniformly-without-replacement by a deterministic multiplicative-hash
+    ordering (operators/sampling.py) — resumable/auditable at 100 TB
+    because the sample is a pure function of the data, not of partition
+    layout.  One shuffle on lang; per-stratum top-n window."""
+    from fluvio_duck_spark.operators.sampling import stratified_sample, uniform_key
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(
+        docs, ["lang"], 20, uniform_key("doc_id", seed=7), tiebreak=["doc_id"]
+    )
+
+
+ORACLE_SAMPLE_STRATIFIED = """
+WITH k AS (SELECT doc_id, lang, source,
+                  ((doc_id + 1) * (2654435761 + 7 * 98765431)) % 1000003 AS key
+           FROM documents),
+r AS (SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+      FROM k)
+SELECT doc_id, lang, source FROM r WHERE rn <= 20
+"""
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture packing: per language, admit documents longest-first
+    until a 2500-token budget is filled (greedy prefix, inclusive) —
+    the final allocation step of a training-data pipeline.  One running-
+    sum window per stratum (operators/sampling.py::pack_token_budget)."""
+    from fluvio_duck_spark.operators.sampling import pack_token_budget
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", token_count("text").alias("n_tokens")
+    )
+    packed = pack_token_budget(
+        docs,
+        strata=["lang"],
+        order_by=[F.desc("n_chars"), F.asc("doc_id")],
+        token_col=F.col("n_tokens"),
+        budget=2500,
+    )
+    return packed.select("doc_id", "lang", "n_tokens", "cum_tokens")
+
+
+ORACLE_PACK_BUDGET = """
+WITH t AS (SELECT doc_id, lang, n_chars,
+                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY n_chars DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+      FROM t)
+SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2500
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "sample_stratified_quota": QuerySpec(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
+                                         doc="deterministic per-language quota sample (training-mix draw)"),
+    "pack_token_budget": QuerySpec(q_pack_token_budget, ORACLE_PACK_BUDGET,
+                                   doc="greedy per-language token-budget packing (data-mixture allocation)"),
     "text_tfidf_topterms": QuerySpec(q_text_tfidf_topterms, ORACLE_TFIDF,
                                      doc="top-3 tf-idf terms per doc (vocab broadcast, rational idf)"),
     "text_repetition": QuerySpec(q_text_repetition, ORACLE_REPETITION,

@@ -1542,6 +1542,38 @@ GROUP BY o_orderpriority
 """
 
 
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts over a
+    left outer join (customers with no qualifying orders appear at
+    c_count=0; the fixture has no o_comment so the excluded class is
+    urgent-priority orders instead of the comment LIKE).  Both sides
+    shuffle once on custkey; the first aggregation reuses that
+    partitioning so no extra exchange, and the second aggregation is
+    over ~|distinct counts| rows — negligible at any scale."""
+    customer = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").like("1%"))
+        .select("o_custkey", "o_orderkey")
+    )
+    counts = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+ORACLE_ORDER_COUNT_DIST = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1%'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
 def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, names=("orders", "lineitem"))
     return spark.sql(SQL_PASSTHROUGH)
@@ -1556,6 +1588,8 @@ QUERIES: dict[str, QuerySpec] = {
                            doc="as-of join via union+window merge — §2.6"),
     "join_asof_forward": QuerySpec(q_asof_join_forward, ORACLE_ASOF_FORWARD,
                                    doc="forward (next-at-or-after) as-of join — §2.6"),
+    "join_order_count_dist": QuerySpec(q_order_count_distribution, ORACLE_ORDER_COUNT_DIST,
+                                       doc="TPC-H Q13 shape: customer order-count distribution via left outer + double agg"),
     "join_range_band": QuerySpec(q_range_band_join, ORACLE_RANGE_BAND,
                                  doc="range banding join via broadcast NLJ — §2.6"),
     "agg_pricing_summary": QuerySpec(q_pricing_summary, ORACLE_PRICING,

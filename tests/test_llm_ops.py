@@ -192,3 +192,62 @@ def test_l2_normalize_unit_norm_and_zero_vector(spark):
     assert out[1][0] == [0.6, 0.8] and math.isclose(out[1][1], 1.0)
     assert out[2][0] == [0.0, 0.0] and out[2][1] == 0.0  # zero passes through
     assert out[3][0] == [1.0, 0.0]
+
+
+# --- deterministic sampling / data-mixture (operators/sampling.py) ----------
+
+
+def test_stratified_sample_quota_and_determinism(spark):
+    from fluvio_duck_spark.operators.sampling import stratified_sample, uniform_key
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(df, ["lang"], 10, uniform_key("doc_id", seed=7),
+                            tiebreak=["doc_id"])
+    got = out.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"en": 10, "fr": 10}
+
+    # pure function of the data: partition layout must not change the draw
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            df.repartition(13), ["lang"], 10, uniform_key("doc_id", seed=7),
+            tiebreak=["doc_id"],
+        ).collect()
+    )
+    assert a == b
+
+    # a different seed draws a different sample
+    c = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            df, ["lang"], 10, uniform_key("doc_id", seed=8), tiebreak=["doc_id"]
+        ).collect()
+    )
+    assert a != c
+
+
+def test_stratified_sample_small_stratum_returns_all(spark):
+    from fluvio_duck_spark.operators.sampling import stratified_sample, uniform_key
+
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")],
+                               "doc_id long, lang string")
+    out = stratified_sample(df, ["lang"], 5, uniform_key("doc_id"))
+    assert out.count() == 3  # quota > stratum size -> whole stratum
+
+
+def test_pack_token_budget_greedy_prefix(spark):
+    from fluvio_duck_spark.operators.sampling import pack_token_budget
+
+    # en: 60+30 fits in 100, next (25) would overflow at 115 -> stops,
+    # even though the later 5-token doc would individually still fit.
+    rows = [
+        (1, "en", 60), (2, "en", 30), (3, "en", 25), (4, "en", 5),
+        (5, "fr", 200),  # single doc over budget -> empty stratum
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens int")
+    out = pack_token_budget(
+        df, ["lang"], [F.asc("doc_id")], F.col("n_tokens"), budget=100
+    ).collect()
+    assert sorted((r.doc_id, r.cum_tokens) for r in out) == [(1, 60), (2, 90)]
