@@ -383,3 +383,32 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the number of
+    distinct k-word shingles it shares with the benchmark/eval set
+    (a doc with any overlap is a leak candidate; the count grades
+    severity).
+
+    Plan shape for 100 TB: the benchmark side is an eval suite — tiny by
+    construction relative to the corpus — so its distinct shingle set is
+    **broadcast** and the corpus side stays map-only through the join;
+    the only shuffle is the final per-doc count, keyed on ``id_col``
+    (no skew: a doc contributes at most its own shingle count).
+    ``shingles`` is already per-doc distinct, so ``count(*)`` after the
+    join counts distinct shared shingles.
+    """
+    bench_grams = bench.select(F.explode(shingles(text_col, k)).alias("s")).distinct()
+    doc_grams = corpus.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("s"))
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )

@@ -628,7 +628,79 @@ SELECT doc_id, lang, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 2500
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any 3-gram with the eval
+    set (stand-in: every 97th doc), graded by distinct shared-shingle
+    count.  The eval side is broadcast — corpus stays map-only through
+    the join; one shuffle for the per-doc count
+    (operators/dedup.py::contamination_report).  Real pipelines use 8-13
+    word grams; the synthetic fixture's vocabulary only collides at 3."""
+    from fluvio_duck_spark.operators.dedup import contamination_report
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(corpus, bench, k=3)
+
+
+ORACLE_DECONTAMINATE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+  FROM w),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 97 <> 0)
+SELECT doc_id, COUNT(*) AS n_shared_grams
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile quality gate: keep docs at or above their language's 10th
+    quality percentile.  Scale-correct plan: the threshold is a per-lang
+    exact interpolated percentile (two-phase aggregate) joined back by
+    **broadcast** — NOT a percent_rank window, which would sort an entire
+    language stratum in one task at 100 TB."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score("text").alias("quality_score")
+    )
+    thr = docs.groupBy("lang").agg(
+        F.expr("percentile(quality_score, 0.1)").alias("thr")
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "lang", "quality_score")
+    )
+
+
+ORACLE_QUALITY_GATE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN {_STOPLIST_SQL})) AS DOUBLE)
+      / len(string_split(text,' ')) AS sw,
+    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+      / len(string_split(text,' ')) AS mtl
+  FROM documents),
+q AS (SELECT doc_id, lang,
+             least(sw * 4.0, 1.0) * 0.5
+               + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.5 AS quality_score
+      FROM t),
+thr AS (SELECT lang, quantile_cont(quality_score, 0.1) AS thr FROM q GROUP BY lang)
+SELECT doc_id, lang, quality_score
+FROM q JOIN thr USING (lang)
+WHERE quality_score >= thr
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_decontaminate": QuerySpec(q_decontaminate, ORACLE_DECONTAMINATE,
+                                    doc="benchmark decontamination: 3-gram overlap vs broadcast eval set"),
+    "text_quality_gate": QuerySpec(q_quality_gate, ORACLE_QUALITY_GATE,
+                                   doc="per-lang 10th-percentile quality gate (agg+broadcast, no giant window)"),
     "sample_stratified_quota": QuerySpec(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
                                          doc="deterministic per-language quota sample (training-mix draw)"),
     "pack_token_budget": QuerySpec(q_pack_token_budget, ORACLE_PACK_BUDGET,

@@ -251,3 +251,21 @@ def test_pack_token_budget_greedy_prefix(spark):
         df, ["lang"], [F.asc("doc_id")], F.col("n_tokens"), budget=100
     ).collect()
     assert sorted((r.doc_id, r.cum_tokens) for r in out) == [(1, 60), (2, 90)]
+
+
+def test_contamination_report_counts_distinct_shared_shingles(spark):
+    from fluvio_duck_spark.operators.dedup import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # shares 'a b c' and 'b c d' with bench
+            (2, "x y z w q"),       # no overlap
+            (3, "a b c a b c a"),   # repeated shingle counted once
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(99, "a b c d x")], "doc_id long, text string")
+    got = {r.doc_id: r.n_shared_grams
+           for r in contamination_report(corpus, bench, k=3).collect()}
+    # bench 3-grams: {'a b c', 'b c d', 'c d x'}
+    assert got == {1: 2, 3: 1}
