@@ -47,13 +47,16 @@ def main() -> None:
     specs = all_queries()
 
     # Warm the JVM: codegen, parquet reader, and Arrow/pandas worker paths,
-    # via a tiny sf0.001 pass of the first query's own pipeline shape —
-    # steady-state throughput is the metric, not JVM startup (measured:
-    # first parquet+JSON query costs ~3.1 s cold vs ~0.6 s warm).
+    # via a tiny sf0.001 pass of EVERY headline query's pipeline shape —
+    # steady-state throughput is the metric, not JVM startup or per-shape
+    # codegen compilation (measured: each query's first run costs 2-3× its
+    # warm run, e.g. agg_pricing_summary 5.6 s cold vs 1.5 s warm, because
+    # whole-stage codegen compiles per plan shape).
     spark.range(1000).select("id").write.format("noop").mode("overwrite").save()
-    specs[HEADLINE[0]].fn(spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    for name in HEADLINE:
+        specs[name].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
