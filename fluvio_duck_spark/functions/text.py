@@ -225,3 +225,50 @@ def lang_id_ngram(col: Column | str, threshold: float = 0.25, profiles=None) -> 
             (scores[lang] >= threshold) & (scores[lang] == best), F.lit(lang)
         ).otherwise(out)
     return out
+
+
+# --- PII detection / redaction -------------------------------------------
+#
+# Training-data curation step: scrub contact information before a corpus
+# ships.  The reference has no PII surface (its transforms are generic
+# SmartModule specs, SURVEY §2.11 ST5); this is a brief-mandated pipeline
+# extension.  Patterns are deliberately restricted to the regex subset
+# that Java (Spark) and RE2 (DuckDB oracle) evaluate identically: no
+# backreferences, no lookaround, ASCII classes only — so the operator is
+# oracle-checkable end to end.
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d\- ]{6,}\d"
+
+#: Redaction order matters: emails first (they contain digits but can
+#: never be half-eaten by the other patterns), then IPv4 (digit runs with
+#: dots), then phone (requires a leading '+' so it cannot match an IP
+#: remnant).
+PII_PATTERNS = (
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (int columns ``n_emails``,
+    ``n_ips``, ``n_phones``) — pure Catalyst expressions, one regex scan
+    per category per row, all inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        "n_emails": F.regexp_count(c, F.lit(PII_EMAIL)).cast("int"),
+        "n_ips": F.regexp_count(c, F.lit(PII_IPV4)).cast("int"),
+        "n_phones": F.regexp_count(c, F.lit(PII_PHONE)).cast("int"),
+    }
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder tag.  Chained
+    ``regexp_replace`` — narrow (3 scans/row), shuffle-free, and scales
+    as a map-only stage at any corpus size."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pattern, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, tag)
+    return c

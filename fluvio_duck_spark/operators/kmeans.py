@@ -32,7 +32,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _partial_sums_fn(centroids: np.ndarray, vec_col: str):
+def _row_normalize(m: np.ndarray) -> np.ndarray:
+    """Unit-L2 rows (zero rows pass through) — numpy-side so callers can
+    cluster in cosine geometry without stacking a higher-order-function
+    expression under the pandas UDF input (Spark cannot evaluate a
+    Python UDF whose argument embeds lambda expressions once a filter is
+    pushed below the projection)."""
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return m / norms
+
+
+def _partial_sums_fn(centroids: np.ndarray, vec_col: str, normalize: bool = False):
     k, d = centroids.shape
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -42,6 +53,8 @@ def _partial_sums_fn(centroids: np.ndarray, vec_col: str):
             if not len(pdf):
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if normalize:
+                m = _row_normalize(m)
             # pairwise squared L2 via the expansion trick; argmin returns
             # the lowest index on ties (deterministic)
             d2 = (
@@ -72,18 +85,23 @@ def kmeans_fit(
     id_col: str = "vec_id",
     max_iter: int = 20,
     tol: float = 1e-6,
+    normalize: bool = False,
 ) -> np.ndarray:
     """Fit a k×d codebook.  Returns the centroid matrix (numpy, driver
-    side — it is broadcast state, not data)."""
+    side — it is broadcast state, not data).  ``normalize=True`` fits in
+    cosine geometry (unit-L2 rows; see :func:`_row_normalize`)."""
     init_rows = (
         df.orderBy(id_col).limit(k).select(vec_col).collect()
     )
     centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init_rows])
+    if normalize:
+        centroids = _row_normalize(centroids)
     schema = "cell int, vsum array<double>, cnt long"
     vecs = df.select(vec_col)
     for _ in range(max_iter):
         partials = vecs.mapInPandas(
-            _partial_sums_fn(centroids, vec_col), schema=schema
+            _partial_sums_fn(centroids, vec_col, normalize=normalize),
+            schema=schema,
         ).collect()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
@@ -105,6 +123,7 @@ def kmeans_assign(
     centroids: np.ndarray,
     vec_col: str = "embedding",
     cell_col: str = "cell",
+    normalize: bool = False,
 ) -> DataFrame:
     """Map-only cell assignment (argmin over the broadcast codebook) —
     appends ``cell_col``; at scale this is the column the table is
@@ -114,6 +133,8 @@ def kmeans_assign(
     @F.pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
         m = np.stack(v.to_numpy()).astype(np.float64)
+        if normalize:
+            m = _row_normalize(m)
         d2 = (
             (m * m).sum(axis=1)[:, None]
             - 2.0 * (m @ cent.T)

@@ -115,3 +115,52 @@ def pack_token_budget(
         df.withColumn(cum_alias, F.sum(token_col).over(w))
         .filter(F.col(cum_alias) <= budget)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-scaled data-mixture allocation: per-group sampling
+    shares ``p_i^alpha / sum_j p_j^alpha`` (``p_i`` = the group's corpus
+    fraction) and the resulting per-group document allocation for a total
+    sampling ``budget``.
+
+    ``alpha < 1`` flattens the natural distribution toward uniform —
+    the standard multilingual/multi-source rebalancing trick (upsample
+    rare sources, downsample dominant ones) used by large-corpus
+    training mixes.  ``alpha=1`` is proportional sampling, ``alpha=0``
+    is uniform.
+
+    Plan shape: one partial+final count aggregation over ``group_col``
+    (the only pass over the data), then two single-row scalar aggregates
+    broadcast back onto the tiny per-group table — no window, no second
+    scan of the corpus, no driver-side math.  At 100 TB the corpus scan
+    dominates and is one map-side-combined count; everything after runs
+    on |groups| rows.
+
+    ``alpha=0.5`` uses ``sqrt`` (IEEE correctly-rounded in every engine)
+    so the oracle-paired query is reproducible bit-for-bit; other alphas
+    go through ``pow``.  ``share`` is rounded to 6 decimals to absorb
+    group-sum association-order differences across engines.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("__tot"))
+    wgt = F.sqrt(F.col("n") / F.col("__tot")) if alpha == 0.5 else (
+        F.pow(F.col("n") / F.col("__tot"), F.lit(alpha))
+    )
+    weighted = counts.crossJoin(F.broadcast(tot)).withColumn("__wgt", wgt)
+    norm = weighted.agg(F.sum("__wgt").alias("__z"))
+    return (
+        weighted.crossJoin(F.broadcast(norm))
+        .select(
+            group_col,
+            "n",
+            F.round(F.col("__wgt") / F.col("__z"), 6).alias("share"),
+            F.round(F.lit(budget) * F.col("__wgt") / F.col("__z"), 0)
+            .cast("long")
+            .alias("alloc"),
+        )
+    )

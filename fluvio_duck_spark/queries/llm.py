@@ -696,7 +696,119 @@ WHERE quality_score >= thr
 """
 
 
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-doc match counts + redacted text.  The fixture text
+    is synthetic word salad, so deterministic PII (an email, a phone, an
+    IP derived from doc_id) is appended by the *query* — the identical
+    expression runs on the oracle side, so the redaction paths are
+    exercised on every row and hash-compared end to end."""
+    from fluvio_duck_spark.functions.text import pii_counts, redact_pii
+
+    d = load(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".99"),
+    )
+    counts = pii_counts(full)
+    return d.select(
+        "doc_id",
+        counts["n_emails"].alias("n_emails"),
+        counts["n_ips"].alias("n_ips"),
+        counts["n_phones"].alias("n_phones"),
+        redact_pii(full).alias("clean_text"),
+    )
+
+
+_PII_FULL_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com or +1-555-'"
+    " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.99'"
+)
+_PII_EMAIL_SQL = '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'
+_PII_IPV4_SQL = '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'
+_PII_PHONE_SQL = '\\+\\d[\\d\\- ]{6,}\\d'
+
+ORACLE_PII_REDACT = f"""
+WITH t AS (SELECT doc_id, {_PII_FULL_SQL} AS full_text FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(full_text, '{_PII_EMAIL_SQL}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(full_text, '{_PII_IPV4_SQL}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(full_text, '{_PII_PHONE_SQL}')) AS INT) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(full_text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+      '{_PII_IPV4_SQL}', '<IP>', 'g'),
+    '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS clean_text
+FROM t
+"""
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup: k-means cells bound the near-dup pair search.  The
+    fixture embeddings carry no true semantic duplicates (max pairwise
+    cosine ≈ 0.48), so the query plants them deterministically: vectors
+    with ``vec_id < 50`` are re-added under ``vec_id + 100000`` scaled by
+    2.0 — scaling by a power of two is exact in IEEE float, so after L2
+    normalization each copy is bit-identical to its original (cosine
+    exactly 1) and must land in the same cell.  Per-cell report; recall
+    vs the exact all-pairs answer is measured in tests/test_kmeans.py."""
+    from fluvio_duck_spark.operators.semdedup import semantic_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    pairs = semantic_dup_pairs(
+        emb.unionByName(planted), k=8, threshold=0.99, max_iter=10
+    )
+    return (
+        pairs.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("id_b").alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source-mixture allocation for a
+    100k-document sampling budget."""
+    from fluvio_duck_spark.operators.sampling import temperature_mixture
+
+    return temperature_mixture(
+        load(spark, sf_dir, "documents"), "source", alpha=0.5, budget=100_000
+    )
+
+
+ORACLE_SAMPLE_TEMPERATURE = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c),
+w AS (SELECT source, n, sqrt(n / tot) AS wgt FROM c, t),
+z AS (SELECT SUM(wgt) AS z FROM w)
+SELECT source, n, round(wgt / z, 6) AS share,
+       CAST(round(100000 * wgt / z, 0) AS BIGINT) AS alloc
+FROM w, z
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_pii_redact": QuerySpec(q_text_pii_redact, ORACLE_PII_REDACT,
+                                 doc="PII detect+redact (email/IP/phone regexes shared with the oracle)"),
+    "dedup_semantic": QuerySpec(q_dedup_semantic, None,
+                                doc="SemDedup: within-k-means-cell near-dup pairs (recall-tested vs exact)"),
+    "sample_temperature_mixture": QuerySpec(q_sample_temperature, ORACLE_SAMPLE_TEMPERATURE,
+                                            doc="temperature-scaled (alpha=.5) source mixture allocation"),
     "text_decontaminate": QuerySpec(q_decontaminate, ORACLE_DECONTAMINATE,
                                     doc="benchmark decontamination: 3-gram overlap vs broadcast eval set"),
     "text_quality_gate": QuerySpec(q_quality_gate, ORACLE_QUALITY_GATE,

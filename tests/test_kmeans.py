@@ -97,3 +97,67 @@ def test_pq_rerank_recall_vs_bruteforce(spark, sf_dir):
     mean = sum(recalls) / len(recalls)
     assert all(r >= 0.5 for r in recalls), f"pq recall floor: {recalls}"
     assert mean >= 0.7, f"pq mean recall too low: {recalls}"
+
+
+# --- SemDedup (operators/semdedup.py) ------------------------------------
+
+
+def _with_planted(emb, n=20, offset=100000, scale=2.0):
+    """Re-add the first n vectors under new ids, scaled by a power of two
+    (exact in IEEE float → cosine with the original is exactly 1.0)."""
+    planted = emb.filter(F.col("vec_id") < n).select(
+        (F.col("vec_id") + offset).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(scale)).cast("float")
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "embedding").unionByName(planted)
+
+
+def test_semantic_dedup_planted_recall_is_total(spark, sf_dir):
+    """Scaled copies are bit-identical after normalization, so every
+    planted pair MUST be co-clustered and found — recall 1.0, not luck."""
+    from fluvio_duck_spark.operators.semdedup import semantic_dedup
+
+    emb = _emb(spark, sf_dir)
+    corpus = _with_planted(emb, n=20)
+    survivors, pairs = semantic_dedup(corpus, k=8, threshold=0.99, max_iter=5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(i, i + 100000) for i in range(20)}
+    surv_ids = {r.vec_id for r in survivors.select("vec_id").collect()}
+    # keep-lowest-id policy: all originals survive, all planted copies drop
+    assert all(i in surv_ids for i in range(20))
+    assert all(i + 100000 not in surv_ids for i in range(20))
+    assert len(surv_ids) == corpus.count() - 20
+
+
+def test_semantic_pairs_subset_of_exact(spark, sf_dir):
+    from fluvio_duck_spark.operators.semdedup import semantic_dup_pairs
+    from fluvio_duck_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    sem = {
+        (r.id_a, r.id_b)
+        for r in semantic_dup_pairs(emb, k=4, threshold=0.4, max_iter=5).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert sem <= exact
+
+
+def test_semantic_dup_pairs_deterministic(spark, sf_dir):
+    from fluvio_duck_spark.operators.semdedup import semantic_dup_pairs
+
+    emb = _emb(spark, sf_dir)
+    corpus = _with_planted(emb, n=10)
+    r1 = sorted(
+        (r.cell, r.id_a, r.id_b)
+        for r in semantic_dup_pairs(corpus, k=8, threshold=0.99).collect()
+    )
+    r2 = sorted(
+        (r.cell, r.id_a, r.id_b)
+        for r in semantic_dup_pairs(corpus, k=8, threshold=0.99).collect()
+    )
+    assert r1 == r2 and len(r1) == 10

@@ -269,3 +269,68 @@ def test_contamination_report_counts_distinct_shared_shingles(spark):
            for r in contamination_report(corpus, bench, k=3).collect()}
     # bench 3-grams: {'a b c', 'b c d', 'c d x'}
     assert got == {1: 2, 3: 1}
+
+
+# --- PII redaction (functions/text.py) -----------------------------------
+
+
+def test_redact_pii_all_categories(spark):
+    from fluvio_duck_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.io and c.d+x@e.org now"),
+            (1, "server 192.168.1.250 up, call +44 20 7946 0958 ok"),
+            (2, "no pii here at all"),
+            (3, None),
+        ],
+        "id long, t string",
+    )
+    out = df.select(
+        "id",
+        redact_pii("t").alias("clean"),
+        *[v.alias(k) for k, v in pii_counts("t").items()],
+    ).collect()
+    rows = {r.id: r for r in out}
+    assert rows[0].clean == "mail <EMAIL> and <EMAIL> now"
+    assert rows[0].n_emails == 2 and rows[0].n_ips == 0
+    assert rows[1].clean == "server <IP> up, call <PHONE> ok"
+    assert rows[1].n_ips == 1 and rows[1].n_phones == 1
+    assert rows[2].clean == "no pii here at all"
+    assert rows[3].clean is None and rows[3].n_emails is None
+
+
+def test_redact_pii_order_email_before_phone(spark):
+    """An email whose local part is digit-heavy must be redacted as an
+    email, not half-eaten by the IP/phone patterns."""
+    from fluvio_duck_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([("x 5551234567@txt.att.net y",)], "t string")
+    assert df.select(redact_pii("t").alias("c")).first().c == "x <EMAIL> y"
+
+
+# --- temperature mixture (operators/sampling.py) -------------------------
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    from fluvio_duck_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("big",)] * 900 + [("small",)] * 100, "source string"
+    )
+    out = {r.source: r for r in temperature_mixture(df, "source", 0.5, 1000).collect()}
+    assert out["big"].n == 900 and out["small"].n == 100
+    # alpha=1 would give 900/100; sqrt flattening gives 750/250
+    assert out["big"].alloc == 750 and out["small"].alloc == 250
+    assert abs(out["big"].share - 0.75) < 1e-9
+    assert abs(out["big"].share + out["small"].share - 1.0) < 1e-6
+
+
+def test_temperature_mixture_alpha_one_is_proportional(spark):
+    from fluvio_duck_spark.operators.sampling import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("a",)] * 600 + [("b",)] * 400, "source string"
+    )
+    out = {r.source: r for r in temperature_mixture(df, "source", 1.0, 100).collect()}
+    assert out["a"].alloc == 60 and out["b"].alloc == 40
