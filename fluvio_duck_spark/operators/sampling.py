@@ -135,11 +135,12 @@ def temperature_mixture(
     is uniform.
 
     Plan shape: one partial+final count aggregation over ``group_col``
-    (the only pass over the data), then two single-row scalar aggregates
-    broadcast back onto the tiny per-group table — no window, no second
-    scan of the corpus, no driver-side math.  At 100 TB the corpus scan
-    dominates and is one map-side-combined count; everything after runs
-    on |groups| rows.
+    — the ONLY pass over the corpus — then two whole-partition windows
+    over the |groups|-row count table for the totals.  The windows run
+    single-task over a relation whose size is the number of *sources*
+    (tens to thousands), never the corpus; expressing the totals as
+    scalar-aggregate cross joins instead would re-derive the count
+    lineage per branch and scan the corpus once per total.
 
     ``alpha=0.5`` uses ``sqrt`` (IEEE correctly-rounded in every engine)
     so the oracle-paired query is reproducible bit-for-bit; other alphas
@@ -147,20 +148,15 @@ def temperature_mixture(
     group-sum association-order differences across engines.
     """
     counts = df.groupBy(group_col).agg(F.count("*").alias("n"))
-    tot = counts.agg(F.sum("n").alias("__tot"))
-    wgt = F.sqrt(F.col("n") / F.col("__tot")) if alpha == 0.5 else (
-        F.pow(F.col("n") / F.col("__tot"), F.lit(alpha))
+    w = Window.partitionBy()
+    wgt = F.sqrt(F.col("n") / F.sum("n").over(w)) if alpha == 0.5 else (
+        F.pow(F.col("n") / F.sum("n").over(w), F.lit(alpha))
     )
-    weighted = counts.crossJoin(F.broadcast(tot)).withColumn("__wgt", wgt)
-    norm = weighted.agg(F.sum("__wgt").alias("__z"))
-    return (
-        weighted.crossJoin(F.broadcast(norm))
-        .select(
-            group_col,
-            "n",
-            F.round(F.col("__wgt") / F.col("__z"), 6).alias("share"),
-            F.round(F.lit(budget) * F.col("__wgt") / F.col("__z"), 0)
-            .cast("long")
-            .alias("alloc"),
-        )
+    weighted = counts.withColumn("__wgt", wgt)
+    z = F.sum("__wgt").over(w)
+    return weighted.select(
+        group_col,
+        "n",
+        F.round(F.col("__wgt") / z, 6).alias("share"),
+        F.round(F.lit(budget) * F.col("__wgt") / z, 0).cast("long").alias("alloc"),
     )

@@ -65,7 +65,14 @@ def semantic_dup_pairs(
         work, k=k, vec_col=vec_col, id_col=id_col, max_iter=max_iter,
         normalize=normalize,
     )
-    assigned = kmeans_assign(work, centroids, vec_col=vec_col, normalize=normalize)
+    # Materialize the assignment once: both self-join sides (and the
+    # join's pushed-down null filters) would otherwise re-run the Python
+    # assignment pass per branch.  At 100 TB the equivalent step is
+    # writing the assigned table bucketed by cell (sinks.write_bucketed),
+    # which also makes the self-join co-located.
+    assigned = kmeans_assign(
+        work, centroids, vec_col=vec_col, normalize=normalize
+    ).localCheckpoint(eager=False)
     a = assigned.select(
         "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
