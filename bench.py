@@ -35,6 +35,7 @@ HEADLINE = [
     "sim_near_dups_blocked",
     "join_large_orders",
     "mm_frame_stats",
+    "text_pii_redact",
     "stream_tumbling_windows",
 ]
 

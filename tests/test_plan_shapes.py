@@ -1,0 +1,86 @@
+"""Plan-shape contracts: the SCALE.md audit table, enforced.
+
+Each test runs a query (so AQE's final re-planned physical plan is what
+gets audited), then asserts upper bounds on shuffle exchanges, join
+strategies, and Python passes.  A regression that adds a shuffle, breaks
+a broadcast, or drops a Python pass into a hot path fails here — not in
+a 100 TB postmortem.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fluvio_duck_spark.plans import assert_plan, plan_ops
+from fluvio_duck_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+def _run(specs, spark, sf_dir, name):
+    df = specs[name].fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
+def test_consume_mapped_typed_is_map_only(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "consume_mapped_typed")
+    assert_plan(df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_filtered_revenue_is_shuffle_free(specs, spark, sf_dir):
+    # TPC-H Q6 shape: predicates pushed to the scan, partial sums merged
+    # into one row.  The single allowed Exchange is the 1-row-per-task
+    # partial→final merge of a global aggregate, not a data shuffle.
+    df = _run(specs, spark, sf_dir, "agg_filtered_revenue")
+    assert_plan(df, Exchange=1, SortMergeJoin=0, BroadcastHashJoin=0)
+
+
+def test_revenue_join_broadcasts_all_dims(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "join_revenue_by_nation")
+    ops = assert_plan(df, Exchange=1, SortMergeJoin=0)
+    assert ops["BroadcastHashJoin"] >= 4
+
+
+def test_asof_join_is_single_shuffle(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "join_asof")
+    assert_plan(df, Exchange=1, SortMergeJoin=0, BroadcastHashJoin=0)
+
+
+def test_topk_is_heap_not_sort(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "topk_orders")
+    ops = assert_plan(df, Exchange=0)
+    assert ops["TakeOrderedAndProject"] >= 1
+
+
+def test_pii_redact_is_map_only(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "text_pii_redact")
+    assert_plan(df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_temperature_mixture_scans_corpus_once(specs, spark, sf_dir):
+    # the regression this guards: scalar-agg cross joins re-derived the
+    # count lineage per total and scanned the corpus once per branch
+    df = _run(specs, spark, sf_dir, "sample_temperature_mixture")
+    assert_plan(df, Scan_parquet=1)
+
+
+def test_stratified_sample_is_single_shuffle(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "sample_stratified_quota")
+    assert_plan(df, Exchange=1, ArrowEvalPython=0)
+
+
+def test_semantic_dedup_final_plan_has_no_python(specs, spark, sf_dir):
+    # the assignment pass is checkpointed once; the pair join + report
+    # must not re-run Python per branch
+    df = _run(specs, spark, sf_dir, "dedup_semantic")
+    assert_plan(df, ArrowEvalPython=0, SortMergeJoin=0)
+
+
+def test_quality_gate_has_no_giant_window(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "text_quality_gate")
+    ops = plan_ops(df)
+    assert ops.get("Window", 0) == 0  # percentile via agg+broadcast join
