@@ -1579,7 +1579,43 @@ def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(SQL_PASSTHROUGH)
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of the four lineitem measures, then
+    per-metric stats — the relational reshape DuckDB spells UNPIVOT and
+    Spark spells ``DataFrame.unpivot``.  Map-only reshape (each input row
+    emits 4 rows in place, no shuffle) + one partial+final agg keyed on
+    the 4 metric names; decimal-exact sums so the hash matches."""
+    li = load(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return melted.groupBy("metric").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("total"),
+        davg("value", scale=4).alias("avg_value"),
+    )
+
+
+ORACLE_UNPIVOT_METRICS = """
+WITH m AS (
+  SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT metric, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)
+         AS avg_value
+FROM m GROUP BY metric
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "unpivot_metrics": QuerySpec(q_unpivot_metrics, ORACLE_UNPIVOT_METRICS,
+                                 doc="wide→long melt of 4 lineitem measures + per-metric stats"),
     "sql_passthrough": QuerySpec(q_sql_passthrough, SQL_PASSTHROUGH,
                                  doc="identical SQL text on Spark and DuckDB (EXISTS/Q4 shape)"),
     "agg_salted_hotkey": QuerySpec(q_salted_hotkey_agg, ORACLE_SALTED_AGG,
