@@ -3,11 +3,12 @@
 corpus-curation job runs, expressed entirely in this repo's operators.
 
     documents
+      → PII scrub (email/IP/phone redaction)         (map-only)
       → text stats + quality scoring + language ID   (map-only)
       → quality/lang gate                            (filter, pushed down)
       → exact dedup (canonical id per fingerprint)   (1 shuffle)
       → MinHash-LSH near-dup edges → drop non-canonical duplicates
-      → token accounting for the survivors
+      → token accounting + temperature-mixture allocation per language
       → partitioned parquet of the curated corpus
 
 Usage: python scripts/demo_pipeline.py [sf_dir]
@@ -30,6 +31,7 @@ def curate(spark, sf_dir: str, out_dir: str):
         fingerprint,
         lang_id_ngram,
         quality_score,
+        redact_pii,
         token_count,
     )
     from fluvio_duck_spark.operators.dedup import (
@@ -43,7 +45,10 @@ def curate(spark, sf_dir: str, out_dir: str):
     docs = load(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. score + gate (map-only; the filter reaches the scan)
+    # 1. PII scrub + score + gate (all map-only; the filter reaches the
+    #    scan).  Redaction runs FIRST so no contact info survives into
+    #    fingerprints, shingles, or the curated output.
+    docs = docs.withColumn("text", redact_pii("text"))
     scored = docs.select(
         "doc_id", "text",
         quality_score("text").alias("q"),
@@ -72,11 +77,16 @@ def curate(spark, sf_dir: str, out_dir: str):
     survivors = exact_survivors.join(to_drop, "doc_id", "left_anti")
     n3 = survivors.count()
 
-    # 4. token accounting + curated output partitioned by language
+    # 4. token accounting + temperature-mixture allocation (alpha=0.5
+    #    flattens the language distribution for a 10k-doc training draw)
+    #    + curated output partitioned by language
+    from fluvio_duck_spark.operators.sampling import temperature_mixture
+
+    mix = temperature_mixture(survivors, "lang", alpha=0.5, budget=10_000)
     stats = survivors.groupBy("lang").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
-    )
+    ).join(mix.select("lang", "share", "alloc"), "lang")
     copy_to_parquet(
         survivors.select("doc_id", "text", "lang", "q", "n_tokens"),
         out_dir,
@@ -95,7 +105,7 @@ def main() -> None:
         print(f"after quality gate:  {n1}")
         print(f"after exact dedup:   {n2}")
         print(f"after near-dup drop: {n3}")
-        print("token accounting per language:")
+        print("token accounting + mixture allocation per language:")
         stats.show()
         back = spark.read.parquet(f"{tmp}/curated")
         assert back.count() == n3
