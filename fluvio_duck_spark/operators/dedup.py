@@ -412,3 +412,60 @@ def contamination_report(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared_grams"))
     )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 10,
+) -> DataFrame:
+    """Corpus-wide exact segment dedup (the C4/RefinedWeb "remove
+    duplicate paragraphs across documents" pass): split each document
+    into fixed-width word segments, keep only the globally-first
+    occurrence of every distinct segment (first = lowest (id, position)),
+    and reassemble each document from its surviving segments.
+
+    With newline-delimited corpora the segment would be the literal
+    line/paragraph; the fixture corpus is single-line, so a fixed
+    word-window stands in — the dataflow is identical either way:
+
+    explode (map-side) → keep-first window, ONE shuffle on the segment
+    key → reassembly groupBy on the doc id (2nd shuffle).  Both shuffle
+    keyspaces are data-sized but the exploded rows carry only (id, idx,
+    segment) — no full-document rows move.  The segment tokens column is
+    materialized *before* the HOF lambda so the interpreted lambda only
+    references a column attribute (SCALE.md rule 4).
+
+    Returns ``(id, n_segments_kept, dedup_text)``; docs whose every
+    segment appeared earlier elsewhere drop out entirely (count 0 docs
+    are deleted, matching C4's empty-doc removal).
+    """
+    from pyspark.sql import Window as W
+
+    w = int(words_per_segment)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_tk"))
+    n_seg = F.ceil(F.size("_tk") / F.lit(float(w))).cast("int")
+    segments = F.when(F.size("_tk") <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.array_join(F.slice("_tk", i * F.lit(w) + F.lit(1), w), " "),
+        )
+    )
+    segd = toks.select(
+        F.col(id_col), F.posexplode(segments).alias("seg_idx", "segment")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("segment").orderBy(F.col(id_col), F.col("seg_idx"))
+    )
+    kept = segd.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_segments_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                lambda s: s.segment,
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )

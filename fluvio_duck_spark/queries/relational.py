@@ -1613,7 +1613,226 @@ FROM m GROUP BY metric
 """
 
 
+# --- TPC-H shapes needing a part↔supplier relation (no partsupp fixture;
+# --- lineitem's (l_partkey, l_suppkey) pairs are the bridge) ---------------
+
+def _part_supplier_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp stand-in: per (part, supplier) unit cost observed in
+    lineitem.  MIN of a per-row double expression is order-independent, so
+    the derived `supply_cost` is deterministic on both engines (unlike a
+    double SUM)."""
+    li = load(spark, sf_dir, "lineitem")
+    unit = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))) / F.col(
+        "l_quantity"
+    )
+    return li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(unit).alias("supply_cost")
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier per part within a region: the
+    correlated MIN subquery becomes a per-part window MIN over the
+    already-joined eligible set — one scan, no self-join (the decorrelated
+    agg+equality-join form recomputes the whole dim-join subtree on both
+    sides: measured 5 exchanges / 8 broadcast joins vs 2 / 4 for this
+    form).  part/supplier/nation/region all broadcast; shuffles are the
+    (partkey, suppkey) cost agg and the window's partkey partitioning."""
+    cost = _part_supplier_cost(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 25)
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        cost.join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name", "supply_cost")
+    )
+    min_w = F.min("supply_cost").over(W.partitionBy("p_partkey"))
+    return (
+        eligible.withColumn("min_cost", min_w)
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+ORACLE_MIN_COST_SUPPLIER = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         MIN((l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)) / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eligible AS (
+  SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, supply_cost
+  FROM cost
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = 'PROMO' AND p_size <= 25 AND r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+FROM eligible e
+WHERE supply_cost = (SELECT MIN(supply_cost) FROM eligible m
+                     WHERE m.p_partkey = e.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose stocked value (for one nation's
+    suppliers) exceeds a fraction of the global total: per-part exact
+    decimal agg, then the global threshold via a whole-partition window
+    over the |parts|-row agg output — the scalar-subquery cross-join form
+    would rescan the corpus for the total (measured: 4 broadcast joins =
+    the dim joins duplicated); this form scans it once."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    filtered = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    per_part = filtered.groupBy("l_partkey").agg(
+        F.sum(dmul(F.col("l_extendedprice"), F.col("l_quantity"), scale_b=2))
+        .cast("double")
+        .alias("part_value")
+    )
+    threshold = (
+        F.sum(F.col("part_value").cast("decimal(28,2)"))
+        .over(W.partitionBy())
+        .cast("double")
+        * F.lit(0.001)
+    )
+    return (
+        per_part.withColumn("threshold", threshold)
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+ORACLE_PART_VALUE_SHARE = """
+WITH per_part AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > (SELECT CAST(SUM(CAST(part_value AS DECIMAL(28,2))) AS DOUBLE) * 0.001 FROM per_part)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct supplier counts per part attribute
+    combo, excluding 'complaint' suppliers (negative balance stands in
+    for the comment-LIKE filter): the NOT IN subquery lands as a
+    broadcast anti join on the tiny excluded set; the distinct count's
+    expand+two-phase agg is the only corpus shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(bad), F.col("l_suppkey") == bad.s_suppkey, "left_anti")
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+ORACLE_SUPPLIER_CNT = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers whose 1998 shipments of a part family
+    exceed a fraction of their all-time volume for that part: the
+    correlated half-sum threshold becomes two aggregates over ONE scan
+    (conditional sum inside the all-time agg — no self-join, no second
+    scan), then a distinct-suppkey semi join filtered to a region."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    in98 = F.year("l_shipdate") == 1998
+    vol = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in98, F.col("l_quantity")).otherwise(F.lit(0.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_98"),
+            dsum("l_quantity").alias("qty_all"),
+        )
+    )
+    excess = (
+        vol.filter(F.col("qty_98") > F.lit(0.3) * F.col("qty_all"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        # distinct suppkeys are bounded by |supplier| at any data scale —
+        # always broadcastable (SMJ otherwise shuffles the supplier side).
+        .join(F.broadcast(excess), s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+ORACLE_EXCESS_SHIPPERS = """
+WITH vol AS (
+  SELECT l_suppkey, l_partkey,
+    CAST(SUM(CAST(CASE WHEN year(l_shipdate) = 1998 THEN l_quantity ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_98,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_all
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+  GROUP BY l_suppkey, l_partkey)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (SELECT l_suppkey FROM vol WHERE qty_98 > 0.3 * qty_all)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_min_cost_supplier": QuerySpec(q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER,
+                                        doc="TPC-H Q2 shape: min-cost supplier per part, decorrelated MIN + broadcast dims"),
+    "agg_part_value_share": QuerySpec(q_part_value_share, ORACLE_PART_VALUE_SHARE,
+                                      doc="TPC-H Q11 shape: per-part value vs global-fraction threshold (window over agg)"),
+    "agg_supplier_cnt": QuerySpec(q_supplier_cnt_by_part, ORACLE_SUPPLIER_CNT,
+                                  doc="TPC-H Q16 shape: distinct supplier counts per part attrs, NOT IN anti join"),
+    "join_excess_shippers": QuerySpec(q_excess_shippers, ORACLE_EXCESS_SHIPPERS,
+                                      doc="TPC-H Q20 shape: correlated volume threshold via one-scan conditional agg + semi join"),
     "unpivot_metrics": QuerySpec(q_unpivot_metrics, ORACLE_UNPIVOT_METRICS,
                                  doc="wide→long melt of 4 lineitem measures + per-metric stats"),
     "sql_passthrough": QuerySpec(q_sql_passthrough, SQL_PASSTHROUGH,

@@ -84,3 +84,31 @@ def test_quality_gate_has_no_giant_window(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "text_quality_gate")
     ops = plan_ops(df)
     assert ops.get("Window", 0) == 0  # percentile via agg+broadcast join
+
+
+def test_min_cost_supplier_window_not_self_join(specs, spark, sf_dir):
+    # TPC-H Q2 shape: window MIN, not the decorrelated agg+equality join
+    # (which recomputes the dim-join subtree on both sides: 5 Ex / 8 BHJ)
+    df = _run(specs, spark, sf_dir, "join_min_cost_supplier")
+    ops = assert_plan(df, Exchange=2, SortMergeJoin=0, BroadcastHashJoin=4)
+    assert ops["TakeOrderedAndProject"] >= 1
+
+
+def test_part_value_share_scans_corpus_once(specs, spark, sf_dir):
+    # TPC-H Q11 shape: global threshold from a window over the agg output,
+    # not a scalar-subquery cross join that re-scans lineitem
+    df = _run(specs, spark, sf_dir, "agg_part_value_share")
+    assert_plan(df, Exchange=2, BroadcastHashJoin=2, Scan_parquet=3)
+
+
+def test_supplier_cnt_two_phase_distinct(specs, spark, sf_dir):
+    # TPC-H Q16 shape: distinct agg = expand + two-phase; anti join broadcast
+    df = _run(specs, spark, sf_dir, "agg_supplier_cnt")
+    assert_plan(df, Exchange=2, SortMergeJoin=0)
+
+
+def test_excess_shippers_broadcast_semi(specs, spark, sf_dir):
+    # TPC-H Q20 shape: the distinct-suppkey set is supplier-bounded at any
+    # scale — must broadcast, never SMJ-shuffle the supplier side
+    df = _run(specs, spark, sf_dir, "join_excess_shippers")
+    assert_plan(df, Exchange=2, SortMergeJoin=0)
