@@ -160,3 +160,62 @@ def temperature_mixture(
         F.round(F.col("__wgt") / z, 6).alias("share"),
         F.round(F.lit(budget) * F.col("__wgt") / z, 0).cast("long").alias("alloc"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: int = 0,
+    split_alias: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the hashed id keyed into
+    cumulative weight thresholds.  Map-only — no shuffle, no sampling
+    state, and stable under reruns/retries and corpus growth (a doc's
+    split never changes when other docs are added, which is what keeps
+    held-out sets uncontaminated across dataset versions).
+
+    Thresholds are integer cut points in :func:`uniform_key`'s keyspace,
+    so assignment is exact integer arithmetic — portable to any engine
+    (the oracle replays it), and no float-boundary ambiguity.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    key = uniform_key(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cut = int(cum * _MOD)
+        cond = key < F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn(split_alias, expr)
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+    key_alias: str = "shuffle_key",
+) -> DataFrame:
+    """Deterministic global shuffle for training-order materialization:
+    every epoch's read order is ``(uniform_key(id, seed), id)`` — change
+    the seed, get an independent permutation; rerun the job, get the
+    identical one.
+
+    Implemented as ``repartitionByRange`` on the key + in-partition
+    sort: a range-partitioned total order across output files WITHOUT
+    any single-task global sort or driver-side index — the one
+    unavoidable corpus-wide shuffle, and exactly one of it.  (A
+    ``row_number`` over a global window would funnel 100 TB through one
+    task; downstream training readers only need file order + in-file
+    order, not a materialized contiguous index.)
+    """
+    out = df.withColumn(key_alias, uniform_key(id_col, seed))
+    cols = [key_alias, id_col]
+    if num_partitions:
+        return out.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
+    return out.repartitionByRange(*cols).sortWithinPartitions(*cols)

@@ -236,6 +236,37 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact segment dedup (C4-style duplicate-paragraph
+    removal, fixed 10-word segments on the single-line fixture): every
+    distinct segment survives only at its globally-first (doc, position)
+    occurrence, then documents are reassembled from survivors."""
+    from fluvio_duck_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(load(spark, sf_dir, "documents"), words_per_segment=10)
+
+
+ORACLE_DEDUP_SEGMENTS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (
+  SELECT doc_id, tk,
+         CAST(unnest(range(0, CAST(ceil(CAST(len(tk) AS DOUBLE)/10) AS BIGINT))) AS INTEGER) AS seg_idx
+  FROM toks),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(tk[(seg_idx*10+1):(seg_idx*10+10)], ' ') AS segment
+  FROM idx),
+kept AS (
+  SELECT doc_id, seg_idx, segment,
+         row_number() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn
+  FROM segs)
+SELECT doc_id, COUNT(*) AS n_segments_kept,
+       string_agg(segment, ' ' ORDER BY seg_idx) AS dedup_text
+FROM kept WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 def q_dedup_prefix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-key canonicalization: docs sharing the first-3-token
     fingerprint collapse to the minimum doc_id."""
@@ -594,6 +625,57 @@ SELECT doc_id, lang, source FROM r WHERE rn <= 20
 """
 
 
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by hashed-id
+    threshold (map-only; a doc's split never changes as the corpus
+    grows), summarized per split.  Integer cut points in the hash
+    keyspace — no float-boundary ambiguity between engines."""
+    from fluvio_duck_spark.operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return split_assign(docs).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+#: cut points = int(cum_weight * 1000003): train < 900002 <= val < 950002 <= test
+ORACLE_SPLIT_ASSIGN = """
+WITH k AS (SELECT doc_id, n_chars,
+                  ((doc_id + 1) * 2654435761) % 1000003 AS key
+           FROM documents)
+SELECT CASE WHEN key < 900002 THEN 'train'
+            WHEN key < 950002 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM k GROUP BY 1
+"""
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle (epoch read order): every doc's
+    position key under seed 1.  The operator materializes the
+    permutation as a range-partitioned sort — one corpus shuffle, no
+    single-task global window; the hash here checks the complete
+    permutation, not a sample of it."""
+    from fluvio_duck_spark.operators.sampling import training_order
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return training_order(docs, seed=1, num_partitions=8).select(
+        "doc_id", "source", "shuffle_key"
+    )
+
+
+ORACLE_TRAINING_ORDER = """
+SELECT doc_id, source,
+       ((doc_id + 1) * (2654435761 + 1 * 98765431)) % 1000003 AS shuffle_key
+FROM documents
+"""
+
+
 def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture packing: per language, admit documents longest-first
     until a 2500-token budget is filled (greedy prefix, inclusive) —
@@ -815,6 +897,10 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="per-lang 10th-percentile quality gate (agg+broadcast, no giant window)"),
     "sample_stratified_quota": QuerySpec(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
                                          doc="deterministic per-language quota sample (training-mix draw)"),
+    "sample_split_assign": QuerySpec(q_split_assign, ORACLE_SPLIT_ASSIGN,
+                                     doc="deterministic 90/5/5 train/val/test split by hashed-id threshold (map-only)"),
+    "sample_training_order": QuerySpec(q_training_order, ORACLE_TRAINING_ORDER,
+                                       doc="deterministic epoch-shuffle permutation (range-partitioned, no global window)"),
     "pack_token_budget": QuerySpec(q_pack_token_budget, ORACLE_PACK_BUDGET,
                                    doc="greedy per-language token-budget packing (data-mixture allocation)"),
     "text_tfidf_topterms": QuerySpec(q_text_tfidf_topterms, ORACLE_TFIDF,
@@ -827,6 +913,8 @@ QUERIES: dict[str, QuerySpec] = {
                                      doc="quality score + language-ID heuristic"),
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
                              doc="exact dedup via content fingerprint groupBy"),
+    "dedup_segments": QuerySpec(q_dedup_segments, ORACLE_DEDUP_SEGMENTS,
+                                doc="C4-style corpus-wide duplicate-segment removal + doc reassembly"),
     "dedup_prefix_blocks": QuerySpec(q_dedup_prefix_blocks, ORACLE_DEDUP_PREFIX,
                                      doc="blocking-key canonicalization"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,

@@ -334,3 +334,62 @@ def test_temperature_mixture_alpha_one_is_proportional(spark):
     )
     out = {r.source: r for r in temperature_mixture(df, "source", 1.0, 100).collect()}
     assert out["a"].alloc == 60 and out["b"].alloc == 40
+
+
+def test_segment_dedup_keeps_first_occurrence_and_reassembles(spark):
+    from fluvio_duck_spark.operators.dedup import segment_dedup
+
+    # w=2 segments: doc 1 = [a b][c d], doc 2 repeats [a b] then has
+    # fresh [x y]; doc 3 is entirely doc 1's segments → drops out
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (3, "c d a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments_kept, r.dedup_text)
+        for r in segment_dedup(df, words_per_segment=2).collect()
+    }
+    assert got == {1: (2, "a b c d"), 2: (1, "x y")}
+
+
+def test_segment_dedup_ragged_tail_and_order(spark):
+    from fluvio_duck_spark.operators.dedup import segment_dedup
+
+    # 5 words at w=2 → ragged last segment [e]; segment order must be
+    # positional after reassembly, not lexicographic
+    df = spark.createDataFrame([(7, "d c b a e")], "doc_id long, text string")
+    row = segment_dedup(df, words_per_segment=2).first()
+    assert (row.n_segments_kept, row.dedup_text) == (3, "d c b a e")
+
+
+def test_split_assign_stable_and_partitioned(spark):
+    from fluvio_duck_spark.operators.sampling import split_assign
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    splits = split_assign(df)
+    by = {r.split: r.n for r in splits.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert abs(by["train"] / 2000 - 0.9) < 0.03
+    # stability: a doc's split is a pure function of its id — subsetting
+    # the corpus must not move any doc between splits
+    sub = split_assign(df.filter(F.col("doc_id") < 500))
+    full = dict(splits.filter(F.col("doc_id") < 500).select("doc_id", "split").collect())
+    assert dict(sub.select("doc_id", "split").collect()) == full
+
+
+def test_training_order_permutes_per_seed_and_repeats(spark):
+    from fluvio_duck_spark.operators.sampling import training_order
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    o1 = [r.doc_id for r in training_order(df, seed=1, num_partitions=4).collect()]
+    o2 = [r.doc_id for r in training_order(df, seed=2, num_partitions=4).collect()]
+    o1b = [r.doc_id for r in training_order(df, seed=1, num_partitions=4).collect()]
+    assert sorted(o1) == list(range(300))  # a permutation, nothing lost
+    assert o1 == o1b  # rerun-identical
+    assert o1 != o2  # seeds give independent orders
+    # collect() preserves partition order; range partitioning + in-partition
+    # sort must equal the global (key, id) order
+    from fluvio_duck_spark.operators.sampling import uniform_key
+    want = [r.doc_id for r in df.select("doc_id", uniform_key("doc_id", 1).alias("k"))
+            .orderBy("k", "doc_id").collect()]
+    assert o1 == want

@@ -112,3 +112,24 @@ def test_excess_shippers_broadcast_semi(specs, spark, sf_dir):
     # scale — must broadcast, never SMJ-shuffle the supplier side
     df = _run(specs, spark, sf_dir, "join_excess_shippers")
     assert_plan(df, Exchange=2, SortMergeJoin=0)
+
+
+def test_segment_dedup_two_shuffles_no_python(specs, spark, sf_dir):
+    # C4-style segment dedup: keep-first window on segment + reassembly
+    # groupBy on doc id — two keyed shuffles, all-JVM expressions
+    df = _run(specs, spark, sf_dir, "dedup_segments")
+    assert_plan(df, Exchange=2, ArrowEvalPython=0, BatchEvalPython=0,
+                SortMergeJoin=0, BroadcastHashJoin=0)
+
+
+def test_split_assign_is_map_only_plus_agg(specs, spark, sf_dir):
+    # split assignment itself is map-only; the summary agg is the shuffle
+    df = _run(specs, spark, sf_dir, "sample_split_assign")
+    assert_plan(df, Exchange=1, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_training_order_single_range_exchange(specs, spark, sf_dir):
+    # the epoch shuffle is ONE range exchange — never a global window
+    df = _run(specs, spark, sf_dir, "sample_training_order")
+    ops = assert_plan(df, Exchange=1, ArrowEvalPython=0)
+    assert ops.get("Window", 0) == 0
