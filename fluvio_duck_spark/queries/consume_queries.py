@@ -52,7 +52,70 @@ def _sum_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction over the topic stand-in: current state per user_id
+    = the latest record's (ts, type, value), Kafka/Fluvio compacted-topic
+    semantics.  max_by aggregate — map-side pre-compaction, one shuffle
+    of one row per (mapper, key), no log-wide sort (the row_number-window
+    form shuffles and sorts every record)."""
+    from fluvio_duck_spark.operators.compaction import compact_latest
+    from fluvio_duck_spark.sources.consume import read_events
+
+    return compact_latest(
+        read_events(spark, sf_dir),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        payload=["ts", "event_type", "value"],
+    )
+
+
+ORACLE_COMPACT = """
+WITH r AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM r WHERE rn = 1
+"""
+
+
+def _compact_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction with deletes: 'error' as the tombstone kind — a user
+    whose LATEST record is a tombstone disappears from the compacted
+    state (the null-payload delete convention of compacted logs)."""
+    from fluvio_duck_spark.operators.compaction import tombstone_compact
+    from fluvio_duck_spark.sources.consume import read_events
+
+    ev = read_events(spark, sf_dir)
+    return tombstone_compact(
+        ev,
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        payload=["ts", "event_type"],
+        tombstone=F.col("event_type") == "error",
+    )
+
+
+ORACLE_COMPACT_TOMBSTONES = """
+WITH r AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type
+FROM r WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "consume_compact_latest": QuerySpec(
+        _compact, ORACLE_COMPACT,
+        doc="log compaction: latest record per key via map-side max_by (no log-wide sort)"),
+    "consume_compact_tombstones": QuerySpec(
+        _compact_tombstones, ORACLE_COMPACT_TOMBSTONES,
+        doc="compaction with tombstone deletes (latest-record tombstone removes the key)"),
     # F1/L2: tail — last 100 records of the whole log (offset >= LEO-100)
     "consume_tail_default": QuerySpec(
         _q("events -A -T 100"),

@@ -308,7 +308,31 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained compacted view: the same max_by keyed-state
+    aggregate as consume_compact_latest running under Structured
+    Streaming (complete mode — state is one row per key, the compacted
+    table itself).  Shares the batch query's oracle: the stream-maintained
+    current state must equal compaction over the full log."""
+    from fluvio_duck_spark.operators.compaction import compact_latest
+
+    compacted = compact_latest(
+        event_stream(spark, sf_dir),
+        keys=["user_id"],
+        order_by=["ts", "event_id"],
+        payload=["ts", "event_type", "value"],
+    )
+    return run_stream_to_table(compacted, spark, output_mode="complete")
+
+
+from fluvio_duck_spark.queries.consume_queries import ORACLE_COMPACT  # noqa: E402
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "stream_compact_latest": QuerySpec(
+        q_stream_compact,
+        ORACLE_COMPACT,  # shared with batch consume_compact_latest
+        doc="continuously-maintained compacted key state (streaming twin of consume_compact_latest)"),
     "stream_consume_parity": QuerySpec(
         q_stream_consume_parity, ORACLE_STREAM_PARITY,
         doc="readStream consume pipeline, AvailableNow bounded parity — ST1"),

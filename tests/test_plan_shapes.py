@@ -133,3 +133,17 @@ def test_training_order_single_range_exchange(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "sample_training_order")
     ops = assert_plan(df, Exchange=1, ArrowEvalPython=0)
     assert ops.get("Window", 0) == 0
+
+
+def test_compact_latest_is_agg_not_window(specs, spark, sf_dir):
+    # log compaction must be a map-side-combinable aggregate (one shuffle
+    # of one row per mapper x key), never a row_number window over the log
+    df = _run(specs, spark, sf_dir, "consume_compact_latest")
+    ops = assert_plan(df, Exchange=1, ArrowEvalPython=0)
+    assert ops.get("Window", 0) == 0
+
+
+def test_compact_tombstones_single_pass(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "consume_compact_tombstones")
+    ops = assert_plan(df, Exchange=1, Scan_parquet=1)
+    assert ops.get("Window", 0) == 0

@@ -210,3 +210,25 @@ def test_rowwise_minhash_matches_aggregate(spark, sf_dir):
            for r in rowwise_minhash(docs).select(
                "doc_id", *[f"mh{i}" for i in range(32)]).collect()}
     assert agg == row
+
+
+def test_tombstone_compact_semantics(spark):
+    from fluvio_duck_spark.operators.compaction import tombstone_compact
+    from pyspark.sql import functions as F
+
+    # key 1: latest is a delete → gone; key 2: delete then re-create →
+    # present with the newest payload; key 3: never deleted
+    df = spark.createDataFrame(
+        [(1, 10, "set", "a"), (1, 11, "del", None),
+         (2, 10, "del", None), (2, 12, "set", "b"),
+         (3, 10, "set", "c")],
+        "k long, off long, kind string, payload string",
+    )
+    got = {
+        r.k: (r.last_kind, r.last_payload)
+        for r in tombstone_compact(
+            df, keys=["k"], order_by=["off"], payload=["kind", "payload"],
+            tombstone=F.col("kind") == "del",
+        ).collect()
+    }
+    assert got == {2: ("set", "b"), 3: ("set", "c")}
