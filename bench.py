@@ -60,12 +60,18 @@ def main() -> None:
         ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # steady-state: same query again, plan/codegen now hot — this is
+        # the per-query marginal cost a long-running cluster session pays
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        warm[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
@@ -79,6 +85,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total_sec": round(sum(warm.values()), 3),
                 "sf": sf_val,
             }
         )
