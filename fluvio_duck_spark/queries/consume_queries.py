@@ -109,7 +109,49 @@ FROM r WHERE rn = 1 AND event_type <> 'error'
 """
 
 
+def _heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key detection (the signal that feeds operators/skew.py
+    salting): daily top-5 users by event count.  Exact two-level form —
+    a mergeable (day, user) pre-aggregation (one corpus shuffle with
+    map-side combine), then the per-day top-k window runs over the
+    pre-agg's |days|x|active users| rows, never over raw events."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.sources.consume import read_events
+
+    ev = read_events(spark, sf_dir)
+    day_user = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), F.col("user_id")
+    ).agg(F.count("*").alias("n_events"))
+    rn = F.row_number().over(
+        W.partitionBy("day").orderBy(F.desc("n_events"), F.col("user_id"))
+    )
+    return (
+        day_user.withColumn("rn", rn)
+        .filter(F.col("rn") <= 5)
+        .select("day", "user_id", "n_events", "rn")
+    )
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH du AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT day, user_id, n_events,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY n_events DESC, user_id) AS rn
+  FROM du)
+SELECT day, user_id, n_events, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 5
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "consume_heavy_hitters": QuerySpec(
+        _heavy_hitters, ORACLE_HEAVY_HITTERS,
+        doc="daily top-5 hot keys via pre-agg + window over the pre-agg (skew-salting input signal)"),
     "consume_compact_latest": QuerySpec(
         _compact, ORACLE_COMPACT,
         doc="log compaction: latest record per key via map-side max_by (no log-wide sort)"),

@@ -36,6 +36,27 @@ def copy_to_parquet(
     writer.parquet(path)
 
 
+def copy_to_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """``COPY (...) TO 'path' (FORMAT 'json')`` equivalent — JSON-lines
+    output (the payload format of the reference's records, so a consumed
+    topic round-trips to a re-consumable form).  Same scale knobs as the
+    parquet sink; prefer parquet for anything analytical — JSON is the
+    interchange edge, not the storage format.
+    """
+    if coalesce is not None:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)
+
+
 def register_view(df: DataFrame, name: str) -> DataFrame:
     """K2 — temp-view registration; returns the df for chaining."""
     df.createOrReplaceTempView(name)

@@ -147,3 +147,11 @@ def test_compact_tombstones_single_pass(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "consume_compact_tombstones")
     ops = assert_plan(df, Exchange=1, Scan_parquet=1)
     assert ops.get("Window", 0) == 0
+
+
+def test_heavy_hitters_window_over_preagg(specs, spark, sf_dir):
+    # the top-k window must run over the (day,user) pre-agg, not raw
+    # events: agg shuffle + window shuffle, nothing else
+    df = _run(specs, spark, sf_dir, "consume_heavy_hitters")
+    ops = assert_plan(df, Exchange=2, ArrowEvalPython=0, SortMergeJoin=0)
+    assert ops.get("Window", 0) == 1

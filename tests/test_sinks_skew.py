@@ -113,3 +113,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_copy_to_json_roundtrip(spark, sf_dir, tmp_path):
+    """JSON-lines sink: a consumed topic round-trips to a re-consumable
+    form (records re-read with an explicit schema are value-identical)."""
+    from fluvio_duck_spark.sinks import copy_to_json
+
+    src = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "events_json")
+    copy_to_json(src, out, coalesce=2)
+
+    back = spark.read.schema("event_id long, event_type string, value double").json(out)
+    assert back.count() == src.count()
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
