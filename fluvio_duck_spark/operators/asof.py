@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -37,6 +38,7 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the right row with the
     greatest ``right_time`` <= ``left_time`` (direction='backward',
@@ -48,6 +50,13 @@ def asof_join(
 
     Right side should be unique per (key, time) — pre-aggregate if not,
     or the carried values are an arbitrary survivor of the tie.
+
+    ``tolerance_seconds`` (pandas ``merge_asof`` tolerance semantics)
+    bounds the match window: a right row further than the tolerance from
+    the left timestamp yields NULLs instead.  Implemented by carrying the
+    matched right time through the same merge and null-masking after —
+    no extra shuffle, identical plan cost.  Works for TIMESTAMP time
+    columns (gap in seconds) and numeric ones (gap in column units).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
@@ -55,19 +64,23 @@ def asof_join(
     lcols = left.columns
     # side 0 sorts before side 1 at equal timestamps, so a right row with
     # right_time == left_time is visible to that left row (inclusive <=).
+    carry = list(value_cols)
+    if tolerance_seconds is not None:
+        carry.append("__mt")  # the matched right row's own timestamp
+        right = right.withColumn("__mt", F.col(right_time))
     l_tagged = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carry],
     )
     r_tagged = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
     )
     merged = l_tagged.unionByName(r_tagged)
 
@@ -81,12 +94,25 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [
-        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols
+        F.last(f"__r_{c}", ignorenulls=True).over(w).alias(c) for c in carry
     ]
-    return (
+    out = (
         merged.select("__side", *lcols, *carried)
         .filter(F.col("__side") == 1)
         .drop("__side")
+    )
+    if tolerance_seconds is None:
+        return out
+    if isinstance(left.schema[left_time].dataType, T.TimestampType):
+        gap = (
+            F.abs(F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("__mt")))
+            / F.lit(1_000_000.0)
+        )
+    else:
+        gap = F.abs(F.col(left_time) - F.col("__mt"))
+    ok = F.col("__mt").isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+    return out.select(
+        *lcols, *[F.when(ok, F.col(c)).alias(c) for c in value_cols]
     )
 
 

@@ -632,6 +632,50 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of with a bounded match window (pandas merge_asof tolerance):
+    the most recent purchase counts only within 2 hours of the click —
+    stale state must NOT be carried indefinitely.  Same single-shuffle
+    merge; the matched right timestamp rides along and null-masks
+    out-of-window values, so the tolerance costs no extra pass."""
+    from fluvio_duck_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_event", "purchase_value"],
+        tolerance_seconds=7200,
+    )
+
+
+ORACLE_ASOF_TOLERANCE = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id AS purchase_event, value AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, m.purchase_event, m.purchase_value
+FROM l LEFT JOIN LATERAL (
+  SELECT purchase_event, purchase_value
+  FROM r
+  WHERE r.user_id = l.user_id AND r.ts <= l.ts
+    AND r.ts >= l.ts - INTERVAL 2 HOUR
+  ORDER BY r.ts DESC LIMIT 1) m ON TRUE
+"""
+
+
 def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward as-of: each click picks up the NEXT purchase (at-or-after
     its timestamp) by the same user — conversion-attribution shape.  Same
@@ -1843,6 +1887,8 @@ QUERIES: dict[str, QuerySpec] = {
                            doc="as-of join via union+window merge — §2.6"),
     "join_asof_forward": QuerySpec(q_asof_join_forward, ORACLE_ASOF_FORWARD,
                                    doc="forward (next-at-or-after) as-of join — §2.6"),
+    "join_asof_tolerance": QuerySpec(q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE,
+                                     doc="as-of join with bounded match window (merge_asof tolerance) — §2.6"),
     "join_order_count_dist": QuerySpec(q_order_count_distribution, ORACLE_ORDER_COUNT_DIST,
                                        doc="TPC-H Q13 shape: customer order-count distribution via left outer + double agg"),
     "join_range_band": QuerySpec(q_range_band_join, ORACLE_RANGE_BAND,

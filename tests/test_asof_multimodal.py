@@ -254,3 +254,26 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         for r in out_fwd.collect()
     }
     assert got_fwd == want_fwd
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    from fluvio_duck_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0, "l1"), (1, 500.0, "l2"), (2, 50.0, "l3")],
+        "k long, t double, lname string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90.0, "fresh"), (1, 200.0, "stale-for-l2"), (2, 49.0, "ok")],
+        "k long, t double, rname string",
+    )
+    # numeric time axis: tolerance in column units
+    got = {
+        r.lname: r.rname
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["rname"], tolerance_seconds=20
+        ).collect()
+    }
+    # l1: match at 90 (gap 10 <= 20) kept; l2: nearest-before is 200
+    # (gap 300) -> masked to NULL; l3: gap 1 kept
+    assert got == {"l1": "fresh", "l2": None, "l3": "ok"}

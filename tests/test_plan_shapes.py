@@ -155,3 +155,10 @@ def test_heavy_hitters_window_over_preagg(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "consume_heavy_hitters")
     ops = assert_plan(df, Exchange=2, ArrowEvalPython=0, SortMergeJoin=0)
     assert ops.get("Window", 0) == 1
+
+
+def test_asof_tolerance_still_single_shuffle(specs, spark, sf_dir):
+    # the tolerance mask must ride the same union+window merge — no
+    # second shuffle, no join operator
+    df = _run(specs, spark, sf_dir, "join_asof_tolerance")
+    assert_plan(df, Exchange=1, SortMergeJoin=0, BroadcastHashJoin=0)
