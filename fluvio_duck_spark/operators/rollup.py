@@ -166,3 +166,71 @@ def finalize_rollup(rollup: DataFrame, measures: list[Measure]) -> DataFrame:
         else:
             out.append(F.col(m.name))
     return rollup.select(*out)
+
+
+def refresh_rollup(
+    existing: DataFrame | None,
+    new_raw: DataFrame,
+    ts_col: str,
+    width_seconds: int,
+    keys: list[str],
+    measures: list[Measure],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Incremental continuous-aggregate maintenance: the merged state for
+    ONLY the buckets the new data touches.
+
+    The delta batch is rolled up (one shuffle over the delta, never the
+    history), the affected bucket set (tiny — bounded by delta time span
+    / bucket width) broadcast-semi-joins the existing rollup, and the two
+    mergeable states re-aggregate.  Cost scales with the delta + the
+    touched slice of the rollup, not with history size — the property
+    that makes a 100 TB hypertable's hourly rollup maintainable by a
+    5-minute batch job.
+    """
+    delta = hypertable_rollup(new_raw, ts_col, width_seconds, keys, measures,
+                              bucket_col=bucket_col)
+    if existing is None:
+        return delta
+    affected = delta.select(bucket_col).distinct()
+    touched = existing.join(F.broadcast(affected), bucket_col, "left_semi")
+    return cascade_rollup(
+        touched.unionByName(delta), width_seconds, keys, measures,
+        bucket_col=bucket_col,
+    )
+
+
+def write_rollup(rollup: DataFrame, path: str, bucket_col: str = "bucket",
+                 mode: str = "overwrite") -> None:
+    """Materialize rollup state bucket-partitioned, so refreshes can
+    replace exactly the touched partitions and bucket-range queries
+    prune at the directory level."""
+    (
+        rollup.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(path)
+    )
+
+
+def refresh_rollup_materialized(
+    spark,
+    path: str,
+    new_raw: DataFrame,
+    ts_col: str,
+    width_seconds: int,
+    keys: list[str],
+    measures: list[Measure],
+    bucket_col: str = "bucket",
+) -> None:
+    """Read-merge-write refresh of a materialized rollup at ``path``:
+    dynamic partition overwrite rewrites only the affected bucket
+    directories; every untouched partition's files are left byte-for-byte
+    in place (asserted in tests via file mtimes)."""
+    try:
+        existing = spark.read.parquet(path)
+    except Exception:
+        existing = None
+    merged = refresh_rollup(existing, new_raw, ts_col, width_seconds, keys,
+                            measures, bucket_col=bucket_col)
+    write_rollup(merged, path, bucket_col=bucket_col, mode="overwrite")

@@ -100,3 +100,62 @@ def test_rollup_state_sum_is_decimal(spark, sf_dir):
     assert dict(hourly.dtypes)["total"].startswith("decimal")
     final = finalize_rollup(hourly, MEASURES)
     assert dict(final.dtypes)["total"] == "double"
+
+
+def test_incremental_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
+    """refresh_rollup_materialized: backfill 80% of the log, refresh with
+    the final 20%, and the materialized state must equal a from-scratch
+    rollup of everything — while untouched bucket partitions keep their
+    original files (dynamic partition overwrite rewrites only the dirty
+    directories)."""
+    import os
+    import time
+
+    from fluvio_duck_spark.operators.rollup import (
+        Measure,
+        finalize_rollup,
+        hypertable_rollup,
+        refresh_rollup_materialized,
+        write_rollup,
+    )
+    from fluvio_duck_spark.sources.consume import read_events
+
+    ev = read_events(spark, sf_dir)
+    cut = int(ev.count() * 0.8)
+    old = ev.filter(F.col("event_id") < cut)
+    new = ev.filter(F.col("event_id") >= cut)
+    m = [
+        Measure("total", "value", "sum"),
+        Measure("n", "value", "count"),
+        Measure("avg_value", "value", "avg"),
+        Measure("users", "user_id", "approx_distinct"),
+    ]
+    path = str(tmp_path / "rollup")
+    write_rollup(hypertable_rollup(old, "ts", 21600, ["event_type"], m), path)
+
+    before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("bucket=")
+    }
+    time.sleep(1.1)
+    refresh_rollup_materialized(spark, path, new, "ts", 21600, ["event_type"], m)
+
+    # only buckets present in the delta were rewritten
+    touched = {
+        "bucket=" + str(r.bucket).replace(" ", "%20").replace(":", "%3A")
+        for r in hypertable_rollup(new, "ts", 21600, ["event_type"], m)
+        .select("bucket").distinct().collect()
+    }
+    for d, mt in before.items():
+        now = os.path.getmtime(os.path.join(path, d))
+        if d in touched:
+            assert now > mt, f"dirty partition {d} not rewritten"
+        else:
+            assert now == mt, f"clean partition {d} was rewritten"
+
+    got = finalize_rollup(spark.read.parquet(path), m)
+    want = finalize_rollup(hypertable_rollup(ev, "ts", 21600, ["event_type"], m), m)
+    key = lambda r: (str(r.bucket), r.event_type)  # noqa: E731
+    g = {key(r): (r.total, r.n, round(r.avg_value, 9), r.users) for r in got.collect()}
+    w = {key(r): (r.total, r.n, round(r.avg_value, 9), r.users) for r in want.collect()}
+    assert g == w
