@@ -84,6 +84,17 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(F.lower(F.trim(c)))
 
 
+def canonical_text(col: Column | str) -> Column:
+    """Aggressive canonical form for near-trivial-variant dedup (the
+    normalization pass CCNet/C4 run before exact hashing): lowercase,
+    strip everything but word characters and spaces, collapse whitespace
+    runs, trim.  Catches case / punctuation / spacing variants that a
+    raw-content hash misses; pure JVM regex, map-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", "")
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
 def prefix_fingerprint(col: Column | str, k: int = 3) -> Column:
     """Fingerprint of the first k tokens — a cheap rolling-hash-style key
     for blocking/canonicalization."""

@@ -236,6 +236,43 @@ FROM documents GROUP BY 1
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized exact dedup (the CCNet/C4 normalization pass):
+    lowercase + strip non-word chars + collapse whitespace BEFORE
+    hashing, so case/punctuation/spacing variants collapse into one
+    group.  n_raw_variants counts how many distinct raw contents the
+    canonical form merged — the dedup the raw hash misses."""
+    from fluvio_duck_spark.functions.text import canonical_text
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            fingerprint("text").alias("raw_fp"),
+            F.md5(canonical_text("text")).alias("canon_fp"),
+        )
+        .groupBy("canon_fp")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("raw_fp").alias("n_raw_variants"),
+        )
+    )
+
+
+ORACLE_DEDUP_CANONICAL = """
+WITH c AS (
+  SELECT doc_id, md5(lower(trim(text))) AS raw_fp,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS canon_fp
+  FROM documents)
+SELECT canon_fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies,
+       COUNT(DISTINCT raw_fp) AS n_raw_variants
+FROM c GROUP BY canon_fp
+"""
+
+
 def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide exact segment dedup (C4-style duplicate-paragraph
     removal, fixed 10-word segments on the single-line fixture): every
@@ -913,6 +950,8 @@ QUERIES: dict[str, QuerySpec] = {
                                      doc="quality score + language-ID heuristic"),
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,
                              doc="exact dedup via content fingerprint groupBy"),
+    "dedup_canonical": QuerySpec(q_dedup_canonical, ORACLE_DEDUP_CANONICAL,
+                                 doc="canonicalized exact dedup (case/punct/space variants collapse)"),
     "dedup_segments": QuerySpec(q_dedup_segments, ORACLE_DEDUP_SEGMENTS,
                                 doc="C4-style corpus-wide duplicate-segment removal + doc reassembly"),
     "dedup_prefix_blocks": QuerySpec(q_dedup_prefix_blocks, ORACLE_DEDUP_PREFIX,

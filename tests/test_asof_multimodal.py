@@ -277,3 +277,42 @@ def test_asof_tolerance_masks_stale_matches(spark):
     # l1: match at 90 (gap 10 <= 20) kept; l2: nearest-before is 200
     # (gap 300) -> masked to NULL; l3: gap 1 kept
     assert got == {"l1": "fresh", "l2": None, "l3": "ok"}
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized parity vs pandas.merge_asof (the de-facto as-of
+    reference implementation): backward/forward, with and without
+    tolerance, over several seeded random datasets."""
+    import numpy as np
+    import pandas as pd
+
+    from fluvio_duck_spark.operators.asof import asof_join
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        nl, nr = 120, 80
+        lpd = pd.DataFrame({
+            "k": rng.integers(0, 5, nl),
+            "t": rng.integers(0, 1000, nl).astype("float64"),
+            "lid": np.arange(nl),
+        }).sort_values(["t", "lid"]).reset_index(drop=True)
+        rpd = pd.DataFrame({
+            "k": rng.integers(0, 5, nr),
+            "t": np.sort(rng.choice(np.arange(0.0, 1000.0), nr, replace=False)),
+            "rv": np.arange(nr).astype("float64"),
+        })
+        for direction in ("backward", "forward"):
+            for tol in (None, 50):
+                want = pd.merge_asof(
+                    lpd, rpd, on="t", by="k", direction=direction,
+                    suffixes=("", "_r"),
+                    tolerance=None if tol is None else float(tol),
+                )
+                got = asof_join(
+                    spark.createDataFrame(lpd), spark.createDataFrame(rpd),
+                    "k", "k", "t", "t", ["rv"],
+                    direction=direction, tolerance_seconds=tol,
+                ).toPandas().sort_values("lid").reset_index(drop=True)
+                w = want.sort_values("lid").reset_index(drop=True)
+                assert got["rv"].fillna(-1).tolist() == w["rv"].fillna(-1).tolist(), (
+                    seed, direction, tol)

@@ -393,3 +393,26 @@ def test_training_order_permutes_per_seed_and_repeats(spark):
     want = [r.doc_id for r in df.select("doc_id", uniform_key("doc_id", 1).alias("k"))
             .orderBy("k", "doc_id").collect()]
     assert o1 == want
+
+
+def test_canonical_text_merges_trivial_variants(spark):
+    from fluvio_duck_spark.functions.text import canonical_text, fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "HELLO WORLD."),
+         (4, "goodbye world")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        fingerprint("text").alias("raw_fp"),
+        F.md5(canonical_text("text")).alias("canon_fp"),
+    )
+    assert out.select("raw_fp").distinct().count() == 4  # raw hash: all differ
+    groups = {
+        r.canonical_id: r.n
+        for r in out.groupBy("canon_fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert groups == {1: 3, 4: 1}  # canonical form merges 1,2,3
