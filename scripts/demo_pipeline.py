@@ -8,8 +8,10 @@ corpus-curation job runs, expressed entirely in this repo's operators.
       → quality/lang gate                            (filter, pushed down)
       → exact dedup (canonical id per fingerprint)   (1 shuffle)
       → MinHash-LSH near-dup edges → drop non-canonical duplicates
+      → corpus-wide duplicate-segment removal + doc reassembly
       → token accounting + temperature-mixture allocation per language
-      → partitioned parquet of the curated corpus
+      → deterministic train/val/test split + seeded epoch order
+      → (lang, split)-partitioned parquet of the curated corpus
 
 Usage: python scripts/demo_pipeline.py [sf_dir]
 """
@@ -77,9 +79,23 @@ def curate(spark, sf_dir: str, out_dir: str):
     survivors = exact_survivors.join(to_drop, "doc_id", "left_anti")
     n3 = survivors.count()
 
-    # 4. token accounting + temperature-mixture allocation (alpha=0.5
+    # 4. corpus-wide duplicate-segment removal across the remaining docs
+    #    (C4's duplicate-paragraph pass): each doc is reassembled from
+    #    its globally-first segments; docs left with nothing drop out.
+    #    Token counts are recomputed on the reassembled text so the
+    #    accounting below reflects what would actually be trained on.
+    from fluvio_duck_spark.operators.dedup import segment_dedup
+
+    seg = segment_dedup(survivors, words_per_segment=10)
+    survivors = (
+        survivors.drop("text", "n_tokens")
+        .join(seg.select("doc_id", F.col("dedup_text").alias("text")), "doc_id")
+        .withColumn("n_tokens", token_count("text"))
+    )
+    n4 = survivors.count()
+
+    # 5. token accounting + temperature-mixture allocation (alpha=0.5
     #    flattens the language distribution for a 10k-doc training draw)
-    #    + curated output partitioned by language
     from fluvio_duck_spark.operators.sampling import temperature_mixture
 
     mix = temperature_mixture(survivors, "lang", alpha=0.5, budget=10_000)
@@ -87,12 +103,21 @@ def curate(spark, sf_dir: str, out_dir: str):
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("tokens"),
     ).join(mix.select("lang", "share", "alloc"), "lang")
+
+    # 6. deterministic train/val/test split + seeded epoch order; output
+    #    partitioned by (lang, split) for pruning.  shuffle_key rides
+    #    along so any reader can reconstruct the epoch order.
+    from fluvio_duck_spark.operators.sampling import split_assign, training_order
+
+    final = training_order(split_assign(survivors), seed=1)
     copy_to_parquet(
-        survivors.select("doc_id", "text", "lang", "q", "n_tokens"),
+        final.select(
+            "doc_id", "text", "lang", "q", "n_tokens", "split", "shuffle_key"
+        ),
         out_dir,
-        partition_by=["lang"],
+        partition_by=["lang", "split"],
     )
-    return n0, n1, n2, n3, stats
+    return n0, n1, n2, n3, n4, stats
 
 
 def main() -> None:
@@ -100,16 +125,18 @@ def main() -> None:
 
     spark = get_spark("fluvio-duck-spark-pipeline", shuffle_partitions=8)
     with tempfile.TemporaryDirectory() as tmp:
-        n0, n1, n2, n3, stats = curate(spark, SF_DIR, f"{tmp}/curated")
-        print(f"input docs:          {n0}")
-        print(f"after quality gate:  {n1}")
-        print(f"after exact dedup:   {n2}")
-        print(f"after near-dup drop: {n3}")
+        n0, n1, n2, n3, n4, stats = curate(spark, SF_DIR, f"{tmp}/curated")
+        print(f"input docs:            {n0}")
+        print(f"after quality gate:    {n1}")
+        print(f"after exact dedup:     {n2}")
+        print(f"after near-dup drop:   {n3}")
+        print(f"after segment dedup:   {n4}")
         print("token accounting + mixture allocation per language:")
         stats.show()
         back = spark.read.parquet(f"{tmp}/curated")
-        assert back.count() == n3
-        print(f"curated corpus round-trip OK ({n3} docs)")
+        assert back.count() == n4
+        print(f"curated corpus round-trip OK ({n4} docs, "
+              "partitioned by lang/split, epoch order in shuffle_key)")
 
 
 if __name__ == "__main__":

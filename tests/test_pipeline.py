@@ -13,14 +13,17 @@ sys.path.insert(0, "/root/repo/scripts")
 def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     from demo_pipeline import curate
 
-    n0, n1, n2, n3, stats = curate(spark, sf_dir, str(tmp_path / "curated"))
-    assert n0 >= n1 >= n2 >= n3 > 0  # each stage only removes docs
+    n0, n1, n2, n3, n4, stats = curate(spark, sf_dir, str(tmp_path / "curated"))
+    assert n0 >= n1 >= n2 >= n3 >= n4 > 0  # each stage only removes docs
     out = spark.read.parquet(str(tmp_path / "curated"))
-    assert out.count() == n3
-    # partitioned layout by language
-    assert "lang" in out.columns
+    assert out.count() == n4
+    # partitioned layout by (language, split); epoch order rides along
+    assert {"lang", "split", "shuffle_key"} <= set(out.columns)
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
     total = sum(r.docs for r in stats.collect())
-    assert total == n3
+    assert total == n4
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
