@@ -160,3 +160,31 @@ def test_help_surfaces_from_consume(spark, sf_dir):
     with pytest.raises(ConsumeOptError) as exc:
         fluvio_consume(spark, "--help", sf_dir=sf_dir)
     assert "usage" in str(exc.value).lower()
+
+
+def test_sql_table_functions_match_builders(spark, sf_dir):
+    """SURVEY §2.12: the metadata scans registered as real Spark SQL
+    table functions (Python UDTFs) — SELECT * FROM fluvio_topics(...)
+    returns exactly what the DataFrame builder returns."""
+    from fluvio_duck_spark.sources.metadata import fluvio_partitions, fluvio_topics
+    from fluvio_duck_spark.sources.udtf import register_sql_table_functions
+
+    register_sql_table_functions(spark)
+
+    got_t = spark.sql(f"SELECT * FROM fluvio_topics('{sf_dir}')")
+    assert [f.name for f in got_t.schema.fields] == ["name", "partitions"]
+    assert {tuple(r) for r in got_t.collect()} == {
+        tuple(r) for r in fluvio_topics(spark, sf_dir).collect()
+    }
+
+    got_p = spark.sql(f"SELECT * FROM fluvio_partitions('{sf_dir}')")
+    assert [f.name for f in got_p.schema.fields] == ["topic", "partition", "LEO"]
+    assert {tuple(r) for r in got_p.collect()} == {
+        tuple(r) for r in fluvio_partitions(spark, sf_dir).collect()
+    }
+
+    # the README sum(LEO) demo, now in pure SQL (reference README.md:73-83)
+    s = spark.sql(
+        f"SELECT sum(LEO) AS sum_leo FROM fluvio_partitions('{sf_dir}')"
+    ).collect()[0].sum_leo
+    assert s == sum(r.LEO for r in fluvio_partitions(spark, sf_dir).collect())
