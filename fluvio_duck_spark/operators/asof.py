@@ -103,9 +103,16 @@ def asof_join(
     )
     if tolerance_seconds is None:
         return out
-    if isinstance(left.schema[left_time].dataType, T.TimestampType):
+    if isinstance(
+        left.schema[left_time].dataType, (T.TimestampType, T.TimestampNTZType)
+    ):
+        # cast NTZ → TZ (session-zone) so unix_micros accepts both flavors;
+        # both sides shift identically, so the gap is unaffected.
         gap = (
-            F.abs(F.unix_micros(F.col(left_time)) - F.unix_micros(F.col("__mt")))
+            F.abs(
+                F.unix_micros(F.col(left_time).cast("timestamp"))
+                - F.unix_micros(F.col("__mt").cast("timestamp"))
+            )
             / F.lit(1_000_000.0)
         )
     else:

@@ -36,30 +36,33 @@ from fluvio_duck_spark.options import ConsumeOptError, ConsumeOptions, parse_con
 from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR, STANDIN_PARTITIONS
 from fluvio_duck_spark.transforms import apply_transform_chain, load_transform_chain
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def event_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """readStream over the events fixture with its native typed schema
-    (event_id, ts, user_id, event_type, value, props)."""
+    (event_id, ts, user_id, event_type, value, props).
+
+    File-stream sources require an explicit schema; it is derived from a
+    batch footer read of the same file so the stream sees exactly what the
+    batch source sees — including the ``ts`` flavor, which has shipped both
+    as TIMESTAMP(NANOS) (Spark reads it as long under the legacy conf and
+    we truncate ns→µs) and as plain TIMESTAMP(MICROS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     # file-stream sources take a directory; select just the events table
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    stream = (
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # watermarks/event-time windows demand TIMESTAMP (not NTZ); the
+        # session timezone is pinned to UTC (session.py), so the cast is
+        # value-preserving.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def record_log_stream(
