@@ -148,7 +148,67 @@ FROM r WHERE rn <= 5
 """
 
 
+def _sql_avg_by_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal usage surface (README.md:171-184): SQL text
+    with ``fluvio_consume('<opts>')`` inline, relational work around it.
+    consume_sql rewrites the call to a parameterized plan reference, so
+    Catalyst optimizes scan + aggregate as one statement."""
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    return consume_sql(
+        spark,
+        """
+        SELECT k % 10 AS route, count(*) AS n, avg(kd) AS avg_k
+        FROM fluvio_consume('events -A -B --rows 1000000 -c k:i=k -c kd:d=k')
+        GROUP BY k % 10
+        """,
+        sf_dir=sf_dir,
+    )
+
+
+ORACLE_SQL_AVG_BY_ROUTE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS route,
+       count(*) AS n,
+       avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS avg_k
+FROM events GROUP BY 1
+"""
+
+
+def _sql_topic_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join of two inline table functions in one SQL statement — the
+    view-free form of the README's metadata session (README.md:60-83)."""
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    return consume_sql(
+        spark,
+        """
+        SELECT t.name, count(*) AS n_parts, sum(p.LEO) AS topic_leo
+        FROM fluvio_topics() t JOIN fluvio_partitions() p ON t.name = p.topic
+        GROUP BY t.name
+        """,
+        sf_dir=sf_dir,
+    )
+
+
+ORACLE_SQL_TOPIC_LEO = """
+WITH p AS (
+  SELECT event_type AS topic, user_id % 4 AS part,
+         CAST(max(event_id) + 1 AS BIGINT) AS leo
+  FROM events GROUP BY 1, 2)
+SELECT topic AS name, count(*) AS n_parts,
+       CAST(sum(leo) AS BIGINT) AS topic_leo
+FROM p GROUP BY topic
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    # §2.13/§3 entry point 1: literal SQL with inline table functions
+    "consume_sql_avg_by_route": QuerySpec(
+        _sql_avg_by_route, ORACLE_SQL_AVG_BY_ROUTE,
+        doc="SQL-text surface: fluvio_consume('<opts>') inline in a GROUP BY statement (reference README.md:171-184)"),
+    "consume_sql_topic_leo": QuerySpec(
+        _sql_topic_leo, ORACLE_SQL_TOPIC_LEO,
+        doc="SQL-text surface: join of fluvio_topics() and fluvio_partitions() in one statement"),
     "consume_heavy_hitters": QuerySpec(
         _heavy_hitters, ORACLE_HEAVY_HITTERS,
         doc="daily top-5 hot keys via pre-agg + window over the pre-agg (skew-salting input signal)"),

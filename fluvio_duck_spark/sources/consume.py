@@ -183,11 +183,14 @@ def fluvio_consume(
         log = apply_transform_chain(log, chain)
     elif budget_as_predicate and start.kind == "tail":
         leo = log.agg((F.coalesce(F.max("offset"), F.lit(-1)) + 1).alias("__leo"))
+        # Tail farther back than the log start clamps to the beginning
+        # (Fluvio Offset::from_end semantics) — without the clamp the
+        # [lo, lo+rows) window goes negative and matches nothing.
+        lo = F.greatest(F.col("__leo") - start.n, F.lit(0))
         log = (
             log.crossJoin(F.broadcast(leo))
             .filter(
-                (F.col("offset") >= F.col("__leo") - start.n)
-                & (F.col("offset") < F.col("__leo") - start.n + opts.rows)
+                (F.col("offset") >= lo) & (F.col("offset") < lo + opts.rows)
             )
             .drop("__leo")
         )

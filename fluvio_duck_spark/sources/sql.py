@@ -1,0 +1,67 @@
+"""``consume_sql`` — the reference's literal SQL surface over Spark SQL.
+
+The documented way to use the reference is SQL text with table functions
+inline (reference README.md:97-184)::
+
+    SELECT avg(speed) FROM fluvio_consume('helsinki -B ...') GROUP BY route
+    SELECT sum(LEO) FROM fluvio_partitions()
+
+``spark.sql`` cannot call our DataFrame builders by name, and running the
+scan inside a single UDTF worker would serialize it (sources/udtf.py keeps
+UDTFs for the metadata-sized scans only).  ``consume_sql`` closes the gap
+with a textual rewrite + parameterized binding:
+
+1. each ``fluvio_consume('<opts>')`` / ``fluvio_topics()`` /
+   ``fluvio_partitions()`` occurrence is replaced by a named ``{param}``
+   table reference, and
+2. the corresponding builder DataFrame is passed to
+   ``spark.sql(rewritten, **params)`` — Spark substitutes the *logical
+   plan*, so the scan stays fully distributed and Catalyst fuses it with
+   the surrounding query (filters/projections still reach the parquet
+   scan).
+
+This is exactly how DuckDB treats the extension's table functions: the
+function call binds to a relation, then the engine optimizes the whole
+statement.  The option string must be a plain single-quoted literal
+(no embedded ``'``) — the same restriction DuckDB's own call syntax has.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR, fluvio_consume
+from fluvio_duck_spark.sources.metadata import fluvio_partitions, fluvio_topics
+
+#: fluvio_consume('<opts>')  — opts is a single-quoted literal.
+_CONSUME_RE = re.compile(r"fluvio_consume\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE)
+#: fluvio_topics() / fluvio_partitions() — no-arg metadata scans.
+_META_RE = re.compile(r"fluvio_(topics|partitions)\s*\(\s*\)", re.IGNORECASE)
+
+
+def consume_sql(
+    spark: SparkSession, sql: str, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """Run one SQL statement that may reference ``fluvio_consume('<opts>')``,
+    ``fluvio_topics()``, and ``fluvio_partitions()`` as inline table
+    functions, exactly like the reference's DuckDB surface."""
+    params: dict[str, DataFrame] = {}
+
+    def _bind_consume(m: re.Match) -> str:
+        name = f"__fc{len(params)}"
+        params[name] = fluvio_consume(spark, m.group(1), sf_dir=sf_dir)
+        return "{" + name + "}"
+
+    def _bind_meta(m: re.Match) -> str:
+        name = f"__fm{len(params)}"
+        builder = fluvio_topics if m.group(1).lower() == "topics" else fluvio_partitions
+        params[name] = builder(spark, sf_dir)
+        return "{" + name + "}"
+
+    rewritten = _CONSUME_RE.sub(_bind_consume, sql)
+    rewritten = _META_RE.sub(_bind_meta, rewritten)
+    if not params:
+        return spark.sql(sql)
+    return spark.sql(rewritten, **params)

@@ -188,3 +188,47 @@ def test_sql_table_functions_match_builders(spark, sf_dir):
         f"SELECT sum(LEO) AS sum_leo FROM fluvio_partitions('{sf_dir}')"
     ).collect()[0].sum_leo
     assert s == sum(r.LEO for r in fluvio_partitions(spark, sf_dir).collect())
+
+
+def test_consume_sql_inline_table_function(spark, sf_dir):
+    """consume_sql: the reference's literal SQL surface —
+    fluvio_consume('<opts>') inline in a statement, rewritten to a
+    parameterized plan reference (reference README.md:97-184)."""
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    row = consume_sql(
+        spark,
+        "SELECT count(*) AS n, min(offset) AS lo, max(offset) AS hi "
+        "FROM fluvio_consume('events -A -B --rows 500')",
+        sf_dir=sf_dir,
+    ).collect()[0]
+    assert (row.n, row.lo, row.hi) == (500, 0, 499)
+
+
+def test_consume_sql_joins_metadata_functions(spark, sf_dir):
+    from fluvio_duck_spark.sources.sql import consume_sql
+    from fluvio_duck_spark.sources.metadata import fluvio_partitions
+
+    got = consume_sql(
+        spark,
+        "SELECT sum(p.LEO) AS s FROM fluvio_topics() t "
+        "JOIN fluvio_partitions() p ON t.name = p.topic",
+        sf_dir=sf_dir,
+    ).collect()[0].s
+    assert got == sum(r.LEO for r in fluvio_partitions(spark, sf_dir).collect())
+
+
+def test_consume_sql_plain_statement_passthrough(spark, sf_dir):
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    assert consume_sql(spark, "SELECT 1 + 1 AS two").collect()[0].two == 2
+
+
+def test_tail_beyond_log_clamps_to_beginning(spark, sf_dir, n_events):
+    """-T larger than the log = read from the beginning (Fluvio
+    Offset::from_end clamps); the --rows budget then applies from there."""
+    df = fluvio_consume(spark, "events -A -T 99999999 --rows 1000000", sf_dir=sf_dir)
+    assert df.count() == n_events
+    df2 = fluvio_consume(spark, "events -A -T 99999999 --rows 10", sf_dir=sf_dir)
+    offsets = sorted(r.offset for r in df2.select("offset").collect())
+    assert offsets == list(range(10))
