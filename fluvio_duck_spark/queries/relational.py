@@ -159,6 +159,49 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape — unshipped-order revenue for one market segment,
+    top-10.  Both date filters prune at the parquet scan (row-group
+    min/max); the segment-filtered customer keylist is the small side of
+    its join (AQE converts it to broadcast at runtime); the top-10 is a
+    per-partition heap merged on the driver (TakeOrderedAndProject), never
+    a global sort of the aggregate."""
+    cutoff = _TS("1998-01-01")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_SHIPPING_PRIORITY = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 ORACLE_REVENUE_BY_NATION = """
 SELECT n_name,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue,
@@ -1921,6 +1964,8 @@ QUERIES: dict[str, QuerySpec] = {
                             doc="approx_count_distinct/percentile (sketches differ by engine; rows-only)"),
     "join_revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_BY_NATION,
                                         doc="TPC-H Q5 shape w/ broadcast dims — §2.6"),
+    "join_shipping_priority": QuerySpec(q_shipping_priority, ORACLE_SHIPPING_PRIORITY,
+                                        doc="TPC-H Q3 shape: 3-way join + agg + top-10 heap — §2.6"),
     "join_left_order_counts": QuerySpec(q_left_join_order_counts, ORACLE_LEFT_JOIN,
                                         doc="LEFT OUTER — §2.6"),
     "join_semi": QuerySpec(q_semi_join, ORACLE_SEMI_JOIN, doc="LEFT SEMI / EXISTS — §2.6"),
