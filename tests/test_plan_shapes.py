@@ -162,3 +162,22 @@ def test_asof_tolerance_still_single_shuffle(specs, spark, sf_dir):
     # second shuffle, no join operator
     df = _run(specs, spark, sf_dir, "join_asof_tolerance")
     assert_plan(df, Exchange=1, SortMergeJoin=0, BroadcastHashJoin=0)
+
+
+def test_shipping_priority_one_shuffle_topk(specs, spark, sf_dir):
+    # TPC-H Q3: the only Exchange is the groupBy; the top-10 is a heap
+    # (TakeOrderedAndProject), never a global sort of the aggregate
+    df = _run(specs, spark, sf_dir, "join_shipping_priority")
+    ops = assert_plan(df, Exchange=1, ArrowEvalPython=0)
+    assert ops.get("TakeOrderedAndProject", 0) == 1
+
+
+def test_consume_sql_fuses_scan_and_agg(specs, spark, sf_dir):
+    # the SQL-text surface must not materialize the inner scan: the
+    # rewritten statement is ONE Catalyst plan — scan + partial/final agg,
+    # a single shuffle, no Python boundary
+    df = _run(specs, spark, sf_dir, "consume_sql_avg_by_route")
+    ops = assert_plan(
+        df, Exchange=1, ArrowEvalPython=0, BatchEvalPython=0, Scan_parquet=1
+    )
+    assert ops.get("HashAggregate", 0) == 2  # partial + final
