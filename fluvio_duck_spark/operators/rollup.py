@@ -40,27 +40,54 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct")
+KINDS = ("sum", "count", "min", "max", "avg", "approx_distinct", "hist")
 
 
 @dataclass(frozen=True)
 class Measure:
-    """One rolled-up measure: ``kind`` ∈ sum|count|min|max|avg over
-    ``col``, surfaced as ``name``.  ``scale`` is the DECIMAL scale used
-    for exact sum accumulation of float inputs."""
+    """One rolled-up measure: ``kind`` ∈ sum|count|min|max|avg|
+    approx_distinct|hist over ``col``, surfaced as ``name``.  ``scale``
+    is the DECIMAL scale used for exact sum accumulation of float inputs.
+
+    ``hist`` state is a fixed-bin count histogram over ``[lo, hi)``
+    (``nbuckets`` equal bins; values outside clamp to the edge bins) —
+    an ``array<bigint>`` that merges by elementwise addition, so
+    cascaded quantiles are *bit-identical* to direct ones (the property
+    HLL gives distinct counts, here for percentiles).  ``pcts`` are the
+    percentiles finalize emits, each estimated as the lower bound of the
+    bin holding rank ``ceil(p·n)`` — deterministic (max error = one bin
+    width), hence oracle-checkable, unlike engine-specific quantile
+    sketches."""
 
     name: str
     col: str
     kind: str
     scale: int = 2
+    lo: float = 0.0
+    hi: float = 1.0
+    nbuckets: int = 32
+    pcts: tuple = (0.5,)
 
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
             raise ValueError(f"unknown measure kind {self.kind!r}; use one of {KINDS}")
+        if self.kind == "hist" and not (self.hi > self.lo and self.nbuckets >= 1):
+            raise ValueError("hist needs hi > lo and nbuckets >= 1")
 
     @property
     def _dec(self) -> str:
         return f"decimal(28,{self.scale})"
+
+    @property
+    def _bin_width(self) -> float:
+        return (self.hi - self.lo) / self.nbuckets
+
+    def _bin_index(self) -> Column:
+        """Clamped bin index of ``col`` — plain JVM arithmetic."""
+        raw = F.floor((F.col(self.col) - F.lit(self.lo)) / F.lit(self._bin_width))
+        return F.least(
+            F.greatest(raw.cast("int"), F.lit(0)), F.lit(self.nbuckets - 1)
+        )
 
 
 def time_bucket(ts: Column | str, width_seconds: int) -> Column:
@@ -87,6 +114,17 @@ def _initial_aggs(measures: list[Measure]) -> list[Column]:
         elif m.kind == "avg":  # mergeable (sum, count) pair
             out.append(F.sum(c.cast(m._dec)).alias(f"{m.name}_sum"))
             out.append(F.count(c).alias(f"{m.name}_cnt"))
+        elif m.kind == "hist":
+            # one-hot expansion: nbuckets conditional counts in ONE
+            # partial+final agg pass (all whole-stage codegen; no UDF,
+            # no collect) packed into the array state
+            idx = m._bin_index()
+            out.append(
+                F.array(*[
+                    F.count(F.when((idx == i) & c.isNotNull(), True))
+                    for i in range(m.nbuckets)
+                ]).alias(m.name)
+            )
         else:  # approx_distinct → HLL sketch state (binary, mergeable)
             out.append(F.hll_sketch_agg(c).alias(m.name))
     return out
@@ -106,6 +144,14 @@ def _merge_aggs(measures: list[Measure]) -> list[Column]:
         elif m.kind == "avg":
             out.append(F.sum(F.col(f"{m.name}_sum").cast(m._dec)).alias(f"{m.name}_sum"))
             out.append(F.sum(f"{m.name}_cnt").alias(f"{m.name}_cnt"))
+        elif m.kind == "hist":
+            # elementwise array addition as nbuckets scalar sums — the
+            # exact merge that makes cascaded quantiles ≡ direct ones
+            out.append(
+                F.array(*[
+                    F.sum(F.col(m.name)[i]) for i in range(m.nbuckets)
+                ]).alias(m.name)
+            )
         else:
             out.append(F.hll_union_agg(m.name).alias(m.name))
     return out
@@ -163,9 +209,44 @@ def finalize_rollup(rollup: DataFrame, measures: list[Measure]) -> DataFrame:
             )
         elif m.kind == "approx_distinct":
             out.append(F.hll_sketch_estimate(m.name).alias(m.name))
+        elif m.kind == "hist":
+            for p in m.pcts:
+                out.append(
+                    _hist_percentile(m, p).alias(
+                        f"{m.name}_p{int(round(p * 100))}"
+                    )
+                )
         else:
             out.append(F.col(m.name))
     return rollup.select(*out)
+
+
+def _hist_percentile(m: Measure, p: float) -> Column:
+    """Deterministic estimator: lower bound of the bin holding rank
+    ``max(ceil(p·n), 1)`` under the cumulative bin counts.  Pure array
+    expressions (one ``aggregate`` scan over nbuckets elements per row)
+    — no UDF, no sort, reproducible on any engine."""
+    arr = F.col(m.name)
+    total = F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+    rank = F.greatest(F.ceil(F.lit(p) * total).cast("long"), F.lit(1).cast("long"))
+    zero = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(-1).alias("idx"),
+        F.lit(0).alias("i"),
+    )
+    found = F.aggregate(
+        arr,
+        zero,
+        lambda acc, x: F.struct(
+            (acc.cum + x).alias("cum"),
+            F.when((acc.idx < 0) & (acc.cum + x >= rank), acc.i)
+            .otherwise(acc.idx)
+            .alias("idx"),
+            (acc.i + 1).alias("i"),
+        ),
+    )
+    est = F.lit(m.lo) + found.idx.cast("double") * F.lit(m._bin_width)
+    return F.when(found.idx >= 0, est).cast("double")
 
 
 def refresh_rollup(

@@ -1593,6 +1593,56 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rollup_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 derived from CASCADED hourly histogram state —
+    fixed-bin count arrays merge by elementwise addition, so the daily
+    quantile estimate is bit-identical whether computed from raw data or
+    from the hourly rollup (the property HLL gives distinct counts, here
+    for percentiles).  The estimator (lower bound of the bin holding
+    rank ceil(p·n)) is deterministic, so unlike t-digest/KLL-sketch
+    quantiles it is fully oracle-checkable; max error = one bin width."""
+    from fluvio_duck_spark.operators.rollup import (
+        Measure,
+        cascade_rollup,
+        finalize_rollup,
+        hypertable_rollup,
+    )
+
+    m = [
+        Measure("v", "value", "hist", lo=0.0, hi=500.0, nbuckets=50,
+                pcts=(0.5, 0.95)),
+        Measure("n", "value", "count"),
+    ]
+    ev = load(spark, sf_dir, "events")
+    hourly = hypertable_rollup(ev, "ts", 3600, ["event_type"], m)
+    return finalize_rollup(cascade_rollup(hourly, 86400, ["event_type"], m), m)
+
+
+ORACLE_ROLLUP_HIST = """
+WITH base AS (
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS TIMESTAMP)
+           AS bucket,
+         event_type,
+         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INTEGER), 0), 49) AS idx
+  FROM events WHERE value IS NOT NULL),
+bins AS (
+  SELECT bucket, event_type, idx, COUNT(*) AS c
+  FROM base GROUP BY 1, 2, 3),
+cum AS (
+  SELECT bucket, event_type, idx, c,
+         SUM(c) OVER (PARTITION BY bucket, event_type ORDER BY idx) AS cum,
+         SUM(c) OVER (PARTITION BY bucket, event_type) AS total
+  FROM bins)
+SELECT bucket, event_type,
+  CAST(0.0 + MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.5 * total) AS BIGINT), 1)
+                      THEN idx END) * 10.0 AS DOUBLE) AS v_p50,
+  CAST(0.0 + MIN(CASE WHEN cum >= GREATEST(CAST(CEIL(0.95 * total) AS BIGINT), 1)
+                      THEN idx END) * 10.0 AS DOUBLE) AS v_p95,
+  CAST(MAX(total) AS BIGINT) AS n
+FROM cum GROUP BY 1, 2
+"""
+
+
 def q_rollup_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct-user estimates derived from *hourly HLL sketches*
     (mergeable state — distinct counts are not exactly mergeable, sketch
@@ -2022,4 +2072,6 @@ QUERIES: dict[str, QuerySpec] = {
                                       doc="cascaded daily-from-hourly rollup, provably lossless vs direct raw agg"),
     "rollup_hll_daily_users": QuerySpec(q_rollup_hll_daily_users, None,
                                         doc="daily distinct-user estimate from mergeable hourly HLL sketches"),
+    "rollup_hist_percentiles": QuerySpec(q_rollup_hist_percentiles, ORACLE_ROLLUP_HIST,
+                                         doc="daily p50/p95 from cascaded hourly histogram state (mergeable, deterministic estimator)"),
 }

@@ -159,3 +159,60 @@ def test_incremental_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
     g = {key(r): (r.total, r.n, round(r.avg_value, 9), r.users) for r in got.collect()}
     w = {key(r): (r.total, r.n, round(r.avg_value, 9), r.users) for r in want.collect()}
     assert g == w
+
+
+def test_hist_cascade_state_bit_identical(spark, sf_dir):
+    """Histogram bin-count arrays merge by elementwise addition, so the
+    cascaded daily state equals the direct daily state exactly — the
+    mergeability property that makes the quantile rollup maintainable
+    incrementally at scale."""
+    m = [Measure("v", "value", "hist", lo=0.0, hi=500.0, nbuckets=50,
+                 pcts=(0.5, 0.95))]
+    ev = load(spark, sf_dir, "events")
+    hourly = hypertable_rollup(ev, "ts", 3600, ["event_type"], m)
+    casc = cascade_rollup(hourly, 86400, ["event_type"], m)
+    direct = hypertable_rollup(ev, "ts", 86400, ["event_type"], m)
+    a = {(r.bucket, r.event_type): list(r.v) for r in casc.collect()}
+    b = {(r.bucket, r.event_type): list(r.v) for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_hist_percentile_within_one_bin_of_order_stat(spark, sf_dir):
+    """The estimator returns the lower bound of the bin CONTAINING the
+    rank-⌈p·n⌉ order statistic, so 0 <= stat - estimate < one bin width
+    by construction (vs the order statistic, not the interpolating
+    percentile, which is unbounded for 2-element groups)."""
+    width = 10.0
+    m = [Measure("v", "value", "hist", lo=0.0, hi=500.0, nbuckets=50,
+                 pcts=(0.5,))]
+    ev = load(spark, sf_dir, "events")
+    fin = finalize_rollup(
+        hypertable_rollup(ev, "ts", 86400, ["event_type"], m), m
+    )
+    est = {(r.bucket, r.event_type): r.v_p50 for r in fin.collect()}
+    # rank-⌈0.5·n⌉ order statistic, exactly the estimator's target rank
+    stat = {
+        (r.bucket, r.event_type): r.stat
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.sort_array(F.collect_list("value")).alias("vs"))
+        .select(
+            "bucket", "event_type",
+            F.col("vs")[
+                (F.ceil(F.size("vs") * 0.5).cast("int") - 1)
+            ].alias("stat"),
+        )
+        .collect()
+    }
+    assert est.keys() == stat.keys() and len(est) > 0
+    assert all(0 <= stat[k] - est[k] < width for k in est)
+
+
+def test_hist_empty_bins_give_null_percentile(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "a", None)], "ts string, k string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    m = [Measure("v", "value", "hist", lo=0.0, hi=10.0, nbuckets=4, pcts=(0.5,))]
+    fin = finalize_rollup(hypertable_rollup(df, "ts", 3600, ["k"], m), m)
+    assert fin.collect()[0].v_p50 is None
