@@ -591,6 +591,39 @@ FROM s
 """
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded sliding-window chunking (max 64 tokens, 16 overlap)
+    — the pretraining / RAG-indexing prep step.  Map-only explode: zero
+    shuffles at any corpus size (see operators/chunking.py)."""
+    from fluvio_duck_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        load(spark, sf_dir, "documents"),
+        max_tokens=64,
+        overlap=16,
+        keep_cols=["lang"],
+    )
+
+
+ORACLE_CHUNK = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+  WHERE text IS NOT NULL AND trim(text) <> ''),
+s AS (
+  SELECT doc_id, lang, toks,
+         CAST(u.start AS INTEGER) AS start,
+         CAST(u.start / 48 AS INTEGER) AS chunk_index
+  FROM t, UNNEST(range(0, GREATEST(len(toks) - 16, 1), 48)) AS u(start))
+SELECT doc_id, chunk_index,
+       CAST(len(list_slice(toks, start + 1, start + 64)) AS INTEGER)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, start + 1, start + 64), ' ') AS chunk,
+       lang
+FROM s
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling-hash) fingerprints, one row per selected
     fingerprint.  Map-only expression per doc; the explode happens at the
@@ -988,4 +1021,6 @@ QUERIES: dict[str, QuerySpec] = {
                                  doc="IVF ANN over a k-means-trained codebook (shuffle-free Lloyd's fit)"),
     "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,
                                         doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
+    "text_chunk_documents": QuerySpec(q_chunk_documents, ORACLE_CHUNK,
+                                      doc="token-budget sliding-window chunking with overlap (map-only explode)"),
 }

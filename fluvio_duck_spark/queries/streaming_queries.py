@@ -12,7 +12,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from fluvio_duck_spark.queries import QuerySpec
-from fluvio_duck_spark.queries.relational import ORACLE_ROLLUP_HOURLY
+from fluvio_duck_spark.queries.relational import (
+    ORACLE_ROLLUP_HIST,
+    ORACLE_ROLLUP_HOURLY,
+)
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.streaming.consume_stream import (
     event_stream,
@@ -308,6 +311,29 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained daily quantiles: the stream holds hist
+    bin-count arrays as its aggregation state (mergeable, so complete-mode
+    re-emission is exact); shares rollup_hist_percentiles' machinery at
+    daily granularity with its own oracle — stream-maintained histogram
+    state must equal a batch histogram over the full log."""
+    from fluvio_duck_spark.operators.rollup import Measure, finalize_rollup
+    from fluvio_duck_spark.streaming.windows import stream_rollup
+
+    m = [
+        Measure("v", "value", "hist", lo=0.0, hi=500.0, nbuckets=50,
+                pcts=(0.5, 0.95)),
+        Measure("n", "value", "count"),
+    ]
+    agg = stream_rollup(
+        event_stream(spark, sf_dir), 86400, ["event_type"], m,
+        watermark="48 hours",
+    )
+    return finalize_rollup(
+        run_stream_to_table(agg, spark, output_mode="complete"), m
+    )
+
+
 def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained compacted view: the same max_by keyed-state
     aggregate as consume_compact_latest running under Structured
@@ -363,6 +389,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_rollup_hourly": QuerySpec(
         q_stream_rollup_hourly, ORACLE_ROLLUP_HOURLY,  # shared with batch rollup_hourly
         doc="continuously-maintained hourly hypertable rollup (streaming twin of rollup_hourly)"),
+    "stream_rollup_hist": QuerySpec(
+        q_stream_rollup_hist, ORACLE_ROLLUP_HIST,  # shared with batch hist rollup
+        doc="continuously-maintained daily quantiles from mergeable histogram state"),
     "stream_stream_join": QuerySpec(
         q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
         doc="watermarked stream-stream join with event-time range bound"),

@@ -416,3 +416,64 @@ def test_canonical_text_merges_trivial_variants(spark):
         .collect()
     }
     assert groups == {1: 3, 4: 1}  # canonical form merges 1,2,3
+
+
+def test_chunking_covers_and_overlaps_exactly(spark, sf_dir):
+    """Dropping each chunk's first `overlap` tokens (except chunk 0) and
+    concatenating reconstructs the document exactly — proves full
+    coverage AND exact-overlap in one invariant."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.chunking import chunk_documents
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    chunks = chunk_documents(docs, max_tokens=64, overlap=16)
+    rebuilt = (
+        chunks.withColumn(
+            "part",
+            F.when(F.col("chunk_index") == 0, F.col("chunk")).otherwise(
+                F.array_join(
+                    F.slice(F.split(F.col("chunk"), r"\s+"), 17, 100000), " "
+                )
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_index", "part"))
+                ).part,
+                " ",
+            ).alias("rebuilt")
+        )
+    )
+    joined = docs.select(
+        "doc_id", F.array_join(F.split(F.trim("text"), r"\s+"), " ").alias("norm")
+    ).join(rebuilt, "doc_id")
+    bad = joined.filter(F.col("norm") != F.col("rebuilt")).count()
+    assert bad == 0
+
+
+def test_chunking_token_budget_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(100))),  # 100 toks: 2 chunks
+            (2, "a b c"),                                # short: 1 chunk
+            (3, ""),                                     # empty: none
+            (4, None),                                   # null: none
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_index): r for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0)}
+    assert rows[(1, 0)].n_chunk_tokens == 64
+    assert rows[(1, 1)].n_chunk_tokens == 52  # tokens 48..99
+    assert rows[(1, 1)].chunk.split()[0] == "t48"
+    assert rows[(2, 0)].chunk == "a b c"
+    assert all(r.n_chunk_tokens <= 64 for r in rows.values())

@@ -181,3 +181,12 @@ def test_consume_sql_fuses_scan_and_agg(specs, spark, sf_dir):
         df, Exchange=1, ArrowEvalPython=0, BatchEvalPython=0, Scan_parquet=1
     )
     assert ops.get("HashAggregate", 0) == 2  # partial + final
+
+
+def test_chunking_is_map_only(specs, spark, sf_dir):
+    # chunking must stay a single-scan generate/explode pass: no shuffle,
+    # no Python — the property that lets it run on 100 TB as pure map tasks
+    df = _run(specs, spark, sf_dir, "text_chunk_documents")
+    assert_plan(
+        df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0, Scan_parquet=1
+    )
