@@ -591,6 +591,19 @@ FROM s
 """
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64→32 of the embedding column — the
+    dimensionality-reduction scale path (reduced-space shortlist, exact
+    re-rank).  Rows-only: the seeded Gaussian matrix is deterministic
+    (test_llm_ops.py proves bit-stability, distance preservation, and
+    near-dup survival) but not SQL-expressible."""
+    from fluvio_duck_spark.operators.projection import random_projection
+
+    return random_projection(
+        load(spark, sf_dir, "embeddings"), out_dim=32, seed=7
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bounded sliding-window chunking (max 64 tokens, 16 overlap)
     — the pretraining / RAG-indexing prep step.  Map-only explode: zero
@@ -1023,4 +1036,6 @@ QUERIES: dict[str, QuerySpec] = {
                                         doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
     "text_chunk_documents": QuerySpec(q_chunk_documents, ORACLE_CHUNK,
                                       doc="token-budget sliding-window chunking with overlap (map-only explode)"),
+    "sim_random_projection": QuerySpec(q_random_projection, None,
+                                       doc="JL random projection 64->32 (seeded GEMM per Arrow batch; map-only)"),
 }

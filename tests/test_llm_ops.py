@@ -477,3 +477,57 @@ def test_chunking_token_budget_and_edges(spark):
     assert rows[(1, 1)].chunk.split()[0] == "t48"
     assert rows[(2, 0)].chunk == "a b c"
     assert all(r.n_chunk_tokens <= 64 for r in rows.values())
+
+
+def test_random_projection_deterministic_and_map_only(spark, sf_dir):
+    from fluvio_duck_spark.operators.projection import random_projection
+    from fluvio_duck_spark.plans import assert_plan
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    red = random_projection(emb, out_dim=32, seed=7)
+    a = {r.vec_id: list(r.embedding) for r in red.collect()}
+    b = {
+        r.vec_id: list(r.embedding)
+        for r in random_projection(emb, out_dim=32, seed=7).collect()
+    }
+    assert a == b  # matrix regenerated from seed in every task, bit-stable
+    assert len(next(iter(a.values()))) == 32
+    assert_plan(red, Exchange=0, Scan_parquet=1)  # single Arrow map pass
+
+
+def test_random_projection_preserves_distances_and_near_dups(spark, sf_dir):
+    """The two JL guarantees the pipeline relies on: (a) pairwise squared
+    distances distort by O(1/sqrt(out_dim)) on average, (b) near-duplicate
+    pairs (cos >= 0.99) stay near-duplicate in the reduced space — the
+    property that makes reduced-space near-dup shortlisting sound.
+    (Ranking mid-similarity neighbors is NOT preserved at these margins;
+    see operators/projection.py docstring.)"""
+    import numpy as np
+
+    from fluvio_duck_spark.operators.projection import projection_matrix
+    from fluvio_duck_spark.sources.tables import load
+
+    X = np.array(
+        [r.embedding for r in load(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float32,
+    )
+    R = projection_matrix(X.shape[1], 32, seed=7)
+    Y = X @ R.T
+    rng = np.random.RandomState(0)
+    i, j = rng.randint(0, len(X), 1000), rng.randint(0, len(X), 1000)
+    m = i != j
+    ratio = ((Y[i[m]] - Y[j[m]]) ** 2).sum(1) / ((X[i[m]] - X[j[m]]) ** 2).sum(1)
+    assert np.abs(ratio - 1).mean() < 0.25
+    # planted near-dups: noise at 1% of each vector's norm
+    noise = rng.standard_normal((40, X.shape[1])).astype(np.float32)
+    noise *= 0.01 * np.linalg.norm(X[:40], axis=1, keepdims=True) / np.sqrt(X.shape[1])
+    dup = X[:40] + noise
+
+    def cos(a, b):
+        an = a / np.linalg.norm(a, axis=1, keepdims=True)
+        bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+        return (an * bn).sum(1)
+
+    assert cos(X[:40], dup).min() > 0.995
+    assert cos(Y[:40], dup @ R.T).min() > 0.99
