@@ -37,6 +37,9 @@ HEADLINE = [
     "mm_frame_stats",
     "text_pii_redact",
     "stream_tumbling_windows",
+    "text_chunk_documents",
+    "rollup_hist_percentiles",
+    "consume_sql_avg_by_route",
 ]
 
 
