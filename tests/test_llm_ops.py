@@ -531,3 +531,42 @@ def test_random_projection_preserves_distances_and_near_dups(spark, sf_dir):
 
     assert cos(X[:40], dup).min() > 0.995
     assert cos(Y[:40], dup @ R.T).min() > 0.99
+
+
+def test_chunking_boundary_token_counts(spark):
+    """Every boundary of the window-start rule in one pass: n = 1,
+    overlap, overlap+1, max, max+1, exact multiple of stride+overlap,
+    and one past it.  Invariants: full coverage, budget respected,
+    chunk i starts at token i*stride, last window contributes a new
+    token (never fully contained in the previous one)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.chunking import chunk_documents
+
+    mx, ov = 8, 3  # stride 5
+    ns = [1, 2, 3, 4, 8, 9, 13, 14, 18, 100]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in ns],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_tokens=mx, overlap=ov)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    stride = mx - ov
+    for n in ns:
+        chunks = sorted(got[n], key=lambda r: r.chunk_index)
+        # expected number of windows: starts 0, stride, ... <= max(n-ov-1, 0)
+        exp = len(range(0, max(n - ov - 1, 0) + 1, stride))
+        assert len(chunks) == exp, (n, len(chunks), exp)
+        seen = []
+        for k, r in enumerate(chunks):
+            toks = r.chunk.split()
+            assert r.chunk_index == k
+            assert toks[0] == f"w{k * stride}"          # start position
+            assert len(toks) == min(mx, n - k * stride)  # budget + tail
+            assert r.n_chunk_tokens == len(toks)
+            seen.extend(toks[ov:] if k else toks)
+        # dropping the overlap prefix of every non-first chunk
+        # reconstructs the doc exactly — coverage with exact overlap
+        assert seen == [f"w{i}" for i in range(n)]
