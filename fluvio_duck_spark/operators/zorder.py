@@ -1,0 +1,86 @@
+"""Z-order (Morton) data layout for multi-dimensional scan pruning.
+
+Parquet row-group min/max stats prune scans only when the file layout
+clusters the filtered columns.  A plain sort clusters ONE column
+perfectly and leaves the others unclustered; interleaving the bits of
+per-column quantile-bucket ranks clusters ALL participating columns
+fairly well — the standard lakehouse `OPTIMIZE ZORDER BY` trade
+(Delta/Iceberg/Databricks) for multi-predicate scan-heavy tables.
+
+Design for 100 TB:
+
+* Bucket boundaries come from ``approxQuantile`` — one pass, sketch-
+  merged on the driver, 2^bits numbers per column (KB).  No sort, no
+  shuffle for rank computation.
+* Bucketing + bit interleaving are pure JVM column expressions against
+  the broadcast boundary literals.
+* The write is ``repartitionByRange(zkey)`` (one range shuffle — the
+  same cost a plain sorted write pays) + ``sortWithinPartitions``.
+
+Cite: reference has no storage-layout surface (its output is DuckDB
+``COPY ... TO`` — reference README.md:188-205); this extends sink K1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: str, boundaries: list[float]) -> Column:
+    """Rank of ``col`` among the boundary list = #boundaries <= value
+    (0..2^bits-1).  O(|boundaries|) JVM filter per row, no shuffle."""
+    bnds = F.array(*[F.lit(float(b)) for b in boundaries])
+    c = F.col(col).cast("double")
+    return F.when(c.isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(bnds, lambda b: b <= c))
+    )
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, Column]:
+    """Return ``(df, zkey column)`` where zkey interleaves the ``bits``-bit
+    quantile-bucket ranks of each column (Morton code).  Quantiles are
+    approximate (``approxQuantile`` relative error 1e-3) — layout quality
+    is insensitive to boundary jitter."""
+    n = (1 << bits) - 1
+    probs = [i / (n + 1) for i in range(1, n + 1)]
+    ranks = []
+    for colname in cols:
+        bnds = df.approxQuantile(colname, probs, 1e-3)
+        ranks.append(_bucket(colname, bnds))
+    width = len(cols)
+    zkey = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, r in enumerate(ranks):
+            # bit `bit` of rank j lands at interleaved position
+            # bit*width + j
+            zkey = zkey + (
+                F.shiftleft(
+                    F.shiftright(r.cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * width + j,
+                )
+            )
+    return df, zkey
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` parquet with rows Morton-clustered on ``cols`` so
+    row-group/file min-max stats prune multi-column range predicates."""
+    df, zkey = zorder_key(df, cols, bits)
+    (
+        df.withColumn("__z", zkey)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -129,3 +129,56 @@ def test_copy_to_json_roundtrip(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in src.collect()}
     b = {tuple(r) for r in back.collect()}
     assert a == b
+
+
+def test_zorder_layout_clusters_both_columns(spark, tmp_path):
+    """Footer-stat proof of the layout property: z-ordered files have
+    bounded min-max spans in BOTH filter columns (the multi-predicate
+    pruning case), while a plain sort clusters only its sort column and
+    an unsorted write clusters nothing."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.zorder import write_zordered
+
+    df = spark.range(100000).select(
+        (F.pmod(F.hash("id"), 10000) / 10000.0).alias("x"),
+        (F.pmod(F.hash(F.col("id") + 1), 10000) / 10000.0).alias("y"),
+        "id",
+    )
+    df.repartition(8).write.parquet(str(tmp_path / "plain"))
+    (
+        df.repartitionByRange(8, "x").sortWithinPartitions("x")
+        .write.parquet(str(tmp_path / "xsort"))
+    )
+    write_zordered(df, str(tmp_path / "zord"), ["x", "y"], num_files=8)
+
+    def spans(path):
+        sx, sy = [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                r = md.row_group(rg)
+                st = {
+                    r.column(i).path_in_schema: r.column(i).statistics
+                    for i in range(r.num_columns)
+                }
+                sx.append(st["x"].max - st["x"].min)
+                sy.append(st["y"].max - st["y"].min)
+        return sum(sx) / len(sx), sum(sy) / len(sy)
+
+    px, py = spans(tmp_path / "plain")
+    xx, xy = spans(tmp_path / "xsort")
+    zx, zy = spans(tmp_path / "zord")
+    # plain: no clustering at all; xsort: perfect x, useless y
+    assert px > 0.9 and py > 0.9
+    assert xx < 0.2 and xy > 0.9
+    # z-order: BOTH columns bounded — combined span beats the plain sort
+    assert zx < 0.75 and zy < 0.75
+    assert zx + zy < xx + xy
+    # and the data survives the layout unchanged
+    assert (
+        spark.read.parquet(str(tmp_path / "zord")).count() == df.count()
+    )
