@@ -123,6 +123,51 @@ def asof_join(
     )
 
 
+def asof_broadcast_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Backward as-of join for a SMALL right side (dimension changelog /
+    SCD-2 history): identical semantics and output contract to
+    ``asof_join(direction='backward')``, different physical plan.
+
+    Each right row becomes a validity interval ``[t, next t)`` via
+    ``lead`` (one window over the small side only), then the fact side
+    broadcast-hash-joins on key equality with the interval residual —
+    the FACT SIDE NEVER SHUFFLES, vs the union+window merge's one
+    fact-sized shuffle.  The right plan when |right| fits a broadcast
+    (say ≤ tens of MB) and |left| is the 100 TB log: map-only over the
+    log.  Use ``asof_join`` when both sides are large.
+
+    Right side must be unique per (key, time) — same contract as
+    ``asof_join`` (degenerate zero-width intervals otherwise).
+    """
+    lcols = left.columns
+    w = Window.partitionBy("__rk").orderBy(F.asc("__rt"))
+    intervals = (
+        right.select(
+            F.col(right_key).alias("__rk"),
+            F.col(right_time).alias("__rt"),
+            *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        )
+        .withColumn("__until", F.lead("__rt").over(w))
+    )
+    cond = (
+        (left[left_key] == intervals["__rk"])
+        & (left[left_time] >= intervals["__rt"])  # inclusive backward
+        & (intervals["__until"].isNull() | (left[left_time] < intervals["__until"]))
+    )
+    return (
+        left.join(F.broadcast(intervals), cond, "left")
+        .select(*lcols, *[F.col(f"__r_{c}").alias(c) for c in value_cols])
+    )
+
+
 def range_band_join(
     fact: DataFrame,
     bands: DataFrame,

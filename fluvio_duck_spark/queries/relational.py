@@ -675,6 +675,35 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same enrichment as join_asof via the broadcast-interval plan
+    (operators/asof.py::asof_broadcast_join): purchases (the small
+    changelog) become validity intervals and broadcast; the click fact
+    stream never shuffles.  Shares join_asof's DuckDB ASOF oracle —
+    two physical strategies, one proven semantics."""
+    from fluvio_duck_spark.operators.asof import asof_broadcast_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_broadcast_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_event", "purchase_value"],
+    )
+
+
 def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of with a bounded match window (pandas merge_asof tolerance):
     the most recent purchase counts only within 2 hours of the click —
@@ -1978,6 +2007,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="two-phase salted aggregation (skew pattern) — §2.7"),
     "join_asof": QuerySpec(q_asof_join, ORACLE_ASOF,
                            doc="as-of join via union+window merge — §2.6"),
+    "join_asof_broadcast": QuerySpec(q_asof_broadcast, ORACLE_ASOF,
+                                     doc="as-of via broadcast validity intervals: fact side never shuffles — §2.6"),
     "join_asof_forward": QuerySpec(q_asof_join_forward, ORACLE_ASOF_FORWARD,
                                    doc="forward (next-at-or-after) as-of join — §2.6"),
     "join_asof_tolerance": QuerySpec(q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE,

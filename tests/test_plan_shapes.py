@@ -190,3 +190,13 @@ def test_chunking_is_map_only(specs, spark, sf_dir):
     assert_plan(
         df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0, Scan_parquet=1
     )
+
+
+def test_asof_broadcast_fact_never_shuffles(specs, spark, sf_dir):
+    # the broadcast-interval as-of: ONE exchange (the small right side's
+    # lead-window), fact side joins via BroadcastHashJoin — no SMJ, no
+    # fact shuffle.  Same oracle hash as join_asof proves same semantics.
+    df = _run(specs, spark, sf_dir, "join_asof_broadcast")
+    ops = assert_plan(df, Exchange=1, SortMergeJoin=0, ArrowEvalPython=0)
+    assert ops.get("BroadcastHashJoin", 0) == 1
+    assert ops.get("Window", 0) == 1
