@@ -123,6 +123,33 @@ def asof_join(
     )
 
 
+def scd2_intervals(
+    changelog: DataFrame,
+    key: str,
+    time: str,
+    payload: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: a (key, time, payload)
+    changelog becomes one validity interval per version —
+    ``[valid_from, valid_to)``, open-ended NULL ``valid_to`` for the
+    current version.  This is the materialized form of what
+    ``asof_broadcast_join`` derives inline; persist it (e.g. bucketed or
+    z-ordered by key) and every downstream temporal join is a plain
+    interval join.  One shuffle on ``key`` (the lead window), map-only
+    otherwise — at scale the changelog is the small side by construction.
+    Rows must be unique per (key, time), same contract as the as-of
+    operators."""
+    w = Window.partitionBy(key).orderBy(F.asc(time))
+    return changelog.select(
+        F.col(key),
+        F.col(time).alias(valid_from),
+        F.lead(time).over(w).alias(valid_to),
+        *[F.col(c) for c in payload],
+    )
+
+
 def asof_broadcast_join(
     left: DataFrame,
     right: DataFrame,

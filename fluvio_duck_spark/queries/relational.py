@@ -704,6 +704,30 @@ def q_asof_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension build: each user's purchase changelog becomes
+    versioned validity intervals (open-ended current version) — the
+    materialized side of the broadcast as-of plan."""
+    from fluvio_duck_spark.operators.asof import scd2_intervals
+
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    return scd2_intervals(
+        purchases, key="user_id", time="ts", payload=["event_id", "value"]
+    )
+
+
+ORACLE_SCD2 = """
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+       event_id, value
+FROM events WHERE event_type = 'purchase'
+"""
+
+
 def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of with a bounded match window (pandas merge_asof tolerance):
     the most recent purchase counts only within 2 hours of the click —
@@ -2009,6 +2033,8 @@ QUERIES: dict[str, QuerySpec] = {
                            doc="as-of join via union+window merge — §2.6"),
     "join_asof_broadcast": QuerySpec(q_asof_broadcast, ORACLE_ASOF,
                                      doc="as-of via broadcast validity intervals: fact side never shuffles — §2.6"),
+    "scd2_intervals": QuerySpec(q_scd2_intervals, ORACLE_SCD2,
+                                doc="SCD-2 dimension build: changelog -> versioned validity intervals"),
     "join_asof_forward": QuerySpec(q_asof_join_forward, ORACLE_ASOF_FORWARD,
                                    doc="forward (next-at-or-after) as-of join — §2.6"),
     "join_asof_tolerance": QuerySpec(q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE,
