@@ -975,6 +975,78 @@ def q_batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_error_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join, both sides large: user sessions × 30-minute
+    error windows of the same user (closed intervals).  Grid-bucketed
+    plan (operators/intervals.py): equi-join on (user, time cell), the
+    overlap predicate is the residual, and each pair counts once at the
+    later-start cell — no nested loop, no post-join distinct."""
+    from fluvio_duck_spark.operators.intervals import interval_overlap_join
+    from fluvio_duck_spark.operators.sessions import session_stats
+
+    ev = load(spark, sf_dir, "events")
+    sessions = session_stats(
+        ev, "user_id", "ts", gap="1 hour", order_tiebreak="event_id"
+    ).select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user"),
+        F.col("event_id").alias("error_event"),
+        F.col("ts").alias("error_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("error_end"),
+    )
+    return interval_overlap_join(
+        sessions,
+        errors,
+        a_start="session_start",
+        a_end="session_end",
+        b_start="error_start",
+        b_end="error_end",
+        cell_seconds=1800,
+        keys=[("user_id", "err_user")],
+        closed=True,
+    ).select(
+        "user_id", "session_id", "session_start", "session_end",
+        "error_event", "error_start",
+    )
+
+
+ORACLE_SESSION_ERROR_OVERLAP = """
+WITH m AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id,
+         ts
+  FROM m),
+sess AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 1 HOUR AS session_end
+  FROM s GROUP BY user_id, session_id),
+e AS (
+  SELECT user_id, event_id AS error_event, ts AS error_start,
+         ts + INTERVAL 30 MINUTES AS error_end
+  FROM events WHERE event_type = 'error')
+SELECT sess.user_id, session_id, session_start, session_end,
+       error_event, error_start
+FROM sess JOIN e ON sess.user_id = e.user_id
+  AND sess.session_start <= e.error_end
+  AND e.error_start <= sess.session_end
+"""
+
+
 ORACLE_SESSIONIZE = """
 WITH m AS (
   SELECT user_id, ts, event_id,
@@ -2035,6 +2107,9 @@ QUERIES: dict[str, QuerySpec] = {
                                      doc="as-of via broadcast validity intervals: fact side never shuffles — §2.6"),
     "scd2_intervals": QuerySpec(q_scd2_intervals, ORACLE_SCD2,
                                 doc="SCD-2 dimension build: changelog -> versioned validity intervals"),
+    "join_session_error_overlap": QuerySpec(
+        q_session_error_overlap, ORACLE_SESSION_ERROR_OVERLAP,
+        doc="grid-bucketed interval-overlap join (both sides large; no NLJ, no distinct)"),
     "join_asof_forward": QuerySpec(q_asof_join_forward, ORACLE_ASOF_FORWARD,
                                    doc="forward (next-at-or-after) as-of join — §2.6"),
     "join_asof_tolerance": QuerySpec(q_asof_join_tolerance, ORACLE_ASOF_TOLERANCE,

@@ -316,3 +316,69 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 w = want.sort_values("lid").reset_index(drop=True)
                 assert got["rv"].fillna(-1).tolist() == w["rv"].fillna(-1).tolist(), (
                     seed, direction, tol)
+
+
+def test_interval_overlap_join_matches_naive_and_counts_once(spark):
+    """Grid-bucketed overlap join vs the naive inequality join on a
+    constructed set with multi-cell spans, exact-boundary touches, and
+    pairs sharing many cells (the dedupe-once property)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.intervals import interval_overlap_join
+
+    def mk(rows, pre):
+        return spark.createDataFrame(
+            [(i, k, f"2024-01-01 {s}", f"2024-01-01 {e}") for i, (k, s, e) in enumerate(rows)],
+            f"{pre}_id long, {pre}_k long, {pre}_s string, {pre}_e string",
+        ).select(
+            f"{pre}_id", f"{pre}_k",
+            F.col(f"{pre}_s").cast("timestamp").alias(f"{pre}_s"),
+            F.col(f"{pre}_e").cast("timestamp").alias(f"{pre}_e"),
+        )
+
+    a = mk([(1, "00:00:00", "05:00:00"),   # long: spans many 15-min cells
+            (1, "06:00:00", "06:10:00"),
+            (2, "01:00:00", "02:00:00")], "a")
+    b = mk([(1, "04:59:00", "07:00:00"),   # overlaps both of key 1's
+            (1, "05:00:00", "05:30:00"),   # touches a0's end exactly
+            (2, "02:00:00", "03:00:00"),   # touches a2's end exactly
+            (3, "00:00:00", "23:00:00")], "b")  # different key: never joins
+
+    got_open = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell_seconds=900,
+            keys=[("a_k", "b_k")],
+        ).collect()
+    }
+    naive_open = {
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (a.a_k == b.b_k) & (a.a_s < b.b_e) & (b.b_s < a.a_e),
+        ).collect()
+    }
+    assert got_open == naive_open  # incl. NO boundary-touch pairs
+
+    got_closed = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_s", "a_e", "b_s", "b_e", cell_seconds=900,
+            keys=[("a_k", "b_k")], closed=True,
+        ).collect()
+    }
+    naive_closed = {
+        (r.a_id, r.b_id)
+        for r in a.join(
+            b,
+            (a.a_k == b.b_k) & (a.a_s <= b.b_e) & (b.b_s <= a.a_e),
+        ).collect()
+    }
+    assert got_closed == naive_closed
+    assert (0, 1) in got_closed and (0, 1) not in got_open  # the touch pair
+    # count-once: collect() sets above would hide dupes — assert row counts
+    n_rows = interval_overlap_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", cell_seconds=900,
+        keys=[("a_k", "b_k")], closed=True,
+    ).count()
+    assert n_rows == len(got_closed)

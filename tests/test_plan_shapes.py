@@ -200,3 +200,19 @@ def test_asof_broadcast_fact_never_shuffles(specs, spark, sf_dir):
     ops = assert_plan(df, Exchange=1, SortMergeJoin=0, ArrowEvalPython=0)
     assert ops.get("BroadcastHashJoin", 0) == 1
     assert ops.get("Window", 0) == 1
+
+
+def test_interval_overlap_join_never_nested_loop(specs, spark, sf_dir):
+    # the whole point of grid bucketization: an inequality-overlap join
+    # planned as an EQUI-join on (key, cell) — hash strategies only,
+    # never BroadcastNestedLoop/Cartesian, no post-join distinct
+    df = _run(specs, spark, sf_dir, "join_session_error_overlap")
+    ops = assert_plan(
+        df, BroadcastNestedLoopJoin=0, CartesianProduct=0, SortMergeJoin=1
+    )
+    assert ops.get("BroadcastHashJoin", 0) + ops.get(
+        "ShuffledHashJoin", 0
+    ) + ops.get("SortMergeJoin", 0) == 1
+    # the only aggregate is sessionize's session_start/end groupBy
+    # (partial+final) — NO post-join dedupe aggregate exists
+    assert ops.get("HashAggregate", 0) <= 2
