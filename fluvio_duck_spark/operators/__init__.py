@@ -1,4 +1,16 @@
-from fluvio_duck_spark.operators.asof import asof_join, range_band_join
+from fluvio_duck_spark.operators.asof import (
+    asof_broadcast_join,
+    asof_join,
+    range_band_join,
+    scd2_intervals,
+)
+from fluvio_duck_spark.operators.chunking import chunk_documents, tokenize
+from fluvio_duck_spark.operators.intervals import interval_overlap_join
+from fluvio_duck_spark.operators.projection import (
+    projection_matrix,
+    random_projection,
+)
+from fluvio_duck_spark.operators.zorder import write_zordered, zorder_key
 from fluvio_duck_spark.operators.dedup import (
     connected_components,
     exact_dedup,
@@ -35,7 +47,16 @@ from fluvio_duck_spark.operators.skew import salted_agg_count, salted_join
 
 __all__ = [
     "ann_lsh_topk",
+    "asof_broadcast_join",
     "asof_join",
+    "chunk_documents",
+    "interval_overlap_join",
+    "projection_matrix",
+    "random_projection",
+    "scd2_intervals",
+    "tokenize",
+    "write_zordered",
+    "zorder_key",
     "blocked_near_dup_pairs",
     "attach_binary_content",
     "cosine_topk",
