@@ -15,6 +15,7 @@ from fluvio_duck_spark.session import get_spark
 from fluvio_duck_spark.sinks import copy_to_parquet, register_view, write_bucketed
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.sources.metadata import fluvio_partitions, fluvio_topics
+from fluvio_duck_spark.sources.sql import consume_sql
 from fluvio_duck_spark.streaming.consume_stream import (
     fluvio_consume_stream,
     run_stream_to_parquet,
@@ -24,6 +25,7 @@ from fluvio_duck_spark.streaming.consume_stream import (
 __all__ = [
     "ConsumeOptError",
     "ConsumeOptions",
+    "consume_sql",
     "copy_to_parquet",
     "fluvio_consume",
     "fluvio_consume_stream",
