@@ -922,9 +922,13 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score normalization (feature scaling for training-data
     pipelines) as aggregates-over-window — one shuffle on the group key.
     Variance from exact decimal sums: var = (n·Σx² − (Σx)²) / (n·(n−1)),
-    all-integer-exact until one double division + sqrt, so both engines
-    produce identical bits (a naive stddev_samp is accumulation-order-
-    dependent and not oracle-comparable)."""
+    all-integer-exact until one double division + sqrt (a naive
+    stddev_samp is accumulation-order-dependent and not
+    oracle-comparable).  The final z is rounded to 6 decimals on BOTH
+    engines: once the exact decimal state exceeds 2^53·scale (sf >= 0.1
+    group sizes), DuckDB's int128→double conversion rounds twice (hi/lo
+    64-bit halves) vs Java BigDecimal's single correct rounding — a
+    1-ULP cross-engine gap the round absorbs."""
     ev = load(spark, sf_dir, "events")
     w = W.partitionBy("event_type")
     x = F.col("value").cast("decimal(18,2)")
@@ -939,7 +943,7 @@ def q_window_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "event_type",
-        ((F.col("value") - mean) / F.sqrt(var)).alias("z"),
+        F.round((F.col("value") - mean) / F.sqrt(var), 6).alias("z"),
     )
 
 
@@ -952,8 +956,9 @@ WITH s AS (
   FROM events
   WINDOW w AS (PARTITION BY event_type))
 SELECT event_id, event_type,
-       (value - CAST(sx AS DOUBLE) / n)
-         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS z
+       ROUND((value - CAST(sx AS DOUBLE) / n)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+         6) AS z
 FROM s
 """
 
