@@ -117,7 +117,23 @@ def curate(spark, sf_dir: str, out_dir: str):
         out_dir,
         partition_by=["lang", "split"],
     )
-    return n0, n1, n2, n3, n4, stats
+
+    # 7. model-ready chunk table: 64-token sliding windows (16 overlap),
+    #    map-only explode of the curated corpus, written z-ordered on
+    #    (q, n_chunk_tokens) so chunk-level quality/length range scans
+    #    prune row groups on both columns.
+    from fluvio_duck_spark.operators.chunking import chunk_documents
+    from fluvio_duck_spark.operators.zorder import write_zordered
+
+    chunks = chunk_documents(
+        final, max_tokens=64, overlap=16, keep_cols=["lang", "split", "q"]
+    )
+    n5 = chunks.count()
+    write_zordered(
+        chunks, out_dir + "_chunks", cols=["q", "n_chunk_tokens"],
+        num_files=8,
+    )
+    return n0, n1, n2, n3, n4, n5, stats
 
 
 def main() -> None:
@@ -125,18 +141,21 @@ def main() -> None:
 
     spark = get_spark("fluvio-duck-spark-pipeline", shuffle_partitions=8)
     with tempfile.TemporaryDirectory() as tmp:
-        n0, n1, n2, n3, n4, stats = curate(spark, SF_DIR, f"{tmp}/curated")
+        n0, n1, n2, n3, n4, n5, stats = curate(spark, SF_DIR, f"{tmp}/curated")
         print(f"input docs:            {n0}")
         print(f"after quality gate:    {n1}")
         print(f"after exact dedup:     {n2}")
         print(f"after near-dup drop:   {n3}")
         print(f"after segment dedup:   {n4}")
+        print(f"training chunks:       {n5}")
         print("token accounting + mixture allocation per language:")
         stats.show()
         back = spark.read.parquet(f"{tmp}/curated")
         assert back.count() == n4
-        print(f"curated corpus round-trip OK ({n4} docs, "
-              "partitioned by lang/split, epoch order in shuffle_key)")
+        chunks_back = spark.read.parquet(f"{tmp}/curated_chunks")
+        assert chunks_back.count() == n5
+        print(f"curated corpus round-trip OK ({n4} docs -> {n5} z-ordered "
+              "chunks, partitioned by lang/split, epoch order in shuffle_key)")
 
 
 if __name__ == "__main__":

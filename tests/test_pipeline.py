@@ -13,8 +13,11 @@ sys.path.insert(0, "/root/repo/scripts")
 def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     from demo_pipeline import curate
 
-    n0, n1, n2, n3, n4, stats = curate(spark, sf_dir, str(tmp_path / "curated"))
+    n0, n1, n2, n3, n4, n5, stats = curate(
+        spark, sf_dir, str(tmp_path / "curated")
+    )
     assert n0 >= n1 >= n2 >= n3 >= n4 > 0  # each stage only removes docs
+    assert n5 >= n4  # chunking only splits, never drops surviving docs
     out = spark.read.parquet(str(tmp_path / "curated"))
     assert out.count() == n4
     # partitioned layout by (language, split); epoch order rides along
@@ -24,6 +27,10 @@ def test_curation_pipeline_end_to_end(spark, sf_dir, tmp_path):
     }
     total = sum(r.docs for r in stats.collect())
     assert total == n4
+    # model-ready chunk table: z-ordered write round-trips, budget holds
+    chunks = spark.read.parquet(str(tmp_path / "curated_chunks"))
+    assert chunks.count() == n5
+    assert chunks.agg(F.max("n_chunk_tokens")).first()[0] <= 64
 
 
 def test_approx_distinct_within_bounds(spark, sf_dir):
