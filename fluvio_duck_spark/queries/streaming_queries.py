@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from fluvio_duck_spark.queries import QuerySpec
 from fluvio_duck_spark.queries.relational import (
+    ORACLE_ASOF,
     ORACLE_ROLLUP_HIST,
     ORACLE_ROLLUP_HOURLY,
 )
@@ -311,6 +312,47 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment: the click stream joins the
+    batch-maintained purchase history as BROADCAST VALIDITY INTERVALS
+    (operators/asof.py::scd2_intervals — the streaming use of the SCD-2
+    build): key-equi broadcast join + interval residual, so the join
+    holds ZERO streaming state, the topology that enriches an unbounded
+    stream against a slowly-changing dimension.  Shares join_asof's
+    DuckDB ASOF oracle — batch merge, broadcast batch, and streaming
+    broadcast all hash-identical."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.asof import scd2_intervals
+    from fluvio_duck_spark.sources.tables import load
+
+    purchases = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            "ts",
+            F.col("event_id").alias("purchase_event"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    dim = scd2_intervals(
+        purchases, key="p_user", time="ts",
+        payload=["purchase_event", "purchase_value"],
+    )
+    clicks = event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts")
+    enriched = clicks.join(
+        F.broadcast(dim),
+        (clicks.user_id == dim.p_user)
+        & (clicks.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (clicks.ts < dim.valid_to)),
+        "left",
+    ).select("event_id", "user_id", "ts", "purchase_event", "purchase_value")
+    return run_stream_to_table(enriched, spark, output_mode="append")
+
+
 def q_stream_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained daily quantiles: the stream holds hist
     bin-count arrays as its aggregation state (mergeable, so complete-mode
@@ -392,6 +434,9 @@ QUERIES: dict[str, QuerySpec] = {
     "stream_rollup_hist": QuerySpec(
         q_stream_rollup_hist, ORACLE_ROLLUP_HIST,  # shared with batch hist rollup
         doc="continuously-maintained daily quantiles from mergeable histogram state"),
+    "stream_asof_enrich": QuerySpec(
+        q_stream_asof_enrich, ORACLE_ASOF,  # shared with batch as-of joins
+        doc="streaming as-of enrichment vs broadcast SCD-2 intervals (stateless join)"),
     "stream_stream_join": QuerySpec(
         q_stream_stream_join, ORACLE_STREAM_STREAM_JOIN,
         doc="watermarked stream-stream join with event-time range bound"),
