@@ -382,3 +382,46 @@ def test_interval_overlap_join_matches_naive_and_counts_once(spark):
         keys=[("a_k", "b_k")], closed=True,
     ).count()
     assert n_rows == len(got_closed)
+
+
+def test_interval_overlap_join_fuzz_vs_naive(spark):
+    """Randomized parity: random interval sets (varied lengths incl.
+    zero-width and many-cell spans, random keys) must match the naive
+    inequality join exactly — row-for-row, both open and closed — across
+    several seeds and cell widths."""
+    import random
+
+    from fluvio_duck_spark.operators.intervals import interval_overlap_join
+
+    base = 1_700_000_000  # fixed epoch anchor
+    for seed, cell in [(0, 60), (1, 3600), (2, 240)]:
+        rng = random.Random(seed)
+
+        def mk(n, pre):
+            rows = []
+            for i in range(n):
+                s = base + rng.randrange(0, 86_400)
+                e = s + rng.randrange(0, 7_200)  # zero-width allowed
+                rows.append((i, rng.randrange(3), s, e))
+            return spark.createDataFrame(
+                rows, f"{pre}_id long, {pre}_k long, {pre}_su long, {pre}_eu long"
+            ).selectExpr(
+                f"{pre}_id", f"{pre}_k",
+                f"timestamp_seconds({pre}_su) AS {pre}_s",
+                f"timestamp_seconds({pre}_eu) AS {pre}_e",
+            )
+
+        a, b = mk(60, "a"), mk(60, "b")
+        for closed in (False, True):
+            got = interval_overlap_join(
+                a, b, "a_s", "a_e", "b_s", "b_e", cell_seconds=cell,
+                keys=[("a_k", "b_k")], closed=closed,
+            )
+            op = (lambda x, y: x <= y) if closed else (lambda x, y: x < y)
+            naive = a.join(
+                b,
+                (a.a_k == b.b_k) & op(a.a_s, b.b_e) & op(b.b_s, a.a_e),
+            )
+            got_pairs = sorted((r.a_id, r.b_id) for r in got.collect())
+            naive_pairs = sorted((r.a_id, r.b_id) for r in naive.collect())
+            assert got_pairs == naive_pairs, (seed, cell, closed)
