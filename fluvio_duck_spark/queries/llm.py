@@ -591,6 +591,42 @@ FROM s
 """
 
 
+def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: exact cosine top-5 over the corpus for the whole
+    label-0 query set at once (operators/similarity.py::
+    cosine_topk_batch) — broadcast query matrix, one window shuffle."""
+    from fluvio_duck_spark.operators.similarity import cosine_topk_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(
+        emb, emb.filter(F.col("label") == 0), k=5
+    ).select("query_id", "vec_id", "sim", F.col("rn").cast("int").alias("rn"))
+
+
+ORACLE_TOPK_BATCH = """
+WITH cn AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS nv
+  FROM embeddings),
+q AS (
+  SELECT cn.vec_id AS query_id, nv AS qv
+  FROM cn JOIN embeddings e ON cn.vec_id = e.vec_id WHERE e.label = 0),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_aggregate(list_transform(range(1, len(c.nv)+1),
+        i -> c.nv[i] * q.qv[i]), 'sum') AS sim
+  FROM cn c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 5
+"""
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→32 of the embedding column — the
     dimensionality-reduction scale path (reduced-space shortlist, exact
@@ -1038,4 +1074,6 @@ QUERIES: dict[str, QuerySpec] = {
                                       doc="token-budget sliding-window chunking with overlap (map-only explode)"),
     "sim_random_projection": QuerySpec(q_random_projection, None,
                                        doc="JL random projection 64->32 (seeded GEMM per Arrow batch; map-only)"),
+    "sim_topk_batch": QuerySpec(q_topk_batch, ORACLE_TOPK_BATCH,
+                                doc="batch retrieval: exact top-5 for the whole query set (broadcast queries, one window shuffle)"),
 }

@@ -570,3 +570,23 @@ def test_chunking_boundary_token_counts(spark):
         # dropping the overlap prefix of every non-first chunk
         # reconstructs the doc exactly — coverage with exact overlap
         assert seen == [f"w{i}" for i in range(n)]
+
+
+def test_topk_batch_gemm_matches_exact(spark, sf_dir):
+    """The GEMM scale path (per-batch numpy + map-side partial top-k)
+    must select the same (query, rank) -> neighbor assignments as the
+    exact JVM-fold path."""
+    from fluvio_duck_spark.operators.similarity import cosine_topk_batch
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("label") == 0)
+    exact = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk_batch(emb, qs, k=5).collect()
+    }
+    gemm = {
+        (r.query_id, r.rn): r.vec_id
+        for r in cosine_topk_batch(emb, qs, k=5, gemm=True).collect()
+    }
+    assert exact == gemm and len(exact) > 0

@@ -216,3 +216,14 @@ def test_interval_overlap_join_never_nested_loop(specs, spark, sf_dir):
     # the only aggregate is sessionize's session_start/end groupBy
     # (partial+final) — NO post-join dedupe aggregate exists
     assert ops.get("HashAggregate", 0) <= 2
+
+
+def test_topk_batch_single_window_shuffle(specs, spark, sf_dir):
+    # batch retrieval: queries broadcast, corpus scores map-side; the
+    # only Exchange is the per-query top-k window — no SMJ, no Python
+    df = _run(specs, spark, sf_dir, "sim_topk_batch")
+    ops = assert_plan(
+        df, Exchange=1, SortMergeJoin=0, ArrowEvalPython=0, BatchEvalPython=0
+    )
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 1  # the broadcast cross
+    assert ops.get("Window", 0) == 1
