@@ -40,6 +40,8 @@ HEADLINE = [
     "text_chunk_documents",
     "rollup_hist_percentiles",
     "consume_sql_avg_by_route",
+    "sim_topk_batch",
+    "join_session_error_overlap",
 ]
 
 
