@@ -57,6 +57,26 @@ def uniform_key(id_col: str | Column, seed: int = 0) -> Column:
     return F.pmod((c + F.lit(1)) * F.lit(_KNUTH + seed * _SEED_STRIDE), F.lit(_MOD))
 
 
+def weighted_key(
+    id_col: str | Column, weight: str | Column, seed: int = 0
+) -> Column:
+    """Efraimidis–Spirakis exponential key for WEIGHTED sampling
+    without replacement: rank ascending by ``-ln(u)/w`` (u deterministic
+    uniform in (0,1] from ``uniform_key``) and take the bottom-n — each
+    row's inclusion probability is proportional to ``weight``, exactly
+    the importance-weighted corpus draw ("sample by token count") a
+    mixture builder needs.  Deterministic: same data + seed → same
+    sample on any cluster.  ``ln`` is the one transcendental — engines'
+    libm may differ in the last ULP, which matters only if two keys at
+    the quota boundary agree to ~1e-15 (keys are spread ~1e-3 apart;
+    the tiebreak column settles exact ties).  Weights must be > 0."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (uniform_key(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_MOD + 1)
+    )
+    return -F.log(u) / w.cast("double")
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

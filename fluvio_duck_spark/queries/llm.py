@@ -744,6 +744,35 @@ SELECT doc_id, lang, source FROM r WHERE rn <= 20
 """
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted corpus draw: 20 docs per language with
+    inclusion probability proportional to ``n_chars``
+    (Efraimidis–Spirakis exponential keys over the same deterministic
+    uniform — operators/sampling.py::weighted_key).  Same one-shuffle
+    top-n plan as the uniform draw; the sample stays a pure function of
+    the data."""
+    from fluvio_duck_spark.operators.sampling import stratified_sample, weighted_key
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return stratified_sample(
+        docs, ["lang"], 20,
+        weighted_key("doc_id", "n_chars", seed=7),
+        tiebreak=["doc_id"],
+    )
+
+
+ORACLE_SAMPLE_WEIGHTED = """
+WITH k AS (SELECT doc_id, lang, n_chars,
+                  -ln((((doc_id + 1) * (2654435761 + 7 * 98765431)) % 1000003 + 1)
+                      / 1000004.0) / n_chars AS wkey
+           FROM documents),
+r AS (SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY wkey, doc_id) AS rn
+      FROM k)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+"""
+
+
 def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 90/5/5 train/val/test assignment by hashed-id
     threshold (map-only; a doc's split never changes as the corpus
@@ -1014,6 +1043,8 @@ QUERIES: dict[str, QuerySpec] = {
                                     doc="benchmark decontamination: 3-gram overlap vs broadcast eval set"),
     "text_quality_gate": QuerySpec(q_quality_gate, ORACLE_QUALITY_GATE,
                                    doc="per-lang 10th-percentile quality gate (agg+broadcast, no giant window)"),
+    "sample_weighted_quota": QuerySpec(q_sample_weighted, ORACLE_SAMPLE_WEIGHTED,
+                                       doc="importance-weighted per-stratum draw (Efraimidis-Spirakis keys; deterministic)"),
     "sample_stratified_quota": QuerySpec(q_sample_stratified, ORACLE_SAMPLE_STRATIFIED,
                                          doc="deterministic per-language quota sample (training-mix draw)"),
     "sample_split_assign": QuerySpec(q_split_assign, ORACLE_SPLIT_ASSIGN,

@@ -590,3 +590,30 @@ def test_topk_batch_gemm_matches_exact(spark, sf_dir):
         for r in cosine_topk_batch(emb, qs, k=5, gemm=True).collect()
     }
     assert exact == gemm and len(exact) > 0
+
+
+def test_weighted_sample_biases_toward_weight_and_is_layout_free(spark, sf_dir):
+    from fluvio_duck_spark.operators.sampling import stratified_sample, weighted_key
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    draw = stratified_sample(
+        docs, ["lang"], 50, weighted_key("doc_id", "n_chars", seed=3),
+        tiebreak=["doc_id"],
+    )
+    # inclusion prob ∝ n_chars → the sampled mean must exceed the corpus
+    # mean (a uniform draw would match it in expectation)
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = draw.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+
+    # pure function of the data: partition layout must not change the draw
+    a = sorted(r.doc_id for r in draw.collect())
+    b = sorted(
+        r.doc_id
+        for r in stratified_sample(
+            docs.repartition(13), ["lang"], 50,
+            weighted_key("doc_id", "n_chars", seed=3), tiebreak=["doc_id"],
+        ).collect()
+    )
+    assert a == b
