@@ -228,6 +228,47 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe for a whole query set: each query scores ONLY its own
+    cell — the probe is a real EQUI-JOIN on the cell id (broadcast of
+    the query batch), so at scale a cell-partitioned/bucketed corpus
+    turns every probe into a partition-pruned scan of 1/n_cells of the
+    data.  Scoring is the normalized single-fold dot; per-query top-k is
+    one window shuffle over the (tiny) per-cell candidate sets.  The
+    same-cell semantics is deterministic, hence exactly oracle-checkable
+    (the recall-vs-exhaustive trade is the separate, tested question)."""
+    from pyspark.sql import Window
+
+    cn = corpus.select(
+        F.col(id_col), F.col(cell_col),
+        l2_normalize(F.col(vec_col)).alias("__cv"),
+    )
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(cell_col).alias("__qcell"),
+        l2_normalize(F.col(vec_col)).alias("__qv"),
+    )
+    scored = (
+        cn.join(F.broadcast(qn), F.col(cell_col) == F.col("__qcell"))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", id_col,
+            dot(F.col("__cv"), F.col("__qv")).alias("sim"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    )
+    return scored.withColumn("rn", rn).filter(F.col("rn") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,

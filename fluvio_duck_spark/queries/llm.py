@@ -627,6 +627,42 @@ FROM r WHERE rn <= 5
 """
 
 
+def q_ivf_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF retrieval: the whole label-0 query set probes its own
+    cells via an equi-join (operators/similarity.py::ivf_topk_batch) —
+    cell-pruned scoring, one window shuffle."""
+    from fluvio_duck_spark.operators.similarity import ivf_topk_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk_batch(
+        emb, emb.filter(F.col("label") == 0), k=5
+    ).select("query_id", "vec_id", "sim", F.col("rn").cast("int").alias("rn"))
+
+
+ORACLE_IVF_TOPK_BATCH = """
+WITH cn AS (
+  SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS nv
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qcell, nv AS qv
+  FROM cn WHERE label = 0),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_aggregate(list_transform(range(1, len(c.nv)+1),
+        i -> c.nv[i] * q.qv[i]), 'sum') AS sim
+  FROM cn c JOIN q ON c.label = q.qcell AND c.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 5
+"""
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→32 of the embedding column — the
     dimensionality-reduction scale path (reduced-space shortlist, exact
@@ -1107,4 +1143,6 @@ QUERIES: dict[str, QuerySpec] = {
                                        doc="JL random projection 64->32 (seeded GEMM per Arrow batch; map-only)"),
     "sim_topk_batch": QuerySpec(q_topk_batch, ORACLE_TOPK_BATCH,
                                 doc="batch retrieval: exact top-5 for the whole query set (broadcast queries, one window shuffle)"),
+    "sim_ivf_topk_batch": QuerySpec(q_ivf_topk_batch, ORACLE_IVF_TOPK_BATCH,
+                                    doc="batch IVF probe: query set equi-joins its cells (pruned scoring)"),
 }

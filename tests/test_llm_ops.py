@@ -617,3 +617,28 @@ def test_weighted_sample_biases_toward_weight_and_is_layout_free(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_ivf_batch_cell_pruning_and_single_query_consistency(spark, sf_dir):
+    """Batch IVF: every returned neighbor shares the query's cell (the
+    defined probe semantics), and for any one query the batch result is
+    the single-query ``ivf_topk`` result.  (Recall vs exhaustive is the
+    TRAINED-codebook question — test_kmeans.py; this fixture's ``label``
+    column is not a similarity clustering.)"""
+    from fluvio_duck_spark.operators.similarity import ivf_topk, ivf_topk_batch
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("label") == 0)
+    got = ivf_topk_batch(emb, qs, k=5).collect()
+    cells = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert got and all(cells[r.vec_id] == 0 for r in got)  # same-cell only
+    one = min(r.query_id for r in got)
+    batch_one = sorted(
+        (r.rn, r.vec_id) for r in got if r.query_id == one
+    )
+    single = sorted(
+        (i + 1, r.vec_id)
+        for i, r in enumerate(ivf_topk(emb, query_id=one, k=5).collect())
+    )
+    assert [v for _, v in batch_one] == [v for _, v in single]
