@@ -155,3 +155,78 @@ def test_winnow_selection_is_subset_of_gram_hashes(toks, k, w):
         .collect()[0]
     )
     assert set(row.fps) == expected
+
+
+# --- model-based: the full consume pipeline vs a pure-Python model ----------
+
+@pytest.fixture(scope="module")
+def tiny_log(request):
+    """A 40-record single-topic log as a cached DataFrame shaped like
+    record_log's output (offset, timestamp, partition, value)."""
+    spark = request.getfixturevalue("spark")
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("offset"),
+            F.timestamp_seconds(1_700_000_000 + F.col("id")).alias("timestamp"),
+            (F.col("id") % 4).cast("int").alias("partition"),
+            F.format_string('{"k": %d}', F.col("id")).alias("value"),
+        )
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pos=st.sampled_from(["-B", "-H", "-T", "--start", "none"]),
+    n=st.integers(min_value=0, max_value=60),
+    end=st.one_of(st.none(), st.integers(min_value=0, max_value=60)),
+    rows=st.one_of(st.none(), st.integers(min_value=0, max_value=60)),
+)
+def test_consume_offsets_match_python_model(spark, tiny_log, pos, n, end, rows):
+    """Whatever combination of position/end/rows flags, the returned
+    offset set must equal the pure-Python reference model: position
+    filter -> inclusive end -> take first `rows` in offset order."""
+    from fluvio_duck_spark.options import ConsumeOptError
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    argv = ["events", "-A"]
+    if pos == "-B":
+        argv += ["-B"]
+    elif pos in ("-H", "-T", "--start"):
+        argv += [pos, str(n)]
+    if end is not None:
+        argv += ["--end", str(end)]
+    if rows is not None:
+        argv += ["--rows", str(rows)]
+
+    N = 40
+    log = list(range(N))
+    if pos == "-B":
+        model = log
+    elif pos == "-H" or pos == "--start":
+        model = [o for o in log if o >= n]
+    elif pos == "-T":
+        model = [o for o in log if o >= max(N - n, 0)]
+    else:  # default Offset::end -> empty in bounded mode
+        model = []
+    if end is not None:
+        model = [o for o in model if o <= end]
+    if rows is not None:
+        model = model[:rows]
+
+    crossing = pos == "--start" and end is not None and end < n
+    if crossing:
+        with pytest.raises(ConsumeOptError):
+            fluvio_consume(spark, argv, source=tiny_log)
+        return
+    got = sorted(
+        r.offset
+        for r in fluvio_consume(spark, argv, source=tiny_log)
+        .select("offset").collect()
+    )
+    assert got == model, (argv, got[:5], model[:5])
