@@ -230,3 +230,40 @@ def test_consume_offsets_match_python_model(spark, tiny_log, pos, n, end, rows):
         .select("offset").collect()
     )
     assert got == model, (argv, got[:5], model[:5])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    part=st.integers(min_value=0, max_value=3),
+    pos=st.sampled_from(["-B", "-H", "-T"]),
+    n=st.integers(min_value=0, max_value=50),
+    rows=st.one_of(st.none(), st.integers(min_value=0, max_value=20)),
+)
+def test_consume_partition_select_matches_model(spark, tiny_log, part, pos, n, rows):
+    """-p P narrows the log BEFORE the offset algebra, so -T/-H act on
+    the selected partition's own offset span (offset thresholds, not
+    record counts — the stand-in's global offsets are sparse within one
+    partition, exactly like consume_topic_tail's documented semantics)."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    argv = ["events", "-p", str(part)]
+    argv += ["-B"] if pos == "-B" else [pos, str(n)]
+    if rows is not None:
+        argv += ["--rows", str(rows)]
+
+    sel = [o for o in range(40) if o % 4 == part]
+    if pos == "-B":
+        model = sel
+    elif pos == "-H":
+        model = [o for o in sel if o >= n]
+    else:  # -T: offset >= (selected LEO) - n
+        model = [o for o in sel if o >= max(sel) + 1 - n]
+    if rows is not None:
+        model = model[:rows]
+
+    got = sorted(
+        r.offset
+        for r in fluvio_consume(spark, argv, source=tiny_log)
+        .select("offset").collect()
+    )
+    assert got == model, (argv, got, model)
