@@ -227,3 +227,20 @@ def test_topk_batch_single_window_shuffle(specs, spark, sf_dir):
     )
     assert ops.get("BroadcastNestedLoopJoin", 0) == 1  # the broadcast cross
     assert ops.get("Window", 0) == 1
+
+
+def test_scd2_intervals_single_window_shuffle(specs, spark, sf_dir):
+    # the dimension build is one lead-window over the changelog: one
+    # keyed Exchange, no join, no Python
+    df = _run(specs, spark, sf_dir, "scd2_intervals")
+    ops = assert_plan(
+        df, Exchange=1, SortMergeJoin=0, BroadcastHashJoin=0, ArrowEvalPython=0
+    )
+    assert ops.get("Window", 0) == 1
+
+
+def test_weighted_sample_single_shuffle_no_python(specs, spark, sf_dir):
+    # exponential-key draw = map-side key expr + one stratum window;
+    # the -ln stays JVM (no Python pass)
+    df = _run(specs, spark, sf_dir, "sample_weighted_quota")
+    assert_plan(df, Exchange=1, ArrowEvalPython=0, BatchEvalPython=0)
