@@ -6,6 +6,7 @@ from fluvio_duck_spark.operators.asof import (
 )
 from fluvio_duck_spark.operators.chunking import chunk_documents, tokenize
 from fluvio_duck_spark.operators.intervals import interval_overlap_join
+from fluvio_duck_spark.operators.lm import unigram_fit, unigram_logprob_scores
 from fluvio_duck_spark.operators.projection import (
     projection_matrix,
     random_projection,
@@ -55,6 +56,8 @@ __all__ = [
     "random_projection",
     "scd2_intervals",
     "tokenize",
+    "unigram_fit",
+    "unigram_logprob_scores",
     "write_zordered",
     "zorder_key",
     "blocked_near_dup_pairs",

@@ -676,6 +676,41 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality signal: corpus-fit unigram LM (add-one
+    smoothing), mean per-token log10 prob per document
+    (operators/lm.py).  Fit = one token-count shuffle; score = broadcast
+    model join + one doc-id shuffle."""
+    from fluvio_duck_spark.operators.lm import unigram_fit, unigram_logprob_scores
+
+    docs = load(spark, sf_dir, "documents")
+    model, totals = unigram_fit(docs)
+    return unigram_logprob_scores(docs, model, totals)
+
+
+ORACLE_UNIGRAM = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+counts AS (SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token),
+tot AS (SELECT SUM(c) AS n_tokens, COUNT(*) AS vocab FROM counts),
+model AS (
+  SELECT token,
+         log10(CAST(c + 1 AS DOUBLE) / CAST(n_tokens + vocab AS DOUBLE)) AS logp
+  FROM counts, tot),
+s AS (
+  SELECT doc_id,
+         COALESCE(m.logp,
+                  (SELECT log10(1.0 / CAST(n_tokens + vocab AS DOUBLE)) FROM tot))
+           AS lp
+  FROM tok2 LEFT JOIN model m USING (token))
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_scored_tokens,
+       CAST(SUM(CAST(lp AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*) AS mean_logp
+FROM s GROUP BY doc_id
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bounded sliding-window chunking (max 64 tokens, 16 overlap)
     — the pretraining / RAG-indexing prep step.  Map-only explode: zero
@@ -1145,4 +1180,6 @@ QUERIES: dict[str, QuerySpec] = {
                                 doc="batch retrieval: exact top-5 for the whole query set (broadcast queries, one window shuffle)"),
     "sim_ivf_topk_batch": QuerySpec(q_ivf_topk_batch, ORACLE_IVF_TOPK_BATCH,
                                     doc="batch IVF probe: query set equi-joins its cells (pruned scoring)"),
+    "text_unigram_logprob": QuerySpec(q_unigram_logprob, ORACLE_UNIGRAM,
+                                      doc="perplexity-style quality gate: corpus-fit unigram LM, mean token logprob per doc"),
 }

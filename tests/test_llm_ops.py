@@ -642,3 +642,28 @@ def test_ivf_batch_cell_pruning_and_single_query_consistency(spark, sf_dir):
         for i, r in enumerate(ivf_topk(emb, query_id=one, k=5).collect())
     )
     assert [v for _, v in batch_one] == [v for _, v in single]
+
+
+def test_unigram_oov_scores_smoothed_floor(spark):
+    """Documents containing tokens absent from the fit corpus score them
+    with the add-one unseen probability — lower than any in-vocab token,
+    and the scorer never produces nulls."""
+    import math
+
+    from fluvio_duck_spark.operators.lm import unigram_fit, unigram_logprob_scores
+
+    fit = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b c")], "doc_id long, text string"
+    )
+    model, totals = unigram_fit(fit)
+    score = spark.createDataFrame(
+        [(10, "a a"), (11, "zzz qqq")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_scored_tokens, r.mean_logp)
+        for r in unigram_logprob_scores(score, model, totals).collect()
+    }
+    # fit: 8 tokens, vocab 3 → p(a)=(4+1)/11, p(unseen)=1/11
+    assert got[10][0] == 2 and math.isclose(got[10][1], math.log10(5 / 11), rel_tol=1e-9)
+    assert got[11][0] == 2 and math.isclose(got[11][1], math.log10(1 / 11), rel_tol=1e-9)
+    assert got[11][1] < got[10][1]
