@@ -173,8 +173,23 @@ def asof_broadcast_join(
 
     Right side must be unique per (key, time) — same contract as
     ``asof_join`` (degenerate zero-width intervals otherwise).
+    ``value_cols`` must not collide with left column names (the values
+    are re-aliased to their bare names in the output), and left columns
+    must not use the reserved ``__rk/__rt/__until/__r_*`` aliases —
+    both are checked eagerly here, mirroring ``interval_overlap_join``'s
+    documented uniqueness contract.
     """
     lcols = left.columns
+    clash = set(value_cols) & set(lcols)
+    if clash:
+        raise ValueError(
+            f"value_cols collide with left columns: {sorted(clash)}; "
+            f"pre-alias one side before asof_broadcast_join"
+        )
+    reserved = {"__rk", "__rt", "__until"} | {f"__r_{c}" for c in value_cols}
+    bad = [c for c in lcols if c in reserved or c.startswith("__r_")]
+    if bad:
+        raise ValueError(f"left columns use reserved internal aliases: {bad}")
     w = Window.partitionBy("__rk").orderBy(F.asc("__rt"))
     intervals = (
         right.select(

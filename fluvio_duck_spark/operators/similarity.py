@@ -106,7 +106,11 @@ def _gemm_scores(
     corpus: DataFrame, queries: DataFrame, keep: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """Per-Arrow-batch GEMM scores pruned to each batch's top ``keep``
-    rows per query (np.argpartition) before anything leaves the task."""
+    rows per query (np.argpartition) before anything leaves the task.
+
+    Contract: vectors must have nonzero L2 norm (a zero vector normalizes
+    to NaN sims on both batch paths).  The output id field types are
+    derived from the input schemas, so non-long ids round-trip intact."""
     import numpy as np
     import pandas as pd
 
@@ -137,7 +141,9 @@ def _gemm_scores(
                 {"query_id": out_q, id_col: out_i, "sim": out_s}
             )
 
-    schema = f"query_id long, {id_col} long, sim double"
+    qid_ty = queries.schema[id_col].dataType.simpleString()
+    cid_ty = corpus.schema[id_col].dataType.simpleString()
+    schema = f"query_id {qid_ty}, {id_col} {cid_ty}, sim double"
     return corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
 
 
@@ -269,6 +275,12 @@ def ivf_topk_batch(
     return scored.withColumn("rn", rn).filter(F.col("rn") <= k)
 
 
+#: Above this input size the exact all-pairs path refuses to run — n² pair
+#: generation through a broadcast NLJ is the verification anchor, never the
+#: production plan (use bucketed=True or blocked_near_dup_pairs instead).
+EXACT_PAIRS_MAX_ROWS = 200_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,
@@ -278,13 +290,28 @@ def embedding_near_dup_pairs(
     n_planes: int = 6,
     seed: int = 42,
     dim: int = 64,
+    max_rows: int | None = EXACT_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
-    bucketed=False: exact all-pairs self-join (n² — verification scale).
+    bucketed=False: exact all-pairs self-join (n² — verification scale
+    ONLY).  Guarded: if the input exceeds ``max_rows`` (bounded probe
+    scan, not a full count) this raises instead of silently launching an
+    n² job — pass ``max_rows=None`` to override deliberately.
     bucketed=True: equi-join on the LSH signature first (same-bucket pairs
     only), then exact cosine — the 100 TB plan, trading recall for a
     shuffle bounded by bucket sizes."""
+    if not bucketed and max_rows is not None:
+        # limit(max_rows+1) bounds the probe: Spark stops scanning once
+        # the limit is hit, so the guard costs O(max_rows), not O(n).
+        probed = df.select(id_col).limit(max_rows + 1).count()
+        if probed > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs(bucketed=False) is the n² "
+                f"verification path; input exceeds max_rows={max_rows}. "
+                f"Use bucketed=True or blocked_near_dup_pairs for scale, "
+                f"or pass max_rows=None to force."
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if bucketed:

@@ -43,7 +43,13 @@ def zorder_key(
     """Return ``(df, zkey column)`` where zkey interleaves the ``bits``-bit
     quantile-bucket ranks of each column (Morton code).  Quantiles are
     approximate (``approxQuantile`` relative error 1e-3) — layout quality
-    is insensitive to boundary jitter."""
+    is insensitive to boundary jitter.
+
+    Null handling: NULLs rank 0, i.e. they cluster with (and sort before)
+    the minimum-value rows of that column; ``approxQuantile`` likewise
+    ignores nulls when fitting boundaries.  A mostly-null layout column
+    therefore contributes little clustering signal and dilutes the other
+    columns' — prefer non-null (or coalesced) columns for layout."""
     n = (1 << bits) - 1
     probs = [i / (n + 1) for i in range(1, n + 1)]
     ranks = []

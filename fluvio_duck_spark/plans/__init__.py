@@ -42,6 +42,19 @@ def plan_ops(df: DataFrame) -> Counter:
     return ops
 
 
+def scan_selected_partitions(df: DataFrame) -> tuple[int, str]:
+    """(number of Hive-style partition directories the file scan will
+    actually read, partition-filter text) for a single-scan plan.
+    ``selectedPartitions`` is resolved at physical planning with the
+    partition filters applied, so this is the *physical* pruning proof —
+    a pruned probe returns 1/n_cells of the directories, not a plan
+    string claim."""
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    # Spark 4: selectedPartitions is a ScanFileListing
+    n = leaf.selectedPartitions().partitionCount()
+    return n, leaf.partitionFilters().toString()
+
+
 def assert_plan(df: DataFrame, **bounds: int) -> Counter:
     """Assert upper bounds on operator counts, e.g.
     ``assert_plan(df, Exchange=1, SortMergeJoin=0)``.  Underscores in

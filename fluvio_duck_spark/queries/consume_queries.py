@@ -9,6 +9,8 @@ same semantics in ANSI SQL (``events`` view = the topic stand-in, offset =
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -18,6 +20,98 @@ from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.sources.metadata import fluvio_partitions, fluvio_topics
 
 _DEFAULT_COLS = 'event_id AS "offset", ts AS "timestamp", props AS "value"'
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+#: The reference's full transit spec, reproduced at examples/jolt.yaml.
+JOLT_FULL_YAML = os.path.join(_REPO_ROOT, "examples", "jolt.yaml")
+
+#: The 20 `-c` mappings of the reference's largest documented workload
+#: (reference examples/README.md:40-44).  Only the six keys the jolt spec
+#: shifts exist post-transform; the other 14 resolve to typed NULLs —
+#: exactly what the reference produces for the same spec + command.
+TRANSIT_COLUMN_FLAGS = [
+    "-c", "lat:d=lat", "-c", "long:d=long", "-c", "vehicle:i=vehicle",
+    "-c", "route=route", "-c", "speed:d=speed", "-c", "time:t=tst",
+    "-c", "acc:d=acc", "-c", "line:i=line", "-c", "stop:i=stop",
+    "-c", "desi=desi", "-c", "operator:i=oper", "-c", "dl:i=dl",
+    "-c", "odo:i=odo", "-c", "drst:i=drst", "-c", "occu:i=occu",
+    "-c", "hdg:i=hdg", "-c", "dir=dir", "-c", "tsi:i=tsi",
+    "-c", "jrn:i=jrn", "-c", "start=start",
+]
+
+
+def transit_record_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A helsinki-shaped record log derived from the events fixture: each
+    payload is the MQTT vehicle-position envelope ``{"payload": {"VP":
+    {...}}}`` (reference examples/README.md:27-44), with the six VP fields
+    computed deterministically from the event row.  Single partition, like
+    the topic in the reference transcript."""
+    from fluvio_duck_spark.sources.consume import read_events
+
+    ev = read_events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast(T.IntegerType())
+    vp = F.struct(
+        (F.lit(60.0) + (k % 100).cast("double") / F.lit(1000.0)).alias("lat"),
+        (F.lit(24.0) + (k % 100).cast("double") / F.lit(1000.0)).alias("long"),
+        (F.col("user_id") % 1000).cast(T.IntegerType()).alias("veh"),
+        F.concat(F.lit("route_"), (k % 10).cast("string")).alias("route"),
+        F.col("value").alias("spd"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("tst"),
+    )
+    return ev.select(
+        F.col("event_id").cast(T.LongType()).alias("offset"),
+        F.col("ts").alias("timestamp"),
+        F.lit(0).cast(T.IntegerType()).alias("partition"),
+        F.to_json(F.struct(F.struct(vp.alias("VP")).alias("payload"))).alias("value"),
+    )
+
+
+def _transform_jolt_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's largest documented workload (examples/README.md:
+    34-44): ``fluvio_consume('helsinki -B --rows=1859058
+    --transforms-file=jolt.yaml -c ...×20')`` — the full transit view
+    through the ported spec fixture.  Option surface, YAML loading, jolt
+    interpretation, and all 20 typed mappings run the real pipeline; only
+    the topic bytes are the stand-in."""
+    argv = [
+        "helsinki", "-B", "--rows=1859058",
+        f"--transforms-file={JOLT_FULL_YAML}",
+        *TRANSIT_COLUMN_FLAGS,
+    ]
+    return fluvio_consume(
+        spark, argv, sf_dir=sf_dir, source=transit_record_log(spark, sf_dir)
+    )
+
+
+ORACLE_TRANSFORM_JOLT_FULL = """
+WITH k AS (
+  SELECT *, CAST(json_extract_string(props, '$.k') AS INTEGER) AS kk
+  FROM events)
+SELECT
+  60.0 + CAST(kk % 100 AS DOUBLE) / 1000.0 AS lat,
+  24.0 + CAST(kk % 100 AS DOUBLE) / 1000.0 AS "long",
+  CAST(user_id % 1000 AS INTEGER) AS vehicle,
+  'route_' || CAST(kk % 10 AS VARCHAR) AS route,
+  value AS speed,
+  ts AS "time",
+  CAST(NULL AS DOUBLE) AS acc,
+  CAST(NULL AS INTEGER) AS line,
+  CAST(NULL AS INTEGER) AS stop,
+  CAST(NULL AS VARCHAR) AS desi,
+  CAST(NULL AS INTEGER) AS "operator",
+  CAST(NULL AS INTEGER) AS dl,
+  CAST(NULL AS INTEGER) AS odo,
+  CAST(NULL AS INTEGER) AS drst,
+  CAST(NULL AS INTEGER) AS occu,
+  CAST(NULL AS INTEGER) AS hdg,
+  CAST(NULL AS VARCHAR) AS dir,
+  CAST(NULL AS INTEGER) AS tsi,
+  CAST(NULL AS INTEGER) AS jrn,
+  CAST(NULL AS VARCHAR) AS "start"
+FROM k
+"""
 
 
 def _q(opts: str):
@@ -304,6 +398,13 @@ QUERIES: dict[str, QuerySpec] = {
         SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS kk FROM events
         """,
         doc="inline --transform jolt shift (reference src/consume.rs:655-660, examples/short.yaml)",
+    ),
+    # ST5 full-fidelity: the reference's examples/jolt.yaml spec + 20-col
+    # mapped transit view (its largest documented workload)
+    "consume_transform_jolt_full": QuerySpec(
+        _transform_jolt_full, ORACLE_TRANSFORM_JOLT_FULL,
+        doc="full transit parity: --transforms-file=examples/jolt.yaml + 20 typed -c mappings "
+            "(reference examples/README.md:34-44, examples/jolt.yaml)",
     ),
     # ST5: ordered multi-transform chain (filter → jolt → map)
     "consume_transform_chain": QuerySpec(

@@ -48,25 +48,34 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by tf-idf.
 
     Corpus-level feature extraction shape: term explode → per-(doc,term)
-    counts (shuffle on doc+term) → vocabulary doc-frequencies (agg to
-    vocab size, then *broadcast* back — the vocabulary is orders smaller
-    than the corpus) → per-doc ranking window.  idf uses the rational
-    form N/df (no log) so the score is an exact integer product over one
-    double division — bit-identical across engines."""
+    counts (shuffle on doc+term) → vocabulary doc-frequencies → tf⋈df
+    join on term (left to AQE: sort-merge or broadcast by *measured*
+    size — a 100 TB corpus's vocabulary is NOT assumed broadcastable)
+    → per-doc ranking window.  The corpus size N is folded in lazily as
+    a 1-row aggregate crossJoin (the LEO pattern, sources/consume.py),
+    not an eager ``count()`` — no driver action, no second corpus scan
+    at plan-build time.  idf uses the rational form N/df (no log) so the
+    score is an exact integer product over one double division —
+    bit-identical across engines."""
     from pyspark.sql import Window as W
 
     from fluvio_duck_spark.functions.text import tokens
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    n_docs = docs.count()
+    n_docs = docs.agg(F.count("*").alias("__n_docs"))
     terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = (
         terms.select("doc_id", "term").distinct()
         .groupBy("term").agg(F.count("*").alias("df"))
     )
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "score", (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("__n_docs")).cast("double") / F.col("df"),
+        )
     )
     w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
@@ -592,9 +601,32 @@ FROM s
 
 
 def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch retrieval: exact cosine top-5 over the corpus for the whole
-    label-0 query set at once (operators/similarity.py::
-    cosine_topk_batch) — broadcast query matrix, one window shuffle."""
+    """Batch retrieval — the SCALE path: per-Arrow-batch numpy GEMM with
+    MAP-SIDE PARTIAL top-k (operators/similarity.py::cosine_topk_batch,
+    gemm=True).  Each batch emits only its own best 2k rows per query, so
+    the final window shuffle carries |batches|×|queries|×2k rows instead
+    of |corpus|×|queries|.  sim is rounded to 6 decimals for cross-engine
+    hash comparability (GEMM reassociates float sums; the 1e-16-scale
+    difference is far below any ranking margin) — same convention as
+    sim_near_dups_blocked."""
+    from fluvio_duck_spark.operators.similarity import cosine_topk_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk_batch(
+        emb, emb.filter(F.col("label") == 0), k=5, gemm=True
+    ).select(
+        "query_id", "vec_id",
+        F.round("sim", 6).alias("sim"),
+        F.col("rn").cast("int").alias("rn"),
+    )
+
+
+def q_topk_batch_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval — the exact oracle anchor: both sides L2-normalize
+    map-side, broadcast query matrix, one window shuffle carrying
+    |corpus|×|queries| score rows.  Bit-identical to the DuckDB
+    sequential-fold oracle (unrounded); the verification twin of the
+    GEMM-registered sim_topk_batch."""
     from fluvio_duck_spark.operators.similarity import cosine_topk_batch
 
     emb = load(spark, sf_dir, "embeddings")
@@ -603,7 +635,7 @@ def q_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "sim", F.col("rn").cast("int").alias("rn"))
 
 
-ORACLE_TOPK_BATCH = """
+_TOPK_BATCH_CTE = """
 WITH cn AS (
   SELECT vec_id, list_transform(embedding,
            x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
@@ -622,6 +654,14 @@ r AS (
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sim DESC, vec_id) AS rn
   FROM s)
+"""
+
+ORACLE_TOPK_BATCH = _TOPK_BATCH_CTE + """
+SELECT query_id, vec_id, ROUND(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 5
+"""
+
+ORACLE_TOPK_BATCH_EXACT = _TOPK_BATCH_CTE + """
 SELECT query_id, vec_id, sim, CAST(rn AS INTEGER) AS rn
 FROM r WHERE rn <= 5
 """
@@ -1125,7 +1165,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pack_token_budget": QuerySpec(q_pack_token_budget, ORACLE_PACK_BUDGET,
                                    doc="greedy per-language token-budget packing (data-mixture allocation)"),
     "text_tfidf_topterms": QuerySpec(q_text_tfidf_topterms, ORACLE_TFIDF,
-                                     doc="top-3 tf-idf terms per doc (vocab broadcast, rational idf)"),
+                                     doc="top-3 tf-idf terms per doc (AQE-planned tf⋈df join, lazy 1-row N, rational idf)"),
     "text_repetition": QuerySpec(q_text_repetition, ORACLE_REPETITION,
                                  doc="Gopher-style repetition signals: distinct ratio, top-bigram + dup-trigram fractions"),
     "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS,
@@ -1177,7 +1217,9 @@ QUERIES: dict[str, QuerySpec] = {
     "sim_random_projection": QuerySpec(q_random_projection, None,
                                        doc="JL random projection 64->32 (seeded GEMM per Arrow batch; map-only)"),
     "sim_topk_batch": QuerySpec(q_topk_batch, ORACLE_TOPK_BATCH,
-                                doc="batch retrieval: exact top-5 for the whole query set (broadcast queries, one window shuffle)"),
+                                doc="batch retrieval scale path: GEMM + map-side partial top-k (sim rounded 6dp)"),
+    "sim_topk_batch_exact": QuerySpec(q_topk_batch_exact, ORACLE_TOPK_BATCH_EXACT,
+                                      doc="batch retrieval oracle anchor: exact fold, one window shuffle (verification twin)"),
     "sim_ivf_topk_batch": QuerySpec(q_ivf_topk_batch, ORACLE_IVF_TOPK_BATCH,
                                     doc="batch IVF probe: query set equi-joins its cells (pruned scoring)"),
     "text_unigram_logprob": QuerySpec(q_unigram_logprob, ORACLE_UNIGRAM,

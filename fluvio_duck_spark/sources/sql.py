@@ -24,6 +24,15 @@ This is exactly how DuckDB treats the extension's table functions: the
 function call binds to a relation, then the engine optimizes the whole
 statement.  The option string must be a plain single-quoted literal
 (no embedded ``'``) — the same restriction DuckDB's own call syntax has.
+
+Known textual-rewrite caveats (inherent to string-level rewriting):
+
+* a ``fluvio_consume('...')``/``fluvio_topics()`` occurrence inside a
+  string literal or comment is still rewritten — don't put the function
+  names in literals;
+* literal ``{``/``}`` elsewhere in the statement are escaped (``{{``/
+  ``}}``) before the parameterized ``spark.sql`` call, so brace
+  characters in the surrounding SQL are safe.
 """
 
 from __future__ import annotations
@@ -60,7 +69,12 @@ def consume_sql(
         params[name] = builder(spark, sf_dir)
         return "{" + name + "}"
 
-    rewritten = _CONSUME_RE.sub(_bind_consume, sql)
+    # Escape literal braces FIRST: once any param binds, the whole
+    # statement goes through the {}-style formatter, which would otherwise
+    # choke on (or mis-substitute) pre-existing { } in the SQL text.  The
+    # table-function regexes contain no braces, so matching is unaffected.
+    escaped = sql.replace("{", "{{").replace("}", "}}")
+    rewritten = _CONSUME_RE.sub(_bind_consume, escaped)
     rewritten = _META_RE.sub(_bind_meta, rewritten)
     if not params:
         return spark.sql(sql)

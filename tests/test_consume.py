@@ -143,6 +143,32 @@ def test_transforms_file_yaml(spark, sf_dir, tmp_path):
     assert all(r.kk is not None for r in df.collect())
 
 
+def test_transform_jolt_full_transit_schema(spark, sf_dir):
+    """The reference's full transit workload (examples/README.md:34-44):
+    --transforms-file=examples/jolt.yaml + the 20-column mapping command.
+    Asserts the exact output schema (names, order, types per SURVEY §1.3
+    type codes) and that the six jolt-shifted fields carry data while the
+    14 unshifted mappings are typed NULLs."""
+    from fluvio_duck_spark.queries.consume_queries import _transform_jolt_full
+
+    df = _transform_jolt_full(spark, sf_dir)
+    expected = [
+        ("lat", "double"), ("long", "double"), ("vehicle", "int"),
+        ("route", "string"), ("speed", "double"), ("time", "timestamp"),
+        ("acc", "double"), ("line", "int"), ("stop", "int"),
+        ("desi", "string"), ("operator", "int"), ("dl", "int"),
+        ("odo", "int"), ("drst", "int"), ("occu", "int"), ("hdg", "int"),
+        ("dir", "string"), ("tsi", "int"), ("jrn", "int"),
+        ("start", "string"),
+    ]
+    assert df.dtypes == expected
+    row = df.orderBy("time").first()
+    assert row.lat is not None and 60.0 <= row.lat < 60.1
+    assert row.route.startswith("route_")
+    assert row.time is not None
+    assert row.acc is None and row.line is None and row.start is None
+
+
 def test_smartmodule_filter(spark, sf_dir):
     df = fluvio_consume(
         spark,

@@ -104,6 +104,19 @@ def test_embedding_near_dups_symmetric_free(emb):
     assert all(r.sim >= 0.45 for r in pairs)
 
 
+def test_exact_near_dups_guard_refuses_large_input(emb):
+    # the n² verification path must never silently run at scale: above
+    # max_rows it raises with a pointer to the scale paths
+    with pytest.raises(ValueError, match="bucketed=True"):
+        embedding_near_dup_pairs(emb, threshold=0.45, max_rows=10)
+    # bucketed path is unguarded (it IS the scale path)
+    embedding_near_dup_pairs(emb, threshold=0.45, bucketed=True, max_rows=10)
+    # explicit override runs
+    assert embedding_near_dup_pairs(
+        emb, threshold=0.45, max_rows=None
+    ).count() > 0
+
+
 def test_connected_components_chain_and_islands(spark):
     from fluvio_duck_spark.operators.dedup import connected_components
 

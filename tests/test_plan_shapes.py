@@ -218,14 +218,27 @@ def test_interval_overlap_join_never_nested_loop(specs, spark, sf_dir):
     assert ops.get("HashAggregate", 0) <= 2
 
 
-def test_topk_batch_single_window_shuffle(specs, spark, sf_dir):
-    # batch retrieval: queries broadcast, corpus scores map-side; the
-    # only Exchange is the per-query top-k window — no SMJ, no Python
-    df = _run(specs, spark, sf_dir, "sim_topk_batch")
+def test_topk_batch_exact_single_window_shuffle(specs, spark, sf_dir):
+    # the exact oracle anchor: queries broadcast, corpus scores map-side;
+    # the only Exchange is the per-query top-k window — no SMJ, no Python
+    df = _run(specs, spark, sf_dir, "sim_topk_batch_exact")
     ops = assert_plan(
         df, Exchange=1, SortMergeJoin=0, ArrowEvalPython=0, BatchEvalPython=0
     )
     assert ops.get("BroadcastNestedLoopJoin", 0) == 1  # the broadcast cross
+    assert ops.get("Window", 0) == 1
+
+
+def test_topk_batch_gemm_partial_topk_shape(specs, spark, sf_dir):
+    # the registered scale path: ONE Arrow-batched GEMM pass with map-side
+    # partial top-k, then the per-query window over |batches|×|queries|×2k
+    # rows — no joins at all, one Exchange
+    df = _run(specs, spark, sf_dir, "sim_topk_batch")
+    ops = assert_plan(
+        df, Exchange=1, SortMergeJoin=0,
+        BroadcastNestedLoopJoin=0, BroadcastHashJoin=0,
+    )
+    assert ops.get("MapInPandas", 0) == 1
     assert ops.get("Window", 0) == 1
 
 

@@ -115,6 +115,40 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
 
 
+def test_cell_partitioned_layout_prunes_scan(spark, sf_dir, tmp_path):
+    """SCALE.md's IVF claim, proven physically (VERDICT r1 #7): writing
+    the corpus ``partitionBy(cell)`` turns a cell probe into a
+    partition-pruned scan.  Asserts on ``selectedPartitions`` of the
+    executed scan node — the actual directory selection after partition
+    filters — not on plan text."""
+    from fluvio_duck_spark.operators.similarity import ivf_topk
+    from fluvio_duck_spark.plans import scan_selected_partitions
+
+    emb = load(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb_by_cell")
+    emb.write.partitionBy("label").parquet(path)
+    n_cells = emb.select("label").distinct().count()
+    by_cell = spark.read.parquet(path)
+
+    pruned = by_cell.filter(F.col("label") == 3).select("vec_id")
+    n_sel, filters = scan_selected_partitions(pruned)
+    assert n_sel == 1, f"probe read {n_sel} of {n_cells} cell dirs"
+    assert "label" in filters
+    n_all, _ = scan_selected_partitions(by_cell.select("vec_id"))
+    assert n_all == n_cells
+
+    # same probe answer over the pruned layout as over the flat fixture
+    base = {
+        (r.vec_id, round(r.sim, 9))
+        for r in ivf_topk(emb, query_id=0, k=10).collect()
+    }
+    got = {
+        (r.vec_id, round(r.sim, 9))
+        for r in ivf_topk(by_cell, query_id=0, k=10).collect()
+    }
+    assert got == base
+
+
 def test_copy_to_json_roundtrip(spark, sf_dir, tmp_path):
     """JSON-lines sink: a consumed topic round-trips to a re-consumable
     form (records re-read with an explicit schema are value-identical)."""

@@ -30,6 +30,51 @@ def test_stream_matches_batch_consume(spark, sf_dir):
     )
 
 
+def test_stream_multi_microbatch_parity(spark, sf_dir, tmp_path):
+    """Batch/stream parity across ≥3 REAL micro-batches (VERDICT r1 #9):
+    every other parity twin completes AvailableNow in a single batch, so
+    this splits the log into 4 files and rate-limits the file source to
+    one file per trigger — AvailableNow honors source rate limits — then
+    asserts the incremental aggregation converges to the batch answer.
+    Sums accumulate in DECIMAL so the result is invariant to the
+    batch/partition order the incremental execution introduces."""
+    from fluvio_duck_spark.sources.consume import read_events
+
+    ev = read_events(spark, sf_dir)
+    src = str(tmp_path / "events_split")
+    ev.repartition(4).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(src)
+    )
+    agg_cols = [
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(24,6)")).alias("s"),
+    ]
+    q = (
+        stream.groupBy("event_type").agg(*agg_cols)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mb_parity")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fed_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(fed_batches) >= 3, f"expected ≥3 micro-batches, got {len(fed_batches)}"
+
+    got = {(r.event_type, r.n, r.s) for r in spark.table("mb_parity").collect()}
+    exp = {
+        (r.event_type, r.n, r.s)
+        for r in ev.groupBy("event_type").agg(*agg_cols).collect()
+    }
+    assert got == exp
+
+
 def test_stream_rejects_tail_and_default_end(spark, sf_dir):
     with pytest.raises(ConsumeOptError, match="bounded"):
         fluvio_consume_stream(spark, "events -A -T 5", sf_dir=sf_dir)
