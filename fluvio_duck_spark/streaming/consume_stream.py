@@ -48,13 +48,19 @@ def event_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
     schema = spark.read.parquet(path).schema
-    # file-stream sources take a directory; select just the events table
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    if os.path.isdir(path):
+        # multi-file table layout (e.g. bench.py's multi-row-group cache):
+        # the table IS a directory — stream it directly
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        # single-file layout: file-stream sources take a directory, so load
+        # the sf dir and glob-select just the events table
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if isinstance(schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
