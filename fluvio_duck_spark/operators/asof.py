@@ -123,6 +123,88 @@ def asof_join(
     )
 
 
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each left row takes the right row with the smallest
+    absolute time gap, ties to the backward (at-or-before) side.
+
+    Same union merge as ``asof_join`` with BOTH direction scans evaluated
+    over ONE partitioning: the backward window (time ascending) and the
+    forward window (time descending) share the ``key`` exchange — Spark
+    plans 1 Exchange + 2 in-partition Sorts, so nearest costs one extra
+    sort over a single-direction as-of, never a second shuffle.  The
+    matched right timestamps ride along per direction; a final map-side
+    CASE picks the closer side.  Same contracts as ``asof_join`` (right
+    unique per (key, time), left-outer semantics)."""
+    lcols = left.columns
+    carry = list(value_cols) + ["__mt"]
+    right = right.withColumn("__mt", F.col(right_time))
+    l_tagged = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in carry],
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in carry],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.asc("__t"), F.asc("__side"))
+        .rowsBetween(*frame)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.desc("__t"), F.asc("__side"))
+        .rowsBetween(*frame)
+    )
+    picked = merged.select(
+        "__side",
+        "__t",
+        *lcols,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__b_{c}") for c in carry],
+        *[F.last(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__f_{c}") for c in carry],
+    ).filter(F.col("__side") == 1)
+
+    bt, ft = F.col("__b___mt"), F.col("__f___mt")
+    # gaps compare in the column's native scale; timestamps via micros
+    if isinstance(
+        left.schema[left_time].dataType, (T.TimestampType, T.TimestampNTZType)
+    ):
+        t = F.unix_micros(F.col("__t").cast("timestamp"))
+        gb = t - F.unix_micros(bt.cast("timestamp"))
+        gf = F.unix_micros(ft.cast("timestamp")) - t
+    else:
+        gb = F.col("__t") - bt
+        gf = ft - F.col("__t")
+    use_backward = bt.isNotNull() & (ft.isNull() | (gb <= gf))
+    return picked.select(
+        *lcols,
+        *[
+            F.when(use_backward, F.col(f"__b_{c}"))
+            .otherwise(F.col(f"__f_{c}"))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def scd2_intervals(
     changelog: DataFrame,
     key: str,

@@ -15,7 +15,7 @@ one whole-stage-codegen pass.  No Python, no UDF, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: whitespace tokenization shared with the DuckDB oracle (regexp split on
@@ -72,4 +72,79 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk"),
         *[F.col(c) for c in keep],
+    )
+
+
+def concat_pack(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_tokens: Column | None = None,
+    seq_len: int = 256,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing assignment: documents are
+    (conceptually) concatenated in ``id_col`` order and cut into
+    fixed-length training sequences of ``seq_len`` tokens; each document
+    learns which sequences it lands in.
+
+    Output per input row: ``(id_col, n_tokens INT, cum_before BIGINT,
+    seq_start BIGINT, seq_end BIGINT, offset_in_seq BIGINT)`` where
+    ``cum_before`` is the token count of all preceding documents,
+    ``seq_start/seq_end`` the first/last sequence index the document
+    touches, and ``offset_in_seq`` its position inside ``seq_start``.
+
+    This is a GLOBAL running sum — the operator a naive implementation
+    funnels through a single-task ``Window.orderBy`` — computed here as a
+    distributed two-level prefix sum:
+
+    1. ``repartitionByRange(id)`` (one range shuffle — partition *i*
+       holds ids strictly below partition *i+1*; boundaries come from
+       Spark's reservoir sampling, and because the result depends only on
+       the global id order, boundary placement cannot change the answer);
+    2. per-partition token totals (an aggregate of ≤ #partitions rows)
+       cumulated into per-partition offsets by a window over that TINY
+       table, broadcast back;
+    3. an in-partition running sum keyed by the partition id plus the
+       broadcast offset.
+
+    No driver collect, no global sort, no single-task stage over data —
+    the only full-data movements are the range shuffle and the
+    per-partition-id window's hash exchange.  ``n_tokens`` defaults to
+    the whitespace token count of ``text`` (must be ≥ 1 per row with
+    that tokenizer, matching the oracle).
+    """
+    spark = df.sparkSession
+    toks = n_tokens if n_tokens is not None else F.size(tokenize("text"))
+    base = df.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
+    w_parts = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__ptot").over(w_parts), F.lit(0)).alias("__poff"),
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.col("__poff") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn("cum_before", cum)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_before"),
+            F.floor(F.col("cum_before") / seq_len).alias("seq_start"),
+            F.floor(
+                (F.col("cum_before") + F.col("n_tokens") - 1) / seq_len
+            ).alias("seq_end"),
+            F.pmod(F.col("cum_before"), F.lit(seq_len)).cast("long").alias(
+                "offset_in_seq"
+            ),
+        )
     )

@@ -249,6 +249,43 @@ def _hist_percentile(m: Measure, p: float) -> Column:
     return F.when(found.idx >= 0, est).cast("double")
 
 
+def ohlc_bars(
+    df: DataFrame,
+    time_col: str,
+    order_col: str,
+    value_col: str,
+    key_cols: list[str],
+    width_seconds: int = 3600,
+    sum_scale: int = 6,
+) -> DataFrame:
+    """OHLC (open/high/low/close) bars per time bucket and key — the
+    classic streaming-analytics rollup (candlesticks, per-route speed
+    bars, sensor envelopes).
+
+    ``open``/``close`` are the first/last value by ``order_col`` (the log
+    offset — the stream's total order; a raw timestamp may tie), taken
+    with ``min_by``/``max_by`` so they are MERGEABLE aggregate state:
+    partial bars combine map-side and one shuffle on (bucket, keys)
+    finishes the job — no per-bucket sort, no window over raw events.
+    ``volume`` accumulates in DECIMAL (order-independent bits,
+    functions/exact.py).  The whole bar is one partial+final hash
+    aggregate pass — the same plan shape as ``hypertable_rollup`` —
+    and cascades: a daily bar re-aggregates hourly bars with
+    ``min_by(open, first_order)`` etc., never raw data.
+    """
+    from fluvio_duck_spark.functions.exact import dsum
+
+    bucket = time_bucket(F.col(time_col), width_seconds).alias("bucket")
+    return df.groupBy(bucket, *[F.col(k) for k in key_cols]).agg(
+        F.min_by(value_col, order_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, order_col).alias("close"),
+        F.count("*").alias("n_events"),
+        dsum(value_col, scale=sum_scale).alias("volume"),
+    )
+
+
 def refresh_rollup(
     existing: DataFrame | None,
     new_raw: DataFrame,

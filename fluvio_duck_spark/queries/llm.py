@@ -1143,7 +1143,146 @@ FROM w, z
 """
 
 
+def q_pack_concat_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing assignment (GPT-style pretraining prep):
+    documents concatenated in doc_id order, cut into 256-token training
+    sequences; each doc learns its (seq_start, seq_end, offset_in_seq).
+    The global running sum is a distributed two-level prefix sum
+    (operators/chunking.py::concat_pack) — range shuffle + tiny
+    per-partition-offset broadcast, never a single-task global window."""
+    from fluvio_duck_spark.operators.chunking import concat_pack
+
+    docs = load(spark, sf_dir, "documents")
+    return concat_pack(
+        docs, id_col="doc_id", n_tokens=token_count("text"), seq_len=256
+    )
+
+
+ORACLE_PACK_CONCAT = """
+WITH d AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM d)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, cum_before,
+       cum_before // 256 AS seq_start,
+       (cum_before + n_tokens - 1) // 256 AS seq_end,
+       cum_before % 256 AS offset_in_seq
+FROM c
+"""
+
+
+def q_ngram_corpus_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-100 bigrams: in-row n-gram arrays (no self-join) →
+    explode → ONE count shuffle with map-side combine → global top-k as a
+    TakeOrderedAndProject heap (k rows to the driver, never a sort).
+    The corpus-statistics primitive behind stop-n-gram lists and
+    contamination screens."""
+    from fluvio_duck_spark.functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents").select(tokens("text").alias("toks"))
+    bigrams = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks)-1),"
+                " (t, i) -> concat(t, ' ', toks[i+1]))"
+            )
+        ).alias("gram")
+    )
+    return (
+        bigrams.groupBy("gram").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(100)
+    )
+
+
+ORACLE_NGRAM_TOPK = """
+WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+g AS (SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t)
+SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+ORDER BY n DESC, gram LIMIT 100
+"""
+
+
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search: all vectors with cosine ≥ 0.25 to the query vector —
+    the dual of top-k retrieval (dedup candidate pull, coverage probes).
+    1-row query broadcast, map-only scoring + filter, no shuffle at all;
+    at scale the same LSH/IVF pruning as the top-k paths applies."""
+    emb = load(spark, sf_dir, "embeddings")
+    from fluvio_duck_spark.functions.vectors import cosine
+
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", cosine(F.col("embedding"), F.col("__qv")).alias("sim"))
+        .filter(F.col("sim") >= 0.25)
+    )
+
+
+ORACLE_SIM_RANGE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, sim FROM s WHERE sim >= 0.25
+"""
+
+
+def q_text_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution (the packing/truncation planning
+    stat): token counts bucketed to 16-token bins — one partial+final
+    aggregate over map-side bin keys, mergeable counts."""
+    docs = load(spark, sf_dir, "documents")
+    tc = token_count("text")
+    return (
+        docs.select(
+            (F.floor(tc / 16) * 16).cast("long").alias("bin_lo"),
+            tc.alias("tc"),
+        )
+        .groupBy("bin_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").cast("long").alias("n_tokens"),
+            F.min("tc").cast("int").alias("min_len"),
+            F.max("tc").cast("int").alias("max_len"),
+        )
+    )
+
+
+ORACLE_SEQLEN_HIST = """
+WITH d AS (
+  SELECT CAST(len(string_split(text, ' ')) AS INTEGER) AS tc FROM documents)
+SELECT CAST(tc // 16 * 16 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n_docs,
+       CAST(SUM(tc) AS BIGINT) AS n_tokens,
+       CAST(MIN(tc) AS INTEGER) AS min_len,
+       CAST(MAX(tc) AS INTEGER) AS max_len
+FROM d GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "pack_concat_sequences": QuerySpec(q_pack_concat_sequences, ORACLE_PACK_CONCAT,
+                                       doc="concat-and-chunk sequence packing via distributed prefix sum"),
+    "ngram_corpus_topk": QuerySpec(q_ngram_corpus_topk, ORACLE_NGRAM_TOPK,
+                                   doc="corpus-wide top-100 bigrams: 1 count shuffle + top-k heap"),
+    "sim_range_search": QuerySpec(q_sim_range_search, ORACLE_SIM_RANGE,
+                                  doc="cosine radius search (map-only broadcast-query scan)"),
+    "text_seqlen_histogram": QuerySpec(q_text_seqlen_histogram, ORACLE_SEQLEN_HIST,
+                                       doc="token-length histogram, 16-token bins (packing planning stat)"),
     "text_pii_redact": QuerySpec(q_text_pii_redact, ORACLE_PII_REDACT,
                                  doc="PII detect+redact (email/IP/phone regexes shared with the oracle)"),
     "dedup_semantic": QuerySpec(q_dedup_semantic, None,

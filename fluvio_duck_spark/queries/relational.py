@@ -2091,7 +2091,97 @@ ORDER BY s_suppkey
 """
 
 
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of: each click takes the purchase closest in time by
+    the same user, whichever side (ties to backward) — pandas
+    merge_asof(direction='nearest') semantics.  Both direction scans
+    share ONE key shuffle (1 Exchange, 2 in-partition sorts — see
+    operators/asof.py::asof_join_nearest); the oracle picks between two
+    LATERAL top-1 probes with the same gap comparison."""
+    from fluvio_duck_spark.operators.asof import asof_join_nearest
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join_nearest(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        value_cols=["purchase_event", "purchase_value"],
+    )
+
+
+ORACLE_ASOF_NEAREST = """
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id AS purchase_event, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT l.event_id, l.user_id, l.ts,
+         b.bt, b.purchase_event AS be, b.purchase_value AS bv,
+         f.ft, f.purchase_event AS fe, f.purchase_value AS fv
+  FROM l
+  LEFT JOIN LATERAL (
+    SELECT ts AS bt, purchase_event, purchase_value FROM r
+    WHERE r.user_id = l.user_id AND r.ts <= l.ts
+    ORDER BY r.ts DESC LIMIT 1) b ON TRUE
+  LEFT JOIN LATERAL (
+    SELECT ts AS ft, purchase_event, purchase_value FROM r
+    WHERE r.user_id = l.user_id AND r.ts >= l.ts
+    ORDER BY r.ts ASC LIMIT 1) f ON TRUE)
+SELECT event_id, user_id, ts,
+  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+            OR epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts))
+       THEN be ELSE fe END AS purchase_event,
+  CASE WHEN bt IS NOT NULL AND (ft IS NULL
+            OR epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts))
+       THEN bv ELSE fv END AS purchase_value
+FROM j
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (operators/rollup.py::ohlc_bars):
+    open/close via min_by/max_by on the log offset — mergeable aggregate
+    state, so the whole candlestick is ONE partial+final hash aggregate
+    (no per-bucket sort, no window over raw events)."""
+    from fluvio_duck_spark.operators.rollup import ohlc_bars
+
+    ev = load(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, "ts", "event_id", "value", ["event_type"],
+        width_seconds=3600, sum_scale=2,
+    )
+
+
+ORACLE_OHLC = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS TIMESTAMP)
+         AS bucket,
+       event_type,
+       arg_min(value, event_id) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, event_id) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_asof_nearest": QuerySpec(q_asof_join_nearest, ORACLE_ASOF_NEAREST,
+                                   doc="nearest-direction as-of join (ties backward); 1 shuffle, 2 sorts"),
+    "rollup_ohlc_bars": QuerySpec(q_ohlc_bars, ORACLE_OHLC,
+                                  doc="hourly OHLC candlesticks via mergeable min_by/max_by state"),
     "join_min_cost_supplier": QuerySpec(q_min_cost_supplier, ORACLE_MIN_COST_SUPPLIER,
                                         doc="TPC-H Q2 shape: min-cost supplier per part, decorrelated MIN + broadcast dims"),
     "agg_part_value_share": QuerySpec(q_part_value_share, ORACLE_PART_VALUE_SHARE,

@@ -104,6 +104,37 @@ def test_embedding_near_dups_symmetric_free(emb):
     assert all(r.sim >= 0.45 for r in pairs)
 
 
+def test_concat_pack_layout_invariant_and_contiguous(spark, sf_dir):
+    """concat_pack's answer must depend only on the global doc order,
+    never on partition boundaries: 1, 3, and 16 range partitions yield
+    byte-identical assignments, and the assignment is a contiguous
+    token-interval tiling (each doc starts exactly where the previous
+    ended)."""
+    from fluvio_duck_spark.functions.text import token_count
+    from fluvio_duck_spark.operators.chunking import concat_pack
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    results = [
+        {
+            tuple(r)
+            for r in concat_pack(
+                docs, n_tokens=token_count("text"), seq_len=128, num_partitions=p
+            ).collect()
+        }
+        for p in (1, 3, 16)
+    ]
+    assert results[0] == results[1] == results[2]
+
+    rows = sorted(results[0])  # by doc_id
+    cum = 0
+    for doc_id, n_tokens, cum_before, seq_start, seq_end, off in rows:
+        assert cum_before == cum
+        assert seq_start == cum // 128 and off == cum % 128
+        assert seq_end == (cum + n_tokens - 1) // 128
+        cum += n_tokens
+
+
 def test_exact_near_dups_guard_refuses_large_input(emb):
     # the n² verification path must never silently run at scale: above
     # max_rows it raises with a pointer to the scale paths

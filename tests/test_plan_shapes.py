@@ -242,6 +242,39 @@ def test_topk_batch_gemm_partial_topk_shape(specs, spark, sf_dir):
     assert ops.get("Window", 0) == 1
 
 
+def test_asof_nearest_single_shuffle_two_sorts(specs, spark, sf_dir):
+    # nearest = both direction scans over ONE key exchange: 1 Exchange,
+    # 2 Window nodes (asc + desc), no join operators at all
+    df = _run(specs, spark, sf_dir, "join_asof_nearest")
+    ops = assert_plan(
+        df, Exchange=1, SortMergeJoin=0, BroadcastHashJoin=0,
+        BroadcastNestedLoopJoin=0, ArrowEvalPython=0,
+    )
+    assert ops.get("Window", 0) == 2
+
+
+def test_ohlc_bars_single_agg_pass(specs, spark, sf_dir):
+    # the whole candlestick (open/high/low/close/count/volume) is one
+    # partial+final hash aggregate — no window, no sort, 1 shuffle
+    df = _run(specs, spark, sf_dir, "rollup_ohlc_bars")
+    ops = assert_plan(df, Exchange=1, Window=0, Sort=0, SortMergeJoin=0)
+    assert ops.get("HashAggregate", 0) == 2
+
+
+def test_ngram_topk_is_heap_not_sort(specs, spark, sf_dir):
+    # corpus bigram top-k: one count shuffle, global top-100 via
+    # TakeOrderedAndProject (k-bounded heap), never a full sort
+    df = _run(specs, spark, sf_dir, "ngram_corpus_topk")
+    ops = assert_plan(df, Exchange=1, Sort=0)
+    assert ops.get("TakeOrderedAndProject", 0) == 1
+
+
+def test_range_search_is_map_only(specs, spark, sf_dir):
+    # radius search: broadcast 1-row query, scan + filter — zero shuffles
+    df = _run(specs, spark, sf_dir, "sim_range_search")
+    assert_plan(df, Exchange=0, SortMergeJoin=0, ArrowEvalPython=0)
+
+
 def test_scd2_intervals_single_window_shuffle(specs, spark, sf_dir):
     # the dimension build is one lead-window over the changelog: one
     # keyed Exchange, no join, no Python
