@@ -5,6 +5,11 @@ from fluvio_duck_spark.operators.asof import (
     scd2_intervals,
 )
 from fluvio_duck_spark.operators.chunking import chunk_documents, tokenize
+from fluvio_duck_spark.operators.events import (
+    cdc_apply,
+    cohort_retention,
+    funnel_stages,
+)
 from fluvio_duck_spark.operators.intervals import interval_overlap_join
 from fluvio_duck_spark.operators.lm import unigram_fit, unigram_logprob_scores
 from fluvio_duck_spark.operators.projection import (
@@ -21,7 +26,10 @@ from fluvio_duck_spark.operators.dedup import (
     simhash,
     simhash_near_dup_pairs,
 )
-from fluvio_duck_spark.operators.grouped import minmax_scale_grouped
+from fluvio_duck_spark.operators.grouped import (
+    minmax_scale_grouped,
+    robust_scale_grouped,
+)
 from fluvio_duck_spark.operators.multimodal import (
     attach_binary_content,
     extract_features,
@@ -42,6 +50,7 @@ from fluvio_duck_spark.operators.similarity import (
     blocked_near_dup_pairs,
     cosine_topk,
     embedding_near_dup_pairs,
+    group_centroids,
     ivf_topk,
 )
 from fluvio_duck_spark.operators.skew import salted_agg_count, salted_join
@@ -70,6 +79,11 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "minmax_scale_grouped",
+    "robust_scale_grouped",
+    "cdc_apply",
+    "cohort_retention",
+    "funnel_stages",
+    "group_centroids",
     "ngram_jaccard_pairs",
     "range_band_join",
     "resize_content",

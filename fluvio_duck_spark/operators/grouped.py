@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def minmax_scale_grouped(
@@ -44,4 +45,49 @@ def minmax_scale_grouped(
 
     return df.select(id_col, key_col, val_col).groupBy(key_col).applyInPandas(
         scale, schema=schema
+    )
+
+
+def robust_scale_grouped(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-group robust scaling: (x - median) / IQR, the outlier-resistant
+    counterpart of ``minmax_scale_grouped`` (sklearn's RobustScaler).
+    Groups with IQR = 0 scale to NULL (no spread to normalize by).
+
+    Unlike the pandas variant above, this one is window-free pure
+    Catalyst: one exact-percentile aggregation per group (single shuffle
+    on the key, partial percentile state map-side) joined back onto the
+    rows on the same key — AQE broadcasts the per-group stats when small,
+    sort-merges when the group count is itself huge.  The group-stats
+    side is #groups rows, never #rows, so no group needs to fit in one
+    task (the applyInPandas contract this avoids).
+
+    Output: (id, key, scaled) with scaled rounded to 6 decimals —
+    quartile interpolation is one multiply+add per bound, identical
+    across engines up to final-ulp, which rounding absorbs.
+    """
+    stats = df.groupBy(key_col).agg(
+        F.expr(f"percentile({val_col}, array(0.25, 0.5, 0.75))").alias("_q")
+    ).select(
+        key_col,
+        F.col("_q")[0].alias("_p25"),
+        F.col("_q")[1].alias("_med"),
+        F.col("_q")[2].alias("_p75"),
+    )
+    return (
+        df.select(id_col, key_col, val_col)
+        .join(stats, key_col)
+        .select(
+            F.col(id_col),
+            F.col(key_col),
+            F.round(
+                (F.col(val_col) - F.col("_med"))
+                / F.nullif(F.col("_p75") - F.col("_p25"), F.lit(0.0)),
+                6,
+            ).alias("scaled"),
+        )
     )

@@ -405,3 +405,39 @@ def blocked_near_dup_pairs(
     return both.groupBy("bi", "bj").applyInPandas(
         score, schema="id_a long, id_b long, sim double"
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    key_col: str,
+    vec_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Element-wise mean embedding per group (class centroids, per-domain
+    corpus centroids, cluster summaries for SemDedup-style pipelines).
+
+    Plan shape: ``posexplode`` the vector to (key, pos, val) and run one
+    hash aggregation on (key, pos).  Catalyst puts the partial aggregate
+    map-side, so the shuffle carries #groups × dim partial states per
+    task, never n × dim value rows — the same partial-agg contract as
+    the k-means step in operators/kmeans.py, expressed declaratively.
+    Output is the flat (key, pos, centroid) form: stable to hash-compare
+    (no array ordering ambiguity) and directly joinable as a feature.
+
+    Determinism: float32 components widen exactly to double, are rounded
+    to ``round_dp + 3`` decimals, and accumulate in DECIMAL — the sum is
+    then exact and identical across partial-agg orders and engines; one
+    double division (the mean) and a final round follow.
+    """
+    pos, val = f"{vec_col}_pos", f"{vec_col}_val"
+    exploded = df.select(
+        F.col(key_col), F.posexplode(vec_col).alias(pos, val)
+    )
+    acc = F.round(F.col(val).cast("double"), round_dp + 3).cast(
+        "decimal(28,9)"
+    )
+    return exploded.groupBy(key_col, pos).agg(
+        F.round(
+            (F.sum(acc).cast("double") / F.count(val)), round_dp
+        ).alias("centroid")
+    )

@@ -54,13 +54,14 @@ def all_queries() -> dict[str, QuerySpec]:
         consume_queries,
         llm,
         multimodal_queries,
+        pipeline,
         relational,
         streaming_queries,
     )
 
     merged: dict[str, QuerySpec] = {}
     for module in (consume_queries, relational, llm, streaming_queries,
-                   multimodal_queries):
+                   multimodal_queries, pipeline):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,234 @@
+"""Event-analytics + feature-pipeline queries: ordered funnels, cohort
+retention, CDC merge, per-source document caps, robust scaling, and
+per-group embedding centroids.
+
+These cover the analysis layer a reference user runs over consumed
+streams once landed as tables (reference ``README.md:149-184``'s
+SQL-over-views workflow) plus the curation/feature steps a training-data
+pipeline adds on top.  All are pure Catalyst — no UDFs, no driver
+actions — and every entry is oracle-paired.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.operators.events import (
+    cdc_apply,
+    cohort_retention,
+    funnel_stages,
+)
+from fluvio_duck_spark.operators.grouped import robust_scale_grouped
+from fluvio_duck_spark.operators.similarity import group_centroids
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.sources.tables import load
+
+_CDC_CUTOFF = "2024-01-22"
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase ordered funnel over the events log."""
+    ev = load(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name, count(*) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort × week-offset retained-user counts."""
+    ev = load(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")
+
+
+ORACLE_COHORT = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, active_week) / 7 AS INTEGER) AS week_offset,
+       count(*) AS active_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort_week, week_offset
+"""
+
+
+def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE: snapshot = each user's first-event value before the
+    cutoff; change feed = events from the cutoff on (errors are deletes,
+    everything else upserts the value); latest change per user wins."""
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("value", F.struct("ts", "event_id")).alias("value")
+        )
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return cdc_apply(
+        snapshot,
+        changes,
+        key_col="user_id",
+        ts_col="ts",
+        op_col="op",
+        val_cols=["value"],
+        tiebreak_col="event_id",
+    )
+
+
+ORACLE_CDC = f"""
+WITH snap AS (
+  SELECT user_id, value FROM events
+  WHERE ts < TIMESTAMP '{_CDC_CUTOFF}'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+), latest AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+         value AS new_value
+  FROM events
+  WHERE ts >= TIMESTAMP '{_CDC_CUTOFF}'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT COALESCE(s.user_id, l.user_id) AS user_id,
+       CASE WHEN l.user_id IS NOT NULL THEN l.new_value ELSE s.value END AS value
+FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id
+WHERE l.op IS NULL OR l.op <> 'delete'
+"""
+
+
+def q_curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain quota step of a
+    Common-Crawl-style curation pipeline (keep the k longest docs per
+    source).  The rank-filter compiles to WindowGroupLimit: each task
+    keeps a k-heap per source before the shuffle, so the exchange
+    carries ≤ k·#sources·#tasks rows, not the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+
+
+ORACLE_SOURCE_CAP = """
+SELECT doc_id, source, n_chars, rk FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS INTEGER) AS rk
+  FROM documents
+) WHERE rk <= 5
+"""
+
+
+def q_grouped_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust scaling of document lengths (median/IQR)."""
+    docs = load(spark, sf_dir, "documents")
+    return robust_scale_grouped(docs, "lang", "n_chars", "doc_id")
+
+
+ORACLE_ROBUST_SCALE = """
+WITH stats AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS p25,
+         quantile_cont(n_chars, 0.50) AS med,
+         quantile_cont(n_chars, 0.75) AS p75
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       round((d.n_chars - s.med) / nullif(s.p75 - s.p25, 0), 6) AS scaled
+FROM documents d JOIN stats s USING (lang)
+"""
+
+
+def q_sim_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, flat (label, pos, centroid) form."""
+    emb = load(spark, sf_dir, "embeddings")
+    return group_centroids(emb, "label", "embedding").select(
+        "label",
+        F.col("embedding_pos").cast("int").alias("pos"),
+        "centroid",
+    )
+
+
+ORACLE_GROUP_CENTROIDS = """
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       round(
+         CAST(sum(CAST(round(CAST(val AS DOUBLE), 9)
+                       AS DECIMAL(28,9))) AS DOUBLE)
+         / count(val), 6
+       ) AS centroid
+FROM (
+  SELECT label,
+         unnest(embedding) AS val,
+         unnest(range(len(embedding))) AS pos
+  FROM embeddings
+)
+GROUP BY label, pos
+"""
+
+
+QUERIES = {
+    "funnel_conversion": QuerySpec(
+        q_funnel_conversion, ORACLE_FUNNEL,
+        doc="ordered view→click→purchase funnel — event analytics",
+    ),
+    "cohort_retention": QuerySpec(
+        q_cohort_retention, ORACLE_COHORT,
+        doc="weekly cohort retention matrix — event analytics",
+    ),
+    "cdc_apply_latest": QuerySpec(
+        q_cdc_apply_latest, ORACLE_CDC,
+        doc="CDC upsert/delete merge, latest-change-wins — batch MERGE",
+    ),
+    "curate_source_cap": QuerySpec(
+        q_curate_source_cap, ORACLE_SOURCE_CAP,
+        doc="per-source doc quota via WindowGroupLimit — curation",
+    ),
+    "grouped_robust_scale": QuerySpec(
+        q_grouped_robust_scale, ORACLE_ROBUST_SCALE,
+        doc="median/IQR robust scaling per group — pure-Catalyst twin of grouped_minmax_scale",
+    ),
+    "sim_group_centroids": QuerySpec(
+        q_sim_group_centroids, ORACLE_GROUP_CENTROIDS,
+        doc="per-label embedding centroids via posexplode partial-agg",
+    ),
+}

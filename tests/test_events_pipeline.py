@@ -1,0 +1,120 @@
+"""Semantics tests for the event-analytics / pipeline operators
+(operators/events.py, robust_scale_grouped, group_centroids) on
+constructed inputs where the expected answer is hand-checkable; the
+oracle hash parity runs via scripts/verify_local.py and the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_funnel_requires_strict_order(spark):
+    from fluvio_duck_spark.operators.events import funnel_stages
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "2024-01-01 10:00:00", "view", 1, 0.0),
+        (1, "2024-01-01 10:01:00", "click", 2, 0.0),
+        (1, "2024-01-01 10:02:00", "purchase", 3, 0.0),
+        # user 2: purchase BEFORE click — must not count at stage 3
+        (2, "2024-01-02 10:00:00", "view", 4, 0.0),
+        (2, "2024-01-02 10:00:30", "purchase", 5, 0.0),
+        (2, "2024-01-02 10:01:00", "click", 6, 0.0),
+        # user 3: click only (no view) — counts nowhere
+        (3, "2024-01-03 09:00:00", "click", 7, 0.0),
+    ]
+    ev = spark.createDataFrame(
+        [(u, ts, t, i, v) for u, ts, t, i, v in rows],
+        "user_id long, ts string, event_type string, event_id long, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel_stages(ev, "user_id", "ts", "event_type", ["view", "click", "purchase"])
+    got = {r.stage: r.users for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_cdc_apply_insert_update_delete_passthrough(spark):
+    from fluvio_duck_spark.operators.events import cdc_apply
+
+    snapshot = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            # key 2: two updates — later one wins
+            (2, 1, 1, "upsert", 21.0),
+            (2, 2, 2, "upsert", 22.0),
+            # key 3: deleted
+            (3, 1, 3, "delete", 0.0),
+            # key 4: pure insert
+            (4, 1, 4, "upsert", 40.0),
+            # key 5: inserted then deleted within the feed — never appears
+            (5, 1, 5, "upsert", 50.0),
+            (5, 2, 6, "delete", 0.0),
+        ],
+        "k long, ts long, eid long, op string, v double",
+    )
+    out = cdc_apply(
+        snapshot, changes, key_col="k", ts_col="ts", op_col="op",
+        val_cols=["v"], tiebreak_col="eid",
+    )
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: 10.0, 2: 22.0, 4: 40.0}
+
+
+def test_cdc_apply_tiebreak_on_equal_ts(spark):
+    from fluvio_duck_spark.operators.events import cdc_apply
+
+    snapshot = spark.createDataFrame([(1, 0.0)], "k long, v double")
+    changes = spark.createDataFrame(
+        [(1, 5, 1, "upsert", 1.0), (1, 5, 2, "upsert", 2.0)],
+        "k long, ts long, eid long, op string, v double",
+    )
+    out = cdc_apply(snapshot, changes, "k", "ts", "op", ["v"], tiebreak_col="eid")
+    assert out.collect()[0].v == 2.0
+
+
+def test_robust_scale_zero_iqr_is_null(spark):
+    from fluvio_duck_spark.operators.grouped import robust_scale_grouped
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 5.0), (3, "a", 5.0),
+         (4, "b", 0.0), (5, "b", 10.0), (6, "b", 20.0)],
+        "id long, k string, x double",
+    )
+    out = {r.id: r.scaled for r in robust_scale_grouped(df, "k", "x", "id").collect()}
+    assert out[1] is None and out[2] is None and out[3] is None
+    # group b: median 10, IQR = 15 - 5 = 10
+    assert out[4] == -1.0 and out[5] == 0.0 and out[6] == 1.0
+
+
+def test_group_centroids_known_vectors(spark):
+    from fluvio_duck_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (0, [0.0, 1.0]), (1, [2.0, 2.0])],
+        "label int, embedding array<float>",
+    )
+    out = group_centroids(df, "label", "embedding")
+    got = {(r.label, r.embedding_pos): r.centroid for r in out.collect()}
+    assert got == {(0, 0): 0.5, (0, 1): 0.5, (1, 0): 2.0, (1, 1): 2.0}
+
+
+def test_source_cap_plan_uses_window_group_limit(spark, sf_dir):
+    """The per-source quota must compile to WindowGroupLimit (per-task
+    k-heap before the shuffle), not a full sort of the corpus."""
+    from fluvio_duck_spark.queries.pipeline import q_curate_source_cap
+
+    plan = q_curate_source_cap(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_cohort_offsets_are_weekly_multiples(spark, sf_dir):
+    from fluvio_duck_spark.operators.events import cohort_retention
+    from fluvio_duck_spark.sources.tables import load
+
+    out = cohort_retention(load(spark, sf_dir, "events"), "user_id", "ts")
+    rows = out.collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    # offset 0 must exist: every user is active in their own cohort week
+    assert any(r.week_offset == 0 for r in rows)
