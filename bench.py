@@ -118,7 +118,13 @@ def main() -> None:
         # the per-query marginal cost a long-running cluster session pays
         t0 = time.perf_counter()
         fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        w1 = time.perf_counter() - t0
+        # best-of-2: a single warm rerun is exposed to GC pauses and OS
+        # scheduling noise on a shared box; the minimum is the steady-state
+        # per-query marginal cost the regression gate should compare
+        t0 = time.perf_counter()
+        fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+        warm[name] = round(min(w1, time.perf_counter() - t0), 3)
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:

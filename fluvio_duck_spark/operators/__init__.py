@@ -19,6 +19,7 @@ from fluvio_duck_spark.operators.projection import (
 from fluvio_duck_spark.operators.zorder import write_zordered, zorder_key
 from fluvio_duck_spark.operators.dedup import (
     connected_components,
+    edit_distance_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -45,6 +46,7 @@ from fluvio_duck_spark.operators.rollup import (
     time_bucket,
 )
 from fluvio_duck_spark.operators.sessions import session_stats, sessionize
+from fluvio_duck_spark.operators.timeseries import calendar_gapfill, locf_fill
 from fluvio_duck_spark.operators.similarity import (
     ann_lsh_topk,
     blocked_near_dup_pairs,
@@ -74,6 +76,9 @@ __all__ = [
     "cosine_topk",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "edit_distance_pairs",
+    "calendar_gapfill",
+    "locf_fill",
     "extract_features",
     "ivf_topk",
     "minhash_lsh_pairs",

@@ -469,3 +469,72 @@ def segment_dedup(
             " ",
         ).alias("dedup_text"),
     )
+
+
+def edit_distance_pairs(
+    vocab: DataFrame,
+    token_col: str = "token",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Token pairs within Levenshtein distance ``max_dist`` (1 or 2), via
+    SymSpell-style deletion-neighborhood blocking — the fuzzy-matching
+    step of a vocabulary-normalization / typo-dedup pass.
+
+    Every token emits every variant reachable by deleting up to
+    ``max_dist`` characters (itself included); two tokens within edit
+    distance d share such a variant whenever d <= max_dist (the SymSpell
+    invariant: align the edit script and delete the edited positions
+    from each side), so an equi-join on the variant finds every true
+    pair.  Candidates then verify with one exact ``levenshtein`` call.
+
+    Scale shape: per-token fan-out is O(len^max_dist) variants (bounded:
+    cap token length upstream), the join is an equi-join on the variant
+    string — no n² pass anywhere, and the verify filter runs only on
+    candidates.  Contrast with the oracle's all-pairs form, which is
+    quadratic in vocabulary size and exists only to check this plan.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("max_dist must be 1 or 2")
+
+    def dels(col):
+        # all single-deletion forms of a string column
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                F.substr(col, F.lit(1), i - F.lit(1)),
+                F.substr(col, i + F.lit(1), F.length(col)),
+            ),
+        )
+
+    t = vocab.select(F.col(token_col).alias("token")).distinct()
+    v1 = t.select(
+        "token",
+        F.explode(
+            F.array_union(F.array(F.col("token")), dels(F.col("token")))
+        ).alias("v"),
+    )
+    if max_dist == 1:
+        variants = v1
+    else:
+        variants = v1.select(
+            "token",
+            F.explode(
+                F.array_union(F.array(F.col("v")), dels(F.col("v")))
+            ).alias("v"),
+        ).distinct()
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cands = (
+        a.join(b, (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.token") < F.col("b.token")))
+        .select(
+            F.col("a.token").alias("token_a"),
+            F.col("b.token").alias("token_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "token_a",
+        "token_b",
+        F.levenshtein("token_a", "token_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

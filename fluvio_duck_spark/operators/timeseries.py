@@ -1,0 +1,104 @@
+"""Time-series repair operators: calendar-spine gap filling and
+last-observation-carried-forward — the two fixes every telemetry rollup
+needs before a model or dashboard consumes it (the reference's transit
+demo rolls up `hsl:60sec` buckets, reference ``examples/README.md``;
+these close the holes such rollups leave).
+
+Both are pure Catalyst: the spine is derived lazily from a 1-row
+min/max aggregate (the LEO pattern — no driver action at plan-build),
+and LOCF is a running ``last(ignorenulls)`` window, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def calendar_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step: str = "1 hour",
+    agg=None,
+    fill=None,
+) -> DataFrame:
+    """Aggregate ``df`` per (key, time-bucket) and fill every missing
+    bucket of every key with ``fill`` values over the table's global
+    [min, max] bucket span.
+
+    ``agg``: dict {out_name: Column-aggregate} applied per bucket
+    (default {"n": count(*)}).  ``fill``: dict {out_name: literal} for
+    empty buckets (default 0 for every agg output).
+
+    Plan shape: the dense spine is (global 1-row min/max agg) ×
+    sequence-explode × (distinct keys) — rows = #keys × #buckets, built
+    with two tiny inputs and one crossJoin of a 1-row frame (no driver
+    action, no collect).  The observed aggregates left-join onto the
+    spine on (key, bucket); the spine side is small relative to the
+    fact table at any scale where gap-filling makes sense, so AQE
+    broadcast-plans it; output cardinality is explicit and bounded.
+    """
+    agg = agg or {"n": F.count("*")}
+    fill = fill or {name: 0 for name in agg}
+    bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else None
+    if bucket is None:
+        # generic step via epoch arithmetic: floor to step seconds
+        secs = F.unix_timestamp(F.col(ts_col))
+        step_s = F.expr(f"INTERVAL {step}").cast("long")
+        bucket = F.timestamp_seconds((secs / step_s).cast("long") * step_s)
+
+    observed = df.groupBy(
+        F.col(key_col), bucket.alias("bucket")
+    ).agg(*[c.alias(name) for name, c in agg.items()])
+
+    span = df.agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    spine = (
+        span.select(
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias("bucket")
+        )
+        .crossJoin(df.select(key_col).distinct())
+    )
+    out = spine.join(observed, [key_col, "bucket"], "left")
+    return out.select(
+        key_col,
+        "bucket",
+        *[
+            F.coalesce(F.col(name), F.lit(fill[name])).alias(name)
+            for name in agg
+        ],
+    )
+
+
+def locf_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col,
+    out_col: str = "filled",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Last-observation-carried-forward: per key in time order, replace
+    NULLs in ``val_col`` (a column name or a Column expression whose
+    NULLs mark 'no observation') with the most recent non-NULL value.
+    Rows before the first observation stay NULL.
+
+    One window, one shuffle on the key, running frame — state per task
+    is a single value, so arbitrarily long keys stream through.  The
+    ``tiebreak_col`` makes the order total when timestamps tie
+    (deterministic fill on reruns, same contract as sessionize).
+    """
+    val = F.col(val_col) if isinstance(val_col, str) else val_col
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.last(val, ignorenulls=True).over(w))

@@ -232,3 +232,112 @@ QUERIES = {
         doc="per-label embedding centroids via posexplode partial-agg",
     ),
 }
+
+
+def q_rollup_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly counts per event type — every missing (type, hour)
+    bucket filled with 0 over the log's global span."""
+    from fluvio_duck_spark.operators.timeseries import calendar_gapfill
+
+    ev = load(spark, sf_dir, "events")
+    return calendar_gapfill(ev, "event_type", "ts", step="1 hour")
+
+
+ORACLE_GAPFILL = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), span AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT k.event_type, t.bucket
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span),
+                                      INTERVAL 1 HOUR)) AS bucket) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) k
+)
+SELECT s.event_type, s.bucket, COALESCE(o.n, 0) AS n
+FROM spine s LEFT JOIN obs o
+  ON s.event_type = o.event_type AND s.bucket = o.bucket
+"""
+
+
+def q_window_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF: carry each user's last purchase value forward onto every
+    subsequent event (NULL before the first purchase)."""
+    from fluvio_duck_spark.operators.timeseries import locf_fill
+
+    ev = load(spark, sf_dir, "events")
+    out = locf_fill(
+        ev,
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")),
+        out_col="last_purchase_value",
+        tiebreak_col="event_id",
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+ORACLE_LOCF = """
+SELECT event_id, user_id,
+       last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase_value
+FROM events
+"""
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary typo-pairs within Levenshtein distance 2 via SymSpell
+    deletion-neighborhood blocking (equi-join on deletion variants, exact
+    verify on candidates only — the oracle's all-pairs form is the n²
+    plan this replaces)."""
+    from fluvio_duck_spark.operators.dedup import edit_distance_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace("text", "[^a-zA-Z]+", " ")), " "
+                )
+            ).alias("token")
+        )
+        .filter((F.length("token") >= 3) & (F.length("token") <= 12))
+    )
+    return edit_distance_pairs(vocab, max_dist=2)
+
+
+ORACLE_EDIT_DISTANCE = """
+WITH vocab AS (
+  SELECT DISTINCT t AS token FROM (
+    SELECT unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  ) WHERE len(t) BETWEEN 3 AND 12
+)
+SELECT a.token AS token_a, b.token AS token_b,
+       CAST(levenshtein(a.token, b.token) AS INTEGER) AS dist
+FROM vocab a, vocab b
+WHERE a.token < b.token
+  AND abs(len(a.token) - len(b.token)) <= 2
+  AND levenshtein(a.token, b.token) <= 2
+"""
+
+
+QUERIES.update({
+    "rollup_gapfill_hourly": QuerySpec(
+        q_rollup_gapfill_hourly, ORACLE_GAPFILL,
+        doc="calendar-spine gap fill: dense (type, hour) buckets, 0-filled",
+    ),
+    "window_locf_fill": QuerySpec(
+        q_window_locf_fill, ORACLE_LOCF,
+        doc="last-observation-carried-forward via last(ignorenulls) window",
+    ),
+    "dedup_edit_distance": QuerySpec(
+        q_dedup_edit_distance, ORACLE_EDIT_DISTANCE,
+        doc="SymSpell deletion-blocked Levenshtein<=2 pairs vs n² oracle",
+    ),
+})

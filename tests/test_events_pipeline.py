@@ -118,3 +118,68 @@ def test_cohort_offsets_are_weekly_multiples(spark, sf_dir):
     assert all(r.week_offset >= 0 for r in rows)
     # offset 0 must exist: every user is active in their own cohort week
     assert any(r.week_offset == 0 for r in rows)
+
+
+def test_gapfill_produces_dense_grid(spark):
+    from fluvio_duck_spark.operators.timeseries import calendar_gapfill
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00"), ("a", "2024-01-01 03:20:00"),
+         ("b", "2024-01-01 01:00:00")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = calendar_gapfill(df, "k", "ts", step="1 hour").collect()
+    # span is hours 00..03 → 4 buckets × 2 keys = 8 dense rows
+    assert len(out) == 8
+    got = {(r.k, r.bucket.hour): r.n for r in out}
+    assert got[("a", 0)] == 1 and got[("a", 3)] == 1
+    assert got[("a", 1)] == 0 and got[("a", 2)] == 0  # filled gaps
+    assert got[("b", 1)] == 1 and got[("b", 0)] == 0
+
+
+def test_locf_carries_forward_and_leads_null(spark):
+    from fluvio_duck_spark.operators.timeseries import locf_fill
+
+    df = spark.createDataFrame(
+        [(1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, 7.0), (1, 5, None),
+         (2, 1, None)],
+        "k long, ts long, x double",
+    )
+    out = locf_fill(df, "k", "ts", "x", out_col="y")
+    got = {(r.k, r.ts): r.y for r in out.collect()}
+    assert got[(1, 1)] is None          # before first observation
+    assert got[(1, 3)] == 5.0           # carried forward
+    assert got[(1, 5)] == 7.0           # latest wins
+    assert got[(2, 1)] is None          # keys never observed stay null
+
+
+def test_edit_distance_blocking_matches_bruteforce(spark):
+    """Deletion-neighborhood candidates must find EVERY true pair — the
+    SymSpell invariant, checked against an in-memory brute force."""
+    import itertools
+
+    from fluvio_duck_spark.operators.dedup import edit_distance_pairs
+
+    words = ["part", "past", "pat", "spark", "sort", "sore", "store",
+             "agg", "egg", "big", "bag", "bat", "row", "slow", "snow"]
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    expected = {
+        (a, b) for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 2
+    }
+    v = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {
+        (r.token_a, r.token_b)
+        for r in edit_distance_pairs(v, max_dist=2).collect()
+    }
+    assert got == expected
