@@ -183,3 +183,28 @@ def test_edit_distance_blocking_matches_bruteforce(spark):
         for r in edit_distance_pairs(v, max_dist=2).collect()
     }
     assert got == expected
+
+
+def test_new_pipeline_plan_shapes(spark, sf_dir):
+    """SCALE.md contracts for the round-2 pipeline queries: centroids and
+    LOCF are single-shuffle; robust scale joins group stats without a
+    second data shuffle; CDC's latest-change is an aggregation (no
+    row_number window over the change history)."""
+    from fluvio_duck_spark.plans import assert_plan
+    from fluvio_duck_spark.queries.pipeline import (
+        q_cdc_apply_latest,
+        q_grouped_robust_scale,
+        q_sim_group_centroids,
+        q_window_locf_fill,
+    )
+
+    def run(fn):
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return df
+
+    assert_plan(run(q_sim_group_centroids), Exchange=1)
+    assert_plan(run(q_window_locf_fill), Exchange=1, Window=1)
+    assert_plan(run(q_grouped_robust_scale), Exchange=1, SortMergeJoin=0)
+    ops = assert_plan(run(q_cdc_apply_latest), Exchange=2, Window=0)
+    assert ops.get("SortMergeJoin", 0) == 1  # full outer cannot broadcast
