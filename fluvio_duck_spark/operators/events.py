@@ -21,10 +21,14 @@ def funnel_stages(
     ts_col: str,
     type_col: str,
     stages: list[str],
+    max_gap: str | None = None,
 ) -> DataFrame:
     """Ordered-funnel conversion: for each stage i, count users who
     performed ``stages[0..i]`` in strict timestamp order (each step
     strictly after the previous one — the classic product funnel).
+    ``max_gap`` (e.g. ``"7 days"``) additionally requires each step to
+    land within that interval of the previous step — the conversion
+    window every real funnel metric carries.
 
     Plan shape: one filtered aggregation per stage, each grouped on the
     user key.  Stage i's survivors join stage i-1's min-timestamps on
@@ -45,9 +49,14 @@ def funnel_stages(
             reached = ev.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
         else:
             prev = reached.withColumnRenamed("_t", "_t_prev")
+            cond = F.col(ts_col) > F.col("_t_prev")
+            if max_gap is not None:
+                cond = cond & (
+                    F.col(ts_col) <= F.col("_t_prev") + F.expr(f"INTERVAL {max_gap}")
+                )
             reached = (
                 ev.join(prev, user_col)
-                .filter(F.col(ts_col) > F.col("_t_prev"))
+                .filter(cond)
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("_t"))
             )

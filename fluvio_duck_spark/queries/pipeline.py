@@ -341,3 +341,91 @@ QUERIES.update({
         doc="SymSpell deletion-blocked Levenshtein<=2 pairs vs n² oracle",
     ),
 })
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same funnel with a 24-hour conversion window per step
+    (first-touch anchored: each stage's time is the earliest qualifying
+    event given the previous stage's anchor)."""
+    ev = load(spark, sf_dir, "events")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], max_gap="24 hours",
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+         AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL 24 HOUR
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+         AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL 24 HOUR
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST(1 AS INTEGER) AS stage, 'view' AS stage_name, count(*) AS users FROM s1
+UNION ALL
+SELECT CAST(2 AS INTEGER), 'click', count(*) FROM s2
+UNION ALL
+SELECT CAST(3 AS INTEGER), 'purchase', count(*) FROM s3
+"""
+
+
+def q_window_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing features for next-action models: count of the
+    user's events in the preceding hour (time-RANGE frame over epoch
+    seconds) and mean value of the preceding 5 events (ROWS frame).
+    Both frames exclude the current row — no label leakage.  One
+    shuffle on the user key serves both windows."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, -1)
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-5, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w_range).alias("n_prev_hour"),
+        F.round(F.avg(F.round(F.col("value"), 6)).over(w_rows), 6).alias("avg_prev5"),
+    )
+
+
+ORACLE_TRAILING = """
+SELECT event_id, user_id,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch(ts)
+         RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING
+       ) AS n_prev_hour,
+       round(avg(round(value, 6)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+       ), 6) AS avg_prev5
+FROM events
+"""
+
+
+QUERIES.update({
+    "funnel_windowed": QuerySpec(
+        q_funnel_windowed, ORACLE_FUNNEL_WINDOWED,
+        doc="funnel with 24 h conversion window per step (first-touch anchored)",
+    ),
+    "window_trailing_features": QuerySpec(
+        q_window_trailing_features, ORACLE_TRAILING,
+        doc="leak-free trailing feature windows: time-RANGE + ROWS frames",
+    ),
+})
