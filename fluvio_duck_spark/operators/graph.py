@@ -1,0 +1,103 @@
+"""Iterative graph algorithms expressed as join+aggregate rounds —
+PageRank here, connected components in ``operators/dedup.py``.
+
+PageRank's distributed shape is the canonical iterative Spark workload:
+each round joins the rank vector to the edge list on the source key and
+re-aggregates contributions by destination — two well-partitioned
+shuffles per round, nothing driver-side, lineage truncated per round so
+a 50-iteration run doesn't build a 100-stage plan.
+
+Determinism contract: per-round values are rounded to a fixed number of
+decimals and accumulated in DECIMAL, so the ranks are bit-identical
+across partial-agg orders, cluster sizes, and engines — the oracle is
+the same recurrence unrolled in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Decimal places kept per iteration — both the Spark loop and the SQL
+#: oracle round to this, making the fixpoint engine-independent.
+RANK_DP = 12
+
+
+def _r12(col):
+    """Round to 12 decimals as floor(x·1e12 + 0.5)/1e12 — spelled out in
+    IEEE double ops so Spark and any SQL oracle compute bit-identical
+    results.  Engine-native round() differs in the last ulp between
+    BigDecimal-based (Spark) and multiply-based (DuckDB) implementations,
+    which an iterated fixpoint amplifies into visible divergence."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.  Returns
+    (node, rank) for every node appearing as a source or destination.
+
+    Nodes with no out-edges contribute no redistributed mass (their
+    rank decays toward the teleport term) — callers wanting classic
+    dangling-mass redistribution should densify the edge list first.
+
+    Scale shape per round: contributions = rank ⋈ edges on the source
+    key (AQE broadcasts the rank vector only if it is genuinely small —
+    at web scale both sides hash-partition on src, and pre-partitioning
+    edges by src makes the join shuffle-free), then one aggregation
+    shuffled on dst.  ``localCheckpoint`` truncates lineage each round,
+    keeping plan size O(1) in the iteration count (same pattern as
+    ``connected_components``).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # out-degree per source; 1-row node count folded in lazily
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(n).select(
+        "node", _r12(F.lit(1.0) / F.col("n")).alias("rank"), "n"
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint(eager=True)
+
+    contrib_acc = f"decimal(28,{RANK_DP})"
+    for _ in range(iters):
+        contribs = (
+            ranks.join(e, ranks.node == e.src)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                _r12(F.col("rank") / F.col("deg")).alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum(F.col("c").cast(contrib_acc)).cast("double").alias("s")
+        )
+        ranks = (
+            ranks.select("node", "n")
+            .join(summed, "node", "left")
+            .select(
+                "node",
+                _r12(
+                    (1 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+                "n",
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

@@ -429,3 +429,107 @@ QUERIES.update({
         doc="leak-free trailing feature windows: time-RANGE + ROWS frames",
     ),
 })
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the undirected part↔supplier
+    bipartite graph from lineitem (node ids disjoint by parity:
+    part→2k, supplier→2k+1).  The oracle unrolls the identical
+    recurrence in SQL, so an *iterative* algorithm gets an exact
+    hash-compared oracle — per-round rounding + DECIMAL contribution
+    sums make the fixpoint engine-independent."""
+    from fluvio_duck_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return pagerank(edges, iters=3, damping=0.85)
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    teleport = repr(1 - 0.85)  # same IEEE double the Spark loop uses
+    head = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s FROM lineitem
+), edges AS (
+  SELECT p AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, p AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION
+  SELECT DISTINCT dst FROM edges
+), deg AS (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nn AS (
+  SELECT count(*) AS n FROM nodes
+), r0 AS (
+  SELECT node, floor(CAST(1.0 AS DOUBLE) / n * 1e12 + 0.5) / 1e12 AS rank FROM nodes, nn
+)"""
+    its = []
+    for i in range(1, iters + 1):
+        prev = f"r{i - 1}"
+        its.append(f""", r{i} AS (
+  SELECT x.node,
+         floor((CAST({teleport} AS DOUBLE) / nn.n
+                + CAST(0.85 AS DOUBLE) * COALESCE(c.s, CAST(0.0 AS DOUBLE)))
+               * 1e12 + 0.5) / 1e12 AS rank
+  FROM nodes x CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(sum(CAST(floor(r.rank / d.deg * 1e12 + 0.5) / 1e12 AS DECIMAL(28,12))) AS DOUBLE) AS s
+    FROM {prev} r JOIN edges e ON r.node = e.src JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) c ON x.node = c.node
+)""")
+    return head + "".join(its) + f"\nSELECT node, rank FROM r{iters}"
+
+
+ORACLE_PAGERANK = _pagerank_oracle(3)
+
+
+QUERIES.update({
+    "graph_pagerank": QuerySpec(
+        q_graph_pagerank, ORACLE_PAGERANK,
+        doc="3-iteration PageRank, exact SQL-unrolled oracle — iterative join+agg rounds",
+    ),
+})
+
+
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the documents table — all five columns
+    in one corpus pass (Expand rewrite), vs the oracle's per-column
+    UNION of aggregates."""
+    from fluvio_duck_spark.operators.profiling import profile_columns
+
+    docs = load(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _profile_oracle(cols: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT {c}) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM documents"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_PROFILE = _profile_oracle(["doc_id", "text", "lang", "source", "n_chars"])
+
+
+QUERIES.update({
+    "profile_documents": QuerySpec(
+        q_profile_documents, ORACLE_PROFILE,
+        doc="single-pass column profiling (nulls/cardinality/bounds) via Expand",
+    ),
+})

@@ -208,3 +208,47 @@ def test_new_pipeline_plan_shapes(spark, sf_dir):
     assert_plan(run(q_grouped_robust_scale), Exchange=1, SortMergeJoin=0)
     ops = assert_plan(run(q_cdc_apply_latest), Exchange=2, Window=0)
     assert ops.get("SortMergeJoin", 0) == 1  # full outer cannot broadcast
+
+
+def test_pagerank_star_graph(spark):
+    from fluvio_duck_spark.operators.graph import pagerank
+
+    # undirected star: hub 0 ↔ leaves 1..4
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    out = pagerank(edges, iters=10)
+    ranks = {r.node: r.rank for r in out.collect()}
+    assert len(ranks) == 5
+    hub = ranks[0]
+    leaves = [ranks[i] for i in range(1, 5)]
+    assert all(hub > l for l in leaves)        # hub dominates
+    assert len(set(leaves)) == 1               # symmetry
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # no dangling mass lost
+
+
+def test_pagerank_checkpoint_invariance(spark):
+    from fluvio_duck_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    a = {r.node: r.rank for r in pagerank(edges, iters=4, checkpoint=True).collect()}
+    b = {r.node: r.rank for r in pagerank(edges, iters=4, checkpoint=False).collect()}
+    assert a == b
+
+
+def test_profile_columns_single_pass_and_nulls(spark):
+    from fluvio_duck_spark.operators.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "id long, s string"
+    )
+    out = {r.col_name: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert out["id"].n_null == 0 and out["id"].n_distinct == 4
+    assert out["id"].min_val == "1" and out["id"].max_val == "4"
+    assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+    assert out["s"].n_rows == 4
+    # one corpus pass: a single scan feeds every metric
+    plan = profile_columns(df, ["id", "s"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
