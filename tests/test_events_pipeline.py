@@ -252,3 +252,91 @@ def test_profile_columns_single_pass_and_nulls(spark):
     # one corpus pass: a single scan feeds every metric
     plan = profile_columns(df, ["id", "s"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_funnel_randomized_parity_vs_python_reference(spark):
+    """Seeded random event logs; every user is an independent scenario,
+    so one Spark run checks hundreds of cases against a pure-Python
+    first-touch funnel walk."""
+    import random
+
+    from fluvio_duck_spark.operators.events import funnel_stages
+
+    rng = random.Random(42)
+    stages = ["view", "click", "purchase"]
+    types = stages + ["error", "signup"]
+    rows = []
+    eid = 0
+    for user in range(300):
+        for _ in range(rng.randint(0, 12)):
+            eid += 1
+            rows.append((user, rng.randint(0, 50), types[rng.randrange(len(types))], eid))
+
+    def reference():
+        counts = [0, 0, 0]
+        by_user = {}
+        for u, ts, t, e in rows:
+            by_user.setdefault(u, []).append((ts, e, t))
+        for evs in by_user.values():
+            evs.sort()
+            anchor, stage_i = None, 0
+            for ts, _e, t in evs:
+                if stage_i >= len(stages):
+                    break
+                if t == stages[stage_i] and (anchor is None or ts > anchor):
+                    anchor = ts
+                    counts[stage_i] += 1
+                    stage_i += 1
+            # note: anchor advances only on the first qualifying event per
+            # stage — identical to the operator's min-ts semantics
+        return counts
+
+    ev = spark.createDataFrame(
+        [(u, ts, t, e) for u, ts, t, e in rows],
+        "user_id long, ts long, event_type string, event_id long",
+    )
+    out = funnel_stages(ev, "user_id", "ts", "event_type", stages)
+    got = {r.stage: r.users for r in out.collect()}
+    exp = reference()
+    assert [got.get(i + 1, 0) for i in range(3)] == exp
+
+
+def test_cdc_randomized_parity_vs_python_reference(spark):
+    import random
+
+    from fluvio_duck_spark.operators.events import cdc_apply
+
+    rng = random.Random(7)
+    snap_rows = [(k, float(rng.randint(0, 99))) for k in range(200) if rng.random() < 0.7]
+    change_rows = []
+    eid = 0
+    for k in range(250):
+        for _ in range(rng.randint(0, 4)):
+            eid += 1
+            change_rows.append(
+                (k, rng.randint(0, 9), eid,
+                 "delete" if rng.random() < 0.3 else "upsert",
+                 float(rng.randint(100, 199)))
+            )
+
+    def reference():
+        state = dict(snap_rows)
+        latest = {}
+        for k, ts, e, op, v in change_rows:
+            cur = latest.get(k)
+            if cur is None or (ts, e) > (cur[0], cur[1]):
+                latest[k] = (ts, e, op, v)
+        for k, (_ts, _e, op, v) in latest.items():
+            if op == "delete":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        return state
+
+    snapshot = spark.createDataFrame(snap_rows, "k long, v double")
+    changes = spark.createDataFrame(
+        change_rows, "k long, ts long, eid long, op string, v double"
+    )
+    out = cdc_apply(snapshot, changes, "k", "ts", "op", ["v"], tiebreak_col="eid")
+    got = {r.k: r.v for r in out.collect()}
+    assert got == reference()
