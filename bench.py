@@ -85,6 +85,19 @@ HEADLINE = [
     "join_session_error_overlap",
 ]
 
+#: Round-2 additions, timed separately so the headline total stays
+#: comparable with the locked BASELINE.md table across rounds.
+EXTENDED = [
+    "funnel_conversion",
+    "cohort_retention",
+    "cdc_apply_latest",
+    "graph_pagerank",
+    "rollup_gapfill_hourly",
+    "dedup_edit_distance",
+    "sim_group_centroids",
+    "window_trailing_features",
+]
+
 
 def main() -> None:
     from fluvio_duck_spark.queries import all_queries
@@ -126,6 +139,16 @@ def main() -> None:
         fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
         warm[name] = round(min(w1, time.perf_counter() - t0), 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED:
+        fn = specs[name].fn
+        fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm the plan shape
+        t0 = time.perf_counter()
+        fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -140,6 +163,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total_sec": round(sum(warm.values()), 3),
+                "queries_extended": extended,
                 "sf": sf_val,
             }
         )

@@ -63,8 +63,12 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # out-degree per source; 1-row node count folded in lazily
+    # out-degree is static: fold it onto the edge rows ONCE so each
+    # round does a single rank⋈edges join instead of rank⋈edges⋈deg
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e = e.join(deg, "src")
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
     n = nodes.agg(F.count("*").alias("n"))
 
     ranks = nodes.crossJoin(n).select(
@@ -75,13 +79,9 @@ def pagerank(
 
     contrib_acc = f"decimal(28,{RANK_DP})"
     for _ in range(iters):
-        contribs = (
-            ranks.join(e, ranks.node == e.src)
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                _r12(F.col("rank") / F.col("deg")).alias("c"),
-            )
+        contribs = ranks.join(e, ranks.node == e.src).select(
+            F.col("dst").alias("node"),
+            _r12(F.col("rank") / F.col("deg")).alias("c"),
         )
         summed = contribs.groupBy("node").agg(
             F.sum(F.col("c").cast(contrib_acc)).cast("double").alias("s")
