@@ -51,13 +51,26 @@ def pagerank(
     key (AQE broadcasts the rank vector only if it is genuinely small —
     at web scale both sides hash-partition on src, and pre-partitioning
     edges by src makes the join shuffle-free), then one aggregation
-    shuffled on dst.  ``localCheckpoint`` truncates lineage each round,
-    keeping plan size O(1) in the iteration count (same pattern as
-    ``connected_components``).
+    shuffled on dst; the rank vector seeds zero contributions into that
+    same aggregation, so no join brings the teleport term back (a left
+    join here costs an SMJ + two sorts per round).  ``localCheckpoint``
+    truncates lineage each round, keeping plan size O(1) in the
+    iteration count (same pattern as ``connected_components``).
+
+    Local measurement note (sf0.1, 1.2 M edges): ~2-4 s/round, dominated
+    by deserializing the checkpointed edge RDD + fixed shuffle costs —
+    toy-scale overhead, not data.  On a cluster the edge list should be
+    a bucketed-by-src parquet table (columnar scan, co-located join)
+    rather than a localCheckpoint; the loop body is unchanged.
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    if checkpoint:
+        # materialize the deduped edge list FIRST: nodes, degrees, and
+        # the degree fold below all derive from it — without this each
+        # derivation re-executes the upstream scan + distinct
+        e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -70,6 +83,8 @@ def pagerank(
     if checkpoint:
         e = e.localCheckpoint(eager=True)
     n = nodes.agg(F.count("*").alias("n"))
+    if checkpoint:
+        n = n.localCheckpoint(eager=True)  # 1 row, crossJoined every round
 
     ranks = nodes.crossJoin(n).select(
         "node", _r12(F.lit(1.0) / F.col("n")).alias("rank"), "n"
@@ -83,17 +98,21 @@ def pagerank(
             F.col("dst").alias("node"),
             _r12(F.col("rank") / F.col("deg")).alias("c"),
         )
-        summed = contribs.groupBy("node").agg(
-            F.sum(F.col("c").cast(contrib_acc)).cast("double").alias("s")
-        )
+        # seed every node with a zero contribution instead of left-joining
+        # the sums back onto the rank vector: the union rides into the same
+        # aggregation exchange, where a join would add an SMJ + two sorts
+        # per round (exact: DECIMAL sum of an extra exact zero)
+        zeros = ranks.select("node", F.lit(0.0).alias("c"))
         ranks = (
-            ranks.select("node", "n")
-            .join(summed, "node", "left")
+            contribs.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum(F.col("c").cast(contrib_acc)).cast("double").alias("s"))
+            .crossJoin(n)
             .select(
                 "node",
                 _r12(
                     (1 - damping) / F.col("n")
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.lit(damping) * F.col("s")
                 ).alias("rank"),
                 "n",
             )
