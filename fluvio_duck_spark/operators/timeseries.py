@@ -43,10 +43,20 @@ def calendar_gapfill(
     fill = fill or {name: 0 for name in agg}
     bucket = F.date_trunc("hour", F.col(ts_col)) if step == "1 hour" else None
     if bucket is None:
-        # generic step via epoch arithmetic: floor to step seconds
+        # generic step via epoch arithmetic: floor to step seconds.  The
+        # interval must be normalized to DAY TO SECOND before the long
+        # cast — a bare `CAST(INTERVAL 15 MINUTES AS LONG)` yields 15
+        # (the interval's own unit), which would silently bucket on the
+        # wrong grid and drop observed counts off the spine.
         secs = F.unix_timestamp(F.col(ts_col))
-        step_s = F.expr(f"INTERVAL {step}").cast("long")
-        bucket = F.timestamp_seconds((secs / step_s).cast("long") * step_s)
+        step_s = (
+            F.expr(f"INTERVAL {step}")
+            .cast("interval day to second")
+            .cast("long")
+        )
+        bucket = F.timestamp_seconds(
+            F.floor(secs / step_s).cast("long") * step_s
+        )
 
     observed = df.groupBy(
         F.col(key_col), bucket.alias("bucket")

@@ -340,3 +340,44 @@ def test_cdc_randomized_parity_vs_python_reference(spark):
     out = cdc_apply(snapshot, changes, "k", "ts", "op", ["v"], tiebreak_col="eid")
     got = {r.k: r.v for r in out.collect()}
     assert got == reference()
+
+
+def test_gapfill_generic_step_aligns_grid(spark):
+    """Non-hour steps bucket on the epoch-aligned step grid; observed
+    counts must never fall off the spine (regression: a bare
+    interval→long cast yields the interval's own unit, bucketing on a
+    15-second grid against a 15-minute spine)."""
+    from fluvio_duck_spark.operators.timeseries import calendar_gapfill
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:05:23"), ("a", "2024-01-01 00:52:41")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = calendar_gapfill(df, "k", "ts", step="15 minutes").collect()
+    assert len(rows) == 4  # 00:00 .. 00:45
+    assert sum(r.n for r in rows) == 2
+    assert all(r.bucket.minute % 15 == 0 and r.bucket.second == 0 for r in rows)
+
+
+def test_edit_distance_max_dist_1_matches_bruteforce(spark):
+    import itertools
+
+    from fluvio_duck_spark.operators.dedup import edit_distance_pairs
+
+    words = ["part", "past", "pat", "parts", "art", "cart", "dart", "par"]
+    v = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {(r.token_a, r.token_b) for r in edit_distance_pairs(v, max_dist=1).collect()}
+
+    def lev1(a, b):
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, l = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(l)):
+            if l[:i] + l[i + 1:] == s:
+                return True
+        return False
+
+    exp = {(a, b) for a, b in itertools.combinations(sorted(words), 2) if lev1(a, b)}
+    assert got == exp
