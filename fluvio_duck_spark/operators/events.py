@@ -41,6 +41,8 @@ def funnel_stages(
 
     Returns one row per stage: (stage, stage_name, users).
     """
+    if not stages:
+        raise ValueError("funnel_stages requires at least one stage")
     counts: list[DataFrame] = []
     reached: DataFrame | None = None  # (user, t_i) users who reached stage i
     for i, stage in enumerate(stages):

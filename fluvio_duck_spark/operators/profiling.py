@@ -10,6 +10,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _sql_str(s: str) -> str:
+    """A safely-quoted SQL string literal for the column label."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_null,
     n_distinct, min_val, max_val) with bounds rendered as strings so
@@ -24,18 +29,21 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     ``n_distinct`` is exact; swap in approx_count_distinct at corpus
     scale if a 2% error buys the cheaper sketch path.
     """
+    # positional internal aliases: column names never appear inside the
+    # stack() SQL text, so dots/spaces/quotes in source columns are safe
     aggs = [F.count(F.lit(1)).alias("_rows")]
-    for c in cols:
-        col = F.col(c)
+    for i, c in enumerate(cols):
+        col = df[c]
         aggs += [
-            F.sum(col.isNull().cast("long")).alias(f"_{c}_nnull"),
-            F.countDistinct(col).alias(f"_{c}_ndist"),
-            F.min(col).cast("string").alias(f"_{c}_min"),
-            F.max(col).cast("string").alias(f"_{c}_max"),
+            F.sum(col.isNull().cast("long")).alias(f"_c{i}_nnull"),
+            F.countDistinct(col).alias(f"_c{i}_ndist"),
+            F.min(col).cast("string").alias(f"_c{i}_min"),
+            F.max(col).cast("string").alias(f"_c{i}_max"),
         ]
     row = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _{c}_nnull, _{c}_ndist, _{c}_min, _{c}_max" for c in cols
+        f"{_sql_str(c)}, _c{i}_nnull, _c{i}_ndist, _c{i}_min, _c{i}_max"
+        for i, c in enumerate(cols)
     )
     return row.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "

@@ -533,3 +533,56 @@ QUERIES.update({
         doc="single-pass column profiling (nulls/cardinality/bounds) via Expand",
     ),
 })
+
+
+def q_sample_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (backtest) cross-validation folds: fold i trains
+    on everything before its test week and tests on that week — the
+    split discipline time-series models need (no future leakage).
+    The 4-row fold spec broadcast-crossJoins the log (map-only fan-out);
+    each event lands in every fold where it plays a role."""
+    ev = load(spark, sf_dir, "events")
+    folds = spark.createDataFrame(
+        [(i, f"2024-01-{8 + 7 * (i - 1):02d}") for i in (1, 2, 3)],
+        "fold int, test_start string",
+    ).select(
+        "fold",
+        F.col("test_start").cast("timestamp").alias("t0"),
+        (F.col("test_start").cast("timestamp") + F.expr("INTERVAL 7 DAYS")).alias("t1"),
+    )
+    tagged = ev.crossJoin(F.broadcast(folds)).withColumn(
+        "role",
+        F.when(F.col("ts") < F.col("t0"), "train")
+        .when((F.col("ts") >= F.col("t0")) & (F.col("ts") < F.col("t1")), "test"),
+    )
+    return (
+        tagged.filter(F.col("role").isNotNull())
+        .groupBy("fold", "role")
+        .agg(F.count("*").alias("n_events"),
+             F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+ORACLE_TIME_FOLDS = """
+WITH folds AS (
+  SELECT 1 AS fold, TIMESTAMP '2024-01-08' AS t0 UNION ALL
+  SELECT 2, TIMESTAMP '2024-01-15' UNION ALL
+  SELECT 3, TIMESTAMP '2024-01-22'
+)
+SELECT fold,
+       CASE WHEN ts < t0 THEN 'train'
+            WHEN ts >= t0 AND ts < t0 + INTERVAL 7 DAY THEN 'test' END AS role,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events CROSS JOIN folds
+WHERE ts < t0 + INTERVAL 7 DAY
+GROUP BY fold, role
+"""
+
+
+QUERIES.update({
+    "sample_time_folds": QuerySpec(
+        q_sample_time_folds, ORACLE_TIME_FOLDS,
+        doc="rolling-origin backtest folds — leak-free time-series splits",
+    ),
+})

@@ -381,3 +381,23 @@ def test_edit_distance_max_dist_1_matches_bruteforce(spark):
 
     exp = {(a, b) for a, b in itertools.combinations(sorted(words), 2) if lev1(a, b)}
     assert got == exp
+
+
+def test_events_demo_end_to_end(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from demo_events import analyze
+
+    out = analyze(spark, sf_dir)
+    funnel = {r.stage: r.users for r in out["funnel"].collect()}
+    assert funnel[1] >= funnel[2] >= funnel[3]  # funnel only narrows
+    assert out["profile"].count() == 5
+    # CDC state: one row per surviving user, value column present
+    state = out["state"]
+    assert state.columns == ["user_id", "value"]
+    assert state.groupBy("user_id").count().filter("count > 1").count() == 0
+    # dashboard grid is dense: #types × #hours
+    n_types = out["dashboard"].select("event_type").distinct().count()
+    n_buckets = out["dashboard"].select("bucket").distinct().count()
+    assert out["dashboard"].count() == n_types * n_buckets
