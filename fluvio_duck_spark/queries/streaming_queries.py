@@ -17,6 +17,7 @@ from fluvio_duck_spark.queries.relational import (
     ORACLE_ROLLUP_HIST,
     ORACLE_ROLLUP_HOURLY,
 )
+from fluvio_duck_spark.queries.pipeline import ORACLE_CDC as ORACLE_STREAM_CDC
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.streaming.consume_stream import (
     event_stream,
@@ -444,3 +445,54 @@ QUERIES: dict[str, QuerySpec] = {
         q_consume_infer_typed, ORACLE_INFER,
         doc="JSON schema inference + from_json expansion (extension)"),
 }
+
+
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE twin of ``cdc_apply_latest``: the change feed is
+    re-sharded into ts-ordered files (the CDC-log ordering contract —
+    correctness must not depend on the fixture's file layout), streamed
+    one file per trigger, and foreachBatch-merged into a versioned
+    state table.  Shares the batch oracle: the incrementally maintained
+    state must hash-match the one-shot MERGE."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.cdc_stream import run_stream_cdc
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    bounds = [("2024-01-22", "2024-01-25"), ("2024-01-25", "2024-01-28"),
+              ("2024-01-28", "2024-02-01")]
+    for i, (lo, hi) in enumerate(bounds):
+        (changes.filter((F.col("ts") >= F.lit(lo).cast("timestamp"))
+                        & (F.col("ts") < F.lit(hi).cast("timestamp")))
+         .coalesce(1).write.parquet(f"{work}/feed/b{i}"))
+    stream = (
+        spark.readStream.schema(changes.schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(work + "/feed/b*")
+    )
+    return run_stream_cdc(
+        spark, snapshot, stream, "user_id", "ts", "op", ["value"],
+        state_dir=work + "/state", tiebreak_col="event_id",
+    )
+
+
+QUERIES.update({
+    "stream_cdc_apply": QuerySpec(
+        q_stream_cdc_apply, ORACLE_STREAM_CDC,
+        doc="foreachBatch MERGE of a ts-ordered change feed into versioned state — oracle-shared with cdc_apply_latest",
+    ),
+})

@@ -277,3 +277,51 @@ def test_tombstone_compact_semantics(spark):
         ).collect()
     }
     assert got == {2: ("set", "b"), 3: ("set", "c")}
+
+
+def test_stream_cdc_merge_parity_across_micro_batches(spark, sf_dir, tmp_path):
+    """Incremental foreachBatch MERGE over a ts-ordered change feed must
+    converge to the one-shot batch cdc_apply over the whole feed —
+    driven through ≥3 micro-batches (one change file per trigger)."""
+    from fluvio_duck_spark.operators.events import cdc_apply
+    from fluvio_duck_spark.sources.consume import read_events
+    from fluvio_duck_spark.streaming.cdc_stream import run_stream_cdc
+
+    ev = read_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    # ts-ordered feed shards: a key's later change is never in an
+    # earlier file (the CDC-log ordering contract)
+    src = str(tmp_path / "changes")
+    bounds = [("2024-01-22", "2024-01-25"), ("2024-01-25", "2024-01-28"),
+              ("2024-01-28", "2024-02-01")]
+    for i, (lo, hi) in enumerate(bounds):
+        (changes.filter((F.col("ts") >= F.lit(lo).cast("timestamp"))
+                        & (F.col("ts") < F.lit(hi).cast("timestamp")))
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+
+    schema = changes.schema
+    stream = (
+        spark.readStream.schema(schema).format("parquet")
+        .option("maxFilesPerTrigger", "1").load(src + "/b*")
+    )
+    final = run_stream_cdc(
+        spark, snapshot, stream, "user_id", "ts", "op", ["value"],
+        state_dir=str(tmp_path / "state"), tiebreak_col="event_id",
+    )
+    got = {(r.user_id, r.value) for r in final.collect()}
+    exp = {
+        (r.user_id, r.value)
+        for r in cdc_apply(snapshot, changes, "user_id", "ts", "op",
+                           ["value"], tiebreak_col="event_id").collect()
+    }
+    assert got == exp and len(got) > 0
