@@ -586,3 +586,146 @@ QUERIES.update({
         doc="rolling-origin backtest folds — leak-free time-series splits",
     ),
 })
+
+
+def q_drift_psi_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the value distribution per event
+    type: reference week Jan 8-15 vs fresh week Jan 22-29, 10 fixed
+    bins of width 50."""
+    from fluvio_duck_spark.operators.drift import psi_by_group
+
+    ev = load(spark, sf_dir, "events")
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    return psi_by_group(
+        ev,
+        "event_type",
+        "value",
+        expected_pred=(F.col("ts") >= t("2024-01-08")) & (F.col("ts") < t("2024-01-15")),
+        actual_pred=(F.col("ts") >= t("2024-01-22")) & (F.col("ts") < t("2024-01-29")),
+        bin_width=50.0,
+        n_bins=10,
+    )
+
+
+ORACLE_DRIFT_PSI = """
+WITH counts AS (
+  SELECT event_type,
+         LEAST(9, GREATEST(0, CAST(floor(value / 50.0) AS INTEGER))) AS bin,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+                  THEN 1 ELSE 0 END) AS ce,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29'
+                  THEN 1 ELSE 0 END) AS ca
+  FROM events
+  WHERE (ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15')
+     OR (ts >= TIMESTAMP '2024-01-22' AND ts < TIMESTAMP '2024-01-29')
+  GROUP BY event_type, bin
+), spine AS (
+  SELECT g.event_type, b.bin
+  FROM (SELECT DISTINCT event_type FROM events) g,
+       (SELECT unnest(range(10)) AS bin) b
+), dense AS (
+  SELECT s.event_type, s.bin,
+         COALESCE(c.ce, 0) AS ce, COALESCE(c.ca, 0) AS ca
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.bin = c.bin
+), sm AS (
+  SELECT event_type,
+         (ce + 1) / (sum(ce) OVER (PARTITION BY event_type) + 10) AS pe,
+         (ca + 1) / (sum(ca) OVER (PARTITION BY event_type) + 10) AS pa
+  FROM dense
+)
+SELECT event_type, round(sum((pa - pe) * ln(pa / pe)), 6) AS psi
+FROM sm GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "drift_psi_by_type": QuerySpec(
+        q_drift_psi_by_type, ORACLE_DRIFT_PSI,
+        doc="PSI drift check: reference vs fresh week, one corpus pass",
+    ),
+})
+
+
+def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of token pairs co-occurring in the
+    same document — the corpus-association statistic behind collocation
+    mining and classic embedding pipelines.
+
+    Shape: distinct (doc, token) → self-join on doc (pair fan-out is
+    per-doc-vocab², bounded by document length, never corpus²) → pair
+    counts ⋈ unigram doc-frequencies; the corpus size N folds in as a
+    lazy 1-row agg crossJoin (the LEO pattern — no driver count).
+    PMI = ln(N·c_xy / (c_x·c_y)), rounded to 6 (identical integer
+    ratios into ln on both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    doctok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z]+", " ")), " ")
+            ).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .distinct()
+    )
+    a, b = doctok.alias("a"), doctok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+               & (F.col("a.token") < F.col("b.token")))
+        .groupBy(F.col("a.token").alias("token_a"),
+                 F.col("b.token").alias("token_b"))
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    dfreq = doctok.groupBy("token").agg(F.count("*").alias("c"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        pairs.join(dfreq.select(F.col("token").alias("token_a"),
+                                F.col("c").alias("c_x")), "token_a")
+        .join(dfreq.select(F.col("token").alias("token_b"),
+                           F.col("c").alias("c_y")), "token_b")
+        .crossJoin(n)
+        .select(
+            "token_a", "token_b", "c_xy",
+            F.round(
+                F.log(F.col("n_docs") * F.col("c_xy")
+                      / (F.col("c_x") * F.col("c_y"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+ORACLE_PMI = """
+WITH doctok AS (
+  SELECT DISTINCT doc_id, t AS token FROM (
+    SELECT doc_id,
+           unnest(string_split(lower(regexp_replace(text, '[^a-zA-Z]+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  ) WHERE len(t) >= 3
+), pairs AS (
+  SELECT a.token AS token_a, b.token AS token_b, count(*) AS c_xy
+  FROM doctok a JOIN doctok b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+  HAVING count(*) >= 5
+), dfreq AS (
+  SELECT token, count(*) AS c FROM doctok GROUP BY token
+), nn AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT p.token_a, p.token_b, p.c_xy,
+       round(ln(nn.n_docs * p.c_xy / (x.c * y.c)), 6) AS pmi
+FROM pairs p
+JOIN dfreq x ON p.token_a = x.token
+JOIN dfreq y ON p.token_b = y.token
+CROSS JOIN nn
+"""
+
+
+QUERIES.update({
+    "text_pmi_cooccurrence": QuerySpec(
+        q_text_pmi_cooccurrence, ORACLE_PMI,
+        doc="PMI collocations via doc-bounded pair fan-out + lazy 1-row N",
+    ),
+})

@@ -401,3 +401,47 @@ def test_events_demo_end_to_end(spark, sf_dir):
     n_types = out["dashboard"].select("event_type").distinct().count()
     n_buckets = out["dashboard"].select("bucket").distinct().count()
     assert out["dashboard"].count() == n_types * n_buckets
+
+
+def test_psi_zero_when_distributions_identical(spark):
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.drift import psi_by_group
+
+    # same values in both windows → PSI must be exactly 0
+    rows = [("a", 1, float(v)) for v in (5, 15, 25, 35)] + \
+           [("a", 2, float(v)) for v in (5, 15, 25, 35)]
+    df = spark.createDataFrame(rows, "g string, w int, v double")
+    out = psi_by_group(
+        df, "g", "v",
+        expected_pred=F.col("w") == 1,
+        actual_pred=F.col("w") == 2,
+        bin_width=10.0, n_bins=5,
+    ).collect()
+    assert out[0].psi == 0.0
+
+
+def test_psi_positive_on_shift_and_corpus_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.drift import psi_by_group
+
+    rows = [("a", 1, 5.0)] * 50 + [("a", 2, 45.0)] * 50  # total shift
+    df = spark.createDataFrame(rows, "g string, w int, v double")
+    out = psi_by_group(
+        df, "g", "v",
+        expected_pred=F.col("w") == 1,
+        actual_pred=F.col("w") == 2,
+        bin_width=10.0, n_bins=5,
+    )
+    assert out.collect()[0].psi > 0.25  # "shifted" by the conventional read
+
+
+def test_psi_query_scans_corpus_twice_only(spark, sf_dir):
+    """Counts pass + spine-keys distinct — never a rescan per window."""
+    from fluvio_duck_spark.queries.pipeline import q_drift_psi_by_type
+
+    df = q_drift_psi_by_type(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 2
