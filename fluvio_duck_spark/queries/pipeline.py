@@ -729,3 +729,38 @@ QUERIES.update({
         doc="PMI collocations via doc-bounded pair fan-out + lazy 1-row N",
     ),
 })
+
+
+def q_agg_ordered_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered collection aggregates (§2.7 family): per customer the
+    sorted array of order keys and its CSV form — collect_list is
+    unordered across partial aggregation, so the sort happens ONCE on
+    the assembled array (deterministic on any cluster), mirroring
+    DuckDB's list(... ORDER BY)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .select(
+            "o_custkey",
+            "orderkeys",
+            F.concat_ws(",", F.col("orderkeys").cast("array<string>"))
+            .alias("orderkeys_csv"),
+        )
+    )
+
+
+ORACLE_ORDERED_LIST = """
+SELECT o_custkey,
+       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orderkeys_csv
+FROM orders GROUP BY o_custkey
+"""
+
+
+QUERIES.update({
+    "agg_ordered_list": QuerySpec(
+        q_agg_ordered_list, ORACLE_ORDERED_LIST,
+        doc="ordered array + string aggregates (list/string_agg parity)",
+    ),
+})

@@ -86,3 +86,42 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)  # external table location
     writer.saveAsTable(table)
+
+
+def compact_files(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    staging_suffix: str = "__compacting",
+) -> int:
+    """OPTIMIZE-style small-file compaction: rewrite a parquet directory
+    into ``ceil(total_bytes / target_bytes)`` files and atomically swap
+    it in.  Returns the new file count.
+
+    Small-file sprawl is the death-by-a-thousand-tasks failure mode of
+    any long-running ingest (every scan pays a task per file + a footer
+    read); periodic compaction to ~128 MB files restores scan
+    parallelism economics.  The rewrite stages into a sibling directory
+    and swaps via rename — a reader never observes a half-written
+    directory (single-filesystem rename; object stores want a manifest
+    commit instead, which is what table formats provide).
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    staging = path.rstrip("/") + staging_suffix
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    backup = path.rstrip("/") + "__old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return n_files

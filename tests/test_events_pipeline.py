@@ -445,3 +445,31 @@ def test_psi_query_scans_corpus_twice_only(spark, sf_dir):
     df.write.format("noop").mode("overwrite").save()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 2
+
+
+def test_operators_on_empty_and_degenerate_inputs(spark):
+    """Edge contracts: empty feeds, single rows, all-delete feeds."""
+    from fluvio_duck_spark.operators.events import cdc_apply, funnel_stages
+    from fluvio_duck_spark.operators.timeseries import calendar_gapfill, locf_fill
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string, event_id long")
+    out = funnel_stages(empty_ev, "user_id", "ts", "event_type", ["view", "click"])
+    assert {r.users for r in out.collect()} == {0}  # 0-count row per stage
+
+    snap = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    no_changes = spark.createDataFrame([], "k long, ts long, op string, v double")
+    got = cdc_apply(snap, no_changes, "k", "ts", "op", ["v"]).collect()
+    assert [(r.k, r.v) for r in got] == [(1, 1.0)]  # passthrough
+
+    all_delete = spark.createDataFrame([(1, 5, "delete", 0.0)],
+                                       "k long, ts long, op string, v double")
+    assert cdc_apply(snap, all_delete, "k", "ts", "op", ["v"]).count() == 0
+
+    one = spark.createDataFrame([("a", "2024-01-01 10:30:00")], "k string, ts string") \
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    rows = calendar_gapfill(one, "k", "ts").collect()
+    assert len(rows) == 1 and rows[0].n == 1  # single-bucket span
+
+    single = spark.createDataFrame([(1, 1, None)], "k long, ts long, x double")
+    assert locf_fill(single, "k", "ts", "x", out_col="y").collect()[0].y is None

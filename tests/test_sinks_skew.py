@@ -216,3 +216,23 @@ def test_zorder_layout_clusters_both_columns(spark, tmp_path):
     assert (
         spark.read.parquet(str(tmp_path / "zord")).count() == df.count()
     )
+
+
+def test_compact_files_preserves_data_and_reduces_files(spark, sf_dir, tmp_path):
+    import glob
+
+    from fluvio_duck_spark.sinks import compact_files
+    from fluvio_duck_spark.sources.tables import load
+
+    path = str(tmp_path / "sprawl")
+    ev = load(spark, sf_dir, "events")
+    ev.repartition(32).write.parquet(path)  # small-file sprawl
+    before_files = len(glob.glob(path + "/*.parquet"))
+    before = {(r.event_id,) for r in spark.read.parquet(path).select("event_id").collect()}
+
+    n = compact_files(spark, path, target_bytes=1 << 30)
+    after_files = len(glob.glob(path + "/*.parquet"))
+    assert n == 1 and after_files == 1 < before_files
+    after = {(r.event_id,) for r in spark.read.parquet(path).select("event_id").collect()}
+    assert after == before
+    assert not glob.glob(path + "__*")  # staging/backup cleaned up
