@@ -24,10 +24,11 @@ class QuerySpec:
 
 
 #: Queries with a green row in the round-1 driver correctness file
-#: (CORRECTNESS_r01.json).  The driver's snapshot covered only these 50 of
-#: 139 registered queries, so ``all_queries()`` orders the *unverified*
-#: remainder first: if the driver's next run is time-bounded, it reaches
-#: the never-verified entries before re-checking known-green ones.
+#: (CORRECTNESS_r01.json).  The driver's snapshot covered only these 50
+#: (of what is now 165 registered queries), so ``all_queries()`` orders
+#: the *unverified* remainder first: if the driver's next run is
+#: time-bounded, it reaches the never-verified entries before
+#: re-checking known-green ones.
 _DRIVER_VERIFIED_R01 = frozenset({
     "agg_approx", "agg_cube", "agg_distinct",
     "agg_filtered_revenue", "agg_grouping_sets", "agg_market_share",
