@@ -96,6 +96,8 @@ EXTENDED = [
     "dedup_edit_distance",
     "sim_group_centroids",
     "window_trailing_features",
+    "drift_psi_by_type",
+    "text_pmi_cooccurrence",
 ]
 
 

@@ -17,6 +17,12 @@ Within a batch any order is fine — ``cdc_apply`` reduces to the latest
 (ts, tiebreak) per key.  Under that contract the incrementally
 maintained state equals the one-shot batch merge over the whole feed —
 asserted by the parity test across ≥3 micro-batches.
+
+Delivery semantics: foreachBatch is at-least-once, but the merge is
+idempotent — re-applying a batch replays the same latest-per-key
+upserts/deletes onto a state that already reflects them, landing on the
+identical state version.  At-least-once + idempotent merge ⇒
+effectively-once state.
 """
 
 from __future__ import annotations
