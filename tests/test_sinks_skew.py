@@ -236,3 +236,47 @@ def test_compact_files_preserves_data_and_reduces_files(spark, sf_dir, tmp_path)
     after = {(r.event_id,) for r in spark.read.parquet(path).select("event_id").collect()}
     assert after == before
     assert not glob.glob(path + "__*")  # staging/backup cleaned up
+
+
+def test_cdc_apply_is_shuffle_free_on_bucketed_tables(spark, sf_dir, tmp_path):
+    """The cdc_apply docstring's scale claim, plan-asserted: with the
+    snapshot AND the change feed bucketed by the key, the whole MERGE —
+    latest-change aggregation plus full-outer join — runs with ZERO
+    shuffle exchanges (the shuffle was paid once at write time)."""
+    from fluvio_duck_spark.operators.events import cdc_apply
+    from fluvio_duck_spark.sinks import write_bucketed
+
+    ev = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    write_bucketed(snapshot, "cdc_snap_b", "user_id", 8, path=str(tmp_path / "s"))
+    write_bucketed(changes, "cdc_changes_b", "user_id", 8, path=str(tmp_path / "c"))
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = cdc_apply(
+            spark.table("cdc_snap_b"), spark.table("cdc_changes_b"),
+            "user_id", "ts", "op", ["value"], tiebreak_col="event_id",
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan.replace("BroadcastExchange", "")
+        assert "SortMergeJoin" in plan
+        # and the bucketed MERGE must agree with the plain one
+        got = {(r.user_id, r.value) for r in out.collect()}
+        exp = {(r.user_id, r.value)
+               for r in cdc_apply(snapshot, changes, "user_id", "ts", "op",
+                                  ["value"], tiebreak_col="event_id").collect()}
+        assert got == exp
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS cdc_snap_b")
+        spark.sql("DROP TABLE IF EXISTS cdc_changes_b")
