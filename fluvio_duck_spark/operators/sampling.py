@@ -239,3 +239,71 @@ def training_order(
     if num_partitions:
         return out.repartitionByRange(num_partitions, *cols).sortWithinPartitions(*cols)
     return out.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 4,
+    seed: int = 0,
+    oversample: int = 2,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor row, ``k`` rows whose label differs, drawn by a pure
+    integer-hash function of (anchor id, draw index) — the same corpus
+    yields the same negatives on any cluster layout, so a training run
+    is resumable and its pairs auditable.
+
+    Contract: ``id_col`` must be dense 0..N-1 (the standard contiguous
+    row-id a training pipeline assigns; ``training_order`` produces
+    one).  Candidate j for anchor i is
+    ``(i + 1)·(KNUTH + (seed·31 + j)·STRIDE) mod N`` — each draw index
+    is a different multiplicative permutation of the id space.
+
+    Plan shape: ``k·oversample`` candidates explode in-row (map-side
+    fan-out), ONE equi-join on the candidate id fetches candidate
+    labels, self/same-label collisions filter out, and a rank window
+    keeps the first ``k`` survivors per anchor (WindowGroupLimit: the
+    per-anchor heap is k-bounded before the shuffle).  No corpus²
+    anything; the join is the only data-sized exchange.
+
+    Returns (id, neg_rank 1..k, neg_id).  Anchors whose oversampled
+    candidates all collide (tiny corpora, dominant labels) return
+    fewer than k rows — raise ``oversample`` if that matters.
+    """
+    n = df.agg((F.max(F.col(id_col)) + 1).alias("_n"))
+    draws = df.select(
+        F.col(id_col).alias("_aid"), F.col(label_col).alias("_albl")
+    ).crossJoin(n).select(
+        "_aid", "_albl", "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(k * oversample - 1))).alias("_j"),
+    )
+    cand = draws.select(
+        "_aid", "_albl", "_j",
+        F.pmod(
+            (F.col("_aid") + 1)
+            * (
+                F.lit(_KNUTH)
+                + (F.lit(seed * 31).cast("long") + F.col("_j"))
+                * F.lit(_SEED_STRIDE).cast("long")
+            ),
+            F.col("_n"),
+        ).alias("_cid"),
+    )
+    labels = df.select(
+        F.col(id_col).alias("_cid"), F.col(label_col).alias("_clbl")
+    )
+    valid = (
+        cand.join(labels, "_cid")
+        .filter((F.col("_cid") != F.col("_aid")) & (F.col("_clbl") != F.col("_albl")))
+    )
+    w = Window.partitionBy("_aid").orderBy("_j")
+    return (
+        valid.select(
+            F.col("_aid").alias(id_col),
+            F.row_number().over(w).alias("neg_rank"),
+            F.col("_cid").alias("neg_id"),
+        )
+        .filter(F.col("neg_rank") <= k)
+    )

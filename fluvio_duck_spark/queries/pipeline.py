@@ -764,3 +764,45 @@ QUERIES.update({
         doc="ordered array + string aggregates (list/string_agg parity)",
     ),
 })
+
+
+def q_sample_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives: 4 different-label rows per
+    anchor embedding, drawn by pure integer hashing (reproducible on
+    any cluster layout — the property that makes training pairs
+    auditable)."""
+    from fluvio_duck_spark.operators.sampling import negative_samples
+
+    emb = load(spark, sf_dir, "embeddings")
+    return negative_samples(emb, "vec_id", "label", k=4, seed=0)
+
+
+ORACLE_NEGATIVES = """
+WITH nn AS (
+  SELECT max(vec_id) + 1 AS n FROM embeddings
+), draws AS (
+  SELECT e.vec_id AS aid, e.label AS albl, t.j, nn.n
+  FROM embeddings e CROSS JOIN nn CROSS JOIN (SELECT unnest(range(8)) AS j) t
+), cand AS (
+  SELECT aid, albl, j,
+         ((aid + 1) * (2654435761 + j * 98765431)) % n AS cid
+  FROM draws
+), valid AS (
+  SELECT c.aid, c.j, c.cid
+  FROM cand c JOIN embeddings x ON c.cid = x.vec_id
+  WHERE c.cid <> c.aid AND x.label <> c.albl
+)
+SELECT aid AS vec_id,
+       CAST(row_number() OVER (PARTITION BY aid ORDER BY j) AS INTEGER) AS neg_rank,
+       cid AS neg_id
+FROM valid
+QUALIFY neg_rank <= 4
+"""
+
+
+QUERIES.update({
+    "sample_negatives": QuerySpec(
+        q_sample_negatives, ORACLE_NEGATIVES,
+        doc="deterministic contrastive negative sampling (hash-permutation draws, k-bounded window)",
+    ),
+})

@@ -473,3 +473,26 @@ def test_operators_on_empty_and_degenerate_inputs(spark):
 
     single = spark.createDataFrame([(1, 1, None)], "k long, ts long, x double")
     assert locf_fill(single, "k", "ts", "x", out_col="y").collect()[0].y is None
+
+
+def test_negative_samples_label_disjoint_and_deterministic(spark, sf_dir):
+    from fluvio_duck_spark.operators.sampling import negative_samples
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    out = negative_samples(emb, "vec_id", "label", k=4, seed=0)
+    joined = (
+        out.join(emb.withColumnRenamed("vec_id", "neg_id")
+                    .withColumnRenamed("label", "neg_label"), "neg_id")
+        .join(emb, "vec_id")
+    )
+    # every negative has a different label than its anchor, never itself
+    assert joined.filter("label = neg_label OR vec_id = neg_id").count() == 0
+    # at most k per anchor
+    assert out.groupBy("vec_id").count().filter("count > 4").count() == 0
+    # run-to-run determinism (different partitioning)
+    again = negative_samples(emb.repartition(7), "vec_id", "label", k=4, seed=0)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+    # a different seed draws a different permutation
+    other = negative_samples(emb, "vec_id", "label", k=4, seed=3)
+    assert {tuple(r) for r in out.collect()} != {tuple(r) for r in other.collect()}
