@@ -103,10 +103,16 @@ def cosine_topk_batch(
 
 
 def _gemm_scores(
-    corpus: DataFrame, queries: DataFrame, keep: int, id_col: str, vec_col: str
+    corpus: DataFrame, queries: DataFrame, keep: int, id_col: str, vec_col: str,
+    label_col: str | None = None,
 ) -> DataFrame:
     """Per-Arrow-batch GEMM scores pruned to each batch's top ``keep``
     rows per query (np.argpartition) before anything leaves the task.
+
+    With ``label_col``, rows sharing the query's label are masked out
+    BEFORE the per-batch partial top-k — hard-negative mining stays
+    exact (a post-hoc label filter over an unmasked partial top-k could
+    starve a query whose nearest rows all share its label).
 
     Contract: vectors must have nonzero L2 norm (a zero vector normalizes
     to NaN sims on both batch paths).  The output id field types are
@@ -114,14 +120,17 @@ def _gemm_scores(
     import numpy as np
     import pandas as pd
 
-    qpd = queries.select(id_col, vec_col).toPandas()
+    qcols = [id_col, vec_col] + ([label_col] if label_col else [])
+    qpd = queries.select(*qcols).toPandas()
     qids = qpd[id_col].to_numpy()
+    qlbl = qpd[label_col].to_numpy() if label_col else None
     Q = np.asarray([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]])
     Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
 
     def score(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
+            lbl = pdf[label_col].to_numpy() if label_col else None
             X = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
@@ -131,6 +140,8 @@ def _gemm_scores(
             for j in range(len(qids)):
                 s = S[j]
                 mask = ids != qids[j]
+                if lbl is not None:
+                    mask &= lbl != qlbl[j]
                 cand = np.flatnonzero(mask)
                 if len(cand) > keep:
                     cand = cand[np.argpartition(-s[cand], keep - 1)[:keep]]
@@ -144,7 +155,8 @@ def _gemm_scores(
     qid_ty = queries.schema[id_col].dataType.simpleString()
     cid_ty = corpus.schema[id_col].dataType.simpleString()
     schema = f"query_id {qid_ty}, {id_col} {cid_ty}, sim double"
-    return corpus.select(id_col, vec_col).mapInPandas(score, schema=schema)
+    ccols = [id_col, vec_col] + ([label_col] if label_col else [])
+    return corpus.select(*ccols).mapInPandas(score, schema=schema)
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -440,4 +452,37 @@ def group_centroids(
         F.round(
             (F.sum(acc).cast("double") / F.count(val)), round_dp
         ).alias("centroid")
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    MOST-SIMILAR rows with a different label (the negatives that move a
+    contrastive loss, vs ``negative_samples``'s uniform draws).
+
+    Scale shape: the GEMM batch path with the label mask applied inside
+    each Arrow batch before its partial top-k — the window shuffle
+    carries |batches|×|queries|×2k rows, never |corpus|×|queries|, and
+    the result is exactly the label-filtered top-k (masking before the
+    heap, so same-label neighbors can't crowd out true negatives).
+    Output (query_id, id, sim rounded 6, rn 1..k)."""
+    from pyspark.sql import Window
+
+    scored = _gemm_scores(corpus, queries, 2 * k, id_col, vec_col,
+                          label_col=label_col)
+    rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, F.round("sim", 6).alias("sim"),
+                F.col("rn").cast("int").alias("rn"))
     )

@@ -806,3 +806,45 @@ QUERIES.update({
         doc="deterministic contrastive negative sampling (hash-permutation draws, k-bounded window)",
     ),
 })
+
+
+def q_sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for the label-0 anchors: per anchor the 2 most
+    similar different-label embeddings — GEMM batch scoring with the
+    label mask applied before each batch's partial top-k."""
+    from fluvio_duck_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("label") == 0), k=2)
+
+
+ORACLE_HARD_NEGATIVES = """
+WITH cn AS (
+  SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS nv
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qlbl, nv AS qv
+  FROM cn WHERE label = 0),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_aggregate(list_transform(range(1, len(c.nv)+1),
+        i -> c.nv[i] * q.qv[i]), 'sum') AS sim
+  FROM cn c CROSS JOIN q WHERE c.label <> q.qlbl),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s)
+SELECT query_id, vec_id, ROUND(sim, 6) AS sim, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= 2
+"""
+
+
+QUERIES.update({
+    "sample_hard_negatives": QuerySpec(
+        q_sample_hard_negatives, ORACLE_HARD_NEGATIVES,
+        doc="hard-negative mining: label-masked GEMM partial top-k",
+    ),
+})

@@ -496,3 +496,20 @@ def test_negative_samples_label_disjoint_and_deterministic(spark, sf_dir):
     # a different seed draws a different permutation
     other = negative_samples(emb, "vec_id", "label", k=4, seed=3)
     assert {tuple(r) for r in out.collect()} != {tuple(r) for r in other.collect()}
+
+
+def test_hard_negatives_mask_beats_post_filter(spark):
+    """Construct a corpus where a query's nearest rows all share its
+    label: an unmasked partial top-k + post-filter would starve it;
+    the masked path must still return the true different-label top-k."""
+    from fluvio_duck_spark.operators.similarity import hard_negatives
+
+    rows = [(0, [1.0, 0.0, 0.0], 0)]
+    # 20 same-label rows nearly identical to the query
+    rows += [(i, [1.0, 0.001 * i, 0.0], 0) for i in range(1, 21)]
+    # two different-label rows, farther away
+    rows += [(100, [0.8, 0.6, 0.0], 1), (101, [0.0, 1.0, 0.0], 2)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = hard_negatives(emb, emb.filter("vec_id = 0"), k=2)
+    got = [(r.vec_id, r.rn) for r in out.orderBy("rn").collect()]
+    assert got == [(100, 1), (101, 2)]
