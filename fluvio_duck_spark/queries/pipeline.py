@@ -848,3 +848,70 @@ QUERIES.update({
         doc="hard-negative mining: label-masked GEMM partial top-k",
     ),
 })
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-in-engine: recall@5 of the IVF probe against exhaustive
+    search for the label-0 query set — the accept/reject metric every
+    ANN deployment gates on, computed as a query (both result sets are
+    deterministic, so even the quality metric is oracle-checkable).
+    One row: (n_queries, avg_recall) with avg_recall = total true
+    neighbors retrieved / (5·n_queries) — a single exact division, no
+    float accumulation order to worry about."""
+    from fluvio_duck_spark.operators.similarity import (
+        cosine_topk_batch,
+        ivf_topk_batch,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("label") == 0)
+    exact = cosine_topk_batch(emb, queries, k=5).select("query_id", "vec_id")
+    approx = ivf_topk_batch(emb, queries, k=5).select("query_id", "vec_id")
+    hits = exact.join(approx, ["query_id", "vec_id"]).agg(
+        F.count("*").alias("n_hits")
+    )
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    return nq.crossJoin(hits).select(
+        "n_queries",
+        F.round(F.col("n_hits") / (F.lit(5) * F.col("n_queries")), 6)
+        .alias("avg_recall"),
+    )
+
+
+ORACLE_IVF_RECALL = """
+WITH cn AS (
+  SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS nv
+  FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, label AS qcell, nv AS qv FROM cn WHERE label = 0),
+ex AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_aggregate(list_transform(range(1, len(c.nv)+1),
+                 i -> c.nv[i] * q.qv[i]), 'sum') DESC, c.vec_id) AS rn
+    FROM cn c CROSS JOIN q WHERE c.vec_id <> q.query_id
+  ) WHERE rn <= 5),
+ap AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, c.vec_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_aggregate(list_transform(range(1, len(c.nv)+1),
+                 i -> c.nv[i] * q.qv[i]), 'sum') DESC, c.vec_id) AS rn
+    FROM cn c JOIN q ON c.label = q.qcell AND c.vec_id <> q.query_id
+  ) WHERE rn <= 5),
+h AS (SELECT count(*) AS n_hits FROM ex JOIN ap USING (query_id, vec_id)),
+nq AS (SELECT count(*) AS n_queries FROM q)
+SELECT nq.n_queries, round(h.n_hits / (5.0 * nq.n_queries), 6) AS avg_recall
+FROM nq CROSS JOIN h
+"""
+
+
+QUERIES.update({
+    "sim_ivf_recall": QuerySpec(
+        q_sim_ivf_recall, ORACLE_IVF_RECALL,
+        doc="eval-in-engine: IVF recall@5 vs exhaustive, oracle-checked",
+    ),
+})
