@@ -513,3 +513,52 @@ def test_hard_negatives_mask_beats_post_filter(spark):
     out = hard_negatives(emb, emb.filter("vec_id = 0"), k=2)
     got = [(r.vec_id, r.rn) for r in out.orderBy("rn").collect()]
     assert got == [(100, 1), (101, 2)]
+
+
+def test_observation_metrics_ride_the_query(spark, sf_dir):
+    """Spark's Observation API: data-quality counters collected DURING a
+    query's single pass (no second scan) — the in-flight form of the
+    profile gate.  Metrics must agree with independently computed values."""
+    from pyspark.sql import Observation
+
+    from fluvio_duck_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.min("ts").alias("min_ts"),
+    )
+    out = observed.groupBy("event_type").count()
+    out.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["n_null_value"] == 0
+    assert got["min_ts"] == ev.agg(F.min("ts")).collect()[0][0]
+
+
+def test_more_pipeline_plan_contracts(spark, sf_dir):
+    """Remaining SCALE.md rows for the round-2 set, enforced."""
+    from fluvio_duck_spark.plans import assert_plan
+    from fluvio_duck_spark.queries.pipeline import (
+        q_funnel_conversion,
+        q_rollup_gapfill_hourly,
+        q_sample_negatives,
+    )
+
+    def run(fn):
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        return df
+
+    # funnel: shuffles only on the user key per stage; joins all broadcast
+    ops = assert_plan(run(q_funnel_conversion), SortMergeJoin=0)
+    assert ops.get("Exchange", 0) <= 8
+    # gap fill: the 1-row span crossJoin is the only nested loop
+    ops = assert_plan(run(q_rollup_gapfill_hourly), SortMergeJoin=0)
+    assert ops.get("BroadcastNestedLoopJoin", 0) <= 1
+    # negative sampling: candidate join + k-bounded window, nothing else
+    ops = assert_plan(run(q_sample_negatives), SortMergeJoin=0)
+    assert "WindowGroupLimit" in str(ops) or ops.get("Window", 0) == 1
