@@ -915,3 +915,21 @@ QUERIES.update({
         doc="eval-in-engine: IVF recall@5 vs exhaustive, oracle-checked",
     ),
 })
+
+
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal per document (rows-only: zlib
+    has no SQL oracle; monotonicity + determinism pinned in tests)."""
+    from fluvio_duck_spark.functions.text import compression_ratio_udf
+
+    docs = load(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()
+    return docs.select("doc_id", ratio(F.col("text")).alias("compression_ratio"))
+
+
+QUERIES.update({
+    "text_compression_ratio": QuerySpec(
+        q_text_compression_ratio, None,
+        doc="zlib compression-ratio boilerplate signal (Arrow-batched, map-only; rows-only by nature)",
+    ),
+})

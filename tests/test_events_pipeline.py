@@ -562,3 +562,27 @@ def test_more_pipeline_plan_contracts(spark, sf_dir):
     # negative sampling: candidate join + k-bounded window, nothing else
     ops = assert_plan(run(q_sample_negatives), SortMergeJoin=0)
     assert "WindowGroupLimit" in str(ops) or ops.get("Window", 0) == 1
+
+
+def test_compression_ratio_separates_boilerplate_from_prose(spark):
+    from fluvio_duck_spark.functions.text import compression_ratio_udf
+
+    import random
+    rng = random.Random(1)
+    repetitive = "buy now click here " * 200
+    diverse = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(600)
+    )
+    df = spark.createDataFrame(
+        [(1, repetitive), (2, diverse), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    ratio = compression_ratio_udf()
+    got = {r.doc_id: r.r for r in df.select("doc_id", ratio("text").alias("r")).collect()}
+    assert got[1] < 0.1 < got[2]          # boilerplate compresses far better
+    assert got[3] is None and got[4] == 1.0
+    # deterministic across partitionings
+    again = {r.doc_id: r.r
+             for r in df.repartition(3).select("doc_id", ratio("text").alias("r")).collect()}
+    assert got == again
