@@ -48,10 +48,26 @@ def run_stream_cdc(
     """Maintain a CDC-merged state table from a streaming change feed.
     Processes everything available (``Trigger.AvailableNow``), then
     returns the final state as a batch DataFrame.  ``state_dir`` holds
-    the versioned state; version 0 is the snapshot."""
-    v0 = os.path.join(state_dir, "v0")
-    snapshot.write.mode("overwrite").parquet(v0)
-    current = {"path": v0, "version": 0}
+    the versioned state; version 0 is the snapshot.
+
+    Restartable: if ``state_dir`` already holds state versions, the run
+    RESUMES from the latest one (the snapshot argument is ignored) and
+    the streaming checkpoint skips already-processed feed files — stop
+    the job anywhere, call again, converge to the same state."""
+    import re
+
+    existing = sorted(
+        (int(m.group(1)), d)
+        for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+        if (m := re.fullmatch(r"v(\d+)", d))
+    )
+    if existing:
+        version, d = existing[-1]
+        current = {"path": os.path.join(state_dir, d), "version": version}
+    else:
+        v0 = os.path.join(state_dir, "v0")
+        snapshot.write.mode("overwrite").parquet(v0)
+        current = {"path": v0, "version": 0}
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

@@ -325,3 +325,55 @@ def test_stream_cdc_merge_parity_across_micro_batches(spark, sf_dir, tmp_path):
                            ["value"], tiebreak_col="event_id").collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_stream_cdc_restart_resumes_and_converges(spark, sf_dir, tmp_path):
+    """Kill-and-restart semantics: run the CDC stream over the first
+    half of the feed, then 'restart' (same checkpoint + state dir) after
+    the rest arrives — the resumed run must skip processed files, pick
+    up the latest state version, and converge to the one-shot batch
+    answer."""
+    from fluvio_duck_spark.operators.events import cdc_apply
+    from fluvio_duck_spark.sources.consume import read_events
+    from fluvio_duck_spark.streaming.cdc_stream import run_stream_cdc
+
+    ev = read_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    snapshot = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert")).alias("op"),
+    )
+    src = str(tmp_path / "feed")
+    bounds = [("2024-01-22", "2024-01-24"), ("2024-01-24", "2024-01-26"),
+              ("2024-01-26", "2024-01-28"), ("2024-01-28", "2024-02-01")]
+
+    def write_shard(i):
+        lo, hi = bounds[i]
+        (changes.filter((F.col("ts") >= F.lit(lo).cast("timestamp"))
+                        & (F.col("ts") < F.lit(hi).cast("timestamp")))
+         .coalesce(1).write.parquet(f"{src}/b{i}"))
+
+    def stream():
+        return (spark.readStream.schema(changes.schema).format("parquet")
+                .option("maxFilesPerTrigger", "1").load(src + "/b*"))
+
+    state_dir = str(tmp_path / "state")
+    write_shard(0); write_shard(1)
+    mid = run_stream_cdc(spark, snapshot, stream(), "user_id", "ts", "op",
+                         ["value"], state_dir=state_dir, tiebreak_col="event_id")
+    assert mid.count() > 0
+
+    write_shard(2); write_shard(3)  # "the rest arrives while we were down"
+    final = run_stream_cdc(spark, snapshot, stream(), "user_id", "ts", "op",
+                           ["value"], state_dir=state_dir, tiebreak_col="event_id")
+    got = {(r.user_id, r.value) for r in final.collect()}
+    exp = {(r.user_id, r.value)
+           for r in cdc_apply(snapshot, changes, "user_id", "ts", "op",
+                              ["value"], tiebreak_col="event_id").collect()}
+    assert got == exp
