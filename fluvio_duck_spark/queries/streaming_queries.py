@@ -18,6 +18,7 @@ from fluvio_duck_spark.queries.relational import (
     ORACLE_ROLLUP_HOURLY,
 )
 from fluvio_duck_spark.queries.pipeline import ORACLE_CDC as ORACLE_STREAM_CDC
+from fluvio_duck_spark.queries.relational import ORACLE_OHLC as ORACLE_STREAM_OHLC
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.streaming.consume_stream import (
     event_stream,
@@ -494,5 +495,29 @@ QUERIES.update({
     "stream_cdc_apply": QuerySpec(
         q_stream_cdc_apply, ORACLE_STREAM_CDC,
         doc="foreachBatch MERGE of a ts-ordered change feed into versioned state — oracle-shared with cdc_apply_latest",
+    ),
+})
+
+
+def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of rollup_ohlc_bars: the identical mergeable
+    min_by/max_by candlestick aggregation over the event-time stream in
+    complete mode — same operator code, same oracle, third member of
+    the batch/stream oracle-sharing family after rollup_hourly and the
+    histogram rollup."""
+    from fluvio_duck_spark.operators.rollup import ohlc_bars
+
+    stream = event_stream(spark, sf_dir)
+    bars = ohlc_bars(
+        stream, "ts", "event_id", "value", ["event_type"],
+        width_seconds=3600, sum_scale=2,
+    )
+    return run_stream_to_table(bars, spark, output_mode="complete")
+
+
+QUERIES.update({
+    "stream_ohlc_bars": QuerySpec(
+        q_stream_ohlc_bars, ORACLE_STREAM_OHLC,
+        doc="streaming OHLC candlesticks — oracle-shared with rollup_ohlc_bars",
     ),
 })
