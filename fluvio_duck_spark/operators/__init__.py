@@ -5,6 +5,7 @@ from fluvio_duck_spark.operators.asof import (
     scd2_intervals,
 )
 from fluvio_duck_spark.operators.chunking import chunk_documents, tokenize
+from fluvio_duck_spark.operators.drift import psi_by_group
 from fluvio_duck_spark.operators.events import (
     cdc_apply,
     cohort_retention,
@@ -37,7 +38,9 @@ from fluvio_duck_spark.operators.multimodal import (
     resize_content,
     sample_frames,
 )
+from fluvio_duck_spark.operators.graph import pagerank
 from fluvio_duck_spark.operators.kmeans import kmeans_assign, kmeans_fit
+from fluvio_duck_spark.operators.profiling import profile_columns
 from fluvio_duck_spark.operators.rollup import (
     Measure,
     cascade_rollup,
@@ -47,12 +50,16 @@ from fluvio_duck_spark.operators.rollup import (
 )
 from fluvio_duck_spark.operators.sessions import session_stats, sessionize
 from fluvio_duck_spark.operators.timeseries import calendar_gapfill, locf_fill
+from fluvio_duck_spark.operators.sampling import (
+    negative_samples,
+)
 from fluvio_duck_spark.operators.similarity import (
     ann_lsh_topk,
     blocked_near_dup_pairs,
     cosine_topk,
     embedding_near_dup_pairs,
     group_centroids,
+    hard_negatives,
     ivf_topk,
 )
 from fluvio_duck_spark.operators.skew import salted_agg_count, salted_join
@@ -89,6 +96,11 @@ __all__ = [
     "cohort_retention",
     "funnel_stages",
     "group_centroids",
+    "hard_negatives",
+    "negative_samples",
+    "pagerank",
+    "profile_columns",
+    "psi_by_group",
     "ngram_jaccard_pairs",
     "range_band_join",
     "resize_content",

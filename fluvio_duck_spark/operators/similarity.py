@@ -445,8 +445,10 @@ def group_centroids(
     exploded = df.select(
         F.col(key_col), F.posexplode(vec_col).alias(pos, val)
     )
+    # the decimal scale MUST match the pre-round precision, or the cast
+    # re-quantizes with engine-native rounding (SCALE.md trap #1)
     acc = F.round(F.col(val).cast("double"), round_dp + 3).cast(
-        "decimal(28,9)"
+        f"decimal(28,{round_dp + 3})"
     )
     return exploded.groupBy(key_col, pos).agg(
         F.round(

@@ -25,7 +25,7 @@ class QuerySpec:
 
 #: Queries with a green row in the round-1 driver correctness file
 #: (CORRECTNESS_r01.json).  The driver's snapshot covered only these 50
-#: (of what is now 165 registered queries), so ``all_queries()`` orders
+#: (see QUERIES.md for the live registry count), so ``all_queries()`` orders
 #: the *unverified* remainder first: if the driver's next run is
 #: time-bounded, it reaches the never-verified entries before
 #: re-checking known-green ones.

@@ -408,7 +408,7 @@ def q_window_trailing_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRAILING = """
 SELECT event_id, user_id,
        count(*) OVER (
-         PARTITION BY user_id ORDER BY epoch(ts)
+         PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
          RANGE BETWEEN 3600 PRECEDING AND 1 PRECEDING
        ) AS n_prev_hour,
        round(avg(round(value, 6)) OVER (

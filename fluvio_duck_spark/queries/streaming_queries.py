@@ -474,7 +474,19 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "error", F.lit("delete"))
         .otherwise(F.lit("upsert")).alias("op"),
     )
-    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    # session-scoped workdir keyed by the sf dir: re-invocations replace
+    # it instead of leaking a fresh mkdtemp per run (feed + state +
+    # checkpoint are all rebuilt, so /tmp usage stays bounded)
+    import os
+    import shutil
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "fluvio_duck_stream_cdc",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
     bounds = [("2024-01-22", "2024-01-25"), ("2024-01-25", "2024-01-28"),
               ("2024-01-28", "2024-02-01")]
     for i, (lo, hi) in enumerate(bounds):

@@ -102,13 +102,26 @@ def compact_files(
     any long-running ingest (every scan pays a task per file + a footer
     read); periodic compaction to ~128 MB files restores scan
     parallelism economics.  The rewrite stages into a sibling directory
-    and swaps via rename — a reader never observes a half-written
-    directory (single-filesystem rename; object stores want a manifest
-    commit instead, which is what table formats provide).
+    and swaps via two renames — a reader never observes a HALF-WRITTEN
+    directory, but there is a brief window between the renames where
+    the path is absent (retry a listing miss, or use a table format's
+    manifest commit for a truly atomic swap on object stores).  Crash
+    recovery runs first: an interrupted prior swap is rolled forward or
+    back from the __old/staging leftovers, so the data is never
+    stranded.
     """
     import math
     import os
     import shutil
+
+    backup = path.rstrip("/") + "__old"
+    staging = path.rstrip("/") + staging_suffix
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)  # crashed between the two renames
+        else:
+            shutil.rmtree(backup)  # crashed before cleanup
+    shutil.rmtree(staging, ignore_errors=True)  # stale partial rewrite
 
     total = sum(
         os.path.getsize(os.path.join(root, f))
@@ -117,10 +130,8 @@ def compact_files(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_bytes))
-    staging = path.rstrip("/") + staging_suffix
     df = spark.read.parquet(path)
     df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    backup = path.rstrip("/") + "__old"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

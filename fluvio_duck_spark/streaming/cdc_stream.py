@@ -60,6 +60,9 @@ def run_stream_cdc(
         (int(m.group(1)), d)
         for d in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
         if (m := re.fullmatch(r"v(\d+)", d))
+        # a version is only real once its _SUCCESS marker landed — a
+        # crash mid-write leaves a partial dir that must not be resumed
+        and os.path.exists(os.path.join(state_dir, d, "_SUCCESS"))
     )
     if existing:
         version, d = existing[-1]
@@ -78,7 +81,13 @@ def run_stream_cdc(
             tiebreak_col=tiebreak_col,
         )
         nxt = os.path.join(state_dir, f"v{current['version'] + 1}")
-        new_state.write.mode("overwrite").parquet(nxt)
+        staging = nxt + "__tmp"
+        new_state.write.mode("overwrite").parquet(staging)
+        if os.path.exists(nxt):  # leftover partial dir from a crash
+            import shutil
+
+            shutil.rmtree(nxt)
+        os.rename(staging, nxt)  # version appears only when complete
         current["path"] = nxt
         current["version"] += 1
 
