@@ -370,6 +370,10 @@ def test_stream_cdc_restart_resumes_and_converges(spark, sf_dir, tmp_path):
     assert mid.count() > 0
 
     write_shard(2); write_shard(3)  # "the rest arrives while we were down"
+    # simulate a crash mid version-write: a partial dir with no _SUCCESS
+    # must be ignored by the resume scan, not adopted as latest state
+    import os
+    os.makedirs(os.path.join(state_dir, "v99"))
     final = run_stream_cdc(spark, snapshot, stream(), "user_id", "ts", "op",
                            ["value"], state_dir=state_dir, tiebreak_col="event_id")
     got = {(r.user_id, r.value) for r in final.collect()}
