@@ -39,6 +39,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     checkpoint: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.  Returns
     (node, rank) for every node appearing as a source or destination.
@@ -65,7 +66,13 @@ def pagerank(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    )
+    if not assume_distinct:
+        # duplicate edges would double-count contributions; callers that
+        # construct an already-deduped edge list (e.g. a distinct pair
+        # set unioned with its disjoint reverse orientation) pass
+        # assume_distinct=True and skip this corpus-sized shuffle
+        e = e.distinct()
     if checkpoint:
         # materialize the deduped edge list FIRST: nodes, degrees, and
         # the degree fold below all derive from it — without this each

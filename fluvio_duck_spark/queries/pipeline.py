@@ -448,7 +448,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("p").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("p").alias("dst"))
     )
-    return pagerank(edges, iters=3, damping=0.85)
+    # pairs is distinct and the two orientations are parity-disjoint,
+    # so the union is already a deduped edge list
+    return pagerank(edges, iters=3, damping=0.85, assume_distinct=True)
 
 
 def _pagerank_oracle(iters: int = 3) -> str:
