@@ -935,3 +935,112 @@ QUERIES.update({
         doc="zlib compression-ratio boilerplate signal (Arrow-batched, map-only; rows-only by nature)",
     ),
 })
+
+
+def q_agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: each user's most frequent event type.
+    Engine-native mode() breaks ties arbitrarily (and differently per
+    engine), so this is the portable form: value counts + a rank window
+    ordered (count desc, value asc) — WindowGroupLimit keeps one row
+    per group before the shuffle."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("cnt"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "cnt")
+    )
+
+
+ORACLE_MODE = """
+SELECT user_id, mode_type, cnt FROM (
+  SELECT user_id, event_type AS mode_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type
+) WHERE rn = 1
+"""
+
+
+def q_scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (§2.10 extension): and/or/xor/shift/
+    popcount over integer keys — used by the engine itself for bucket
+    and bitmap tricks, exposed here as user surface."""
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        (k.bitwiseAND(F.lit(255))).alias("band"),
+        (k.bitwiseOR(F.lit(16))).alias("bor"),
+        (k.bitwiseXOR(F.col("o_custkey"))).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+ORACLE_BITWISE = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS band,
+       o_orderkey | 16 AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       o_orderkey << 2 AS shl,
+       o_orderkey >> 3 AS shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+FROM orders
+"""
+
+
+def q_agg_stats_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (§2.7 extension): correlation, sample
+    covariance/stddev/variance, and OLS slope+intercept of value vs
+    event time per event type.  Both engines use single-pass co-moment
+    accumulation whose float order differs — results round to 6
+    decimals (magnitudes are O(1)–O(100), so 1e-10-scale accumulation
+    noise is far below the rounding grid)."""
+    ev = load(spark, sf_dir, "events")
+    x = F.unix_timestamp("ts").cast("double")
+    y = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr(x, y), 6).alias("corr_tv"),
+        F.round(F.covar_samp(x, y) / 1000, 6).alias("covar_k"),
+        F.round(F.stddev_samp(y), 6).alias("sd_value"),
+        F.round(F.var_samp(y), 6).alias("var_value"),
+        F.round(F.regr_slope(y, x) * 1000000, 6).alias("slope_ppm"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+    )
+
+
+ORACLE_STATS = """
+SELECT event_type,
+       round(corr(CAST(floor(epoch(ts)) AS DOUBLE), value), 6) AS corr_tv,
+       round(covar_samp(CAST(floor(epoch(ts)) AS DOUBLE), value) / 1000, 6) AS covar_k,
+       round(stddev_samp(value), 6) AS sd_value,
+       round(var_samp(value), 6) AS var_value,
+       round(regr_slope(value, CAST(floor(epoch(ts)) AS DOUBLE)) * 1000000, 6) AS slope_ppm,
+       round(regr_intercept(value, CAST(floor(epoch(ts)) AS DOUBLE)), 6) AS intercept
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "agg_mode_event_type": QuerySpec(
+        q_agg_mode_event_type, ORACLE_MODE,
+        doc="deterministic MODE via count + tie-broken rank (engine-native mode() ties are arbitrary)",
+    ),
+    "scalar_bitwise_funcs": QuerySpec(
+        q_scalar_bitwise_funcs, ORACLE_BITWISE,
+        doc="bitwise scalar family — §2.10 extension",
+    ),
+    "agg_stats_family": QuerySpec(
+        q_agg_stats_family, ORACLE_STATS,
+        doc="corr/covar/stddev/var/regr_slope/intercept — §2.7 statistical aggregates",
+    ),
+})
