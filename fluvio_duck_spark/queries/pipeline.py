@@ -1044,3 +1044,91 @@ QUERIES.update({
         doc="corr/covar/stddev/var/regr_slope/intercept — §2.7 statistical aggregates",
     ),
 })
+
+
+def q_window_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-event mean/std and z-score per user — the online-
+    monitoring normalization (anomaly scores over a trailing window).
+    One user-key shuffle serves all three expressions; rows with fewer
+    than 2 trailing points emit NULL std/z."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-19, 0)
+    )
+    mean = F.avg(F.round(F.col("value"), 6)).over(w)
+    sd = F.stddev_samp(F.round(F.col("value"), 6)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(sd, 6).alias("roll_sd"),
+        F.round((F.col("value") - mean) / F.nullif(sd, F.lit(0.0)), 6).alias("roll_z"),
+    )
+
+
+ORACLE_ROLLING = """
+SELECT event_id, user_id,
+       round(avg(round(value, 6)) OVER w, 6) AS roll_mean,
+       round(stddev_samp(round(value, 6)) OVER w, 6) AS roll_sd,
+       round((value - avg(round(value, 6)) OVER w)
+             / nullif(stddev_samp(round(value, 6)) OVER w, 0), 6) AS roll_z
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_source_csv_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-independence: the events table round-trips through CSV
+    (write → schema-read) and must aggregate identically to the parquet
+    original — the multi-format source surface a landed-topic engine
+    needs.  Only exactly-serializable fields ride the trip (ints +
+    strings); the oracle reads the pristine parquet."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_csv_parity",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ev.select("event_id", "user_id", "event_type").write.option(
+        "header", True
+    ).csv(work)
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id long, user_id long, event_type string")
+        .csv(work)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_CSV_PARITY = """
+SELECT event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "window_rolling_stats": QuerySpec(
+        q_window_rolling_stats, ORACLE_ROLLING,
+        doc="rolling 20-event mean/std/z per user — online anomaly normalization",
+    ),
+    "source_csv_parity": QuerySpec(
+        q_source_csv_parity, ORACLE_CSV_PARITY,
+        doc="multi-format source: CSV round-trip aggregates identically to parquet",
+    ),
+})
