@@ -1132,3 +1132,77 @@ QUERIES.update({
         doc="multi-format source: CSV round-trip aggregates identically to parquet",
     ),
 })
+
+
+def q_source_jsonl_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source twin of source_csv_parity: events round-trip
+    through the re-consumable record form (sinks.py::copy_to_json
+    mirrors it) and aggregate identically to the parquet original."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_jsonl_parity",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ev.select("event_id", "user_id", "event_type").write.json(work)
+    back = (
+        spark.read.schema("event_id long, user_id long, event_type string")
+        .json(work)
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+ORACLE_JSONL_PARITY = """
+SELECT event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type scalar surface (§2.10 extension): parse the props JSON
+    into a typed map, then element access, key/size introspection, and
+    a rebuilt map literal lookup — the map half of the JSON column
+    workflow (struct half lives in consume's -c mappings)."""
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        m.getItem("k").alias("k_val"),
+        F.map_keys(m)[0].alias("first_key"),
+        F.size(m).alias("n_keys"),
+        F.element_at(
+            F.create_map(F.lit("bucket"), F.pmod(F.col("event_id"), F.lit(10))),
+            "bucket",
+        ).alias("bucket"),
+    )
+
+
+ORACLE_MAP_FUNCS = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       'k' AS first_key,
+       1 AS n_keys,
+       event_id % 10 AS bucket
+FROM events
+"""
+
+
+QUERIES.update({
+    "source_jsonl_parity": QuerySpec(
+        q_source_jsonl_parity, ORACLE_JSONL_PARITY,
+        doc="JSON-lines source round-trip aggregates identically to parquet",
+    ),
+    "scalar_map_funcs": QuerySpec(
+        q_scalar_map_funcs, ORACLE_MAP_FUNCS,
+        doc="map-type scalars: from_json map, element access, keys/size — §2.10 extension",
+    ),
+})
