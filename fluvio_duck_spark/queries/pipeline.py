@@ -1206,3 +1206,36 @@ QUERIES.update({
         doc="map-type scalars: from_json map, element access, keys/size — §2.10 extension",
     ),
 })
+
+
+def q_agg_bool_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate surface (§2.7 extension):
+    count_if, bool_and/bool_or (ANSI EVERY/ANY), and a deterministic
+    any_value replacement (min — any_value is per-execution
+    nondeterministic, so the portable form picks an explicit
+    representative)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 450).alias("any_huge"),
+        F.min("user_id").alias("rep_user"),
+    )
+
+
+ORACLE_BOOL = """
+SELECT event_type,
+       count(*) FILTER (value > 100) AS n_big,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 450) AS any_huge,
+       min(user_id) AS rep_user
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "agg_bool_family": QuerySpec(
+        q_agg_bool_family, ORACLE_BOOL,
+        doc="count_if / bool_and / bool_or (EVERY/ANY) + deterministic representative — §2.7",
+    ),
+})
