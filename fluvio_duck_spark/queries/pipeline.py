@@ -1239,3 +1239,45 @@ QUERIES.update({
         doc="count_if / bool_and / bool_or (EVERY/ANY) + deterministic representative — §2.7",
     ),
 })
+
+
+def q_scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-handling surface: the engine runs with
+    spark.sql.ansi.enabled (malformed casts and div-by-zero THROW), so
+    the try_* family is the user's opt-in NULL semantics — the same
+    contract the -c mapping projections use internally (SURVEY §1.4.3).
+    try_divide → NULL on zero, try_cast → NULL on malformed, and a
+    try_to_number shape over a deliberately-mixed string."""
+    ev = load(spark, sf_dir, "events")
+    mixed = F.when(
+        F.col("event_id") % 3 == 0, F.lit("not-a-number")
+    ).otherwise(F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("event_id") % 5).alias("per_bucket"),
+        mixed.try_cast("long").alias("parsed"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("event_id") % 40).cast("string"), 2, "0"),
+        ).try_cast("date").alias("maybe_date"),
+    )
+
+
+ORACLE_TRY = """
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE value / (event_id % 5) END AS per_bucket,
+       try_cast(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                     ELSE CAST(event_id AS VARCHAR) END AS BIGINT) AS parsed,
+       try_cast('2024-01-' || lpad(CAST(event_id % 40 AS VARCHAR), 2, '0') AS DATE)
+         AS maybe_date
+FROM events
+"""
+
+
+QUERIES.update({
+    "scalar_try_funcs": QuerySpec(
+        q_scalar_try_funcs, ORACLE_TRY,
+        doc="ANSI try_* family: NULL-on-error division/cast/date parsing",
+    ),
+})
