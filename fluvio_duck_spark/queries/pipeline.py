@@ -1281,3 +1281,57 @@ QUERIES.update({
         doc="ANSI try_* family: NULL-on-error division/cast/date parsing",
     ),
 })
+
+
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day.  Rolling DISTINCT
+    is not window-expressible (no countDistinct over a frame), so the
+    scalable form is the contribution explode: each distinct
+    (user, day) row contributes to target days d..d+6, then one
+    distinct+count per target day.  Fan-out is a constant 7 on the
+    already-deduped (user, day) table — corpus-size-independent."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = user_days.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        F.date_add(F.col("day"), F.col("i")).alias("target_day"),
+    ).select("user_id", "target_day").distinct()
+    wau = contrib.groupBy(F.col("target_day").alias("day")).agg(
+        F.count("*").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ORACLE_DAU_WAU = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), dau AS (
+  SELECT day, count(*) AS dau FROM user_days GROUP BY day
+), contrib AS (
+  SELECT DISTINCT user_id, day + i.i * INTERVAL 1 DAY AS target_day
+  FROM user_days, (SELECT unnest(range(7)) AS i) i
+), wau AS (
+  SELECT CAST(target_day AS DATE) AS day, count(*) AS wau
+  FROM contrib GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau, round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+QUERIES.update({
+    "events_dau_wau": QuerySpec(
+        q_events_dau_wau, ORACLE_DAU_WAU,
+        doc="DAU/WAU stickiness via constant-7 contribution explode (rolling distinct)",
+    ),
+})
