@@ -414,6 +414,28 @@ def contamination_report(
     )
 
 
+def _word_segments(
+    df: DataFrame, text_col: str, id_col: str, words_per_segment: int
+) -> DataFrame:
+    """Explode each document into fixed-width word segments:
+    (id, seg_idx, segment) rows — the shared map-side front end of the
+    corpus-wide segment passes.  The tokens column is materialized
+    *before* the HOF lambda so the interpreted lambda only references a
+    column attribute (SCALE.md rule 4)."""
+    w = int(words_per_segment)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_tk"))
+    n_seg = F.ceil(F.size("_tk") / F.lit(float(w))).cast("int")
+    segments = F.when(F.size("_tk") <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n_seg - F.lit(1)),
+            lambda i: F.array_join(F.slice("_tk", i * F.lit(w) + F.lit(1), w), " "),
+        )
+    )
+    return toks.select(
+        F.col(id_col), F.posexplode(segments).alias("seg_idx", "segment")
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -443,18 +465,7 @@ def segment_dedup(
     """
     from pyspark.sql import Window as W
 
-    w = int(words_per_segment)
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_tk"))
-    n_seg = F.ceil(F.size("_tk") / F.lit(float(w))).cast("int")
-    segments = F.when(F.size("_tk") <= 0, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n_seg - F.lit(1)),
-            lambda i: F.array_join(F.slice("_tk", i * F.lit(w) + F.lit(1), w), " "),
-        )
-    )
-    segd = toks.select(
-        F.col(id_col), F.posexplode(segments).alias("seg_idx", "segment")
-    )
+    segd = _word_segments(df, text_col, id_col, words_per_segment)
     rn = F.row_number().over(
         W.partitionBy("segment").orderBy(F.col(id_col), F.col("seg_idx"))
     )
@@ -468,6 +479,53 @@ def segment_dedup(
             ),
             " ",
         ).alias("dedup_text"),
+    )
+
+
+def boilerplate_segment_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_segment: int = 10,
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the RefinedWeb/CCNet "strip
+    nav-bars and cookie banners" pass): drop EVERY copy of a segment that
+    appears in more than ``max_doc_freq`` distinct documents — including
+    the first occurrence, which is what distinguishes this from
+    :func:`segment_dedup`'s keep-first semantics — then reassemble the
+    surviving text.  A segment repeated *within* one document is not
+    boilerplate (document frequency counts distinct docs, not copies).
+
+    Plan shape: segment explode (map-side) → document-frequency groupBy
+    on the segment key (two-phase: partial distinct per map task) →
+    LEFT ANTI equi-join of the exploded rows against the over-frequent
+    segments (both sides already hash on ``segment``, so AQE reuses the
+    exchange) → reassembly groupBy on the doc id.  No all-pairs step;
+    the anti-join's build side is only the boilerplate vocabulary, which
+    is corpus-frequency-bounded and tiny relative to the corpus — at
+    100 TB it is broadcastable, and AQE picks that automatically.
+
+    Returns ``(id, n_segments_kept, clean_text)``; documents that were
+    pure boilerplate drop out (C4-style empty-doc removal).
+    """
+    segd = _word_segments(df, text_col, id_col, words_per_segment)
+    frequent = (
+        segd.groupBy("segment")
+        .agg(F.count_distinct(F.col(id_col)).alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("segment")
+    )
+    kept = segd.join(frequent, "segment", "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_segments_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                lambda s: s.segment,
+            ),
+            " ",
+        ).alias("clean_text"),
     )
 
 

@@ -313,6 +313,39 @@ GROUP BY doc_id
 """
 
 
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal: every copy of a 10-word
+    segment appearing in >1 distinct documents is stripped (including
+    the first occurrence — contrast ``dedup_segments``' keep-first),
+    and documents are reassembled from what survives."""
+    from fluvio_duck_spark.operators.dedup import boilerplate_segment_removal
+
+    return boilerplate_segment_removal(
+        load(spark, sf_dir, "documents"), words_per_segment=10, max_doc_freq=1
+    )
+
+
+ORACLE_DEDUP_BOILERPLATE = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+idx AS (
+  SELECT doc_id, tk,
+         CAST(unnest(range(0, CAST(ceil(CAST(len(tk) AS DOUBLE)/10) AS BIGINT))) AS INTEGER) AS seg_idx
+  FROM toks),
+segs AS (
+  SELECT doc_id, seg_idx,
+         array_to_string(tk[(seg_idx*10+1):(seg_idx*10+10)], ' ') AS segment
+  FROM idx),
+freq AS (
+  SELECT segment FROM segs GROUP BY segment
+  HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT doc_id, COUNT(*) AS n_segments_kept,
+       string_agg(segment, ' ' ORDER BY seg_idx) AS clean_text
+FROM segs s
+WHERE NOT EXISTS (SELECT 1 FROM freq f WHERE f.segment = s.segment)
+GROUP BY doc_id
+"""
+
+
 def q_dedup_prefix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-key canonicalization: docs sharing the first-3-token
     fingerprint collapse to the minimum doc_id."""
@@ -1317,6 +1350,8 @@ QUERIES: dict[str, QuerySpec] = {
                                  doc="canonicalized exact dedup (case/punct/space variants collapse)"),
     "dedup_segments": QuerySpec(q_dedup_segments, ORACLE_DEDUP_SEGMENTS,
                                 doc="C4-style corpus-wide duplicate-segment removal + doc reassembly"),
+    "dedup_boilerplate": QuerySpec(q_dedup_boilerplate, ORACLE_DEDUP_BOILERPLATE,
+                                   doc="corpus-frequency boilerplate segment removal (all copies stripped)"),
     "dedup_prefix_blocks": QuerySpec(q_dedup_prefix_blocks, ORACLE_DEDUP_PREFIX,
                                      doc="blocking-key canonicalization"),
     "dedup_ngram_jaccard": QuerySpec(q_ngram_jaccard, ORACLE_NGRAM_JACCARD,

@@ -406,6 +406,28 @@ def test_segment_dedup_ragged_tail_and_order(spark):
     assert (row.n_segments_kept, row.dedup_text) == (3, "d c b a e")
 
 
+def test_boilerplate_removal_strips_every_copy_including_first(spark):
+    from fluvio_duck_spark.operators.dedup import boilerplate_segment_removal
+
+    # w=2, max_doc_freq=1: [a b] appears in docs 1 and 2 → stripped from
+    # BOTH (contrast segment_dedup, which keeps doc 1's copy); [a b]
+    # twice within doc 4 alone is NOT boilerplate (distinct-doc count is
+    # 1 there... but docs 1/2 already made it frequent, so it goes);
+    # [q q] repeated only inside doc 5 survives both copies.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y"), (4, "a b a b"), (5, "q q q q")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_segments_kept, r.clean_text)
+        for r in boilerplate_segment_removal(
+            df, words_per_segment=2, max_doc_freq=1
+        ).collect()
+    }
+    # doc 4 was pure boilerplate → dropped entirely
+    assert got == {1: (1, "c d"), 2: (1, "x y"), 5: (2, "q q q q")}
+
+
 def test_split_assign_stable_and_partitioned(spark):
     from fluvio_duck_spark.operators.sampling import split_assign
 
