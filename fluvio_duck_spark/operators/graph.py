@@ -127,3 +127,76 @@ def pagerank(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph, via the
+    degree-orientation algorithm (the standard MPC/MapReduce shape:
+    Suri & Vassilvitskii, WWW'11).  Input rows are undirected edges in
+    either orientation; self-loops and duplicates are dropped here.
+
+    Why not the naive three-way self-join: its wedge step fans out
+    quadratically in the max degree (a single celebrity node with 10 M
+    neighbors yields 5·10¹³ wedges).  Orienting every edge from its
+    lower-(degree, id) endpoint to the higher one caps the out-degree
+    at O(√m), so the wedge join materializes at most Σ C(outdeg, 2) =
+    O(m^1.5) rows — the best bound any triangle enumeration can have —
+    regardless of skew.
+
+    Plan shape: canonicalize+distinct (1 shuffle), degree groupBy
+    (1 shuffle, map-side combine), two degree joins to decorate
+    endpoints (equi-joins on the edge endpoints), the wedge self-join
+    on the oriented source (equi-join; the O(√m) out-degree bound is
+    what keeps its output polynomial), and the closing equi-join on
+    (v1, v2) against the oriented edge set.  Nothing driver-side.
+
+    Returns ``(node, triangles)`` for every node in ≥1 triangle; each
+    triangle credits all three corners.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    j = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    # orient low-rank → high-rank, rank = (degree, id) lexicographic —
+    # struct comparison gives the tie-broken total order directly
+    low_first = F.struct("da", "a") < F.struct("db", "b")
+    oriented = j.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.u") == F.col("o2.u"))
+        & (F.struct("o1.dv", "o1.v") < F.struct("o2.dv", "o2.v")),
+    ).select(
+        F.col("o1.u").alias("u"),
+        F.col("o1.v").alias("v1"),
+        F.col("o2.v").alias("v2"),
+    )
+    # wedge (v1, v2) is rank-ordered, and so is every oriented edge —
+    # one equi-join closes the triangle
+    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    tri = wedges.join(closing, ["v1", "v2"])
+    return (
+        tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )

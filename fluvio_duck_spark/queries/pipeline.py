@@ -1335,3 +1335,52 @@ QUERIES.update({
         doc="DAU/WAU stickiness via constant-7 contribution explode (rolling distinct)",
     ),
 })
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the co-purchase graph (parts
+    co-occurring in an order are adjacent).  The edge build is a
+    self-join on the order key whose fan-out is bounded by order size
+    (≤7 lineitems → ≤21 pairs per order); the count itself runs the
+    degree-oriented O(m^1.5) algorithm in ``operators/graph.py`` —
+    the oracle uses the naive rank-ordered three-way join instead,
+    so the hash compare proves the oriented plan enumerates exactly
+    the same triangles."""
+    from fluvio_duck_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return triangle_counts(pairs)
+
+
+ORACLE_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lineitem x
+  JOIN lineitem y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), tri AS (
+  SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
+  FROM pairs e1
+  JOIN pairs e2 ON e2.a = e1.b
+  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, count(*) AS triangles FROM (
+  SELECT n1 AS node FROM tri
+  UNION ALL SELECT n2 FROM tri
+  UNION ALL SELECT n3 FROM tri
+) corners GROUP BY node
+"""
+
+
+QUERIES.update({
+    "graph_triangles": QuerySpec(
+        q_graph_triangles, ORACLE_TRIANGLES,
+        doc="degree-oriented triangle counting (O(m^1.5) wedge bound) on the co-purchase graph",
+    ),
+})

@@ -238,6 +238,19 @@ def test_pagerank_checkpoint_invariance(spark):
     assert a == b
 
 
+def test_triangle_counts_k4_messy_input(spark):
+    from fluvio_duck_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3 of them) given as a
+    # messy edge list: mixed orientations, duplicates, a self-loop, and
+    # a pendant node 5 that closes nothing
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(1, 2), (3, 3), (4, 5)]
+    edges = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r.node: r.triangles for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # node 5 in no triangle
+
+
 def test_profile_columns_single_pass_and_nulls(spark):
     from fluvio_duck_spark.operators.profiling import profile_columns
 
