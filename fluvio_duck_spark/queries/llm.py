@@ -209,6 +209,72 @@ FROM documents
 """
 
 
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution — the
+    classic gibberish/repetition quality signal (low entropy = repeated
+    or templated text, very high = random noise).
+
+    Plan shape: the per-character explode is map-side only — the first
+    exchange carries partially-aggregated (doc, char, count) rows, at
+    most |alphabet| per doc per map task, NOT per-character rows; the
+    per-doc reduce is a second map-side-combined groupBy.  Entropy uses
+    the Σ c·log2 c identity (H = log2 n − (Σ c·log2 c)/n) so no
+    per-term division or pre-computed total is needed.
+
+    Determinism: each c·log2(c) term is rounded to 1e-6 via explicit
+    floor(x·1e6 + 0.5) IEEE ops and summed as exact integer DECIMAL, so
+    partial-aggregation order cannot move the hash; the final round(…, 6)
+    erases sub-1e-11 libm log2 divergence between engines."""
+    d = load(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    term6 = F.floor(
+        F.col("c") * F.log2("c") * F.lit(1e6) + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    per = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars_counted"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(term6).alias("_s6"),
+    )
+    entropy = F.round(
+        F.log2("n_chars_counted")
+        - (F.col("_s6").cast("double") / F.lit(1e6)) / F.col("n_chars_counted"),
+        6,
+    )
+    return per.select(
+        "doc_id",
+        "n_chars_counted",
+        "n_distinct_chars",
+        entropy.alias("entropy_bits"),
+        (entropy < F.lit(3.0)).alias("low_entropy"),
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id,
+         substr(text, CAST(unnest(range(1, length(text)+1)) AS INTEGER), 1) AS ch
+  FROM documents
+), counts AS (
+  SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+), per AS (
+  SELECT doc_id,
+         sum(c) AS n_chars_counted,
+         count(*) AS n_distinct_chars,
+         sum(CAST(floor(c * log2(c) * 1e6 + 0.5) AS DECIMAL(28,0))) AS s6
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted, CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       round(log2(n_chars_counted) - (CAST(s6 AS DOUBLE)/1e6)/n_chars_counted, 6)
+         AS entropy_bits,
+       round(log2(n_chars_counted) - (CAST(s6 AS DOUBLE)/1e6)/n_chars_counted, 6) < 3.0
+         AS low_entropy
+FROM per
+"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
@@ -1342,6 +1408,8 @@ QUERIES: dict[str, QuerySpec] = {
                                  doc="Gopher-style repetition signals: distinct ratio, top-bigram + dup-trigram fractions"),
     "text_stats": QuerySpec(q_text_stats, ORACLE_TEXT_STATS,
                             doc="token/char counts, stopword ratio"),
+    "text_char_entropy": QuerySpec(q_text_char_entropy, ORACLE_CHAR_ENTROPY,
+                                   doc="per-doc character Shannon entropy (gibberish/repetition signal)"),
     "text_quality_langid": QuerySpec(q_quality, ORACLE_QUALITY,
                                      doc="quality score + language-ID heuristic"),
     "dedup_exact": QuerySpec(q_dedup_exact, ORACLE_DEDUP_EXACT,

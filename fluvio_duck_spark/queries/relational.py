@@ -2302,3 +2302,52 @@ QUERIES: dict[str, QuerySpec] = {
     "rollup_hist_percentiles": QuerySpec(q_rollup_hist_percentiles, ORACLE_ROLLUP_HIST,
                                          doc="daily p50/p95 from cascaded hourly histogram state (mergeable, deterministic estimator)"),
 }
+
+
+def q_window_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global decile bins of order value with per-bin stats —
+    §2.8's global-ordering case done the scalable way.  A vanilla
+    ``ntile(10) OVER (ORDER BY …)`` plans a single-partition sort; the
+    ``operators/ranking.py`` path range-partitions the sort and derives
+    ranks from per-partition offsets, so the only data-sized exchange is
+    the range partitioner.  The oracle IS the vanilla window form — the
+    hash compare proves the distributed rank reproduces it exactly.
+    Bin rule: floor((rank-1)·10/N)+1 (uniform split, bins differ ≤1)."""
+    from fluvio_duck_spark.operators.ranking import quantile_bins
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = quantile_bins(o, ["o_totalprice", "o_orderkey"], n_bins=10)
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_price"),
+    )
+
+
+ORACLE_QUANTILE_BINS = """
+WITH r AS (
+  SELECT o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+         count(*) OVER () AS n
+  FROM orders)
+SELECT CAST(floor((rnk - 1) * 10 / n) + 1 AS INTEGER) AS bin,
+       count(*) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+         AS avg_price
+FROM r GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "window_quantile_bins": QuerySpec(
+        q_window_quantile_bins, ORACLE_QUANTILE_BINS,
+        doc="exact global decile binning via range-partitioned rank (no single-reducer sort)",
+    ),
+})

@@ -10,6 +10,7 @@ a 100 TB postmortem.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from fluvio_duck_spark.plans import assert_plan, plan_ops
 from fluvio_duck_spark.queries import all_queries
@@ -290,3 +291,44 @@ def test_weighted_sample_single_shuffle_no_python(specs, spark, sf_dir):
     # the -ln stays JVM (no Python pass)
     df = _run(specs, spark, sf_dir, "sample_weighted_quota")
     assert_plan(df, Exchange=1, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_global_rank_matches_window_without_global_sort(spark):
+    """The distributed global rank must reproduce row_number() OVER
+    (ORDER BY …) exactly, while the plan's only data-sized exchange is
+    the range partitioner — the single-partition exchange that a naive
+    global window would put under the full dataset appears here only
+    under the P-row offsets side."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.ranking import global_rank
+    from fluvio_duck_spark.plans import formatted_plan
+
+    df = (
+        spark.range(0, 5000)
+        .select("id", (F.hash("id") % 1000).alias("v"))
+        .repartition(8)
+    )
+    ranked = global_rank(df, ["v", "id"], n_partitions=8)
+    expect = df.withColumn("rank", F.row_number().over(W.orderBy("v", "id")))
+    assert (
+        ranked.orderBy("rank").collect() == expect.orderBy("rank").collect()
+    )
+    plan = formatted_plan(ranked)
+    assert "rangepartitioning" in plan
+    assert plan.count("SinglePartition") == 1  # offsets cumsum only
+
+
+def test_quantile_bins_uniform_split(spark):
+    from fluvio_duck_spark.operators.ranking import quantile_bins
+
+    df = spark.range(0, 100).select("id", (F.col("id") * 7 % 100).alias("v"))
+    out = quantile_bins(df, ["v", "id"], n_bins=7, n_partitions=4)
+    sizes = {r.bin: r.n for r in out.groupBy("bin").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(1, 8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # bins are contiguous in value: every bin-b value ≤ every bin-(b+1) value
+    lohi = {r.bin: (r.lo, r.hi) for r in out.groupBy("bin").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
+    for b in range(1, 7):
+        assert lohi[b][1] <= lohi[b + 1][0]
