@@ -83,3 +83,83 @@ def unigram_logprob_scores(
             / F.count("*")
         ).alias("mean_logp"),
     )
+
+
+def _doc_bigrams(
+    docs: DataFrame, id_col: str | None, text_col: str
+) -> DataFrame:
+    """(id?, w1, w2) rows — one per adjacent token pair.  Map-only: the
+    pair list is built per-row (tokens materialized before the HOF
+    lambda per SCALE.md rule 4) and exploded where the row lives."""
+    cols = ([F.col(id_col)] if id_col else []) + [
+        tokenize(text_col).alias("_tk")
+    ]
+    base = docs.select(*cols).filter(F.size("_tk") >= 2)
+    tk = F.col("_tk")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("_tk") - 1),
+        lambda i: F.struct(
+            F.get(tk, i - 1).alias("w1"), F.get(tk, i).alias("w2")
+        ),
+    )
+    out = base.select(*([id_col] if id_col else []), F.explode(pairs).alias("_b"))
+    return out.select(*([id_col] if id_col else []), "_b.w1", "_b.w2")
+
+
+def bigram_fit(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Add-one-smoothed bigram model over the corpus.  Returns
+    ``(bigrams, contexts, totals)``: bigrams = (w1, w2, c2); contexts =
+    (w1, c1) with c1 = Σ_w2 c2; totals = 1 row (vocab).  Two shuffles
+    (bigram counts, then context counts over the already-aggregated
+    bigram table — corpus-sized only on the first)."""
+    toks = docs.select(
+        F.explode(tokenize(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    totals = toks.agg(F.count_distinct("token").alias("vocab"))
+    c2 = _doc_bigrams(docs, None, text_col).groupBy("w1", "w2").agg(
+        F.count("*").alias("c2")
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return c2, c1, totals
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    contexts: DataFrame,
+    totals: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean log10 P(w2|w1) per document under the add-one bigram model:
+    P = (c2+1)/(c1+V); unseen contexts/pairs degrade smoothly via the
+    COALESCE(…, 0) path.  Unlike the unigram scorer the model side is
+    NOT broadcast-hinted — a 100 TB corpus's bigram table is itself
+    large, so the (w1, w2) and (w1) joins stay plain equi-joins for
+    AQE to strategize (the tf-idf lesson from VERDICT r1).  Documents
+    with fewer than two tokens have no bigrams and drop out.  Output:
+    (id, n_bigrams, mean_logp)."""
+    bi = _doc_bigrams(docs, id_col, text_col)
+    scored = (
+        bi.join(bigrams, ["w1", "w2"], "left")
+        .join(contexts, ["w1"], "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log10(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("vocab")).cast(
+                    "double"
+                )
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_bigrams"),
+        (
+            F.sum(F.col("lp").cast("decimal(18,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_logp"),
+    )

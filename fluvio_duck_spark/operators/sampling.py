@@ -214,6 +214,45 @@ def split_assign(
     return df.withColumn(split_alias, expr)
 
 
+def upsample_repeat(
+    df: DataFrame,
+    rate_col: str | Column,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    copy_alias: str = "copy_idx",
+) -> DataFrame:
+    """Materialize a sampling *rate* (which may exceed 1 — upsampling)
+    into concrete row copies: each row yields ``floor(rate)`` copies
+    plus one more with probability ``frac(rate)``, decided by the
+    deterministic uniform — so realized counts hit the target mixture
+    in expectation AND are reproducible row-for-row (same data + seed →
+    the same physical corpus on any cluster, the property a resumable
+    pretraining run needs).
+
+    This is the materializer for :func:`temperature_mixture`'s
+    allocation table: join the per-source ``alloc / n`` rate onto the
+    corpus and every source lands within 1 doc of its quota in
+    expectation.  Map-only — the explode happens where the row already
+    lives; rows with ``copies = 0`` drop out (rate < 1 downsamples with
+    the same machinery).  ``copy_idx`` (1-based) distinguishes the
+    clones so a downstream shuffle/order pass can interleave them.
+    """
+    r = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    r = r.cast("double")
+    u = (uniform_key(id_col, seed) + F.lit(1)).cast("double") / F.lit(
+        float(_MOD + 1)
+    )
+    copies = (F.floor(r) + F.when(u < r - F.floor(r), 1).otherwise(0)).cast(
+        "int"
+    )
+    # sequence(1, 0) would yield the DESCENDING [1, 0] — gate on copies
+    # >= 1 instead of relying on an empty sequence
+    seqs = F.when(
+        copies >= 1, F.sequence(F.lit(1), copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("*", F.explode(seqs).alias(copy_alias))
+
+
 def training_order(
     df: DataFrame,
     id_col: str = "doc_id",

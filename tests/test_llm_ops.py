@@ -733,3 +733,51 @@ def test_unigram_oov_scores_smoothed_floor(spark):
     assert got[10][0] == 2 and math.isclose(got[10][1], math.log10(5 / 11), rel_tol=1e-9)
     assert got[11][0] == 2 and math.isclose(got[11][1], math.log10(1 / 11), rel_tol=1e-9)
     assert got[11][1] < got[10][1]
+
+
+def test_upsample_repeat_integer_and_fractional_rates(spark):
+    import math
+
+    from fluvio_duck_spark.operators.sampling import upsample_repeat
+
+    df = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    # integer rate: exactly 2 copies of every row, copy_idx 1..2
+    doubled = upsample_repeat(df.withColumn("r", F.lit(2.0)), "r")
+    assert doubled.count() == 800
+    assert doubled.groupBy("doc_id").count().filter("count != 2").count() == 0
+    # fractional rate 0.5: ~half survive, and the draw is deterministic
+    half = upsample_repeat(df.withColumn("r", F.lit(0.5)), "r")
+    n = half.count()
+    assert abs(n - 200) < 40
+    again = upsample_repeat(df.withColumn("r", F.lit(0.5)), "r")
+    assert sorted(r.doc_id for r in half.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # rate 2.5: between 2 and 3 copies each, mean ≈ 2.5
+    mixed = upsample_repeat(df.withColumn("r", F.lit(2.5)), "r")
+    per = [r["count"] for r in mixed.groupBy("doc_id").count().collect()]
+    assert set(per) <= {2, 3}
+    assert math.isclose(sum(per) / len(per), 2.5, abs_tol=0.2)
+
+
+def test_bigram_model_hand_computed(spark):
+    import math
+
+    from fluvio_duck_spark.operators.lm import bigram_fit, bigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x")], "doc_id long, text string"
+    )
+    c2, c1, totals = bigram_fit(docs)
+    model = {(r.w1, r.w2): r.c2 for r in c2.collect()}
+    assert model == {("a", "b"): 3, ("b", "a"): 1, ("b", "x"): 1}
+    assert {r.w1: r.c1 for r in c1.collect()} == {"a": 3, "b": 2}
+    assert totals.first().vocab == 3
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_logp)
+        for r in bigram_logprob_scores(docs, c2, c1, totals).collect()
+    }
+    # P(b|a) = (3+1)/(3+3), P(a|b) = (1+1)/(2+3), P(x|b) = (1+1)/(2+3)
+    p_ab, p_ba = math.log10(4 / 6), math.log10(2 / 5)
+    assert got[1][0] == 3 and abs(got[1][1] - (2 * p_ab + p_ba) / 3) < 1e-9
+    assert got[2][0] == 2 and abs(got[2][1] - (p_ab + p_ba) / 2) < 1e-9
