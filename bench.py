@@ -98,6 +98,12 @@ EXTENDED = [
     "window_trailing_features",
     "drift_psi_by_type",
     "text_pmi_cooccurrence",
+    "graph_triangles",
+    "dedup_boilerplate",
+    "text_bigram_logprob",
+    "window_quantile_bins",
+    "text_char_entropy",
+    "dedup_incremental",
 ]
 
 

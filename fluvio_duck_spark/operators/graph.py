@@ -133,6 +133,7 @@ def triangle_counts(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph, via the
     degree-orientation algorithm (the standard MPC/MapReduce shape:
@@ -181,6 +182,12 @@ def triangle_counts(
         F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(low_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
     )
+    if checkpoint:
+        # the oriented edge list feeds BOTH wedge sides and the closing
+        # join; exchange reuse does not dedup the three consumers (each
+        # re-runs the distinct + degree-join lineage — measured 32
+        # shuffles vs ~8 here), so materialize it once, edge-sized
+        oriented = oriented.localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -419,6 +419,99 @@ def blocked_near_dup_pairs(
     )
 
 
+def knn_graph_blocked(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs k-NN graph (cosine) via the same B(B+1)/2
+    block-pair GEMM decomposition as :func:`blocked_near_dup_pairs` —
+    the building block for graph-based curation (label-noise voting,
+    kNN-dedup, diversity scoring).
+
+    Each block-pair task emits a per-row PARTIAL top-k against just the
+    other block (both directions for off-diagonal pairs), so the reduce
+    shuffle carries ≤ n·k·(B+1) candidate rows — never the n² score
+    matrix; the final per-row top-k is one window over the candidates.
+    This is the scale-correct form of "use the whole corpus as the
+    query batch": the broadcast-batch GEMM path requires the query set
+    to fit in every task, which an all-pairs workload violates by
+    definition.
+
+    Similarities round to 6 decimals BEFORE selection (with the
+    neighbor id as tiebreak), so the chosen neighbors are reproducible
+    across engines and summation orders.  Output: (id, nbr, sim),
+    exactly k rows per id (fewer only if the corpus has < k+1 rows).
+    """
+    from pyspark.sql import Window as W
+
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    spark = df.sparkSession
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    side_a = tagged.join(F.broadcast(pairs), tagged.blk == pairs.bi).select(
+        "bi", "bj", "id", "v", F.lit(0).alias("side")
+    )
+    side_b = tagged.join(
+        F.broadcast(pairs), (tagged.blk == pairs.bj) & (pairs.bi != pairs.bj)
+    ).select("bi", "bj", "id", "v", F.lit(1).alias("side"))
+    both = side_a.unionByName(side_b)
+
+    def partial_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": pd.Series(dtype="int64"),
+                              "nbr": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        a = pdf[pdf["side"] == 0]
+        diagonal = bool((pdf["bi"] == pdf["bj"]).iloc[0])
+        b = a if diagonal else pdf[pdf["side"] == 1]
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ma = np.stack(a["v"].to_numpy()).astype(np.float64)
+        mb = ma if diagonal else np.stack(b["v"].to_numpy()).astype(np.float64)
+        sims = np.round(
+            (ma @ mb.T)
+            / np.outer(np.linalg.norm(ma, axis=1), np.linalg.norm(mb, axis=1)),
+            6,
+        )
+        ids_a, ids_b = a["id"].to_numpy(), b["id"].to_numpy()
+
+        def emit(S, rows, cols):
+            out_i, out_n, out_s = [], [], []
+            for r in range(S.shape[0]):
+                s = S[r]
+                cand = np.flatnonzero(cols != rows[r])
+                if len(cand) > k:
+                    # sims rounded → ties possible; order by (-sim, id)
+                    order = np.lexsort((cols[cand], -s[cand]))
+                    cand = cand[order[:k]]
+                out_i.extend([rows[r]] * len(cand))
+                out_n.extend(cols[cand])
+                out_s.extend(s[cand])
+            return out_i, out_n, out_s
+
+        i1, n1, s1 = emit(sims, ids_a, ids_b)
+        if not diagonal:
+            i2, n2, s2 = emit(sims.T, ids_b, ids_a)
+            i1, n1, s1 = i1 + i2, n1 + n2, s1 + s2
+        return pd.DataFrame({"id": i1, "nbr": n1, "sim": s1})
+
+    cands = both.groupBy("bi", "bj").applyInPandas(
+        partial_topk, schema="id long, nbr long, sim double"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
+    )
+    return cands.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
 def group_centroids(
     df: DataFrame,
     key_col: str,

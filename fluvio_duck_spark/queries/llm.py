@@ -1667,3 +1667,151 @@ QUERIES.update({
         doc="per-source curation dashboard: volume, dup rate, token density, char share",
     ),
 })
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-ingest dedup — the snapshot-over-snapshot shape every
+    continuously-crawled corpus runs: the historical partition (here
+    ``doc_id % 10 < 7``) contributes only its distinct fingerprint
+    index; the new batch anti-joins that index, then collapses its own
+    internal duplicates keep-first.  At 100 TB the index is a
+    precomputed table an order of magnitude smaller than the corpus,
+    and only the NEW batch is scanned at full width — history is never
+    re-read beyond its fingerprint column."""
+    d = load(spark, sf_dir, "documents")
+    part = F.pmod(F.col("doc_id"), F.lit(10))
+    hist_fp = (
+        d.filter(part < 7).select(fingerprint("text").alias("fp")).distinct()
+    )
+    new = d.filter(part >= 7).select("doc_id", fingerprint("text").alias("fp"))
+    return (
+        new.join(hist_fp, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("first_new_id"),
+            F.count("*").alias("n_batch_copies"),
+        )
+    )
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH f AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp, doc_id % 10 AS part
+  FROM documents),
+hist AS (SELECT DISTINCT fp FROM f WHERE part < 7),
+new AS (SELECT doc_id, fp FROM f WHERE part >= 7)
+SELECT fp, min(doc_id) AS first_new_id, COUNT(*) AS n_batch_copies
+FROM new WHERE fp NOT IN (SELECT fp FROM hist)
+GROUP BY fp
+"""
+
+
+QUERIES.update({
+    "dedup_incremental": QuerySpec(
+        q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL,
+        doc="delta-ingest dedup: new batch anti-joins the historical fingerprint index",
+    ),
+})
+
+
+_COS_AB = """list_aggregate(list_transform(range(1, len(a.embedding)+1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
+        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')))"""
+
+
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-NN graph over the embedding corpus via the
+    blocked-GEMM partial-top-k decomposition — the reduce shuffle
+    carries n·k·(B+1) candidates, never the n² score matrix.  The
+    oracle ranks the full n² cross join; the hash compare proves the
+    block decomposition selects identical neighbors."""
+    from fluvio_duck_spark.operators.similarity import knn_graph_blocked
+
+    return knn_graph_blocked(load(spark, sf_dir, "embeddings"), k=3)
+
+
+ORACLE_KNN_GRAPH = f"""
+WITH s AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr, round({_COS_AB}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT id, nbr, sim,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+  FROM s)
+SELECT id, nbr, sim FROM r WHERE rn <= 3
+"""
+
+
+def q_sim_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by k-NN majority vote (the Confident-
+    Learning-style neighborhood check): a point whose 5 nearest
+    neighbors strictly-majority-vote a different label is flagged as
+    probably mislabeled.  Built on the blocked k-NN graph, so the n²
+    never materializes; the vote itself is one groupBy + keep-first
+    window over n·k rows."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.similarity import knn_graph_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    g = knn_graph_blocked(emb, k=5)
+    nbr_lbl = emb.select(
+        F.col("vec_id").alias("nbr"), F.col("label").alias("nbr_label")
+    )
+    own = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("own_label"))
+    votes = (
+        g.join(nbr_lbl, "nbr")
+        .groupBy("id", "nbr_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("id").orderBy(F.col("n_votes").desc(), F.col("nbr_label"))
+    )
+    top = votes.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    return top.join(own, "id").select(
+        F.col("id").alias("vec_id"),
+        "own_label",
+        F.col("nbr_label").alias("voted_label"),
+        "n_votes",
+        (
+            (F.col("nbr_label") != F.col("own_label")) & (F.col("n_votes") >= 3)
+        ).alias("flagged"),
+    )
+
+
+ORACLE_LABEL_NOISE = f"""
+WITH s AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr, a.label AS own_label,
+         b.label AS nbr_label, round({_COS_AB}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT id, nbr, own_label, nbr_label, sim,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+  FROM s),
+votes AS (
+  SELECT id, own_label, nbr_label, COUNT(*) AS n_votes
+  FROM r WHERE rn <= 5 GROUP BY id, own_label, nbr_label),
+top AS (
+  SELECT id, own_label, nbr_label, n_votes,
+         row_number() OVER (PARTITION BY id ORDER BY n_votes DESC, nbr_label)
+           AS vr
+  FROM votes)
+SELECT id AS vec_id, own_label, nbr_label AS voted_label, n_votes,
+       (nbr_label <> own_label AND n_votes >= 3) AS flagged
+FROM top WHERE vr = 1
+"""
+
+
+QUERIES.update({
+    "sim_knn_graph": QuerySpec(
+        q_sim_knn_graph, ORACLE_KNN_GRAPH,
+        doc="exact all-pairs 3-NN graph via blocked GEMM partial top-k",
+    ),
+    "sim_label_noise": QuerySpec(
+        q_sim_label_noise, ORACLE_LABEL_NOISE,
+        doc="k-NN majority-vote label-noise flags on the blocked k-NN graph",
+    ),
+})

@@ -781,3 +781,41 @@ def test_bigram_model_hand_computed(spark):
     p_ab, p_ba = math.log10(4 / 6), math.log10(2 / 5)
     assert got[1][0] == 3 and abs(got[1][1] - (2 * p_ab + p_ba) / 3) < 1e-9
     assert got[2][0] == 2 and abs(got[2][1] - (p_ab + p_ba) / 2) < 1e-9
+
+
+def test_knn_graph_block_count_invariant(emb):
+    from fluvio_duck_spark.operators.similarity import knn_graph_blocked
+
+    g4 = {(r.id, r.nbr) for r in knn_graph_blocked(emb, k=3, n_blocks=4).collect()}
+    g8 = {(r.id, r.nbr) for r in knn_graph_blocked(emb, k=3, n_blocks=8).collect()}
+    # the block decomposition must not change the selected neighbors
+    assert g4 == g8
+    # exactly k neighbors per node
+    from collections import Counter
+    per = Counter(i for i, _ in g8)
+    assert set(per.values()) == {3}
+    assert len(per) == emb.count()
+
+
+def test_label_noise_flags_planted_outlier(spark):
+    from fluvio_duck_spark.queries.llm import q_sim_label_noise  # noqa: F401
+    from fluvio_duck_spark.operators.similarity import knn_graph_blocked
+
+    # two tight clusters; one point of cluster B mislabeled as A
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.0, 0.01 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 1.0, 0.01 * i], 1))
+    rows.append((99, [0.0, 1.0, 0.03], 0))  # sits in cluster B, labeled A
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    g = knn_graph_blocked(emb, k=5, n_blocks=4)
+    nbr = emb.selectExpr("vec_id as nbr", "label as nbr_label")
+    votes = (
+        g.join(nbr, "nbr").groupBy("id", "nbr_label").count()
+        .filter("id = 99").collect()
+    )
+    by = {r.nbr_label: r["count"] for r in votes}
+    assert by.get(1, 0) >= 3  # neighbors vote cluster B's label
