@@ -184,3 +184,92 @@ def decode_image(*args, **kwargs):
         "image decode requires a codec library (PIL/opencv); plug a real "
         "kernel into extract_features(decode_fn=...) instead"
     )
+
+
+def _be32(col):
+    """Integer column → 4-byte big-endian binary (JVM expressions)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def _parse_be32(content, pos: int):
+    """4 bytes at 1-based ``pos`` as a big-endian unsigned int."""
+    return F.conv(F.hex(F.substring(content, pos, 4)), 16, 10).cast("long")
+
+
+def _parse_le32(content, pos: int):
+    """4 bytes at 1-based ``pos`` as little-endian (per-byte recompose —
+    Spark has no binary reverse, so each byte converts alone)."""
+    b = [
+        F.conv(F.hex(F.substring(content, pos + i, 1)), 16, 10).cast("long")
+        for i in range(4)
+    ]
+    return b[0] + b[1] * 256 + b[2] * 65536 + b[3] * 16777216
+
+
+def synthesize_media_headers(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture adapter (the container ships no real media): wrap each
+    document's bytes in a REAL container header chosen by ``id % 3`` —
+    PNG signature + IHDR with big-endian width/height at the true
+    offsets (17/21), JPEG SOI+APP0, or RIFF/WAVE with the fmt-chunk
+    sample rate little-endian at offset 25.  Field values derive
+    deterministically from the id, so an oracle can compute the ground
+    truth analytically while the engine genuinely parses bytes."""
+    i = F.col(id_col)
+    kind = F.pmod(i, F.lit(3))
+    width = (F.lit(320) + F.pmod(i, F.lit(1024))).cast("bigint")
+    height = (F.lit(240) + F.pmod(i, F.lit(768))).cast("bigint")
+    rate = (F.lit(8000) + F.pmod(i, F.lit(40000))).cast("bigint")
+    payload = F.encode(F.col(text_col), "utf-8")
+    png = F.concat(
+        F.lit(b"\x89PNG\r\n\x1a\n"),      # 8-byte signature
+        F.lit(b"\x00\x00\x00\x0dIHDR"),   # IHDR length + tag (bytes 9-16)
+        _be32(width),                       # bytes 17-20
+        _be32(height),                      # bytes 21-24
+        payload,
+    )
+    jpeg = F.concat(F.lit(b"\xff\xd8\xff\xe0\x00\x10JFIF\x00"), payload)
+    # RIFF<size>WAVEfmt <16><fmt><ch> then sample rate at byte 25 (LE)
+    le_rate = F.unhex(F.lpad(F.hex(rate), 8, "0"))
+    le_rev = F.concat(*[F.substring(le_rate, 4 - j, 1) for j in range(4)])
+    wav = F.concat(
+        F.lit(b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00\x02\x00"),
+        le_rev,                             # bytes 25-28
+        payload,
+    )
+    content = (
+        F.when(kind == 0, png).when(kind == 1, jpeg).otherwise(wav)
+    )
+    return df.select(F.col(id_col), content.alias("content"))
+
+
+def sniff_media(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Magic-number container sniffing + header field extraction, pure
+    JVM expressions (no UDF, no decode): classify by signature bytes,
+    then parse PNG IHDR width/height (big-endian) or the WAV fmt-chunk
+    sample rate (little-endian) straight out of the binary column.
+    Unknown payloads classify as 'bin' with NULL fields — the metadata
+    recovery pass a media lake runs at ingest, before any decoder."""
+    c = F.col(content_col)
+    is_png = F.substring(c, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n")
+    is_jpeg = F.substring(c, 1, 3) == F.lit(b"\xff\xd8\xff")
+    is_wav = (F.substring(c, 1, 4) == F.lit(b"RIFF")) & (
+        F.substring(c, 9, 4) == F.lit(b"WAVE")
+    )
+    fmt = (
+        F.when(is_png, "png")
+        .when(is_jpeg, "jpeg")
+        .when(is_wav, "wav")
+        .otherwise("bin")
+    )
+    return df.select(
+        F.col(id_col),
+        fmt.alias("fmt"),
+        F.when(is_png, _parse_be32(c, 17)).cast("int").alias("width"),
+        F.when(is_png, _parse_be32(c, 21)).cast("int").alias("height"),
+        F.when(is_wav, _parse_le32(c, 25)).cast("int").alias("sample_rate"),
+        F.length(c).alias("n_bytes"),
+    )

@@ -18,6 +18,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -510,6 +512,87 @@ def knn_graph_blocked(
         W.partitionBy("id").orderBy(F.col("sim").desc(), F.col("nbr"))
     )
     return cands.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_candidates: int = 10,
+    lam: float = 0.7,
+    div_weight: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversity re-rank — the retrieval
+    post-processing step that stops a result list collapsing onto one
+    near-duplicate cluster: greedily pick argmax of
+    ``lam·sim(q,d) − div_weight·max_{s∈S} sim(d,s)``.
+
+    Shape: candidate generation is the GEMM partial-top-k batch
+    retrieval (bounded |queries|×n_candidates output); the greedy loop
+    runs per query group over ≤ n_candidates rows in one applyInPandas
+    pass — sequential by nature, but over a k-bounded group, never the
+    corpus.  ``lam`` and ``div_weight`` are independent parameters (not
+    1−lam) so both engines evaluate the exact same double literals.
+
+    Determinism: candidate sims and pairwise sims round to 6 decimals
+    before scoring, scores round to 6 before argmax, ties break on the
+    lower id — the selection is reproducible across engines and
+    summation orders (the oracle unrolls the same greedy steps in SQL).
+    Output: (query_id, sel_rank 1..k, id_col, mmr_score).
+    """
+    cand = cosine_topk_batch(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col,
+        gemm=True,
+    ).select("query_id", id_col, F.round("sim", 6).alias("sim"))
+    withv = cand.join(
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__v")), id_col
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        sims = pdf["sim"].to_numpy()
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+        )
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        P = np.round(Vn @ Vn.T, 6)
+        qid = pdf["query_id"].iloc[0]
+        sel: list[int] = []
+        out = []
+        remaining = list(range(len(ids)))
+        for rank in range(1, min(k, len(ids)) + 1):
+            best = None
+            for idx in remaining:
+                pen = max((P[idx][j] for j in sel), default=0.0)
+                # floor-form half-up rounding in plain IEEE ops — the
+                # 6dp inputs make EXACT decimal halves common here, where
+                # python round (half-even) and SQL ROUND (half-away)
+                # disagree; floor(x*1e6+0.5)/1e6 is bit-identical in any
+                # engine evaluating the same double ops
+                score = (
+                    math.floor((lam * sims[idx] - div_weight * pen) * 1e6 + 0.5)
+                    / 1e6
+                )
+                key = (-score, ids[idx])
+                if best is None or key < best[0]:
+                    best = (key, idx, score)
+            sel.append(best[1])
+            remaining.remove(best[1])
+            out.append((qid, rank, ids[best[1]], best[2]))
+        return pd.DataFrame(
+            out, columns=["query_id", "sel_rank", id_col, "mmr_score"]
+        )
+
+    qid_ty = queries.schema[id_col].dataType.simpleString()
+    cid_ty = corpus.schema[id_col].dataType.simpleString()
+    return withv.groupBy("query_id").applyInPandas(
+        greedy,
+        schema=f"query_id {qid_ty}, sel_rank int, {id_col} {cid_ty}, "
+               "mmr_score double",
+    )
 
 
 def group_centroids(

@@ -1815,3 +1815,71 @@ QUERIES.update({
         doc="k-NN majority-vote label-noise flags on the blocked k-NN graph",
     ),
 })
+
+
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank of batch retrieval results (λ=0.7,
+    diversity weight 0.3): top-10 candidates per label-0 query vector,
+    greedy 3-item diverse selection.  The greedy loop runs per query
+    over ≤10 candidate rows; the oracle unrolls the same three greedy
+    steps in SQL, so the sequential selection is hash-verified."""
+    from fluvio_duck_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.filter(F.col("label") == 0), k=3, n_candidates=10
+    )
+
+
+ORACLE_MMR = _TOPK_BATCH_CTE.rstrip() + """,
+c AS (SELECT query_id, vec_id AS cand, ROUND(sim, 6) AS sim FROM r WHERE rn <= 10),
+p AS (
+  SELECT c1.query_id, c1.cand AS i, c2.cand AS j,
+         ROUND(list_aggregate(list_transform(range(1, len(a.nv)+1),
+               t -> a.nv[t] * b.nv[t]), 'sum'), 6) AS psim
+  FROM c c1
+  JOIN c c2 ON c1.query_id = c2.query_id AND c1.cand <> c2.cand
+  JOIN cn a ON a.vec_id = c1.cand
+  JOIN cn b ON b.vec_id = c2.cand),
+s1 AS (
+  SELECT query_id, cand, sim, floor((0.7 * sim) * 1e6 + 0.5) / 1e6 AS score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY floor((0.7 * sim) * 1e6 + 0.5) / 1e6 DESC, cand) AS rr
+  FROM c),
+pick1 AS (SELECT query_id, cand, score FROM s1 WHERE rr = 1),
+s2 AS (
+  SELECT c.query_id, c.cand,
+         floor((0.7 * c.sim - 0.3 * p.psim) * 1e6 + 0.5) / 1e6 AS score,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY floor((0.7 * c.sim - 0.3 * p.psim) * 1e6 + 0.5) / 1e6 DESC,
+                                     c.cand) AS rr
+  FROM c
+  JOIN pick1 k1 ON c.query_id = k1.query_id AND c.cand <> k1.cand
+  JOIN p ON p.query_id = c.query_id AND p.i = c.cand AND p.j = k1.cand),
+pick2 AS (SELECT query_id, cand, score FROM s2 WHERE rr = 1),
+s3 AS (
+  SELECT c.query_id, c.cand,
+         floor((0.7 * c.sim - 0.3 * greatest(p1.psim, p2.psim)) * 1e6 + 0.5) / 1e6 AS score,
+         row_number() OVER (PARTITION BY c.query_id
+                            ORDER BY floor((0.7 * c.sim
+                                           - 0.3 * greatest(p1.psim, p2.psim)) * 1e6 + 0.5) / 1e6
+                                       DESC, c.cand) AS rr
+  FROM c
+  JOIN pick1 k1 ON c.query_id = k1.query_id AND c.cand <> k1.cand
+  JOIN pick2 k2 ON c.query_id = k2.query_id AND c.cand <> k2.cand
+  JOIN p p1 ON p1.query_id = c.query_id AND p1.i = c.cand AND p1.j = k1.cand
+  JOIN p p2 ON p2.query_id = c.query_id AND p2.i = c.cand AND p2.j = k2.cand),
+pick3 AS (SELECT query_id, cand, score FROM s3 WHERE rr = 1)
+SELECT query_id, CAST(1 AS INTEGER) AS sel_rank, cand AS vec_id,
+       score AS mmr_score FROM pick1
+UNION ALL SELECT query_id, CAST(2 AS INTEGER), cand, score FROM pick2
+UNION ALL SELECT query_id, CAST(3 AS INTEGER), cand, score FROM pick3
+"""
+
+
+QUERIES.update({
+    "sim_mmr_rerank": QuerySpec(
+        q_sim_mmr_rerank, ORACLE_MMR,
+        doc="MMR diversity re-rank of batch retrieval (greedy selection, SQL-unrolled oracle)",
+    ),
+})

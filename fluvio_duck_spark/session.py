@@ -26,9 +26,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # single-JVM local mode defaults to a 1g heap regardless of machine
+    # size — with 32 executor threads that is ~32 MB of working heap per
+    # task, an OOM trap for any shuffle-heavy operator.  Size the heap
+    # like a real executor (env-overridable); only effective when this
+    # process launches the JVM (i.e. before any getOrCreate).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -425,3 +425,27 @@ def test_interval_overlap_join_fuzz_vs_naive(spark):
             got_pairs = sorted((r.a_id, r.b_id) for r in got.collect())
             naive_pairs = sorted((r.a_id, r.b_id) for r in naive.collect())
             assert got_pairs == naive_pairs, (seed, cell, closed)
+
+
+def test_sniff_media_magic_and_fields(spark):
+    from fluvio_duck_spark.operators.multimodal import (
+        sniff_media,
+        synthesize_media_headers,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(0, "abc"), (1, "defg"), (2, "hi"), (99, "plain")],
+        "doc_id long, text string",
+    )
+    wrapped = synthesize_media_headers(docs.filter("doc_id < 3"))
+    # an unwrapped payload must fall through to 'bin' with NULL fields
+    plain = docs.filter("doc_id = 99").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    out = {r.doc_id: r for r in sniff_media(wrapped.unionByName(plain)).collect()}
+    assert out[0].fmt == "png" and out[0].width == 320 and out[0].height == 240
+    assert out[1].fmt == "jpeg" and out[1].width is None
+    assert out[2].fmt == "wav" and out[2].sample_rate == 8002
+    assert out[99].fmt == "bin" and out[99].width is None and out[99].sample_rate is None
+    assert out[0].n_bytes == 24 + 3 and out[1].n_bytes == 11 + 4 and out[2].n_bytes == 28 + 2

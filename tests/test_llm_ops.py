@@ -819,3 +819,27 @@ def test_label_noise_flags_planted_outlier(spark):
     )
     by = {r.nbr_label: r["count"] for r in votes}
     assert by.get(1, 0) >= 3  # neighbors vote cluster B's label
+
+
+def test_mmr_rerank_prefers_diversity(spark):
+    from fluvio_duck_spark.operators.similarity import mmr_rerank
+
+    # three near-identical candidates ~18 deg off the query (pairwise sim
+    # ~1.0) and one alternative of almost-equal relevance in a different
+    # plane (sim to clones ~0.89): plain top-3 keeps all three clones,
+    # MMR's 0.3 penalty must swap the alternative in at step 2
+    rows = [
+        (100, [1.0, 0.0, 0.0], 9),
+        (1, [0.9512, 0.3086, 0.0], 0),
+        (2, [0.9511, 0.3088, 0.0], 0),
+        (3, [0.9510, 0.3090, 0.0], 0),
+        (4, [0.94, 0.0, 0.341], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label long")
+    out = mmr_rerank(
+        emb, emb.filter("vec_id = 100"), k=3, n_candidates=4
+    ).collect()
+    picked = [r.vec_id for r in sorted(out, key=lambda r: r.sel_rank)]
+    assert picked[0] == 1            # relevance still wins first
+    assert 4 in picked               # diversity pulls in the alternative
+    assert len(set(picked)) == 3
