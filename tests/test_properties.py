@@ -267,3 +267,51 @@ def test_consume_partition_select_matches_model(spark, tiny_log, part, pos, n, r
         .select("offset").collect()
     )
     assert got == model, (argv, got, model)
+
+
+@pytest.mark.parametrize("n,bins,parts", [(97, 7, 3), (64, 8, 5), (13, 4, 2), (200, 9, 8)])
+def test_quantile_bins_property_sizes_and_order(spark, n, bins, parts):
+    """For any (n, bins, partitioning): every bin differs by ≤1 row from
+    the others, bins are contiguous in the sort order, and the result is
+    partitioning-independent (the global rank must not depend on where
+    range boundaries land)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.ranking import quantile_bins
+
+    df = spark.range(0, n).select("id", (F.hash("id") % 1000).alias("v"))
+    out = quantile_bins(df, ["v", "id"], n_bins=bins, n_partitions=parts)
+    rows = sorted(out.collect(), key=lambda r: (r.v, r.id))
+    sizes = {}
+    for r in rows:
+        sizes[r.bin] = sizes.get(r.bin, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    assert sum(sizes.values()) == n
+    # bin labels are monotone along the sorted order
+    labels = [r.bin for r in rows]
+    assert labels == sorted(labels)
+    # partitioning independence
+    out2 = quantile_bins(df.repartition(11), ["v", "id"], n_bins=bins,
+                         n_partitions=max(1, parts - 1))
+    assert {(r.id, r.bin) for r in out2.collect()} == {
+        (r.id, r.bin) for r in rows
+    }
+
+
+def test_upsample_repeat_expectation_property(spark):
+    """Realized copy counts track the rate in expectation across a rate
+    sweep, and every row's count is floor(rate) or ceil(rate)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.sampling import upsample_repeat
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    for rate in (0.25, 1.0, 1.75, 3.5):
+        out = upsample_repeat(df.withColumn("r", F.lit(rate)), "r")
+        per = {r.doc_id: r["count"] for r in out.groupBy("doc_id").count().collect()}
+        lo, hi = math.floor(rate), math.ceil(rate)
+        assert all(c in (lo, hi) or (lo == hi and c == lo) for c in per.values())
+        total = sum(per.values())
+        assert abs(total - rate * 1000) < 60, (rate, total)
