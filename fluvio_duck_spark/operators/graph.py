@@ -207,3 +207,46 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: repeatedly drop nodes of degree < k
+    (with their edges) — after enough rounds only the k-core survives.
+    Fixed ``rounds`` rather than loop-until-stable keeps the computation
+    oracle-checkable (the SQL oracle unrolls the same rounds), exactly
+    the pagerank trick; real deployments loop until the edge count stops
+    changing, one extra count() per round.
+
+    Per round: one degree aggregation (map-side combined) + two semi
+    joins filtering both endpoints — all equi-operations on the edge
+    key; ``localCheckpoint`` truncates lineage so plan size stays O(1)
+    in rounds.  Returns ``(node, degree)`` of survivors with
+    degree ≥ k after the last peel.
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = und.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        und.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        e = (
+            e.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    deg = e.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.filter(F.col("degree") >= k).select(
+        F.col("src").alias("node"), "degree"
+    )

@@ -1883,3 +1883,65 @@ QUERIES.update({
         doc="MMR diversity re-rank of batch retrieval (greedy selection, SQL-unrolled oracle)",
     ),
 })
+
+
+def q_text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary planning: build the top-500 token vocabulary
+    by corpus frequency (the truncation every fixed-size tokenizer
+    makes), then measure each document's OOV rate against it — the
+    signal that decides whether V is large enough.  The vocabulary is
+    top-V BY CONSTRUCTION, so broadcasting it is correct at any corpus
+    size (contrast the full document-frequency table, which is not
+    broadcastable — the tf-idf lesson); the top-V itself is a k-bounded
+    heap, never a global sort."""
+    from fluvio_duck_spark.operators.chunking import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(500)
+        .select("token", F.lit(1).alias("__in_v"))
+    )
+    joined = toks.join(F.broadcast(vocab), "token", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+        .cast("int")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("__in_v").isNull(), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+ORACLE_VOCAB_OOV = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS c FROM tok2 GROUP BY token
+    ORDER BY c DESC, token LIMIT 500) v)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_oov,
+       round(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+FROM tok2 LEFT JOIN vocab v USING (token)
+GROUP BY doc_id
+"""
+
+
+QUERIES.update({
+    "text_vocab_oov": QuerySpec(
+        q_text_vocab_oov, ORACLE_VOCAB_OOV,
+        doc="top-V vocabulary build + per-doc OOV rate (tokenizer planning)",
+    ),
+})

@@ -1435,3 +1435,60 @@ QUERIES.update({
         doc="multi-format source: native ORC round-trip (full fidelity incl. doubles)",
     ),
 })
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the recent-window co-purchase graph via 3 fixed peel
+    rounds — the cohesive-subgraph extraction that separates parts with
+    durable co-purchase structure from incidental pairings.  Fixed
+    rounds keep the iterative algorithm exactly oracle-checkable (the
+    SQL oracle unrolls the same peels), the pagerank trick."""
+    from fluvio_duck_spark.operators.graph import kcore_peel
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-06-01"))
+        .select("l_orderkey", "l_partkey")
+    )
+    x, y = li.alias("x"), li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst"))
+    return kcore_peel(pairs, k=3, rounds=3)
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM (SELECT * FROM lineitem WHERE l_shipdate >= '1997-06-01') x
+  JOIN (SELECT * FROM lineitem WHERE l_shipdate >= '1997-06-01') y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+e0 AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL SELECT b, a FROM pairs)"""
+    prev = "e0"
+    for r in range(rounds):
+        sql += f""",
+keep{r} AS (
+  SELECT src AS node FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}),
+e{r + 1} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN keep{r} ks ON e.src = ks.node
+  JOIN keep{r} kd ON e.dst = kd.node)"""
+        prev = f"e{r + 1}"
+    sql += f"""
+SELECT src AS node, COUNT(*) AS degree
+FROM {prev} GROUP BY src HAVING COUNT(*) >= {k}
+"""
+    return sql
+
+
+QUERIES.update({
+    "graph_kcore": QuerySpec(
+        q_graph_kcore, _kcore_oracle(3, 3),
+        doc="fixed-round k-core peeling (SQL-unrolled oracle) on the co-purchase graph",
+    ),
+})

@@ -599,3 +599,15 @@ def test_compression_ratio_separates_boilerplate_from_prose(spark):
     again = {r.doc_id: r.r
              for r in df.repartition(3).select("doc_id", ratio("text").alias("r")).collect()}
     assert got == again
+
+
+def test_kcore_peels_tendrils_keeps_core(spark):
+    from fluvio_duck_spark.operators.graph import kcore_peel
+
+    # K4 on {1..4} is a 3-core; 5-6-7 is a chain hanging off node 1 that
+    # must peel away (degrees < 3), taking its edges with it
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    chain = [(1, 5), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(k4 + chain, "src long, dst long")
+    got = {r.node: r.degree for r in kcore_peel(edges, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
