@@ -1945,3 +1945,103 @@ QUERIES.update({
         doc="top-V vocabulary build + per-doc OOV rate (tokenizer planning)",
     ),
 })
+
+
+_BM25_TERMS = ("hash", "join", "merge")
+
+
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a fixed 3-term query (k1=1.2, b=0.75)
+    — the lexical-search scoring every retrieval pipeline starts from,
+    entirely in Catalyst expressions.  Corpus statistics (N, avgdl)
+    fold in as a 1-row aggregate crossJoin; the per-term idf table is
+    |query terms| rows (broadcast is correct by construction); the
+    top-20 is a k-bounded heap.  Per-term contributions are cast to
+    DECIMAL before the per-doc sum so term order cannot move the hash."""
+    from fluvio_duck_spark.operators.chunking import tokenize
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokenize("text")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    totals = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    hits = toks.filter(F.col("token").isin(*_BM25_TERMS))
+    tf = hits.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                * F.lit(2.2)
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(18,12)")).cast("double"),
+                6,
+            ).alias("bm25")
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+ORACLE_BM25 = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+  WHERE token IN ('hash', 'join', 'merge') GROUP BY doc_id, token),
+idf AS (
+  SELECT token, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY token) d, tot),
+scored AS (
+  SELECT tf.doc_id,
+         idf.idf * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN tot)
+SELECT doc_id,
+       round(CAST(SUM(CAST(contrib AS DECIMAL(18,12))) AS DOUBLE), 6) AS bm25
+FROM scored GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+QUERIES.update({
+    "text_bm25_search": QuerySpec(
+        q_text_bm25_search, ORACLE_BM25,
+        doc="BM25 lexical search scoring (k1=1.2, b=0.75), pure Catalyst, top-20 heap",
+    ),
+})
