@@ -332,3 +332,32 @@ def test_quantile_bins_uniform_split(spark):
         F.min("v").alias("lo"), F.max("v").alias("hi")).collect()}
     for b in range(1, 7):
         assert lohi[b][1] <= lohi[b + 1][0]
+
+
+def test_new_round2_query_plan_contracts(specs, spark, sf_dir):
+    """SCALE.md contracts for the late-round-2 additions."""
+    # map-only: zero exchanges, zero Python
+    for name in ("text_token_regex", "mm_sniff_formats"):
+        df = _run(specs, spark, sf_dir, name)
+        assert_plan(df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0,
+                    FlatMapGroupsInPandas=0)
+    # char entropy: exactly the two aggregation exchanges, no Python
+    df = _run(specs, spark, sf_dir, "text_char_entropy")
+    assert_plan(df, Exchange=2, ArrowEvalPython=0, BatchEvalPython=0)
+    # vocab/OOV: top-V must be a bounded heap, vocab join a broadcast
+    df = _run(specs, spark, sf_dir, "text_vocab_oov")
+    ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0)
+    assert ops["TakeOrderedAndProject"] >= 1
+    # BM25: top-20 heap, no sort-merge join, no Python
+    df = _run(specs, spark, sf_dir, "text_bm25_search")
+    ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0,
+                      BatchEvalPython=0)
+    assert ops["TakeOrderedAndProject"] >= 1
+    # incremental dedup: history side must prune to the fingerprint
+    # column only (no full-width history scan)
+    df = _run(specs, spark, sf_dir, "dedup_incremental")
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0)
+    # knn graph: exactly one grouped-Python pass (the block-pair GEMM)
+    df = _run(specs, spark, sf_dir, "sim_knn_graph")
+    ops = assert_plan(df, BatchEvalPython=0)
+    assert ops.get("FlatMapGroupsInPandas", 0) == 1
