@@ -529,6 +529,77 @@ def boilerplate_segment_removal(
     )
 
 
+def substring_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span: int = 8,
+) -> DataFrame:
+    """Unaligned duplicated-span removal — the sliding-window form of
+    exact substring dedup (the "remove any ≥N-token span that repeats
+    across documents" pass of Lee et al.'s train-data dedup, windowed
+    n-grams standing in for the suffix array): every token position
+    covered by ANY cross-document duplicated ``min_span``-gram is
+    removed from EVERY document, and the survivors reassemble.  Unlike
+    :func:`segment_dedup` (fixed aligned windows), spans here match at
+    any offset, so a quote shifted by one word still dies.
+
+    Plan shape, all corpus-sized steps bounded: sliding n-grams build
+    IN-ROW (transform over a sequence — no self-join) and explode to
+    (id, gpos, gram); the duplicate set is one groupBy on the gram
+    string (map-side combined, distinct-doc counted); covered positions
+    explode only from *duplicated* gram hits (fan-out L per hit, not per
+    token); the keep-side is a LEFT ANTI equi-join on (id, pos) and one
+    reassembly groupBy.  The gram string itself is the join key so the
+    SQL oracle shares it exactly (engine hash functions differ).
+
+    Returns ``(id, n_tokens_kept, clean_text)``; fully-duplicated
+    documents drop out.
+    """
+    L = int(min_span)
+    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_tk"))
+    pos_tok = toks.select(
+        F.col(id_col), F.posexplode("_tk").alias("pos0", "token")
+    )
+    n_grams = F.greatest(F.size("_tk") - F.lit(L - 1), F.lit(0))
+    grams_arr = F.when(n_grams <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.array_join(F.slice("_tk", i, L), " "),
+        )
+    )
+    grams = toks.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("gpos0", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("gpos0"), F.col("gpos0") + F.lit(L - 1))
+            ).alias("pos0"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(covered, [id_col, "pos0"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "token"))),
+                lambda s: s.token,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def edit_distance_pairs(
     vocab: DataFrame,
     token_col: str = "token",

@@ -2045,3 +2045,48 @@ QUERIES.update({
         doc="BM25 lexical search scoring (k1=1.2, b=0.75), pure Catalyst, top-20 heap",
     ),
 })
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unaligned duplicated-span removal: any token position covered by
+    a cross-document duplicated 8-gram is stripped everywhere (the
+    sliding-window exact-substring dedup; contrast dedup_segments'
+    aligned windows and dedup_boilerplate's whole-segment frequency)."""
+    from fluvio_duck_spark.operators.dedup import substring_span_dedup
+
+    return substring_span_dedup(load(spark, sf_dir, "documents"), min_span=8)
+
+
+ORACLE_DEDUP_SPANS = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+pos_tok AS (
+  SELECT doc_id, CAST(i AS INTEGER) - 1 AS pos0, tk[CAST(i AS INTEGER)] AS token
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i FROM toks) x),
+grams AS (
+  SELECT doc_id, CAST(i AS INTEGER) - 1 AS gpos0,
+         array_to_string(tk[CAST(i AS INTEGER):(CAST(i AS INTEGER) + 7)], ' ')
+           AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i
+        FROM toks) x),
+dup AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+covered AS (
+  SELECT DISTINCT g.doc_id, g.gpos0 + CAST(j AS INTEGER) AS pos0
+  FROM (SELECT doc_id, gpos0 FROM grams JOIN dup USING (gram)) g,
+       (SELECT unnest(range(8)) AS j) o),
+kept AS (
+  SELECT p.doc_id, p.pos0, p.token FROM pos_tok p
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = p.doc_id AND c.pos0 = p.pos0))
+SELECT doc_id, COUNT(*) AS n_tokens_kept,
+       string_agg(token, ' ' ORDER BY pos0) AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
+QUERIES.update({
+    "dedup_substring_spans": QuerySpec(
+        q_dedup_substring_spans, ORACLE_DEDUP_SPANS,
+        doc="unaligned duplicated-span removal (sliding 8-gram exact substring dedup)",
+    ),
+})

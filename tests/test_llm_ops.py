@@ -843,3 +843,26 @@ def test_mmr_rerank_prefers_diversity(spark):
     assert picked[0] == 1            # relevance still wins first
     assert 4 in picked               # diversity pulls in the alternative
     assert len(set(picked)) == 3
+
+
+def test_substring_span_dedup_unaligned_and_within_doc_safe(spark):
+    from fluvio_duck_spark.operators.dedup import substring_span_dedup
+
+    # span "q r s" duplicates across docs 1 and 2 at DIFFERENT offsets →
+    # removed from both; doc 3 repeats a span only within itself → kept
+    # (cross-document frequency, not raw frequency)
+    df = spark.createDataFrame(
+        [
+            (1, "a b q r s c d"),
+            (2, "x q r s y z w"),
+            (3, "m n o m n o p"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.clean_text)
+        for r in substring_span_dedup(df, min_span=3).collect()
+    }
+    assert got[1] == (4, "a b c d")
+    assert got[2] == (4, "x y z w")
+    assert got[3] == (7, "m n o m n o p")
