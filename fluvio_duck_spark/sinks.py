@@ -21,16 +21,22 @@ def copy_to_parquet(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     coalesce: int | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """K1 — ``COPY (...) TO 'path' (FORMAT 'parquet')`` equivalent.
 
-    ``partition_by`` / ``coalesce`` are scale knobs the reference lacks:
-    at 100 TB you partition output by a pruning key rather than emit one
-    directory of unsplittable files.
+    ``partition_by`` / ``coalesce`` / ``max_records_per_file`` are scale
+    knobs the reference lacks: at 100 TB you partition output by a
+    pruning key rather than emit one directory of unsplittable files,
+    and you bound file size so a skewed task cannot emit a 100 GB file
+    (``maxRecordsPerFile`` splits task output, the writer-side
+    complement to ``compact_files``' small-file merge).
     """
     if coalesce is not None:
         df = df.coalesce(coalesce)
     writer = df.write.mode(mode)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

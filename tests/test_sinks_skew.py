@@ -280,3 +280,18 @@ def test_cdc_apply_is_shuffle_free_on_bucketed_tables(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS cdc_snap_b")
         spark.sql("DROP TABLE IF EXISTS cdc_changes_b")
+
+
+def test_copy_to_parquet_bounds_file_size(spark, tmp_path):
+    """maxRecordsPerFile must split a single task's output — the guard
+    against a skewed partition emitting one unsplittable giant file."""
+    import glob
+
+    from fluvio_duck_spark.sinks import copy_to_parquet
+
+    df = spark.range(0, 10_000).coalesce(1)
+    out = str(tmp_path / "bounded")
+    copy_to_parquet(df, out, coalesce=1, max_records_per_file=2_500)
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 4
+    assert spark.read.parquet(out).count() == 10_000
