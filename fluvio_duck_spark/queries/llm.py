@@ -2090,3 +2090,147 @@ QUERIES.update({
         doc="unaligned duplicated-span removal (sliding 8-gram exact substring dedup)",
     ),
 })
+
+
+def q_sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column (the
+    4× memory compression every vector store applies before ANN):
+    per-vector scale = max|x|/127, codes = floor(x/scale + 0.5).
+    Entirely in-row HOF arithmetic — map-only at any corpus size.  The
+    floor-form rounding is IEEE-identical in both engines (SQL ROUND
+    half-away vs numpy/JVM half-even would diverge on exact halves);
+    code sum is an exact integer parity check of every code, and the
+    reconstruction-error stats fold sequentially in-row so both engines
+    sum in the same order.  Nonzero-norm contract as the batch paths."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / F.col("_scale") + F.lit(0.5)))
+    err = F.transform(
+        F.arrays_zip(v, F.col("_q")),
+        lambda p: F.abs(
+            p["embedding"].cast("double") - p["_q"] * F.col("_scale")
+        ),
+    )
+    return (
+        emb.withColumn("_scale", scale)
+        .withColumn("_q", q)
+        .withColumn("_err", err)
+        .select(
+            "vec_id",
+            F.round("_scale", 9).alias("scale9"),
+            F.size("_q").cast("int").alias("n_dims"),
+            F.aggregate("_q", F.lit(0).cast("long"), lambda a, x: a + x)
+            .alias("code_sum"),
+            F.round(F.array_max("_err"), 9).alias("max_abs_err"),
+            F.round(
+                F.aggregate(
+                    "_err", F.lit(0.0), lambda a, x: a + x * x
+                )
+                / F.size("_err"),
+                9,
+            ).alias("mse"),
+        )
+    )
+
+
+ORACLE_SCALAR_QUANT = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+           AS scale
+  FROM embeddings),
+q AS (
+  SELECT vec_id, scale, embedding,
+         list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE) / scale + 0.5)) AS codes
+  FROM s),
+e AS (
+  SELECT vec_id, scale, codes,
+         list_transform(range(1, len(embedding) + 1),
+                        i -> abs(CAST(embedding[i] AS DOUBLE)
+                                 - codes[i] * scale)) AS errs
+  FROM q)
+SELECT vec_id, round(scale, 9) AS scale9,
+       CAST(len(codes) AS INTEGER) AS n_dims,
+       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       round(list_max(errs), 9) AS max_abs_err,
+       round(list_aggregate(list_transform(errs, x -> x * x), 'sum')
+             / len(errs), 9) AS mse
+FROM e
+"""
+
+
+QUERIES.update({
+    "sim_scalar_quantize": QuerySpec(
+        q_sim_scalar_quantize, ORACLE_SCALAR_QUANT,
+        doc="symmetric int8 scalar quantization + reconstruction-error stats, map-only",
+    ),
+})
+
+
+def q_curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE Catalyst plan — dedup →
+    quality gate → per-source quota → mixture report — proving the
+    operators compose without materialization barriers: exact-dedup
+    keep-first (fingerprint window), token-count + stopword-density
+    filters, a top-30-per-source cap (WindowGroupLimit pre-shuffle
+    heap), and the per-source summary.  What a user's nightly corpus
+    build actually runs; every stage reuses an operator verified
+    individually elsewhere."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    dedup_rn = F.row_number().over(
+        W.partitionBy(fp).orderBy("doc_id")
+    )
+    surv = d.withColumn("_rn", dedup_rn).filter(F.col("_rn") == 1).drop("_rn")
+    gated = surv.withColumn("_nt", token_count("text")).withColumn(
+        "_sw", stopword_ratio("text")
+    ).filter(
+        (F.col("_nt") >= 20) & (F.col("_nt") <= 900) & (F.col("_sw") >= 0.03)
+    )
+    cap_rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    capped = gated.withColumn("_cap", cap_rn).filter(F.col("_cap") <= 30)
+    return capped.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.round(F.sum("_nt") / F.count("*"), 6).alias("mean_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_CURATE_E2E = f"""
+WITH surv AS (
+  SELECT * FROM (
+    SELECT d.*, row_number() OVER (
+        PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+    FROM documents d) x WHERE rn = 1),
+gated AS (
+  SELECT doc_id, source, n_chars,
+         len(string_split(text, ' ')) AS nt
+  FROM surv
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 900
+    AND CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN {_STOPLIST_SQL})) AS DOUBLE)
+        / len(string_split(text, ' ')) >= 0.03),
+capped AS (
+  SELECT * FROM (
+    SELECT g.*, row_number() OVER (
+        PARTITION BY source ORDER BY n_chars DESC, doc_id) AS cap
+    FROM gated g) y WHERE cap <= 30)
+SELECT source, CAST(COUNT(*) AS INTEGER) AS n_kept,
+       round(SUM(nt) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
+       SUM(n_chars) AS total_chars
+FROM capped GROUP BY source
+"""
+
+
+QUERIES.update({
+    "curate_pipeline_e2e": QuerySpec(
+        q_curate_pipeline_e2e, ORACLE_CURATE_E2E,
+        doc="full curation pipeline in one plan: dedup -> quality gate -> per-source cap -> mixture report",
+    ),
+})
