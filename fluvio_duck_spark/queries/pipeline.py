@@ -1492,3 +1492,63 @@ QUERIES.update({
         doc="fixed-round k-core peeling (SQL-unrolled oracle) on the co-purchase graph",
     ),
 })
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase attributes to the user's
+    most recent STRICTLY-PRIOR click (ties broken by event id).  One
+    user-key shuffle; the carry is a last(ignorenulls) running window —
+    LOCF machinery, O(1) state per user — never a per-purchase self-join
+    back into the history."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), True
+    ).over(w)
+    return (
+        ev.withColumn("_cid", click_id)
+        .withColumn("_cts", click_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("_cid").alias("click_id"),
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("_cts")
+            ).alias("gap_s"),
+        )
+    )
+
+
+ORACLE_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts
+  FROM events)
+SELECT event_id AS purchase_id, user_id, click_id,
+       CAST(floor(epoch(ts)) - floor(epoch(click_ts)) AS BIGINT) AS gap_s
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+QUERIES.update({
+    "events_attribution": QuerySpec(
+        q_events_attribution, ORACLE_ATTRIBUTION,
+        doc="last-touch attribution via running last(ignorenulls) — no history self-join",
+    ),
+})
