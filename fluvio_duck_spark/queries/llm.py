@@ -2234,3 +2234,57 @@ QUERIES.update({
         doc="full curation pipeline in one plan: dedup -> quality gate -> per-source cap -> mixture report",
     ),
 })
+
+
+def _energy_frac(v, d: int):
+    head = F.aggregate(
+        F.slice(v, 1, d), F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    full = F.aggregate(
+        v, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    return F.round(head / full, 9)
+
+
+def q_sim_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation planning: the fraction of each vector's L2
+    energy captured by its first 8/16/32 dims — the statistic that
+    decides how far an MRL-trained embedding can be truncated before
+    retrieval quality collapses.  In-row slice+fold arithmetic, map-only
+    at any corpus size; both engines fold sequentially left-to-right so
+    the doubles are bit-identical."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.size(v).cast("int").alias("n_dims"),
+        _energy_frac(v, 8).alias("frac8"),
+        _energy_frac(v, 16).alias("frac16"),
+        _energy_frac(v, 32).alias("frac32"),
+    )
+
+
+ORACLE_MATRYOSHKA = """
+SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n_dims,
+  round(list_aggregate(list_transform(embedding[1:8],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+        / list_aggregate(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 9) AS frac8,
+  round(list_aggregate(list_transform(embedding[1:16],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+        / list_aggregate(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 9) AS frac16,
+  round(list_aggregate(list_transform(embedding[1:32],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')
+        / list_aggregate(list_transform(embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 9) AS frac32
+FROM embeddings
+"""
+
+
+QUERIES.update({
+    "sim_matryoshka_energy": QuerySpec(
+        q_sim_matryoshka_energy, ORACLE_MATRYOSHKA,
+        doc="per-vector truncation energy profile (MRL planning), map-only in-row folds",
+    ),
+})

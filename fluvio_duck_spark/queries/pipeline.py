@@ -1552,3 +1552,65 @@ QUERIES.update({
         doc="last-touch attribution via running last(ignorenulls) — no history self-join",
     ),
 })
+
+
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature lookup — THE feature-store join:
+    clicks join the SCD-2 purchase dimension at the version valid when
+    the click happened (``valid_from <= ts < valid_to``), never a later
+    one (no feature leakage).  The residual interval predicate rides
+    the user-key equi-join, so fan-out is bounded by versions-per-key
+    before the residual prunes to exactly one; a key with unbounded
+    version history should use the as-of merge instead (same oracle
+    semantics, operators/asof.py)."""
+    from fluvio_duck_spark.operators.asof import scd2_intervals
+
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    dim = scd2_intervals(purchases, key="user_id", time="ts", payload=["value"])
+    dim = dim.select(
+        F.col("user_id").alias("d_user"),
+        "valid_from",
+        "valid_to",
+        F.col("value").alias("feat_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    cond = (
+        (clicks.user_id == dim.d_user)
+        & (dim.valid_from <= clicks.ts)
+        & (dim.valid_to.isNull() | (clicks.ts < dim.valid_to))
+    )
+    return clicks.join(dim, cond, "left").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        "feat_value",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("valid_from")
+        ).alias("feat_age_s"),
+    )
+
+
+ORACLE_POINT_IN_TIME = """
+WITH dim AS (
+  SELECT user_id, ts AS vf,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS vt,
+         value AS feat_value
+  FROM events WHERE event_type = 'purchase'),
+clicks AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click')
+SELECT c.event_id AS click_id, c.user_id, d.feat_value,
+       CAST(floor(epoch(c.ts)) - floor(epoch(d.vf)) AS BIGINT) AS feat_age_s
+FROM clicks c LEFT JOIN dim d
+  ON c.user_id = d.user_id AND d.vf <= c.ts
+     AND (d.vt IS NULL OR c.ts < d.vt)
+"""
+
+
+QUERIES.update({
+    "join_point_in_time": QuerySpec(
+        q_join_point_in_time, ORACLE_POINT_IN_TIME,
+        doc="point-in-time feature lookup against the SCD-2 dimension (leak-free)",
+    ),
+})
