@@ -104,6 +104,12 @@ EXTENDED = [
     "window_quantile_bins",
     "text_char_entropy",
     "dedup_incremental",
+    "sim_knn_graph",
+    "text_bm25_search",
+    "curate_pipeline_e2e",
+    "dedup_substring_spans",
+    "sim_mmr_rerank",
+    "join_point_in_time",
 ]
 
 
