@@ -1614,3 +1614,41 @@ QUERIES.update({
         doc="point-in-time feature lookup against the SCD-2 dimension (leak-free)",
     ),
 })
+
+
+def q_source_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The topic scan through Spark 4's Python DataSource API
+    (``spark.read.format("fluvio")``) — the connector-ergonomics twin
+    of ``fluvio_consume`` (one InputPartition per Fluvio partition,
+    worker-side offset algebra, footer-statistics LEO).  Aggregates the
+    read so the oracle checks exact row/offset parity per partition."""
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+
+    register_fluvio_source(spark)
+    df = (
+        spark.read.format("fluvio")
+        .option("topic", "events")
+        .option("args", "-A -B --rows 3000")
+        .option("sf_dir", sf_dir)
+        .load()
+    )
+    return df.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+
+
+ORACLE_DATASOURCE = """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition", COUNT(*) AS n,
+       MIN(event_id) AS min_offset, MAX(event_id) AS max_offset
+FROM events WHERE event_id < 3000 GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "source_datasource_parity": QuerySpec(
+        q_source_datasource_parity, ORACLE_DATASOURCE,
+        doc="Spark 4 Python DataSource front end (format 'fluvio'): per-partition offset parity",
+    ),
+})

@@ -258,3 +258,45 @@ def test_tail_beyond_log_clamps_to_beginning(spark, sf_dir, n_events):
     df2 = fluvio_consume(spark, "events -A -T 99999999 --rows 10", sf_dir=sf_dir)
     offsets = sorted(r.offset for r in df2.select("offset").collect())
     assert offsets == list(range(10))
+
+
+def test_datasource_matches_fluvio_consume(spark, sf_dir):
+    """spark.read.format('fluvio') must return byte-identical offset
+    sets to fluvio_consume for the same option string, across the
+    offset-algebra surface; sub-topic + --rows is an explicit seam."""
+    import pytest
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.datasource import (
+        FluvioReader,
+        register_fluvio_source,
+    )
+
+    register_fluvio_source(spark)
+
+    def via_ds(args):
+        return (
+            spark.read.format("fluvio").option("topic", "events")
+            .option("args", args).option("sf_dir", sf_dir).load()
+        )
+
+    for args in ("-A -B --rows 500", "-A -T 7", "-B --rows 100",
+                 "-A --start 17 --end 40", "-p 2 -B --rows 50"):
+        a = sorted(r.offset for r in fluvio_consume(
+            spark, f"events {args}", sf_dir=sf_dir).collect())
+        b = sorted(r.offset for r in via_ds(args).collect())
+        assert a == b, args
+    # default (no -A): reference pins partition 0
+    assert via_ds("-B").select("partition").distinct().collect()[0][0] == 0
+    # single-partition sub-topic budget is a LOCAL top-n — exact
+    a = sorted(r.offset for r in fluvio_consume(
+        spark, "click -B --rows 5", sf_dir=sf_dir).collect())
+    b = sorted(r.offset for r in (
+        spark.read.format("fluvio").option("topic", "click")
+        .option("args", "-B --rows 5").option("sf_dir", sf_dir).load()
+    ).collect())
+    assert a == b
+    # -A + sparse sub-topic + --rows: honest NotImplementedError seam
+    with pytest.raises(Exception, match="fluvio_consume"):
+        FluvioReader({"topic": "click", "args": "-A -B --rows 5",
+                      "sf_dir": sf_dir})
