@@ -533,3 +533,55 @@ QUERIES.update({
         doc="streaming OHLC candlesticks — oracle-shared with rollup_ohlc_bars",
     ),
 })
+
+
+def q_stream_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The topic as a Spark 4 Python STREAMING DataSource
+    (``spark.readStream.format("fluvio")``): native offset-cursor
+    micro-batches (300 rows each → the sf0.001 log alone needs 4
+    batches), drained to the log end and compared per-partition against
+    the batch truth — the continuous-mode (-d) twin of
+    ``source_datasource_parity``."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+
+    register_fluvio_source(spark)
+    s = (
+        spark.readStream.format("fluvio")
+        .option("topic", "events")
+        .option("sf_dir", sf_dir)
+        .option("max_rows_per_batch", "300")
+        .load()
+    )
+    agg = s.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("__ds_stream_parity")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("__ds_stream_parity")
+
+
+ORACLE_STREAM_DATASOURCE = """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition", COUNT(*) AS n,
+       MIN(event_id) AS min_offset, MAX(event_id) AS max_offset
+FROM events GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "stream_datasource_parity": QuerySpec(
+        q_stream_datasource_parity, ORACLE_STREAM_DATASOURCE,
+        doc="streaming Python DataSource: offset-cursor micro-batches drained to LEO, batch parity",
+    ),
+})

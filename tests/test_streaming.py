@@ -381,3 +381,33 @@ def test_stream_cdc_restart_resumes_and_converges(spark, sf_dir, tmp_path):
            for r in cdc_apply(snapshot, changes, "user_id", "ts", "op",
                               ["value"], tiebreak_col="event_id").collect()}
     assert got == exp
+
+
+def test_datasource_stream_multi_chunk_and_replay(spark, sf_dir):
+    """The streaming DataSource must advance its offset cursor across
+    multiple chunks (not stall or repeat), and readBetweenOffsets must
+    replay a committed range byte-for-byte (restart determinism)."""
+    from fluvio_duck_spark.sources.datasource import FluvioSimpleStreamReader
+
+    r = FluvioSimpleStreamReader(
+        {"topic": "events", "sf_dir": sf_dir, "max_rows_per_batch": "400"}
+    )
+    cur = r.initialOffset()
+    seen, chunks = [], 0
+    while True:
+        it, nxt = r.read(cur)
+        rows = list(it)
+        if nxt == cur:
+            assert rows == []
+            break
+        chunks += 1
+        seen.extend(rows)
+        # replay of the same [start, end) must be identical
+        assert list(r.readBetweenOffsets(cur, nxt)) == rows
+        cur = nxt
+    assert chunks >= 3
+    offs = [row[0] for row in seen]
+    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+    # drained everything exactly once
+    from fluvio_duck_spark.sources.consume import read_events
+    assert len(offs) == read_events(spark, sf_dir).count()
