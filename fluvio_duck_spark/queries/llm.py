@@ -2288,3 +2288,90 @@ QUERIES.update({
         doc="per-vector truncation energy profile (MRL planning), map-only in-row folds",
     ),
 })
+
+
+def q_text_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: Reciprocal Rank Fusion of the BM25 lexical
+    top-20 (fixed 3-term query) and the vector cosine top-20 (query
+    vector 0), fused as Σ 1/(60 + rank) — the standard zero-tuning
+    fusion every hybrid search stack ships.  Both legs are k-bounded,
+    the fusion is a full outer join of two 20-row lists: post-retrieval
+    cost is O(k), independent of corpus size."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.similarity import cosine_topk
+
+    lex = q_text_bm25_search(spark, sf_dir).limit(20)
+    lex = lex.withColumn(
+        "lex_rank",
+        F.row_number().over(W.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+    ).select("doc_id", "lex_rank")
+    emb = load(spark, sf_dir, "embeddings")
+    vec = cosine_topk(emb, query_id=0, k=20).withColumn(
+        "vec_rank",
+        F.row_number().over(W.orderBy(F.desc("sim"), F.asc("vec_id"))),
+    ).select(F.col("vec_id").alias("doc_id"), "vec_rank")
+    fused = lex.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("vec_rank")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+ORACLE_HYBRID_RRF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+tot AS (SELECT COUNT(*) AS n_docs, SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        FROM dl),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok2
+  WHERE token IN ('hash', 'join', 'merge') GROUP BY doc_id, token),
+idf AS (
+  SELECT token, ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+  FROM (SELECT token, COUNT(*) AS df FROM tf GROUP BY token) d, tot),
+scored AS (
+  SELECT tf.doc_id,
+         idf.idf * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS contrib
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id) CROSS JOIN tot),
+bm AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(contrib AS DECIMAL(18,12))) AS DOUBLE), 6) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT 20),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM bm),
+sims AS (
+  SELECT b.vec_id AS doc_id, {_COS_AB} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0),
+vtop AS (
+  SELECT doc_id, sim FROM sims ORDER BY sim DESC, doc_id LIMIT 20),
+vec AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY sim DESC, doc_id) AS vec_rank
+  FROM vtop)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rank, v.vec_rank,
+       round(COALESCE(1.0 / (60 + l.lex_rank), 0)
+             + COALESCE(1.0 / (60 + v.vec_rank), 0), 9) AS rrf
+FROM lex l FULL OUTER JOIN vec v USING (doc_id)
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES.update({
+    "text_hybrid_rrf": QuerySpec(
+        q_text_hybrid_rrf, ORACLE_HYBRID_RRF,
+        doc="hybrid retrieval: reciprocal-rank fusion of BM25 and vector top-20 lists",
+    ),
+})
