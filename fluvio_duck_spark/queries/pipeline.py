@@ -1652,3 +1652,51 @@ QUERIES.update({
         doc="Spark 4 Python DataSource front end (format 'fluvio'): per-partition offset parity",
     ),
 })
+
+
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (the next-event model behind session recommendation and
+    anomaly scoring): one user-key shuffle for the lag, one count
+    aggregation, and the row-normalizing total folds in as a window
+    over the |states|² count table — never a second corpus pass."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = F.sum("n").over(W.partitionBy("from_type"))
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / tot, 6).alias("p"),
+    )
+
+
+ORACLE_MARKOV = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+c AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(n / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+QUERIES.update({
+    "events_markov_transitions": QuerySpec(
+        q_events_markov_transitions, ORACLE_MARKOV,
+        doc="first-order Markov transition matrix over per-user event sequences",
+    ),
+})
