@@ -2375,3 +2375,104 @@ QUERIES.update({
         doc="hybrid retrieval: reciprocal-rank fusion of BM25 and vector top-20 lists",
     ),
 })
+
+
+def q_sim_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health check (dead dims, variance
+    collapse, mean offset — the diagnostics run before whitening):
+    posexplode to (dim, x) rows, ONE map-side-combined aggregation.
+    The exchange carries |dims| partial-state rows per task, never
+    vectors.  DECIMAL accumulation makes the moments hash-stable."""
+    emb = load(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x"))
+    # decimal(18,9): float32 inputs fit losslessly-enough, and the
+    # square stays within decimal(38) EXACTLY in both engines — a wider
+    # scale overflows Spark's 38-digit cap and truncates differently
+    # than DuckDB (observed as a 1e-6 var_pop flip at the round boundary)
+    xd = F.col("x").cast("decimal(18,9)")
+    return d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(xd).cast("double") / F.count("*"), 6).alias("mean"),
+        F.round(
+            F.sum(xd * xd).cast("double") / F.count("*")
+            - F.pow(F.sum(xd).cast("double") / F.count("*"), 2),
+            6,
+        ).alias("var_pop"),
+        F.round(F.min(F.col("x").cast("double")), 6).alias("lo"),
+        F.round(F.max(F.col("x").cast("double")), 6).alias("hi"),
+    )
+
+
+ORACLE_DIM_STATS = """
+WITH d AS (
+  SELECT CAST(unnest(range(1, len(embedding)+1)) AS INTEGER) - 1 AS dim,
+         unnest(embedding) AS x
+  FROM embeddings)
+SELECT dim, COUNT(*) AS n,
+  round(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS mean,
+  round(CAST(SUM(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+          / COUNT(*)
+        - pow(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 2), 6)
+    AS var_pop,
+  round(MIN(CAST(x AS DOUBLE)), 6) AS lo,
+  round(MAX(CAST(x AS DOUBLE)), 6) AS hi
+FROM d GROUP BY dim
+"""
+
+
+def q_sim_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus anisotropy — the expected pairwise cosine equals the
+    squared norm of the mean UNIT vector (the standard one-pass
+    identity; an isotropic cloud scores ~0, a collapsed cone ~1).
+    L2-normalize per row (map-only), per-dim DECIMAL sums in one
+    exchange, then the squared-norm fold over |dims| values."""
+    from fluvio_duck_spark.functions.vectors import l2_normalize
+
+    emb = load(spark, sf_dir, "embeddings")
+    unit = emb.select(l2_normalize(F.col("embedding")).alias("u"))
+    d = unit.select(F.posexplode("u").alias("dim", "x"))
+    sums = d.groupBy("dim").agg(
+        F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    return sums.agg(
+        F.max("n").cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(
+                (F.col("s").cast("double") / F.col("n"))
+                * (F.col("s").cast("double") / F.col("n"))
+            ),
+            6,
+        ).alias("anisotropy"),
+    )
+
+
+ORACLE_ANISOTROPY = """
+WITH unit AS (
+  SELECT list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS u
+  FROM embeddings),
+d AS (
+  SELECT CAST(unnest(range(1, len(u)+1)) AS INTEGER) - 1 AS dim, unnest(u) AS x
+  FROM unit),
+sums AS (
+  SELECT dim, SUM(CAST(x AS DECIMAL(28,12))) AS s, COUNT(*) AS n
+  FROM d GROUP BY dim)
+SELECT CAST(MAX(n) AS BIGINT) AS n_vectors,
+       round(SUM((CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+         AS anisotropy
+FROM sums
+"""
+
+
+QUERIES.update({
+    "sim_dim_stats": QuerySpec(
+        q_sim_dim_stats, ORACLE_DIM_STATS,
+        doc="per-dimension embedding health stats (dims-bounded exchange)",
+    ),
+    "sim_anisotropy": QuerySpec(
+        q_sim_anisotropy, ORACLE_ANISOTROPY,
+        doc="corpus anisotropy via the mean-unit-vector identity, one pass",
+    ),
+})

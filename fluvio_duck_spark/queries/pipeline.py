@@ -1700,3 +1700,62 @@ QUERIES.update({
         doc="first-order Markov transition matrix over per-user event sequences",
     ),
 })
+
+
+def q_events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: which user deciles generate the events
+    (the 80/20 diagnostic behind rate limiting and whale analysis).
+    Per-user counts (one shuffle) rank through the range-partitioned
+    global rank — the user table is corpus-sized, so a vanilla global
+    NTILE would single-thread it — then per-decile shares fold the
+    grand total in as a 1-row crossJoin."""
+    from fluvio_duck_spark.operators.ranking import quantile_bins
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    per_user = per_user.withColumn("_neg", -F.col("n_events"))
+    binned = quantile_bins(
+        per_user, ["_neg", "user_id"], n_bins=10, bin_col="decile"
+    )
+    tot = binned.agg(F.sum("n_events").alias("_t"))
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("int").alias("n_users"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            "total_events",
+            F.round(F.col("total_events") / F.col("_t"), 6).alias("share"),
+        )
+    )
+
+
+ORACLE_PARETO = """
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id),
+r AS (
+  SELECT n_events,
+         row_number() OVER (ORDER BY n_events DESC, user_id) AS rn,
+         count(*) OVER () AS n
+  FROM pu),
+b AS (
+  SELECT CAST(floor((rn - 1) * 10 / n) + 1 AS INTEGER) AS decile, n_events
+  FROM r),
+t AS (SELECT SUM(n_events) AS tot FROM b)
+SELECT decile, CAST(COUNT(*) AS INTEGER) AS n_users,
+       SUM(n_events) AS total_events,
+       round(SUM(n_events) / CAST(tot AS DOUBLE), 6) AS share
+FROM b, t GROUP BY decile, tot
+"""
+
+
+QUERIES.update({
+    "events_pareto_share": QuerySpec(
+        q_events_pareto_share, ORACLE_PARETO,
+        doc="Pareto/whale analysis: per-decile event share via range-partitioned global rank",
+    ),
+})
