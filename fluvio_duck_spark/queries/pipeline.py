@@ -1759,3 +1759,56 @@ QUERIES.update({
         doc="Pareto/whale analysis: per-decile event share via range-partitioned global rank",
     ),
 })
+
+
+def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across landed snapshot versions: v1 lands
+    (event_id, user_id), a later v2 adds the value column; a
+    mergeSchema read unions the generations with NULL back-fill — the
+    contract every long-lived landed-topic directory ends up needing.
+    The aggregation proves column-level semantics: value stats must
+    come from v2 rows alone, counts from both."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_schema_evo",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    v1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    v2 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value"
+    )
+    v1.write.parquet(os.path.join(work, "gen=1"))
+    v2.write.parquet(os.path.join(work, "gen=2"))
+    back = spark.read.option("mergeSchema", True).parquet(work)
+    return back.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        F.count("value").alias("n_with_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_SCHEMA_EVO = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_with_value,
+       round(CAST(SUM(CASE WHEN event_id % 2 = 1
+                           THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6)
+         AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+"""
+
+
+QUERIES.update({
+    "source_schema_evolution": QuerySpec(
+        q_source_schema_evolution, ORACLE_SCHEMA_EVO,
+        doc="mergeSchema read across snapshot generations (NULL back-fill for added columns)",
+    ),
+})
