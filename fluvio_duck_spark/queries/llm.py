@@ -1964,7 +1964,12 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokenize("text")).alias("token")
     ).filter(F.col("token") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl feeds the corpus totals AND the per-doc normalizer; without
+    # materialization each branch re-scans + re-explodes the corpus
+    # (branch reuse is not deduped) — |docs|-row table, checkpoint once
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=True
+    )
     totals = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),

@@ -1714,10 +1714,15 @@ def q_events_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     per_user = ev.groupBy("user_id").agg(F.count("*").alias("n_events"))
     per_user = per_user.withColumn("_neg", -F.col("n_events"))
+    # the count table feeds the rank, the bin agg AND the grand total —
+    # exchange reuse does not dedup the branches (each re-ran the raw
+    # event scan + count: measured 16 exchanges), so materialize the
+    # |users|-row table once
+    per_user = per_user.localCheckpoint(eager=True)
     binned = quantile_bins(
         per_user, ["_neg", "user_id"], n_bins=10, bin_col="decile"
     )
-    tot = binned.agg(F.sum("n_events").alias("_t"))
+    tot = per_user.agg(F.sum("n_events").alias("_t"))
     return (
         binned.groupBy("decile")
         .agg(
