@@ -34,7 +34,12 @@ def unigram_fit(
     toks = docs.select(
         F.explode(tokenize(text_col)).alias("token")
     ).filter(F.col("token") != "")
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # counts feeds the model projection AND the totals row; materialize
+    # the |vocab|-row table so each consumer doesn't re-run the corpus
+    # explode (branch reuse is not deduped)
+    counts = toks.groupBy("token").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=True
+    )
     totals = counts.agg(
         F.sum("c").alias("n_tokens"), F.count("*").alias("vocab")
     )
@@ -120,7 +125,8 @@ def bigram_fit(
     totals = toks.agg(F.count_distinct("token").alias("vocab"))
     c2 = _doc_bigrams(docs, None, text_col).groupBy("w1", "w2").agg(
         F.count("*").alias("c2")
-    )
+    ).localCheckpoint(eager=True)  # the model table: scoring joins it
+    # twice (pair + context) — materialize instead of re-counting
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     return c2, c1, totals
 

@@ -671,6 +671,10 @@ def q_text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") >= 3)
         .distinct()
     )
+    # doctok feeds both self-join sides AND the unigram frequencies —
+    # un-materialized, each consumer re-scans and re-distincts the
+    # corpus (branch reuse is not deduped); one (doc,token) checkpoint
+    doctok = doctok.localCheckpoint(eager=True)
     a, b = doctok.alias("a"), doctok.alias("b")
     pairs = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
