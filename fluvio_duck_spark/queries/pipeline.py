@@ -1821,3 +1821,50 @@ QUERIES.update({
         doc="mergeSchema read across snapshot generations (NULL back-fill for added columns)",
     ),
 })
+
+
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    (α=0.2) — the classic recursive statistic that has NO windowed
+    closed form without exploding weights: expressed as an in-group
+    left fold (collect sorted values, one sequential aggregate per
+    key).  Both engines fold left-to-right over the identical order, so
+    the doubles match bit-for-bit before the final rounding.  Group
+    state is the user's own history — bounded per key; an unbounded
+    key's stream form lives in applyInPandasWithState."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("_h")
+    )
+    vals = F.transform(F.col("_h"), lambda s: s.value)
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return seq.select(
+        "user_id",
+        F.size("_h").cast("int").alias("n_events"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+ORACLE_EWMA = """
+WITH h AS (
+  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id, CAST(len(vals) AS INTEGER) AS n_events,
+       round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+         AS ewma_value
+FROM h
+"""
+
+
+QUERIES.update({
+    "window_ewma": QuerySpec(
+        q_window_ewma, ORACLE_EWMA,
+        doc="per-key EWMA via deterministic in-group left fold (recursive stat, no window form)",
+    ),
+})

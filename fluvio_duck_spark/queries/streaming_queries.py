@@ -585,3 +585,41 @@ QUERIES.update({
         doc="streaming Python DataSource: offset-cursor micro-batches drained to LEO, batch parity",
     ),
 })
+
+
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-partition EWMA (α=0.2) of the payload's k field —
+    the order-sensitive stateful fold, offset-ordered within each
+    micro-batch; bit-identical to the batch in-group fold (window_ewma's
+    machinery) because both run the same IEEE recurrence in the same
+    order."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.streaming.stateful import ewma_stream
+
+    stream = record_log_stream(spark, sf_dir)
+    out = ewma_stream(stream, alpha=0.2, json_field="k")
+    res = run_stream_to_table(out, spark, output_mode="update")
+    return res.select(
+        "partition", "n_records", F.round("ewma", 6).alias("ewma")
+    )
+
+
+ORACLE_STREAM_EWMA = """
+WITH h AS (
+  SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
+         list(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+              ORDER BY event_id) AS vals
+  FROM events GROUP BY 1)
+SELECT "partition", CAST(len(vals) AS BIGINT) AS n_records,
+       round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6) AS ewma
+FROM h
+"""
+
+
+QUERIES.update({
+    "stream_ewma": QuerySpec(
+        q_stream_ewma, ORACLE_STREAM_EWMA,
+        doc="streaming order-sensitive EWMA via applyInPandasWithState (offset-ordered fold)",
+    ),
+})

@@ -64,3 +64,60 @@ def aggregate_fold_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("ewma", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+
+
+def ewma_stream(
+    stream: DataFrame,
+    alpha: float = 0.2,
+    json_field: str = "k",
+    group_col: str = "partition",
+) -> DataFrame:
+    """Per-group streaming EWMA — the order-sensitive recursive fold
+    ``applyInPandasWithState`` exists for: state is (ewma, n), each
+    micro-batch folds its rows in OFFSET order (the log order the
+    offset-cursor sources deliver; rows are sorted within the batch, and
+    batch boundaries arrive in cursor order by contract).  The arithmetic
+    is the same IEEE a*x + (1-a)*acc sequence as the batch fold, so the
+    stream converges to bit-identical values."""
+    extracted = stream.withColumn(
+        "__x",
+        F.get_json_object(F.col("value"), f"$.{json_field}").try_cast("double"),
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            ewma, n = state.get
+        else:
+            ewma, n = 0.0, 0
+        chunks = [pdf for pdf in pdfs]
+        if chunks:
+            batch = pd.concat(chunks).sort_values("offset")
+            for x in batch["__x"].tolist():
+                if x != x or x is None:  # NaN/None guard
+                    continue
+                ewma = x if n == 0 else alpha * x + (1.0 - alpha) * ewma
+                n += 1
+        state.update((ewma, n))
+        yield pd.DataFrame(
+            {"partition": [key[0]], "n_records": [n], "ewma": [ewma]}
+        )
+
+    return extracted.groupBy(group_col).applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
