@@ -2481,3 +2481,105 @@ QUERIES.update({
         doc="corpus anisotropy via the mean-unit-vector identity, one pass",
     ),
 })
+
+
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact ROC-AUC via the rank identity
+    AUC = (Σ ranks(pos) − n₊(n₊+1)/2) / (n₊ n₋) — evaluation INSIDE the
+    engine, no sklearn, no collect.  Score = first embedding dim,
+    positive = label 0 (a deterministic stand-in scorer; the shape is
+    what matters).  Ranks come from the range-partitioned global rank,
+    so the sort distributes; ties break on the id identically in both
+    engines."""
+    from fluvio_duck_spark.operators.ranking import global_rank
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") == 0).cast("int").alias("is_pos"),
+    )
+    ranked = global_rank(scored, ["score", "vec_id"], rank_col="rank")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("is_pos") == 1, F.col("rank"))).alias("_rs"),
+        F.sum("is_pos").alias("_np"),
+        F.sum(1 - F.col("is_pos")).alias("_nn"),
+    )
+    return agg.select(
+        F.col("_np").alias("n_pos"),
+        F.col("_nn").alias("n_neg"),
+        F.round(
+            (F.col("_rs") - F.col("_np") * (F.col("_np") + 1) / 2)
+            / (F.col("_np") * F.col("_nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+ORACLE_EVAL_AUC = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM embeddings),
+r AS (
+  SELECT is_pos,
+         row_number() OVER (ORDER BY score, vec_id) AS rank
+  FROM s)
+SELECT SUM(is_pos) AS n_pos, SUM(1 - is_pos) AS n_neg,
+       round((SUM(CASE WHEN is_pos = 1 THEN rank END)
+              - SUM(is_pos) * (SUM(is_pos) + 1) / 2)
+             / CAST(SUM(is_pos) * SUM(1 - is_pos) AS DOUBLE), 6) AS auc
+FROM r
+"""
+
+
+def q_eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: exact score deciles (range-partitioned
+    binning — no single-reducer NTILE) × observed positive rate per
+    bin, the calibration table a score ships with."""
+    from fluvio_duck_spark.operators.ranking import quantile_bins
+
+    emb = load(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") == 0).cast("int").alias("is_pos"),
+    )
+    binned = quantile_bins(scored, ["score", "vec_id"], n_bins=10)
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("int").alias("n"),
+        F.round(F.min("score"), 6).alias("score_lo"),
+        F.round(F.max("score"), 6).alias("score_hi"),
+        F.round(F.sum("is_pos") / F.count("*"), 6).alias("pos_rate"),
+    )
+
+
+ORACLE_EVAL_CALIBRATION = """
+WITH s AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS score,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS is_pos
+  FROM embeddings),
+r AS (
+  SELECT score, is_pos,
+         row_number() OVER (ORDER BY score, vec_id) AS rnk,
+         count(*) OVER () AS n
+  FROM s)
+SELECT CAST(floor((rnk - 1) * 10 / n) + 1 AS INTEGER) AS bin,
+       CAST(COUNT(*) AS INTEGER) AS n,
+       round(MIN(score), 6) AS score_lo,
+       round(MAX(score), 6) AS score_hi,
+       round(SUM(is_pos) / CAST(COUNT(*) AS DOUBLE), 6) AS pos_rate
+FROM r GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "eval_auc": QuerySpec(
+        q_eval_auc, ORACLE_EVAL_AUC,
+        doc="exact ROC-AUC via the rank identity, range-partitioned rank (eval-in-engine)",
+    ),
+    "eval_calibration": QuerySpec(
+        q_eval_calibration, ORACLE_EVAL_CALIBRATION,
+        doc="reliability diagram: exact score deciles x positive rate",
+    ),
+})
