@@ -1868,3 +1868,102 @@ QUERIES.update({
         doc="per-key EWMA via deterministic in-group left fold (recursive stat, no window form)",
     ),
 })
+
+
+_CMS_W = 256          # buckets per row
+_CMS_ROWS = (1, 2, 3, 4)  # seed per hash row
+_CMS_P = 1_000_003    # uniform_key's prime modulus
+
+
+def q_sketch_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of per-user event counts — the third mergeable
+    sketch beside the HLL distincts and histogram quantiles: 4 hash
+    rows × 256 buckets of plain SUM state, buildable with one grouped
+    aggregation and mergeable across partitions/days by bucket-wise
+    addition.  The query materializes the sketch, then point-queries
+    the top-20 exact heavy hitters through it and reports estimate vs
+    truth — the CMS guarantee (estimate ≥ exact, off by collision mass
+    only) made hash-checkable.  Hashes are the engine-portable
+    Knuth-multiplicative family (operators/sampling.py::uniform_key),
+    so the oracle rebuilds the identical sketch."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.sampling import uniform_key
+
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    # sketch: one row per (hash_row, bucket) — built in ONE pass by
+    # exploding each user onto its 4 row-buckets
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("hrow"),
+                F.pmod(uniform_key("user_id", seed=r), F.lit(_CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+            for r in _CMS_ROWS
+        ]
+    )
+    sketch = (
+        per_user.select("n", F.explode(rows).alias("rb"))
+        .groupBy("rb.hrow", "rb.bucket")
+        .agg(F.sum("n").alias("c"))
+    )
+    top = (
+        per_user.withColumn(
+            "_rk",
+            F.row_number().over(W.orderBy(F.desc("n"), F.asc("user_id"))),
+        )
+        .filter(F.col("_rk") <= 20)
+        .drop("_rk")
+    )
+    probes = top.select(
+        "user_id", "n", F.explode(rows).alias("rb")
+    ).select("user_id", "n", "rb.hrow", "rb.bucket")
+    est = (
+        probes.join(sketch, ["hrow", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        F.col("n").alias("exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("n")).alias("never_underestimates"),
+    )
+
+
+ORACLE_CMS = """
+WITH pu AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+rb AS (
+  SELECT user_id, n, r.r AS hrow,
+         (((user_id + 1) * (2654435761 + r.r * 98765431)) % 1000003) % 256
+           AS bucket
+  FROM pu, (SELECT unnest(ARRAY[1, 2, 3, 4]) AS r) r),
+sketch AS (
+  SELECT hrow, bucket, SUM(n) AS c FROM rb GROUP BY hrow, bucket),
+top AS (
+  SELECT user_id, n FROM (
+    SELECT user_id, n,
+           row_number() OVER (ORDER BY n DESC, user_id) AS rk
+    FROM pu) t WHERE rk <= 20),
+est AS (
+  SELECT p.user_id, p.n, MIN(s.c) AS cms_estimate
+  FROM (SELECT t.user_id, t.n, b.hrow, b.bucket
+        FROM top t JOIN rb b USING (user_id)) p
+  JOIN sketch s ON s.hrow = p.hrow AND s.bucket = p.bucket
+  GROUP BY p.user_id, p.n)
+SELECT user_id, n AS exact, cms_estimate,
+       cms_estimate >= n AS never_underestimates
+FROM est
+"""
+
+
+QUERIES.update({
+    "sketch_cms_users": QuerySpec(
+        q_sketch_cms_users, ORACLE_CMS,
+        doc="Count-Min sketch (4x256, portable hashes): mergeable heavy-hitter estimates vs truth",
+    ),
+})
