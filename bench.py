@@ -110,6 +110,10 @@ EXTENDED = [
     "dedup_substring_spans",
     "sim_mmr_rerank",
     "join_point_in_time",
+    "quality_expectations",
+    "ts_autocorr_hourly",
+    "basket_copurchase_lift",
+    "geo_route_distance",
 ]
 
 

@@ -56,13 +56,14 @@ def all_queries() -> dict[str, QuerySpec]:
         llm,
         multimodal_queries,
         pipeline,
+        quality,
         relational,
         streaming_queries,
     )
 
     merged: dict[str, QuerySpec] = {}
     for module in (consume_queries, relational, llm, streaming_queries,
-                   multimodal_queries, pipeline):
+                   multimodal_queries, pipeline, quality):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

@@ -1,0 +1,98 @@
+"""Semantic invariants for the data-quality + ts-analytics family
+(queries/quality.py).  Oracle parity is covered by verify_local; these
+assert the properties parity can't see (bounds, flags, additivity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.queries.quality import (
+    q_basket_copurchase_lift,
+    q_geo_route_distance,
+    q_quality_expectations,
+    q_trend_ols_by_type,
+    q_ts_anomaly_mad,
+    q_ts_autocorr_hourly,
+)
+
+
+def test_expectations_all_pass_on_clean_fixture(spark, sf_dir):
+    rows = q_quality_expectations(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r.passed for r in rows), rows
+    assert all(r.metric == 1.0 for r in rows)
+
+
+def test_expectations_catch_planted_violations(spark, sf_dir, tmp_path):
+    """Break the fixture (null keys, dup orderkey, rogue status, orphan
+    FK) and confirm exactly those constraints fail."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    broken = orders.limit(10).select(
+        F.col("o_orderkey") * 0,  # duplicate keys
+        F.lit(None).cast("long").alias("o_custkey"),  # nulls + orphan FK
+        F.lit("X").alias("o_orderstatus"),  # rogue status
+        (F.col("o_totalprice") * -1).alias("o_totalprice"),  # range
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    bad_dir = str(tmp_path / "sf_broken")
+    orders.unionByName(
+        broken.withColumnRenamed("(o_orderkey * 0)", "o_orderkey")
+    ).write.parquet(f"{bad_dir}/orders.parquet")
+    spark.read.parquet(f"{sf_dir}/customer.parquet").write.parquet(
+        f"{bad_dir}/customer.parquet"
+    )
+    res = {r.check_name: r for r in q_quality_expectations(spark, bad_dir).collect()}
+    assert not res["completeness:o_custkey"].passed
+    assert not res["unique:o_orderkey"].passed
+    assert not res["range:o_totalprice>0"].passed
+    assert not res["accepted:o_orderstatus"].passed
+    assert not res["ref:o_custkey->customer"].passed
+    assert all(0.0 <= r.metric < 1.0 for r in res.values())
+
+
+def test_autocorr_bounded_and_complete(spark, sf_dir):
+    rows = q_ts_autocorr_hourly(spark, sf_dir).collect()
+    # 5 event types × 3 lags
+    assert len(rows) == 15
+    assert all(r.acf is None or -1.0 <= r.acf <= 1.0 for r in rows)
+    assert {r.lag for r in rows} == {1, 2, 3}
+
+
+def test_anomaly_mad_top3_per_type(spark, sf_dir):
+    rows = q_ts_anomaly_mad(spark, sf_dir).collect()
+    per_type: dict[str, int] = {}
+    for r in rows:
+        per_type[r.event_type] = per_type.get(r.event_type, 0) + 1
+        assert r.score is None or r.score >= 0
+        assert r.is_anomaly == bool(r.score is not None and r.score > 3.0)
+    assert all(v == 3 for v in per_type.values())
+
+
+def test_trend_ols_covers_all_rows(spark, sf_dir):
+    ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    rows = q_trend_ols_by_type(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == ev_n
+    # near-stationary synthetic values: slope should be tiny but finite
+    assert all(abs(r.slope_per_hour) < 10 for r in rows)
+
+
+def test_basket_pairs_canonical_and_positive(spark, sf_dir):
+    rows = q_basket_copurchase_lift(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r.p1 < r.p2 for r in rows)
+    assert all(r.lift > 0 and r.c12 >= 2 for r in rows)
+    # sorted by lift desc (ties broken deterministically)
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+
+
+def test_geo_distance_additive_over_routes(spark, sf_dir):
+    """Route totals must sum to the all-pings total (same veh windows,
+    route is just a grouping label) — catches lost/dup steps."""
+    rows = q_geo_route_distance(spark, sf_dir).collect()
+    assert all(r.total_km >= 0 for r in rows)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_veh = ev.select((F.col("user_id") % 1000).alias("v")).distinct().count()
+    n_steps_expected = ev.count() - n_veh  # one lag-NULL per vehicle
+    assert sum(r.n_steps for r in rows) == n_steps_expected
