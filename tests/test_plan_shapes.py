@@ -361,3 +361,32 @@ def test_new_round2_query_plan_contracts(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "sim_knn_graph")
     ops = assert_plan(df, BatchEvalPython=0)
     assert ops.get("FlatMapGroupsInPandas", 0) == 1
+
+
+def test_quality_family_plan_contracts(specs, spark, sf_dir):
+    """SCALE.md contracts for the data-quality/ts-analytics family."""
+    # expectations: FK check must be a broadcast semi, never an SMJ;
+    # the metric pass is pure conditional aggregation, no Python
+    df = _run(specs, spark, sf_dir, "quality_expectations")
+    ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0,
+                      BatchEvalPython=0)
+    assert "BroadcastHashJoin" in ops or "BroadcastNestedLoopJoin" in ops
+    # autocorr: ONE full-data shuffle (raw→hourly); everything after
+    # runs on the tiny hourly table (window + final agg)
+    df = _run(specs, spark, sf_dir, "ts_autocorr_hourly")
+    assert_plan(df, Exchange=3, SortMergeJoin=0, ArrowEvalPython=0)
+    # anomaly MAD: median/MAD tables join back broadcast
+    df = _run(specs, spark, sf_dir, "ts_anomaly_mad")
+    assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0)
+    # OLS trend: one scan, one combine exchange — the sufficient-stats
+    # shape (five sums) must stay a single map-side-combined pass
+    df = _run(specs, spark, sf_dir, "trend_ols_by_type")
+    assert_plan(df, Scan_parquet=1, Exchange=1, ArrowEvalPython=0)
+    # basket lift: the limit is a bounded heap, not a global sort
+    df = _run(specs, spark, sf_dir, "basket_copurchase_lift")
+    ops = assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0)
+    assert ops["TakeOrderedAndProject"] >= 1
+    # geo distance: lag window (1 shuffle on veh) + route agg, no Python
+    df = _run(specs, spark, sf_dir, "geo_route_distance")
+    assert_plan(df, Exchange=2, SortMergeJoin=0, ArrowEvalPython=0,
+                BatchEvalPython=0)
