@@ -112,3 +112,58 @@ def locf_fill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.last(val, ignorenulls=True).over(w))
+
+
+def interp_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    out_col: str = "filled",
+) -> DataFrame:
+    """Time-weighted linear interpolation: per key in time order, replace
+    NULL ``val_col`` rows bracketed by observations with
+    ``prev + (next − prev) · (t − t_prev) / (t_next − t_prev)``.
+    Trailing NULLs (no next observation) carry the last value forward
+    (LOCF); leading NULLs (no prev) stay NULL.  Adds ``{out_col}_src`` ∈
+    {'obs','interp','locf','none'}.
+
+    Two mirrored running windows (backward last-non-null, forward
+    first-non-null) over ONE key shuffle — Spark plans both frames in a
+    single Window node pair on the same sort, state per task is O(1), so
+    arbitrarily long keys stream through.  The interpolation itself is a
+    single row-local double expression: with identical (prev, next, t)
+    inputs any engine produces the identical double.
+    """
+    t = F.unix_timestamp(F.col(ts_col))
+    v = F.col(val_col)
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(v.isNotNull(), t)
+    prev_v = F.last(v, ignorenulls=True).over(back)
+    prev_t = F.last(obs_t, ignorenulls=True).over(back)
+    next_v = F.first(v, ignorenulls=True).over(fwd)
+    next_t = F.first(obs_t, ignorenulls=True).over(fwd)
+    interp = prev_v + (next_v - prev_v) * (
+        (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .when(prev_v.isNotNull(), prev_v)
+    )
+    src = (
+        F.when(v.isNotNull(), F.lit("obs"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), F.lit("interp"))
+        .when(prev_v.isNotNull(), F.lit("locf"))
+        .otherwise(F.lit("none"))
+    )
+    return df.withColumn(out_col, filled).withColumn(f"{out_col}_src", src)

@@ -525,6 +525,111 @@ GROUP BY route
 """
 
 
+# ---------------------------------------------------------------------------
+# rollup_gapfill_interp — linear interpolation over the calendar spine
+# ---------------------------------------------------------------------------
+
+def q_rollup_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly average purchase value on a dense calendar spine, holes
+    repaired by time-weighted linear interpolation (trailing holes LOCF,
+    leading holes NULL) — the series-repair step between LOCF
+    (``window_locf_fill``) and a model consuming the series.
+
+    The spine build is the gap-fill contract (1-row span agg, no driver
+    action); interpolation adds one key shuffle with two mirrored O(1)
+    running frames.  The hourly average is DECIMAL-exact before
+    rounding, and the interpolation is a single row-local double
+    expression over those identical inputs — engine-reproducible.
+    """
+    from fluvio_duck_spark.operators.timeseries import (
+        calendar_gapfill,
+        interp_fill,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dense = calendar_gapfill(
+        ev,
+        "event_type",
+        "ts",
+        step="1 hour",
+        agg={
+            "s": F.sum(F.round("value", 6).cast("decimal(18,6)")),
+            "n": F.count("*"),
+        },
+        fill={"s": None, "n": 0},
+    )
+    hourly = dense.select(
+        "event_type",
+        "bucket",
+        F.when(
+            F.col("n") > 0,
+            F.round(F.col("s").cast("double") / F.col("n"), 6),
+        ).alias("avg_value"),
+    )
+    out = interp_fill(hourly, "event_type", "bucket", "avg_value")
+    return out.select(
+        "event_type",
+        "bucket",
+        F.round("filled", 6).alias("avg_filled"),
+        F.col("filled_src").alias("src"),
+    )
+
+
+ORACLE_GAPFILL_INTERP = """
+WITH ev AS (
+  SELECT * FROM events WHERE event_type = 'purchase'
+), obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s, count(*) AS n
+  FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM ev
+), spine AS (
+  SELECT k.event_type, t.bucket
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span),
+                                      INTERVAL 1 HOUR)) AS bucket) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM ev) k
+), hourly AS (
+  SELECT s.event_type, s.bucket,
+         CASE WHEN o.n > 0
+              THEN round(CAST(o.s AS DOUBLE) / o.n, 6) END AS avg_value
+  FROM spine s LEFT JOIN obs o
+    ON s.event_type = o.event_type AND s.bucket = o.bucket
+), marked AS (
+  SELECT event_type, bucket, avg_value,
+         CAST(epoch(bucket) AS BIGINT) AS t,
+         last_value(avg_value IGNORE NULLS) OVER back AS prev_v,
+         last_value(CASE WHEN avg_value IS NOT NULL
+                         THEN CAST(epoch(bucket) AS BIGINT) END IGNORE NULLS)
+           OVER back AS prev_t,
+         first_value(avg_value IGNORE NULLS) OVER fwd AS next_v,
+         first_value(CASE WHEN avg_value IS NOT NULL
+                          THEN CAST(epoch(bucket) AS BIGINT) END IGNORE NULLS)
+           OVER fwd AS next_t
+  FROM hourly
+  WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  THEN prev_v + (next_v - prev_v)
+                       * (CAST(t - prev_t AS DOUBLE) / CAST(next_t - prev_t AS DOUBLE))
+                  WHEN prev_v IS NOT NULL THEN prev_v END, 6) AS avg_filled,
+       CASE WHEN avg_value IS NOT NULL THEN 'obs'
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interp'
+            WHEN prev_v IS NOT NULL THEN 'locf'
+            ELSE 'none' END AS src
+FROM marked
+"""
+
+
 QUERIES.update(
     {
         "quality_expectations": QuerySpec(
@@ -556,6 +661,11 @@ QUERIES.update(
             q_geo_route_distance,
             ORACLE_GEO_ROUTE,
             doc="per-route distance from consecutive VP pings (transit demo domain)",
+        ),
+        "rollup_gapfill_interp": QuerySpec(
+            q_rollup_gapfill_interp,
+            ORACLE_GAPFILL_INTERP,
+            doc="calendar-spine repair: time-weighted linear interpolation with LOCF tail",
         ),
     }
 )

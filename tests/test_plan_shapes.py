@@ -363,6 +363,42 @@ def test_new_round2_query_plan_contracts(specs, spark, sf_dir):
     assert ops.get("FlatMapGroupsInPandas", 0) == 1
 
 
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """When a dim is too big to broadcast (threshold forced to -1), a
+    selective dim filter must still reach the fact scan as a runtime
+    bloom filter (`might_contain` on l_orderkey) — Spark's row-level
+    shuffle-join pruning, the mechanism that keeps selective fact⋈dim
+    joins cheap at 100 TB when the dim outgrows the broadcast budget."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # fixture files are tiny; drop the application-side size floor so
+        # the injection decision runs on plan shape, not byte counts
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        txt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in txt, txt[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold"
+        )
+
+
 def test_quality_family_plan_contracts(specs, spark, sf_dir):
     """SCALE.md contracts for the data-quality/ts-analytics family."""
     # expectations: FK check must be a broadcast semi, never an SMJ;

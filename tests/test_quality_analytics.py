@@ -10,6 +10,7 @@ from fluvio_duck_spark.queries.quality import (
     q_basket_copurchase_lift,
     q_geo_route_distance,
     q_quality_expectations,
+    q_rollup_gapfill_interp,
     q_trend_ols_by_type,
     q_ts_anomaly_mad,
     q_ts_autocorr_hourly,
@@ -96,3 +97,32 @@ def test_geo_distance_additive_over_routes(spark, sf_dir):
     n_veh = ev.select((F.col("user_id") % 1000).alias("v")).distinct().count()
     n_steps_expected = ev.count() - n_veh  # one lag-NULL per vehicle
     assert sum(r.n_steps for r in rows) == n_steps_expected
+
+
+def test_interp_fill_convexity_and_spine(spark, sf_dir):
+    """Interpolated points are convex combinations of observations, so
+    every filled value lies inside the observed range; the spine is
+    dense; leading 'none' rows are NULL."""
+    rows = q_rollup_gapfill_interp(spark, sf_dir).collect()
+    assert len(rows) == 720  # 30 days × 24 h dense spine
+    obs = [r.avg_filled for r in rows if r.src == "obs"]
+    lo, hi = min(obs), max(obs)
+    for r in rows:
+        if r.src in ("interp", "locf"):
+            assert lo <= r.avg_filled <= hi, r
+        if r.src == "none":
+            assert r.avg_filled is None
+    # exact hole repair: a 3-point series with one hole at 1/4 position
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.timeseries import interp_fill
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 1.0),
+         ("k", "2024-01-01 01:00:00", None),
+         ("k", "2024-01-01 04:00:00", 13.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.ts.hour: (r.filled, r.filled_src)
+           for r in interp_fill(df, "k", "ts", "v").collect()}
+    assert out[1] == (1.0 + (13.0 - 1.0) * (1.0 / 4.0), "interp")
