@@ -1967,3 +1967,129 @@ QUERIES.update({
         doc="Count-Min sketch (4x256, portable hashes): mergeable heavy-hitter estimates vs truth",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# events_journey_patterns — MATCH_RECOGNIZE-lite over per-user sequences
+# ---------------------------------------------------------------------------
+
+def q_events_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over per-user event journeys (the
+    MATCH_RECOGNIZE shape): encode each user's time-ordered events as a
+    character string (c/e/p/s/v initials), then run regex pattern
+    queries IN-ROW — full-funnel subsequence `v.*c.*p`, and the count of
+    direct view→purchase transitions (`vp` occurrences).
+
+    ONE user-key shuffle (map-side-combined collect_list); ordering is
+    recovered in-row with array_sort over (ts, event_id, initial)
+    structs, so no window sort pass.  Patterns use only literals,
+    anchors, `.` and `*` — semantics identical across regex engines.
+    Journey length is bounded by per-user event count; a per-user cap
+    (slice) would bound hot-key rows at 100 TB without changing the
+    plan shape.
+    """
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                )
+            )
+        ).alias("evs")
+    )
+    journey = F.array_join(
+        F.transform("evs", lambda s: s["c"]), ""
+    ).alias("journey")
+    out = seq.select("user_id", journey)
+    return out.select(
+        "user_id",
+        F.length("journey").alias("n_events"),
+        (F.col("journey").rlike("v.*c.*p")).alias("full_funnel"),
+        F.regexp_count(F.col("journey"), F.lit("vp")).alias("n_direct_vp"),
+    )
+
+
+ORACLE_JOURNEY = """
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(journey) AS INTEGER) AS n_events,
+       regexp_matches(journey, 'v.*c.*p') AS full_funnel,
+       CAST(len(regexp_extract_all(journey, 'vp')) AS INTEGER) AS n_direct_vp
+FROM seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# funnel_time_to_convert — delay distribution between funnel stages
+# ---------------------------------------------------------------------------
+
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of view→purchase conversion delay: for each user
+    with a purchase after their first view, the delay in whole seconds;
+    reported as exact quartiles + mean per cohort-free corpus.
+
+    Two map-side-combined per-user aggregates (first view, first
+    purchase-after-view via conditional min) in ONE pass each, then
+    quartiles over the per-user delay table (users ≪ events).  Delays
+    are integer seconds so the interpolated quartiles are x.0/x.25/x.5
+    doubles — exact and engine-identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    fv = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    joined = ev.filter(F.col("event_type") == "purchase").join(
+        fv, "user_id"
+    ).filter(F.col("ts") > F.col("first_view"))
+    delays = joined.groupBy("user_id").agg(
+        F.min(
+            F.unix_timestamp("ts") - F.unix_timestamp("first_view")
+        ).alias("delay_s")
+    )
+    return delays.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile(delay_s, 0.25)").alias("p25_s"),
+        F.expr("percentile(delay_s, 0.5)").alias("p50_s"),
+        F.expr("percentile(delay_s, 0.75)").alias("p75_s"),
+        F.round(
+            F.sum("delay_s").cast("double") / F.count("*"), 6
+        ).alias("mean_s"),
+    )
+
+
+ORACLE_TIME_TO_CONVERT = """
+WITH fv AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), delays AS (
+  SELECT e.user_id,
+         min(date_diff('second', fv.first_view, e.ts)) AS delay_s
+  FROM events e JOIN fv USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > fv.first_view
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_converted,
+       quantile_cont(delay_s, 0.25) AS p25_s,
+       quantile_cont(delay_s, 0.5) AS p50_s,
+       quantile_cont(delay_s, 0.75) AS p75_s,
+       round(CAST(sum(delay_s) AS DOUBLE) / count(*), 6) AS mean_s
+FROM delays
+"""
+
+
+QUERIES.update({
+    "events_journey_patterns": QuerySpec(
+        q_events_journey_patterns, ORACLE_JOURNEY,
+        doc="MATCH_RECOGNIZE-lite: regex pattern queries over in-row encoded user journeys",
+    ),
+    "funnel_time_to_convert": QuerySpec(
+        q_funnel_time_to_convert, ORACLE_TIME_TO_CONVERT,
+        doc="view->purchase delay distribution: exact quartiles over per-user delays",
+    ),
+})
