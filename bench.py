@@ -114,6 +114,9 @@ EXTENDED = [
     "ts_autocorr_hourly",
     "basket_copurchase_lift",
     "geo_route_distance",
+    "rollup_gapfill_interp",
+    "events_journey_patterns",
+    "funnel_time_to_convert",
 ]
 
 

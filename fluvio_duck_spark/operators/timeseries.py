@@ -120,6 +120,7 @@ def interp_fill(
     ts_col: str,
     val_col: str,
     out_col: str = "filled",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Time-weighted linear interpolation: per key in time order, replace
     NULL ``val_col`` rows bracketed by observations with
@@ -131,20 +132,29 @@ def interp_fill(
     Two mirrored running windows (backward last-non-null, forward
     first-non-null) over ONE key shuffle — Spark plans both frames in a
     single Window node pair on the same sort, state per task is O(1), so
-    arbitrarily long keys stream through.  The interpolation itself is a
-    single row-local double expression: with identical (prev, next, t)
-    inputs any engine produces the identical double.
+    arbitrarily long keys stream through.  The time axis is microseconds
+    (sub-second series keep exact weights; month-scale deltas stay
+    < 2^53 so the double cast is exact), and the interpolation itself is
+    a single row-local double expression: with identical (prev, next, t)
+    inputs any engine produces the identical double.  Degenerate
+    brackets (prev and next at the identical instant) fall back to LOCF
+    rather than emitting 0/0.  ``tiebreak_col`` totalizes the order when
+    timestamps tie (deterministic fill on reruns — same contract as
+    ``locf_fill``).
     """
-    t = F.unix_timestamp(F.col(ts_col))
+    t = F.unix_micros(F.col(ts_col))
     v = F.col(val_col)
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
     back = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     fwd = (
         Window.partitionBy(key_col)
-        .orderBy(ts_col)
+        .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     obs_t = F.when(v.isNotNull(), t)
@@ -155,14 +165,17 @@ def interp_fill(
     interp = prev_v + (next_v - prev_v) * (
         (t - prev_t).cast("double") / (next_t - prev_t).cast("double")
     )
+    can_interp = (
+        prev_v.isNotNull() & next_v.isNotNull() & (next_t != prev_t)
+    )
     filled = (
         F.when(v.isNotNull(), v)
-        .when(prev_v.isNotNull() & next_v.isNotNull(), interp)
+        .when(can_interp, interp)
         .when(prev_v.isNotNull(), prev_v)
     )
     src = (
         F.when(v.isNotNull(), F.lit("obs"))
-        .when(prev_v.isNotNull() & next_v.isNotNull(), F.lit("interp"))
+        .when(can_interp, F.lit("interp"))
         .when(prev_v.isNotNull(), F.lit("locf"))
         .otherwise(F.lit("none"))
     )

@@ -61,36 +61,27 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two 1-row locals cross-joined — no action at plan-build time
     m = base.crossJoin(fk_ok)
 
-    def ratio(cnt):
-        return F.round(cnt.cast("double") / F.col("n").cast("double"), 6)
+    def entry(name, cnt):
+        # `passed` compares EXACT counts — a 6-dp-rounded ratio would
+        # round real violations up to 1.0 once n exceeds ~2M rows
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(cnt.cast("double") / F.col("n").cast("double"), 6).alias(
+                "metric"
+            ),
+            (cnt == F.col("n")).alias("passed"),
+        )
 
     metrics = m.select(
         F.array(
-            F.struct(
-                F.lit("completeness:o_custkey").alias("check_name"),
-                ratio(F.col("custkey_nonnull")).alias("metric"),
-            ),
-            F.struct(
-                F.lit("unique:o_orderkey").alias("check_name"),
-                ratio(F.col("orderkey_distinct")).alias("metric"),
-            ),
-            F.struct(
-                F.lit("range:o_totalprice>0").alias("check_name"),
-                ratio(F.col("price_pos")).alias("metric"),
-            ),
-            F.struct(
-                F.lit("accepted:o_orderstatus").alias("check_name"),
-                ratio(F.col("status_ok")).alias("metric"),
-            ),
-            F.struct(
-                F.lit("ref:o_custkey->customer").alias("check_name"),
-                ratio(F.col("fk_matched")).alias("metric"),
-            ),
+            entry("completeness:o_custkey", F.col("custkey_nonnull")),
+            entry("unique:o_orderkey", F.col("orderkey_distinct")),
+            entry("range:o_totalprice>0", F.col("price_pos")),
+            entry("accepted:o_orderstatus", F.col("status_ok")),
+            entry("ref:o_custkey->customer", F.col("fk_matched")),
         ).alias("cs")
-    ).select(F.explode("cs").alias("c")).select("c.check_name", "c.metric")
-    return metrics.select(
-        "check_name", "metric", (F.col("metric") >= 1.0).alias("passed")
-    )
+    ).select(F.explode("cs").alias("c"))
+    return metrics.select("c.check_name", "c.metric", "c.passed")
 
 
 ORACLE_EXPECTATIONS = """
@@ -107,17 +98,22 @@ WITH base AS (
 ), m AS (SELECT * FROM base, fk),
 rows_out AS (
   SELECT 'completeness:o_custkey' AS check_name,
-         round(CAST(custkey_nonnull AS DOUBLE) / CAST(n AS DOUBLE), 6) AS metric FROM m
+         round(CAST(custkey_nonnull AS DOUBLE) / CAST(n AS DOUBLE), 6) AS metric,
+         custkey_nonnull = n AS passed FROM m
   UNION ALL
-  SELECT 'unique:o_orderkey', round(CAST(orderkey_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+  SELECT 'unique:o_orderkey', round(CAST(orderkey_distinct AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         orderkey_distinct = n FROM m
   UNION ALL
-  SELECT 'range:o_totalprice>0', round(CAST(price_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+  SELECT 'range:o_totalprice>0', round(CAST(price_pos AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         price_pos = n FROM m
   UNION ALL
-  SELECT 'accepted:o_orderstatus', round(CAST(status_ok AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+  SELECT 'accepted:o_orderstatus', round(CAST(status_ok AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         status_ok = n FROM m
   UNION ALL
-  SELECT 'ref:o_custkey->customer', round(CAST(fk_matched AS DOUBLE) / CAST(n AS DOUBLE), 6) FROM m
+  SELECT 'ref:o_custkey->customer', round(CAST(fk_matched AS DOUBLE) / CAST(n AS DOUBLE), 6),
+         fk_matched = n FROM m
 )
-SELECT check_name, metric, metric >= 1.0 AS passed FROM rows_out
+SELECT check_name, metric, passed FROM rows_out
 """
 
 
@@ -316,9 +312,14 @@ def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bit; slope/intercept spend one double expression each.
     """
     ev = load(spark, sf_dir, "events")
-    x = (
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(_TREND_ANCHOR).cast("timestamp")))
-        / F.lit(3600)
+    # floor, not cast-truncation: matches the oracle for pre-anchor
+    # timestamps (truncation rounds -0.5 → 0, floor → -1)
+    x = F.floor(
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lit(_TREND_ANCHOR).cast("timestamp"))
+        )
+        / F.lit(3600.0)
     ).cast("long")
     yd = F.round(F.col("value"), 6).cast("decimal(18,6)")
     s = ev.select(
@@ -330,9 +331,13 @@ def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    # nullif guard: a zero-variance group (all rows in one hour) must be
+    # NULL in both engines — Spark's IEEE 0/0 is NaN, DuckDB's is NULL
     slope = (
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ).cast("double") / F.nullif(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        F.lit(0.0),
     )
     s = s.withColumn("slope", slope)
     intercept = (
@@ -359,7 +364,8 @@ WITH pts AS (
   FROM pts GROUP BY 1
 ), fit AS (
   SELECT event_type, n, sx, sy,
-         CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0.0) AS slope
   FROM s
 )
 SELECT event_type, n,
