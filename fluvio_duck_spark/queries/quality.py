@@ -301,17 +301,11 @@ FROM ranked WHERE rk <= 3
 _TREND_ANCHOR = "2024-01-01"
 
 
-def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type linear trend of `value` over time (drift slope a
-    monitoring pipeline alerts on): OLS fit y = a·x + b with x = hours
-    since a fixed anchor.
-
-    ONE map-side-combined aggregation — the five sufficient statistics
-    (n, Σx, Σy, Σxy, Σxx) accumulate exactly (x is an integer hour,
-    y is rounded into DECIMAL(18,6)), so partial-agg order can't change
-    a bit; slope/intercept spend one double expression each.
-    """
-    ev = load(spark, sf_dir, "events")
+def ols_sufficient_stats(ev: DataFrame) -> DataFrame:
+    """Per-event-type OLS sufficient statistics (n, Σx, Σy, Σxy, Σxx)
+    with x = whole hours since the fixed anchor and y rounded into
+    DECIMAL(18,6) — plain mergeable aggregates, so the same expression
+    serves batch AND a continuously-maintained stream aggregate."""
     # floor, not cast-truncation: matches the oracle for pre-anchor
     # timestamps (truncation rounds -0.5 → 0, floor → -1)
     x = F.floor(
@@ -322,7 +316,7 @@ def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.lit(3600.0)
     ).cast("long")
     yd = F.round(F.col("value"), 6).cast("decimal(18,6)")
-    s = ev.select(
+    return ev.select(
         "event_type", x.alias("x"), yd.alias("y")
     ).groupBy("event_type").agg(
         F.count("*").alias("n"),
@@ -331,6 +325,12 @@ def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+
+
+def ols_finalize(s: DataFrame) -> DataFrame:
+    """slope/intercept from exact sufficient statistics — one double
+    expression each, so any accumulation order (batch partials, stream
+    micro-batches) produces the identical result."""
     # nullif guard: a zero-variance group (all rows in one hour) must be
     # NULL in both engines — Spark's IEEE 0/0 is NaN, DuckDB's is NULL
     slope = (
@@ -350,6 +350,19 @@ def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("slope", 6).alias("slope_per_hour"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def q_trend_ols_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of `value` over time (drift slope a
+    monitoring pipeline alerts on): OLS fit y = a·x + b with x = hours
+    since a fixed anchor.
+
+    ONE map-side-combined aggregation — the five sufficient statistics
+    accumulate exactly (x is an integer hour, y is DECIMAL(18,6)), so
+    partial-agg order can't change a bit; slope/intercept spend one
+    double expression each.
+    """
+    return ols_finalize(ols_sufficient_stats(load(spark, sf_dir, "events")))
 
 
 ORACLE_TREND_OLS = f"""

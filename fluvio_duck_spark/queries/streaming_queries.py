@@ -617,9 +617,36 @@ FROM h
 """
 
 
+
+from fluvio_duck_spark.queries.quality import (
+    ORACLE_TREND_OLS as _ORACLE_TREND_OLS,
+)
+
+
+def q_stream_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained OLS drift fit: streaming twin of
+    trend_ols_by_type.  The five sufficient statistics are plain
+    mergeable aggregates (integer hours, DECIMAL(18,6) y), so the
+    stream-maintained state equals the batch fit BIT-FOR-BIT no matter
+    how micro-batches slice the log — shares the batch query's oracle.
+    State is one row per event_type; complete-mode output is
+    |types|-bounded."""
+    from fluvio_duck_spark.queries.quality import (
+        ols_finalize,
+        ols_sufficient_stats,
+    )
+
+    s = ols_sufficient_stats(event_stream(spark, sf_dir))
+    return ols_finalize(run_stream_to_table(s, spark, output_mode="complete"))
+
+
 QUERIES.update({
     "stream_ewma": QuerySpec(
         q_stream_ewma, ORACLE_STREAM_EWMA,
         doc="streaming order-sensitive EWMA via applyInPandasWithState (offset-ordered fold)",
+    ),
+    "stream_trend_ols": QuerySpec(
+        q_stream_trend_ols, _ORACLE_TREND_OLS,  # shared with batch trend_ols_by_type
+        doc="continuously-maintained OLS drift fit from mergeable sufficient statistics",
     ),
 })
