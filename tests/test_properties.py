@@ -315,3 +315,43 @@ def test_upsample_repeat_expectation_property(spark):
         assert all(c in (lo, hi) or (lo == hi and c == lo) for c in per.values())
         total = sum(per.values())
         assert abs(total - rate * 1000) < 60, (rate, total)
+
+
+@pytest.mark.parametrize("seed,n,holes", [(1, 24, 10), (7, 48, 30), (13, 12, 4)])
+def test_interp_fill_recovers_linear_series(spark, seed, n, holes):
+    """interp_fill on a series sampled from an exact line must recover
+    the line at every interpolated point (a convex combination of two
+    points on a line lies on the line, to FP rounding), and must be
+    partitioning-independent."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.timeseries import interp_fill
+
+    rng = random.Random(seed)
+    a, b = rng.uniform(-5, 5), rng.uniform(-3, 3)
+    knocked = set(rng.sample(range(1, n - 1), min(holes, n - 2)))
+    rows = [
+        (
+            "k",
+            f"2024-01-01 {h % 24:02d}:00:00",
+            h // 24,
+            None if h in knocked else a + b * h,
+            h,
+        )
+        for h in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, hm string, day int, v double, h int"
+    ).select(
+        "k", "v", "h",
+        (F.col("hm").cast("timestamp") + F.make_interval(days=F.col("day"))).alias("ts"),
+    )
+    out = interp_fill(df.repartition(5), "k", "ts", "v", tiebreak_col="h")
+    got = {r.h: (r.filled, r.filled_src) for r in out.collect()}
+    for h in range(n):
+        val, src = got[h]
+        expect_src = "interp" if h in knocked else "obs"
+        assert src == expect_src, (h, src)
+        assert abs(val - (a + b * h)) < 1e-9, (h, val, a + b * h)
