@@ -33,8 +33,10 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: every metric except the FK check folds into ONE map-side-
     combined aggregation over orders (conditional counts — a single
     scan, no shuffle beyond the 1-row final combine).  The FK check is a
-    broadcast LEFT SEMI against the distinct customer keys — dims stay
-    broadcastable at 100 TB fact scale.  Output is one row per
+    LEFT SEMI against the distinct dim keys with NO forced broadcast —
+    AQE broadcasts while the dim fits the budget and falls back to a
+    co-partitioned SMJ when it outgrows it (an unconditional hint would
+    be the unbounded-broadcast anti-pattern).  Output is one row per
     constraint: (check_name, metric ∈ [0,1], passed).
     """
     orders = load(spark, sf_dir, "orders")
@@ -42,7 +44,7 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fk_ok = (
         orders.join(
-            F.broadcast(cust_keys),
+            cust_keys,
             orders.o_custkey == cust_keys.c_custkey,
             "left_semi",
         ).agg(F.count("*").alias("fk_matched"))
