@@ -2093,3 +2093,154 @@ QUERIES.update({
         doc="view->purchase delay distribution: exact quartiles over per-user delays",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# sessions_journey_patterns — MATCH_RECOGNIZE-lite at session grain
+# ---------------------------------------------------------------------------
+
+def q_sessions_journey_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION sequence patterns: sessionize (1-hour gap, the
+    batch_sessionize contract) then encode each session's events as a
+    string and pattern-match in-row — "did this visit convert" at the
+    grain product analytics actually asks it.
+
+    Same plan skeleton as the user-grain variant plus the sessionize
+    windows: everything reuses ONE user-key shuffle (sessionize windows
+    and the (user, session) groupBy co-partition on user).
+    """
+    from fluvio_duck_spark.operators.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap="1 hour", order_tiebreak="event_id")
+    seq = s.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+                )
+            )
+        ).alias("evs")
+    )
+    journey = F.array_join(F.transform("evs", lambda x: x["c"]), "")
+    return seq.select(
+        "user_id",
+        "session_id",
+        journey.alias("journey"),
+        (journey.rlike("v.*c.*p")).alias("full_funnel"),
+        F.regexp_count(journey, F.lit("vp")).alias("n_direct_vp"),
+    )
+
+
+ORACLE_SESSION_JOURNEY = """
+WITH m AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM m),
+seq AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM s GROUP BY 1, 2)
+SELECT user_id, session_id, journey,
+       regexp_matches(journey, 'v.*c.*p') AS full_funnel,
+       CAST(len(regexp_extract_all(journey, 'vp')) AS INTEGER) AS n_direct_vp
+FROM seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# forecast_backtest_mape — seasonal-naive forecast scored in-engine
+# ---------------------------------------------------------------------------
+
+def q_forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-in-engine forecasting baseline: seasonal-naive forecast
+    (hourly count = same hour last week, lag 168 on the dense spine) is
+    scored over the final 7 days with MAE and MAPE per type — the
+    backtest every forecasting pipeline runs before anything fancier.
+
+    Dense spine via the gap-fill contract (1-row span agg, no driver
+    action); the lag and the eval-window filter ride the spine's key
+    shuffle; errors are integers until the per-row APE division, and
+    MAPE accumulates in DECIMAL so task order can't move a bit.
+    """
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.timeseries import calendar_gapfill
+
+    ev = load(spark, sf_dir, "events")
+    dense = calendar_gapfill(ev, "event_type", "ts", step="1 hour")
+    w = W.partitionBy("event_type").orderBy("bucket")
+    fc = dense.withColumn("forecast", F.lag("n", 168).over(w))
+    hi = dense.agg(F.max("bucket").alias("hi"))
+    ev_rows = (
+        fc.crossJoin(hi)
+        .filter(F.col("bucket") > F.col("hi") - F.expr("INTERVAL 7 DAYS"))
+        .filter(F.col("forecast").isNotNull() & (F.col("n") > 0))
+    )
+    ape = (
+        F.abs(F.col("n") - F.col("forecast")).cast("double")
+        / F.col("n").cast("double")
+    )
+    return ev_rows.groupBy("event_type").agg(
+        F.count("*").alias("n_evals"),
+        F.sum(F.abs(F.col("n") - F.col("forecast"))).alias("abs_err_total"),
+        F.round(
+            F.sum(ape.cast("decimal(20,12)")).cast("double") / F.count("*"),
+            6,
+        ).alias("mape"),
+    )
+
+
+ORACLE_FORECAST_MAPE = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi
+  FROM events
+), spine AS (
+  SELECT k.event_type, t.bucket
+  FROM (SELECT unnest(generate_series((SELECT lo FROM span),
+                                      (SELECT hi FROM span),
+                                      INTERVAL 1 HOUR)) AS bucket) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) k
+), dense AS (
+  SELECT s.event_type, s.bucket, COALESCE(o.n, 0) AS n
+  FROM spine s LEFT JOIN obs o
+    ON s.event_type = o.event_type AND s.bucket = o.bucket
+), fc AS (
+  SELECT event_type, bucket, n,
+         lag(n, 168) OVER (PARTITION BY event_type ORDER BY bucket) AS forecast
+  FROM dense
+), ev_rows AS (
+  SELECT * FROM fc
+  WHERE bucket > (SELECT hi FROM span) - INTERVAL 7 DAYS
+    AND forecast IS NOT NULL AND n > 0
+)
+SELECT event_type, count(*) AS n_evals,
+       sum(abs(n - forecast)) AS abs_err_total,
+       round(CAST(sum(CAST(CAST(abs(n - forecast) AS DOUBLE) / CAST(n AS DOUBLE)
+                           AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS mape
+FROM ev_rows GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "sessions_journey_patterns": QuerySpec(
+        q_sessions_journey_patterns, ORACLE_SESSION_JOURNEY,
+        doc="MATCH_RECOGNIZE-lite at session grain: sessionize then in-row pattern match",
+    ),
+    "forecast_backtest_mape": QuerySpec(
+        q_forecast_backtest_mape, ORACLE_FORECAST_MAPE,
+        doc="seasonal-naive hourly forecast backtested in-engine: MAE/MAPE per type over the final week",
+    ),
+})
