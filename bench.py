@@ -117,6 +117,9 @@ EXTENDED = [
     "rollup_gapfill_interp",
     "events_journey_patterns",
     "funnel_time_to_convert",
+    "sessions_journey_patterns",
+    "forecast_backtest_mape",
+    "stream_trend_ols",
 ]
 
 

@@ -426,3 +426,12 @@ def test_quality_family_plan_contracts(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "geo_route_distance")
     assert_plan(df, Exchange=2, SortMergeJoin=0, ArrowEvalPython=0,
                 BatchEvalPython=0)
+    # session-grain journeys: sessionize windows + groupBy co-partition
+    # on user — ONE shuffle end-to-end, everything else in-row
+    df = _run(specs, spark, sf_dir, "sessions_journey_patterns")
+    assert_plan(df, Exchange=1, SortMergeJoin=0, ArrowEvalPython=0,
+                BatchEvalPython=0)
+    # forecast backtest: eval-window bound must fold in lazily (BNLJ of
+    # a 1-row agg), never an eager driver action or a sort-merge join
+    df = _run(specs, spark, sf_dir, "forecast_backtest_mape")
+    assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0, BatchEvalPython=0)
