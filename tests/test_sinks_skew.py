@@ -295,3 +295,52 @@ def test_copy_to_parquet_bounds_file_size(spark, tmp_path):
     files = glob.glob(out + "/*.parquet")
     assert len(files) == 4
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE must split a skewed shuffle-join partition at runtime
+    (SortMergeJoin(skew=true)) — the no-code-change half of the skew
+    story that complements explicit salting (operators/skew.py): at
+    100 TB a surprise hot key is first absorbed by AQE's split, and
+    salting is the designed-in fix for keys known to be hot."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved_broadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # fixture-scale thresholds: flag any partition > 16 KB and split
+        # toward 8 KB targets so the hot key triggers on tiny local data
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16KB",
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50_000).select(
+            (F.col("id") % 1000).alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        [row] = j.collect()
+        # correctness unchanged: 90% of left sits on k=0, right has 50 rows
+        # of k=0 (50_000/1000), plus the 1-in-10 spread keys k<1000
+        hot = 180_000 * 50
+        spread = sum(50 for i in range(200_000)
+                     if i % 10 >= 9 and i < 1000)
+        assert row.n == hot + spread
+        txt = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in txt, txt[:1500]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", saved_broadcast)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        ):
+            conf.unset(k)
