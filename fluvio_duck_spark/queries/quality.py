@@ -690,3 +690,69 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# privacy_k_anonymity — quasi-identifier re-identification risk report
+# ---------------------------------------------------------------------------
+
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gating privacy report over customer: for the
+    quasi-identifier tuple (nation, market segment), the k-anonymity
+    group sizes and the l-diversity of the sensitive account-balance
+    band — the checks run before a table leaves a governed zone.
+
+    ONE map-side-combined aggregation over the table (group sizes and
+    distinct-band counts per QI cell; the distinct adds its rewrite
+    exchange), then a cell-count-sized summary: k = min group size,
+    violator cells under k=5, worst (least-diverse) l.  No row ever
+    leaves the engine — the report is |QI cells|-bounded.
+    """
+    cust = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct(band).alias("l_diversity"),
+    )
+    return cells.agg(
+        F.count("*").alias("n_cells"),
+        F.min("group_size").alias("k_anonymity"),
+        F.count(F.when(F.col("group_size") < 5, 1)).alias("cells_under_k5"),
+        F.min("l_diversity").alias("worst_l_diversity"),
+        F.sum(
+            F.when(F.col("group_size") < 5, F.col("group_size")).otherwise(
+                F.lit(0)
+            )
+        ).alias("rows_at_risk"),
+    )
+
+
+ORACLE_K_ANONYMITY = """
+WITH cells AS (
+  SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+         count(*) AS group_size,
+         count(DISTINCT CAST(floor(c_acctbal / CAST(1000.0 AS DOUBLE)) AS BIGINT))
+           AS l_diversity
+  FROM customer GROUP BY 1, 2
+)
+SELECT count(*) AS n_cells,
+       min(group_size) AS k_anonymity,
+       count(*) FILTER (group_size < 5) AS cells_under_k5,
+       min(l_diversity) AS worst_l_diversity,
+       sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS rows_at_risk
+FROM cells
+"""
+
+
+QUERIES.update(
+    {
+        "privacy_k_anonymity": QuerySpec(
+            q_privacy_k_anonymity,
+            ORACLE_K_ANONYMITY,
+            doc="k-anonymity / l-diversity release gate over quasi-identifier cells",
+        ),
+    }
+)
