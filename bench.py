@@ -120,6 +120,7 @@ EXTENDED = [
     "sessions_journey_patterns",
     "forecast_backtest_mape",
     "stream_trend_ols",
+    "privacy_k_anonymity",
 ]
 
 
