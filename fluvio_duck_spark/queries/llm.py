@@ -2583,3 +2583,83 @@ QUERIES.update({
         doc="reliability diagram: exact score deciles x positive rate",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# curate_split_leakage — near-dup pairs straddling the train/val/test split
+# ---------------------------------------------------------------------------
+
+def q_curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: exact near-duplicate pairs (5-gram Jaccard
+    ≥ 0.8 — the `dedup_ngram_jaccard` machinery) whose two documents
+    landed in DIFFERENT splits under the deterministic assignment
+    (`sample_split_assign` machinery).  Any row here means a held-out
+    document has a training near-twin — the leak that inflates evals.
+
+    Plan composition: the inverted-index pair search dominates (bounded
+    by shingle document frequency, never all-pairs); the split columns
+    are map-only hash arithmetic, and the pair⇄split joins are
+    pair-table-sized.  Splits are integer-keyspace cuts, so the audit
+    is engine-reproducible end-to-end.
+    """
+    from fluvio_duck_spark.operators.sampling import split_assign
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=5, threshold=0.8)
+    splits = split_assign(docs.select("doc_id")).select(
+        "doc_id", "split"
+    )
+    sa = splits.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    sb = splits.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "doc_a", "doc_b", "jaccard", "split_a", "split_b"
+        )
+    )
+
+
+ORACLE_SPLIT_LEAKAGE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b,
+         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN ((doc_id + 1) * 2654435761) % 1000003 < 900002 THEN 'train'
+              WHEN ((doc_id + 1) * 2654435761) % 1000003 < 950002 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT p.doc_a, p.doc_b, p.jaccard, a.split AS split_a, b.split AS split_b
+FROM pairs p
+JOIN sp a ON a.doc_id = p.doc_a
+JOIN sp b ON b.doc_id = p.doc_b
+WHERE a.split <> b.split
+"""
+
+
+QUERIES.update({
+    "curate_split_leakage": QuerySpec(
+        q_curate_split_leakage, ORACLE_SPLIT_LEAKAGE,
+        doc="split-leakage audit: exact near-dup pairs straddling train/val/test",
+    ),
+})
