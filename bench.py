@@ -121,6 +121,9 @@ EXTENDED = [
     "forecast_backtest_mape",
     "stream_trend_ols",
     "privacy_k_anonymity",
+    "curate_split_leakage",
+    "eval_ndcg_mrr",
+    "ab_welch_ttest",
 ]
 
 

@@ -2663,3 +2663,116 @@ QUERIES.update({
         doc="split-leakage audit: exact near-dup pairs straddling train/val/test",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# eval_ndcg_mrr — ranked-retrieval quality scored in-engine
+# ---------------------------------------------------------------------------
+
+def q_eval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-in-engine ranking metrics: nDCG@10 and MRR per query over
+    the exact cosine top-10, with binary relevance = "corpus label
+    matches the query label" — the retrieval scorecard beside recall
+    (sim_ivf_recall) and classification metrics (eval_auc).
+
+    The ranked lists come from the oracle-anchored exact batch-retrieval
+    plan; metrics are in-row folds over each ≤10-element list.  DCG/IDCG
+    fold left-to-right over identical doubles in both engines (the
+    matryoshka-fold precedent), so the scores hash-match without any
+    decimal detour; MRR is one exact division.
+    """
+    from fluvio_duck_spark.operators.similarity import cosine_topk_batch
+
+    emb = load(spark, sf_dir, "embeddings")
+    top = cosine_topk_batch(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    lab = emb.select("vec_id", "label")
+    scored = (
+        top.join(
+            lab.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+                "label", "qlabel"
+            ),
+            "query_id",
+        )
+        .join(lab.withColumnRenamed("label", "clabel"), "vec_id")
+        .select(
+            "query_id",
+            "rn",
+            (F.col("clabel") == F.col("qlabel")).cast("int").alias("rel"),
+        )
+    )
+    g = scored.groupBy("query_id").agg(
+        F.array_sort(F.collect_list(F.struct("rn", "rel"))).alias("rr"),
+        F.sum("rel").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+    )
+    dcg = F.aggregate(
+        F.transform(
+            "rr",
+            lambda s: s["rel"].cast("double")
+            / F.log2(s["rn"].cast("double") + F.lit(1.0)),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("n_rel")),
+        F.lit(0.0),
+        lambda a, i: a + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return g.select(
+        "query_id",
+        F.col("n_rel").cast("int").alias("n_rel_10"),
+        F.when(F.col("n_rel") > 0, F.round(dcg / idcg, 6)).alias("ndcg10"),
+        F.round(F.lit(1.0) / F.col("first_rel"), 6).alias("mrr"),
+    )
+
+
+ORACLE_NDCG_MRR = """
+WITH cn AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(list_transform(embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))) AS nv
+  FROM embeddings),
+q AS (SELECT vec_id AS query_id, nv AS qv FROM cn WHERE vec_id < 5),
+s AS (
+  SELECT q.query_id, c.vec_id,
+    list_aggregate(list_transform(range(1, len(c.nv)+1),
+        i -> c.nv[i] * q.qv[i]), 'sum') AS sim
+  FROM cn c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+r AS (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rn
+  FROM s),
+top AS (SELECT query_id, vec_id, rn FROM r WHERE rn <= 10),
+scored AS (
+  SELECT t.query_id, t.rn,
+         CASE WHEN ce.label = qe.label THEN 1 ELSE 0 END AS rel
+  FROM top t
+  JOIN embeddings ce ON ce.vec_id = t.vec_id
+  JOIN embeddings qe ON qe.vec_id = t.query_id),
+g AS (
+  SELECT query_id,
+         list(rel ORDER BY rn) AS rr,
+         sum(rel) AS n_rel,
+         min(CASE WHEN rel = 1 THEN rn END) AS first_rel
+  FROM scored GROUP BY 1)
+SELECT query_id,
+       CAST(n_rel AS INTEGER) AS n_rel_10,
+       CASE WHEN n_rel > 0 THEN round(
+         list_aggregate(list_transform(range(1, len(rr)+1),
+             i -> CAST(rr[i] AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)), 'sum')
+         / list_aggregate(list_transform(range(1, CAST(n_rel AS INTEGER)+1),
+             i -> CAST(1.0 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)), 'sum'),
+         6) END AS ndcg10,
+       round(CAST(1.0 AS DOUBLE) / first_rel, 6) AS mrr
+FROM g
+"""
+
+
+QUERIES.update({
+    "eval_ndcg_mrr": QuerySpec(
+        q_eval_ndcg_mrr, ORACLE_NDCG_MRR,
+        doc="eval-in-engine ranking metrics: nDCG@10 + MRR per query from exact top-10",
+    ),
+})

@@ -2244,3 +2244,94 @@ QUERIES.update({
         doc="seasonal-naive hourly forecast backtested in-engine: MAE/MAPE per type over the final week",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# ab_welch_ttest — experiment significance from one aggregation pass
+# ---------------------------------------------------------------------------
+
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's t statistic (and its
+    Welch–Satterthwaite dof) for purchase value between the two
+    deterministic arms ``user_id % 2`` — the significance check run on
+    every experiment dashboard.
+
+    ONE map-side-combined aggregation computes both arms' exact moment
+    sums (y in DECIMAL(18,6), y² exact per row and summed in DECIMAL);
+    means/variances/t/dof are then a handful of double expressions over
+    those identical inputs — engine-reproducible with no distributional
+    tables needed (report t, not p).
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    yd = F.round("value", 6).cast("decimal(18,6)")
+    is_a = F.col("user_id") % 2 == 0
+    agg = ev.select(is_a.alias("a"), yd.alias("y")).agg(
+        F.count(F.when(F.col("a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("a"), 1)).alias("n_b"),
+        F.sum(F.when(F.col("a"), F.col("y"))).alias("s_a"),
+        F.sum(F.when(~F.col("a"), F.col("y"))).alias("s_b"),
+        F.sum(F.when(F.col("a"), F.col("y") * F.col("y"))).alias("q_a"),
+        F.sum(F.when(~F.col("a"), F.col("y") * F.col("y"))).alias("q_b"),
+    )
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    m_a, m_b = d("s_a") / d("n_a"), d("s_b") / d("n_b")
+    v_a = (d("q_a") - d("s_a") * d("s_a") / d("n_a")) / (d("n_a") - F.lit(1.0))
+    v_b = (d("q_b") - d("s_b") * d("s_b") / d("n_b")) / (d("n_b") - F.lit(1.0))
+    se2_a, se2_b = v_a / d("n_a"), v_b / d("n_b")
+    t = (m_a - m_b) / F.sqrt(se2_a + se2_b)
+    dof = (se2_a + se2_b) * (se2_a + se2_b) / (
+        se2_a * se2_a / (d("n_a") - F.lit(1.0))
+        + se2_b * se2_b / (d("n_b") - F.lit(1.0))
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(m_a, 6).alias("mean_a"),
+        F.round(m_b, 6).alias("mean_b"),
+        F.round(m_a - m_b, 6).alias("diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 4).alias("welch_dof"),
+    )
+
+
+ORACLE_AB_WELCH = """
+WITH p AS (
+  SELECT user_id % 2 = 0 AS a,
+         CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+  FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT count(*) FILTER (a) AS n_a, count(*) FILTER (NOT a) AS n_b,
+         sum(y) FILTER (a) AS s_a, sum(y) FILTER (NOT a) AS s_b,
+         sum(y*y) FILTER (a) AS q_a, sum(y*y) FILTER (NOT a) AS q_b
+  FROM p
+), m AS (
+  SELECT n_a, n_b,
+         CAST(s_a AS DOUBLE) / n_a AS m_a, CAST(s_b AS DOUBLE) / n_b AS m_b,
+         ((CAST(q_a AS DOUBLE) - CAST(s_a AS DOUBLE)*CAST(s_a AS DOUBLE)/n_a)
+            / (n_a - 1.0)) / n_a AS se2_a,
+         ((CAST(q_b AS DOUBLE) - CAST(s_b AS DOUBLE)*CAST(s_b AS DOUBLE)/n_b)
+            / (n_b - 1.0)) / n_b AS se2_b
+  FROM agg
+)
+SELECT n_a, n_b,
+       round(m_a, 6) AS mean_a, round(m_b, 6) AS mean_b,
+       round(m_a - m_b, 6) AS diff,
+       round((m_a - m_b) / sqrt(se2_a + se2_b), 6) AS t_stat,
+       round((se2_a + se2_b) * (se2_a + se2_b)
+             / (se2_a*se2_a/(n_a - 1.0) + se2_b*se2_b/(n_b - 1.0)), 4)
+         AS welch_dof
+FROM m
+"""
+
+
+QUERIES.update({
+    "ab_welch_ttest": QuerySpec(
+        q_ab_welch_ttest, ORACLE_AB_WELCH,
+        doc="Welch's t + Satterthwaite dof between deterministic A/B arms, one agg pass",
+    ),
+})
