@@ -344,3 +344,44 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             "spark.sql.adaptive.coalescePartitions.enabled",
         ):
             conf.unset(k)
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic must replace ONLY the partitions
+    present in the incoming frame — the incremental-reload semantics a
+    daily pipeline needs (static mode would wipe every other partition)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "user_id"
+    )
+    out = str(tmp_path / "by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    before = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+
+    # reload ONLY the 'click' partition with halved content
+    clicks = ev.filter(F.col("event_type") == "click").limit(
+        before["click"] // 2
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        clicks.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+
+    after = {
+        r.event_type: r.n
+        for r in spark.read.parquet(out).groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert after["click"] == before["click"] // 2
+    for t, n in before.items():
+        if t != "click":
+            assert after[t] == n, t
