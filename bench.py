@@ -124,6 +124,7 @@ EXTENDED = [
     "curate_split_leakage",
     "eval_ndcg_mrr",
     "ab_welch_ttest",
+    "mm_phash_neardup",
 ]
 
 

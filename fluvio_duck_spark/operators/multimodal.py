@@ -273,3 +273,96 @@ def sniff_media(
         F.when(is_wav, _parse_le32(c, 25)).cast("int").alias("sample_rate"),
         F.length(c).alias("n_bytes"),
     )
+
+
+def phash_bits(features_col, n_bits: int = 60):
+    """Difference-hash (dHash) over a decoded feature/pixel vector,
+    entirely JVM-side: bit i = features[i] > features[i+1], packed
+    little-endian into one BIGINT.  Requires len(features) >= n_bits+1
+    and n_bits <= 62 (the horner fold must not touch the sign bit under
+    ANSI arithmetic).
+
+    The perceptual-hash convention for media dedup: decode once (the
+    Python seam), then hashing, banding, and pair verification all stay
+    in Catalyst."""
+    assert 0 < n_bits <= 62
+    f = F.col(features_col) if isinstance(features_col, str) else features_col
+    # horner fold from the high bit down: acc*2 + bit(i) — pure long
+    # arithmetic (shiftleft needs a literal shift amount, not a column)
+    return F.aggregate(
+        F.sequence(F.lit(n_bits - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * F.lit(2).cast("long")
+        + F.when(
+            F.element_at(f, i + 1) > F.element_at(f, i + 2),
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def mm_phash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    decode_fn=None,
+) -> DataFrame:
+    """Perceptual near-duplicate pairs over binary media content:
+    decode → 60-bit dHash → banded LSH candidate join → exact Hamming
+    verify.  Returns (id_a, id_b, hamming).
+
+    Scale shape: ONE Arrow-batched decode pass (the only Python; real
+    codec plugs in via ``decode_fn``), then the simhash-style banded
+    plan — any pair within Hamming ≤ 64/n_bands−1 of band width shares
+    at least one exact 16-bit band (pigeonhole: ≤ max_hamming bit flips
+    cannot touch all n_bands bands when max_hamming < n_bands), so the
+    candidate join is an EQUI-join on (band, value), never all-pairs;
+    verification is one bit_count(xor) per candidate."""
+    n_bits = 60
+    feats = extract_features(
+        df, id_col=id_col, content_col=content_col, n_features=n_bits + 1,
+        decode_fn=decode_fn,
+    )
+    hashed = feats.select(
+        F.col(id_col), phash_bits("features").alias("ph")
+    ).localCheckpoint()  # decode once; both join sides reuse it
+    width = n_bits // n_bands
+    mask = (1 << width) - 1
+    bands = hashed.select(
+        id_col,
+        "ph",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("ph"), b * width
+                        ).bitwiseAND(F.lit(mask)).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(id_col, "ph", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.ph").alias("ph_a"),
+            F.col("b.ph").alias("ph_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    return cand.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

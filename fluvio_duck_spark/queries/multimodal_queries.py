@@ -106,3 +106,49 @@ QUERIES.update({
         doc="magic-number container sniff + BE/LE header field parse, pure JVM binary expressions",
     ),
 })
+
+
+def q_mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media
+    content (operators/multimodal.py::mm_phash_neardup): Arrow-batched
+    decode (fake kernel — the real codec plugs into ``decode_fn``) →
+    60-bit dHash → banded LSH candidate join → exact Hamming verify.
+    Five payloads are re-tagged under new ids so the fixture contains
+    known duplicates at every SF.
+
+    Oracle note: with the hash-derived fake features, two payloads land
+    within Hamming ≤ 3 only when the bytes are identical (distinct
+    hashes differ in ~30 of 60 bits), so the exact answer is the
+    identical-content pair set — which IS SQL-expressible.  A real
+    perceptual kernel would surface genuinely-near media too; the
+    banding plumbing is identical either way.
+    """
+    from fluvio_duck_spark.operators.multimodal import mm_phash_neardup
+
+    docs = load(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = docs.unionByName(copies)
+    return mm_phash_neardup(
+        attach_binary_content(corpus), max_hamming=3
+    )
+
+
+ORACLE_PHASH_NEARDUP = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INTEGER) AS hamming
+FROM corpus a JOIN corpus b ON a.text = b.text AND a.doc_id < b.doc_id
+"""
+
+
+QUERIES.update({
+    "mm_phash_neardup": QuerySpec(
+        q_mm_phash_neardup, ORACLE_PHASH_NEARDUP,
+        doc="perceptual-hash media near-dup: decode once, dHash + banded LSH + Hamming verify in Catalyst",
+    ),
+})

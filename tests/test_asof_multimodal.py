@@ -449,3 +449,78 @@ def test_sniff_media_magic_and_fields(spark):
     assert out[2].fmt == "wav" and out[2].sample_rate == 8002
     assert out[99].fmt == "bin" and out[99].width is None and out[99].sample_rate is None
     assert out[0].n_bytes == 24 + 3 and out[1].n_bytes == 11 + 4 and out[2].n_bytes == 28 + 2
+
+
+def test_phash_neardup_finds_near_not_just_exact(spark):
+    """The banding plumbing must surface genuinely NEAR media, not only
+    byte-identical payloads: with a controlled decode kernel (length-
+    driven ramp — near-length payloads → near feature vectors → few bit
+    flips), a 1-byte-longer copy lands within Hamming ≤ 3 while an
+    unrelated payload does not."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.multimodal import mm_phash_neardup
+
+    def kernel(b: bytes) -> np.ndarray:
+        # features: smooth ramp whose slope depends weakly on length —
+        # stands in for a real image embed where a small edit moves few
+        # adjacent-difference comparisons
+        n = len(b)
+        base = np.arange(61, dtype=np.float32)
+        wob = np.sin(base * (1.0 + n / 1000.0)).astype(np.float32)
+        return base + wob
+
+    rows = [
+        (1, b"x" * 100),   # anchor
+        (2, b"x" * 101),   # near: 1 byte longer
+        (3, b"y" * 400),   # far: very different length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm_phash_neardup(
+            df, max_hamming=3, decode_fn=kernel
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_phash_candidates_complete_by_pigeonhole(spark):
+    """Any pair within Hamming < n_bands MUST share a band (pigeonhole),
+    so banded candidates = brute-force pairs at the verify threshold.
+    Checked by comparing against an exhaustive XOR popcount over all
+    hashes on a planted-duplicate corpus."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.multimodal import (
+        attach_binary_content,
+        extract_features,
+        mm_phash_neardup,
+        phash_bits,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    corpus = docs.limit(60).unionByName(
+        docs.limit(6).withColumn("doc_id", F.col("doc_id") + 500)
+    )
+    withc = attach_binary_content(corpus)
+    hashed = {
+        r.doc_id: r.ph
+        for r in extract_features(withc, n_features=61)
+        .select("doc_id", phash_bits("features").alias("ph"))
+        .collect()
+    }
+    brute = {
+        (a, b): bin(hashed[a] ^ hashed[b]).count("1")
+        for a, b in combinations(sorted(hashed), 2)
+        if bin(hashed[a] ^ hashed[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in mm_phash_neardup(withc, max_hamming=3).collect()
+    }
+    assert got == brute
