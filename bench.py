@@ -125,6 +125,7 @@ EXTENDED = [
     "eval_ndcg_mrr",
     "ab_welch_ttest",
     "mm_phash_neardup",
+    "sim_label_propagation",
 ]
 
 

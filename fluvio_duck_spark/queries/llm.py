@@ -2776,3 +2776,121 @@ QUERIES.update({
         doc="eval-in-engine ranking metrics: nDCG@10 + MRR per query from exact top-10",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# sim_label_propagation — semi-supervised labels over the k-NN graph
+# ---------------------------------------------------------------------------
+
+def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation: 25% of points keep their label
+    (vec_id % 4 == 0 — the deterministic seed set); everyone else takes
+    the majority label of their 5 nearest neighbors, two rounds, seeds
+    frozen — the cheap label-densification step before training on a
+    partially-labeled corpus.
+
+    Per round: one edges⋈labels join (n·k rows), a majority-vote agg,
+    a keep-first window, and the label update — all n·k-bounded; the n²
+    never materializes (edges come from the blocked-GEMM k-NN graph,
+    neighbor choice engine-reproducible via 6-dp sim rounding).  Two
+    FIXED rounds keep it oracle-checkable (production loops until no
+    label changes, one count per round).
+    """
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.similarity import knn_graph_blocked
+
+    emb = load(spark, sf_dir, "embeddings")
+    edges = knn_graph_blocked(emb, k=5).select("id", "nbr")
+    is_seed = F.col("id") % 4 == 0
+    cur = emb.select(
+        F.col("vec_id").alias("id"),
+        F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("lbl"),
+    )
+    for _ in range(2):
+        votes = (
+            edges.join(
+                cur.select(
+                    F.col("id").alias("nbr"), F.col("lbl").alias("nlbl")
+                ),
+                "nbr",
+            )
+            .filter(F.col("nlbl").isNotNull())
+            .groupBy("id", "nlbl")
+            .agg(F.count("*").alias("n"))
+        )
+        rn = F.row_number().over(
+            W.partitionBy("id").orderBy(F.desc("n"), F.asc("nlbl"))
+        )
+        top = votes.withColumn("_rn", rn).filter(F.col("_rn") == 1).select(
+            "id", F.col("nlbl").alias("voted")
+        )
+        cur = cur.join(top, "id", "left").select(
+            "id",
+            F.when(is_seed, F.col("lbl"))
+            .otherwise(F.coalesce(F.col("voted"), F.col("lbl")))
+            .alias("lbl"),
+        )
+    truth = emb.select(
+        F.col("vec_id").alias("id"), F.col("label").alias("own_label")
+    )
+    return cur.join(truth, "id").select(
+        F.col("id").alias("vec_id"),
+        is_seed.alias("is_seed"),
+        F.col("lbl").alias("label_prop"),
+        "own_label",
+        (F.col("lbl") == F.col("own_label")).alias("correct"),
+    )
+
+
+ORACLE_LABEL_PROP = f"""
+WITH s AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr, round({_COS_AB}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT id, nbr, row_number() OVER (PARTITION BY id
+                                     ORDER BY sim DESC, nbr) AS rn
+  FROM s),
+edges AS (SELECT id, nbr FROM r WHERE rn <= 5),
+l0 AS (
+  SELECT vec_id AS id,
+         CASE WHEN vec_id % 4 = 0 THEN label END AS lbl
+  FROM embeddings),
+v1 AS (
+  SELECT e.id, l.lbl AS nlbl, count(*) AS n
+  FROM edges e JOIN l0 l ON l.id = e.nbr
+  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+t1 AS (
+  SELECT id, nlbl, row_number() OVER (PARTITION BY id
+                                      ORDER BY n DESC, nlbl) AS vr
+  FROM v1),
+l1 AS (
+  SELECT l0.id,
+         CASE WHEN l0.id % 4 = 0 THEN l0.lbl
+              ELSE COALESCE(t1.nlbl, l0.lbl) END AS lbl
+  FROM l0 LEFT JOIN (SELECT id, nlbl FROM t1 WHERE vr = 1) t1 USING (id)),
+v2 AS (
+  SELECT e.id, l.lbl AS nlbl, count(*) AS n
+  FROM edges e JOIN l1 l ON l.id = e.nbr
+  WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+t2 AS (
+  SELECT id, nlbl, row_number() OVER (PARTITION BY id
+                                      ORDER BY n DESC, nlbl) AS vr
+  FROM v2),
+l2 AS (
+  SELECT l1.id,
+         CASE WHEN l1.id % 4 = 0 THEN l1.lbl
+              ELSE COALESCE(t2.nlbl, l1.lbl) END AS lbl
+  FROM l1 LEFT JOIN (SELECT id, nlbl FROM t2 WHERE vr = 1) t2 USING (id))
+SELECT l2.id AS vec_id, l2.id % 4 = 0 AS is_seed, l2.lbl AS label_prop,
+       e.label AS own_label, l2.lbl = e.label AS correct
+FROM l2 JOIN embeddings e ON e.vec_id = l2.id
+"""
+
+
+QUERIES.update({
+    "sim_label_propagation": QuerySpec(
+        q_sim_label_propagation, ORACLE_LABEL_PROP,
+        doc="semi-supervised 2-round k-NN label propagation, seeds frozen, n*k-bounded rounds",
+    ),
+})
