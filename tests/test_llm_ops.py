@@ -866,3 +866,19 @@ def test_substring_span_dedup_unaligned_and_within_doc_safe(spark):
     assert got[1] == (4, "a b c d")
     assert got[2] == (4, "x y z w")
     assert got[3] == (7, "m n o m n o p")
+
+
+def test_label_propagation_densifies_and_freezes_seeds(spark, sf_dir):
+    """Seeds keep their exact label; the labeled fraction must grow
+    (2 propagation rounds over a 5-NN graph reach most of a 500-point
+    corpus from a 25% seed set); propagated labels come only from the
+    label vocabulary."""
+    from fluvio_duck_spark.queries.llm import q_sim_label_propagation
+
+    rows = q_sim_label_propagation(spark, sf_dir).collect()
+    seeds = [r for r in rows if r.is_seed]
+    assert all(r.label_prop == r.own_label for r in seeds)
+    labeled = [r for r in rows if r.label_prop is not None]
+    assert len(labeled) > len(seeds)  # propagation actually happened
+    vocab = {r.own_label for r in rows}
+    assert {r.label_prop for r in labeled} <= vocab
