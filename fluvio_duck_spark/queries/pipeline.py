@@ -2335,3 +2335,47 @@ QUERIES.update({
         doc="Welch's t + Satterthwaite dof between deterministic A/B arms, one agg pass",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# rollup_hll_sliding_wau — sliding 7-day distinct via sketch-union merge
+# ---------------------------------------------------------------------------
+
+def q_rollup_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day from DAILY HLL sketches —
+    the sketch-merge form of events_dau_wau's exact contribution
+    explode.  Rows-only (HLL estimates are engine-specific);
+    test_events_pipeline proves the estimate lands within 5% of the
+    exact rolling distinct.
+
+    Scale contrast with the exact twin: the explode fans out every
+    (user, day) row 7× and re-distincts |users|×7 rows; here the raw
+    table collapses to ONE ~1.5 KB sketch per day first, and only
+    |days|×7 sketches shuffle into the window union — the merge cost is
+    calendar-sized, not corpus-sized.  Same pattern as the hourly→daily
+    HLL cascade (rollup_hll_daily_users), extended to OVERLAPPING
+    windows, which only sketch union (lossless, associative) supports —
+    exact distinct counts cannot be merged across overlapping spans.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").groupBy(
+        "day"
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    contrib = daily.select(
+        "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        F.date_add(F.col("day"), F.col("i")).alias("target_day"),
+    )
+    return (
+        contrib.groupBy(F.col("target_day").alias("day"))
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("wau_est"))
+        .select("day", F.col("wau_est").cast("long").alias("wau_est"))
+    )
+
+
+QUERIES.update({
+    "rollup_hll_sliding_wau": QuerySpec(
+        q_rollup_hll_sliding_wau, None,  # rows-only: sketch estimates are engine-specific
+        doc="sliding 7-day distinct users from daily HLL sketch unions (calendar-sized merge)",
+    ),
+})

@@ -611,3 +611,21 @@ def test_kcore_peels_tendrils_keeps_core(spark):
     edges = spark.createDataFrame(k4 + chain, "src long, dst long")
     got = {r.node: r.degree for r in kcore_peel(edges, k=3, rounds=3).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_hll_sliding_wau_within_error_bound(spark, sf_dir):
+    """The sketch-union sliding WAU must land within HLL error (<5%) of
+    the exact rolling distinct on every day of the span — and cover the
+    identical day set (6 trailing warm-up days beyond the exact twin's
+    join-pruned output are expected; compare on the intersection)."""
+    from fluvio_duck_spark.queries.pipeline import (
+        q_events_dau_wau,
+        q_rollup_hll_sliding_wau,
+    )
+
+    exact = {r.day: r.wau for r in q_events_dau_wau(spark, sf_dir).collect()}
+    est = {r.day: r.wau_est for r in q_rollup_hll_sliding_wau(spark, sf_dir).collect()}
+    common = set(exact) & set(est)
+    assert len(common) >= len(exact) * 0.9
+    for d in common:
+        assert abs(est[d] - exact[d]) / exact[d] < 0.05, (d, exact[d], est[d])
