@@ -126,6 +126,7 @@ EXTENDED = [
     "ab_welch_ttest",
     "mm_phash_neardup",
     "sim_label_propagation",
+    "rollup_hll_sliding_wau",
 ]
 
 
