@@ -1,6 +1,8 @@
 """Data-quality + time-series analytics extensions: expectation suites,
-autocorrelation, MAD anomaly flags, per-group OLS trend, market-basket
-lift, and route distance over the transit shape.
+autocorrelation, MAD anomaly flags, per-group OLS trend (shared with its
+streaming twin), market-basket lift, route distance over the transit
+shape, calendar-spine linear interpolation, and the k-anonymity /
+l-diversity privacy release gate.
 
 These extend the analysis layer of SURVEY §2 (the reference's
 SQL-over-views workflow, ``README.md:149-184``) with the validation /
