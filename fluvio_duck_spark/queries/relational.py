@@ -2351,3 +2351,65 @@ QUERIES.update({
         doc="exact global decile binning via range-partitioned rank (no single-reducer sort)",
     ),
 })
+
+
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: values clipped at the exact
+    per-group p05/p95 before averaging — the outlier-robust aggregate a
+    metrics pipeline reports beside the raw mean.
+
+    Two passes over the (small) per-group value sets: exact percentiles
+    by group (agg + broadcast join-back, same shape as ts_anomaly_mad),
+    then one map-side-combined clipped-DECIMAL mean.  Clip boundaries
+    are interpolated doubles over round-6 decimals — identical across
+    engines — and the clipped values re-enter DECIMAL before summing,
+    so the mean is order-proof.
+    """
+    ev = load(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type", F.round("value", 6).cast("decimal(18,6)").alias("y")
+    )
+    pct = vals.groupBy("event_type").agg(
+        F.expr("percentile(y, 0.05)").alias("lo"),
+        F.expr("percentile(y, 0.95)").alias("hi"),
+    )
+    clipped = vals.join(F.broadcast(pct), "event_type").select(
+        "event_type",
+        F.least(
+            F.greatest(F.col("y").cast("double"), F.col("lo")), F.col("hi")
+        ).cast("decimal(18,6)").alias("yc"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum("yc").cast("double") / F.count("*"), 6
+        ).alias("winsorized_mean"),
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS y
+  FROM events
+), pct AS (
+  SELECT event_type,
+         quantile_cont(y, 0.05) AS lo, quantile_cont(y, 0.95) AS hi
+  FROM vals GROUP BY 1
+), clipped AS (
+  SELECT v.event_type,
+         CAST(least(greatest(CAST(v.y AS DOUBLE), p.lo), p.hi)
+              AS DECIMAL(18,6)) AS yc
+  FROM vals v JOIN pct p USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(yc) AS DOUBLE) / count(*), 6) AS winsorized_mean
+FROM clipped GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "agg_winsorized_mean": QuerySpec(
+        q_agg_winsorized_mean, ORACLE_WINSORIZED,
+        doc="outlier-robust mean: exact p05/p95 clip per group, DECIMAL-exact average",
+    ),
+})
