@@ -127,6 +127,8 @@ EXTENDED = [
     "mm_phash_neardup",
     "sim_label_propagation",
     "rollup_hll_sliding_wau",
+    "agg_winsorized_mean",
+    "agg_gini_by_type",
 ]
 
 

@@ -2413,3 +2413,61 @@ QUERIES.update({
         doc="outlier-robust mean: exact p05/p95 clip per group, DECIMAL-exact average",
     ),
 })
+
+
+def q_agg_gini_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration index of `value` per event type — the
+    inequality summary behind the Pareto/whale report
+    (events_pareto_share): G = 2·Σ(rank·y) / (n·Σy) − (n+1)/n over
+    values ranked ascending.
+
+    One window shuffle on the group key (rank is in-group, never a
+    global sort); rank·y products and both sums accumulate in exact
+    DECIMAL, so G is a single order-proof double expression.  Ranks are
+    totalized by (y, event_id) — engine-identical ordering.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    yd = F.round("value", 6).cast("decimal(18,6)")
+    w = W.partitionBy("event_type").orderBy("y", "event_id")
+    ranked = ev.select(
+        "event_type", yd.alias("y"), "event_id"
+    ).withColumn("rk", F.row_number().over(w))
+    s = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("rk") * F.col("y")).alias("sry"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("sry").cast("double")
+        / (F.col("n").cast("double") * F.col("sy").cast("double"))
+        - (F.col("n") + F.lit(1)).cast("double") / F.col("n").cast("double")
+    )
+    return s.select("event_type", "n", F.round(gini, 6).alias("gini"))
+
+
+ORACLE_GINI = """
+WITH ranked AS (
+  SELECT event_type, CAST(round(value, 6) AS DECIMAL(18,6)) AS y,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY CAST(round(value, 6) AS DECIMAL(18,6)),
+                                     event_id) AS rk
+  FROM events
+), s AS (
+  SELECT event_type, count(*) AS n, sum(y) AS sy, sum(rk * y) AS sry
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n,
+       round(2.0 * CAST(sry AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+FROM s
+"""
+
+
+QUERIES.update({
+    "agg_gini_by_type": QuerySpec(
+        q_agg_gini_by_type, ORACLE_GINI,
+        doc="Gini concentration of value per type: in-group rank, DECIMAL-exact sums, one double expr",
+    ),
+})
