@@ -23,12 +23,33 @@ class QuerySpec:
     doc: str = ""
 
 
-#: Queries with a green row in the round-1 driver correctness file
-#: (CORRECTNESS_r01.json).  The driver's snapshot covered only these 50
-#: (see QUERIES.md for the live registry count), so ``all_queries()`` orders
-#: the *unverified* remainder first: if the driver's next run is
-#: time-bounded, it reaches the never-verified entries before
-#: re-checking known-green ones.
+#: Queries with a row in a driver correctness file so far
+#: (CORRECTNESS_r01.json ∪ CORRECTNESS_r02.json — 100 disjoint names; the
+#: r02 red rows are included too since their oracles are now canon-fixed
+#: and re-verified locally).  Each driver snapshot covers ~50 entries, so
+#: ``all_queries()`` orders the *never-checked* remainder first: a
+#: time-bounded driver run reaches new entries before re-checking known
+#: ones.  REFRESH THIS each round from the new CORRECTNESS_r0N.json.
+_DRIVER_VERIFIED_R02 = frozenset({
+    "above_avg_orders", "agg_conditional_priority", "agg_exact_percentiles",
+    "agg_gini_by_type", "agg_promo_ratio", "agg_winsorized_mean",
+    "batch_sessionize", "consume_transform_jolt_full", "correlated_small_quantity",
+    "dedup_semantic", "join_anti", "join_asof_nearest",
+    "join_full_outer", "join_large_orders", "join_left_order_counts",
+    "join_rich_idle_customers", "join_semi", "join_topk_shipping",
+    "ngram_corpus_topk", "pack_concat_sequences", "pivot_qty_by_status",
+    "rollup_cascade_daily", "rollup_hist_percentiles", "rollup_hll_daily_users",
+    "rollup_hourly", "rollup_ohlc_bars", "sample_stratified_quota",
+    "sample_temperature_mixture", "sample_weighted_quota", "scalar_array_funcs",
+    "scalar_case_buckets", "scalar_date_funcs", "scalar_math_funcs",
+    "scalar_regex_null_funcs", "scalar_string_funcs", "set_ops",
+    "set_ops_all", "sim_range_search", "text_decontaminate",
+    "text_pii_redact", "text_quality_gate", "text_seqlen_histogram",
+    "topk_orders", "window_distribution", "window_order_gaps",
+    "window_quantile_bins", "window_rank_ntile", "window_running_spend",
+    "window_topk_per_customer", "window_zscore",
+})
+
 _DRIVER_VERIFIED_R01 = frozenset({
     "agg_approx", "agg_cube", "agg_distinct",
     "agg_filtered_revenue", "agg_grouping_sets", "agg_market_share",
@@ -49,6 +70,8 @@ _DRIVER_VERIFIED_R01 = frozenset({
     "sql_passthrough", "unpivot_metrics",
 })
 
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+
 
 def all_queries() -> dict[str, QuerySpec]:
     from fluvio_duck_spark.queries import (
@@ -68,7 +91,7 @@ def all_queries() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(module.QUERIES)
-    # Never-driver-verified entries first (see _DRIVER_VERIFIED_R01).
-    ordered = {k: v for k, v in merged.items() if k not in _DRIVER_VERIFIED_R01}
-    ordered.update((k, v) for k, v in merged.items() if k in _DRIVER_VERIFIED_R01)
+    # Never-driver-verified entries first (see _DRIVER_VERIFIED).
+    ordered = {k: v for k, v in merged.items() if k not in _DRIVER_VERIFIED}
+    ordered.update((k, v) for k, v in merged.items() if k in _DRIVER_VERIFIED)
     return ordered

@@ -261,7 +261,7 @@ WITH chars AS (
   SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
 ), per AS (
   SELECT doc_id,
-         sum(c) AS n_chars_counted,
+         CAST(sum(c) AS BIGINT) AS n_chars_counted,
          count(*) AS n_distinct_chars,
          sum(CAST(floor(c * log2(c) * 1e6 + 0.5) AS DECIMAL(28,0))) AS s6
   FROM counts GROUP BY doc_id
@@ -621,22 +621,41 @@ SELECT node AS id, MIN(reach) AS component FROM walk GROUP BY node
 
 def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (map-only ingest step: cosine
-    then reduces to a dot product at query time)."""
+    then reduces to a dot product at query time).
+
+    The unit vector is surfaced through scalar witnesses — first/last
+    element plus a left-to-right element sum — because the driver's pandas
+    canon cannot hash list-typed cells (scripts/lint_oracle_types.py).
+    The witnesses are exact: both engines fold the same doubles in the
+    same order, so every column is bit-comparable."""
     from fluvio_duck_spark.functions.vectors import l2_normalize
 
     e = load(spark, sf_dir, "embeddings")
-    return e.select("vec_id", l2_normalize(F.col("embedding")).alias("unit"))
+    unit = l2_normalize(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at(unit, 1).alias("u_first"),
+        F.element_at(unit, -1).alias("u_last"),
+        F.aggregate(unit, F.lit(0.0), lambda a, x: a + x).alias("u_sum"),
+    )
 
 
 ORACLE_NORMALIZE = """
 SELECT vec_id,
-  CASE WHEN nrm = 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
-       ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit
-FROM (SELECT vec_id, embedding,
-        sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
-             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
-             'sum')) AS nrm
-      FROM embeddings)
+  CAST(len(unit) AS INTEGER) AS dim,
+  unit[1] AS u_first,
+  unit[len(unit)] AS u_last,
+  list_aggregate(unit, 'sum') AS u_sum
+FROM (
+  SELECT vec_id,
+    CASE WHEN nrm = 0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+         ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS unit
+  FROM (SELECT vec_id, embedding,
+          sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+               'sum')) AS nrm
+        FROM embeddings))
 """
 
 
@@ -1007,7 +1026,7 @@ WITH k AS (SELECT doc_id, n_chars,
 SELECT CASE WHEN key < 900002 THEN 'train'
             WHEN key < 950002 THEN 'val'
             ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM k GROUP BY 1
 """
@@ -1263,8 +1282,9 @@ WITH d AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT)
            AS cum_before
   FROM d)
 SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, cum_before,
@@ -1645,7 +1665,7 @@ def q_curate_domain_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOMAIN_REPORT = """
 WITH per AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(length(text)) AS total_chars,
+         CAST(SUM(length(text)) AS BIGINT) AS total_chars,
          COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs,
          SUM(len(string_split(text, ' '))) AS tok
   FROM documents GROUP BY source),
@@ -2228,7 +2248,7 @@ capped AS (
     FROM gated g) y WHERE cap <= 30)
 SELECT source, CAST(COUNT(*) AS INTEGER) AS n_kept,
        round(SUM(nt) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_tokens,
-       SUM(n_chars) AS total_chars
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM capped GROUP BY source
 """
 
@@ -2525,7 +2545,8 @@ r AS (
   SELECT is_pos,
          row_number() OVER (ORDER BY score, vec_id) AS rank
   FROM s)
-SELECT SUM(is_pos) AS n_pos, SUM(1 - is_pos) AS n_neg,
+SELECT CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - is_pos) AS BIGINT) AS n_neg,
        round((SUM(CASE WHEN is_pos = 1 THEN rank END)
               - SUM(is_pos) * (SUM(is_pos) + 1) / 2)
              / CAST(SUM(is_pos) * SUM(1 - is_pos) AS DOUBLE), 6) AS auc

@@ -516,7 +516,7 @@ def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _profile_oracle(cols: list[str]) -> str:
     parts = [
         f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        count(DISTINCT {c}) AS n_distinct,
        CAST(min({c}) AS VARCHAR) AS min_val,
        CAST(max({c}) AS VARCHAR) AS max_val
@@ -742,15 +742,17 @@ def q_agg_ordered_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted array of order keys and its CSV form — collect_list is
     unordered across partial aggregation, so the sort happens ONCE on
     the assembled array (deterministic on any cluster), mirroring
-    DuckDB's list(... ORDER BY)."""
+    DuckDB's list(... ORDER BY).  The array is surfaced as its joined CSV
+    form plus element count: the driver's pandas canon cannot hash
+    list-typed cells (scripts/lint_oracle_types.py)."""
     o = load(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
-        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys"))
+        .agg(F.array_sort(F.collect_list("o_orderkey")).alias("_keys"))
         .select(
             "o_custkey",
-            "orderkeys",
-            F.concat_ws(",", F.col("orderkeys").cast("array<string>"))
+            F.size("_keys").alias("n_orders"),
+            F.concat_ws(",", F.col("_keys").cast("array<string>"))
             .alias("orderkeys_csv"),
         )
     )
@@ -758,7 +760,7 @@ def q_agg_ordered_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_ORDERED_LIST = """
 SELECT o_custkey,
-       list(o_orderkey ORDER BY o_orderkey) AS orderkeys,
+       CAST(COUNT(*) AS INTEGER) AS n_orders,
        string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orderkeys_csv
 FROM orders GROUP BY o_custkey
 """
@@ -1756,7 +1758,7 @@ b AS (
   FROM r),
 t AS (SELECT SUM(n_events) AS tot FROM b)
 SELECT decile, CAST(COUNT(*) AS INTEGER) AS n_users,
-       SUM(n_events) AS total_events,
+       CAST(SUM(n_events) AS BIGINT) AS total_events,
        round(SUM(n_events) / CAST(tot AS DOUBLE), 6) AS share
 FROM b, t GROUP BY decile, tot
 """
@@ -1806,7 +1808,7 @@ def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SCHEMA_EVO = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_with_value,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_value,
        round(CAST(SUM(CASE WHEN event_id % 2 = 1
                            THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 6)
          AS sum_value,
@@ -1950,7 +1952,7 @@ top AS (
            row_number() OVER (ORDER BY n DESC, user_id) AS rk
     FROM pu) t WHERE rk <= 20),
 est AS (
-  SELECT p.user_id, p.n, MIN(s.c) AS cms_estimate
+  SELECT p.user_id, p.n, CAST(MIN(s.c) AS BIGINT) AS cms_estimate
   FROM (SELECT t.user_id, t.n, b.hrow, b.bucket
         FROM top t JOIN rb b USING (user_id)) p
   JOIN sketch s ON s.hrow = p.hrow AND s.bucket = p.bucket
@@ -2227,7 +2229,7 @@ WITH obs AS (
     AND forecast IS NOT NULL AND n > 0
 )
 SELECT event_type, count(*) AS n_evals,
-       sum(abs(n - forecast)) AS abs_err_total,
+       CAST(sum(abs(n - forecast)) AS BIGINT) AS abs_err_total,
        round(CAST(sum(CAST(CAST(abs(n - forecast) AS DOUBLE) / CAST(n AS DOUBLE)
                            AS DECIMAL(20,12))) AS DOUBLE) / count(*), 6) AS mape
 FROM ev_rows GROUP BY event_type

@@ -744,7 +744,7 @@ SELECT count(*) AS n_cells,
        min(group_size) AS k_anonymity,
        count(*) FILTER (group_size < 5) AS cells_under_k5,
        min(l_diversity) AS worst_l_diversity,
-       sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS rows_at_risk
+       CAST(sum(CASE WHEN group_size < 5 THEN group_size ELSE 0 END) AS BIGINT) AS rows_at_risk
 FROM cells
 """
 

@@ -1079,14 +1079,20 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").alias("q"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
     )
 
 
+# Scalar percentile columns (not an array): the driver's pandas canon cannot
+# hash list-typed cells (CORRECTNESS_r02 driver-ERR; scripts/lint_oracle_types.py).
 ORACLE_PERCENTILES = """
 SELECT l_returnflag,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS q,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
        quantile_cont(l_extendedprice, 0.5) AS median_price
 FROM lineitem GROUP BY l_returnflag
 """
@@ -1213,8 +1219,8 @@ def q_conditional_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 ORACLE_CONDITIONAL_PRIORITY = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """

@@ -16,11 +16,21 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import re
 import sys
 from datetime import date, datetime
 from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
+
+#: Result types the driver's pandas canon mangles even when values are
+#: correct: DuckDB HUGEINT -> float64 ("3" -> "3.0" hash drift) and
+#: LIST/STRUCT/MAP cells -> unhashable (TypeError in the driver's sort).
+#: Round 2 shipped local-green/driver-red exactly because fetchall()
+#: round-trips these fine — so the gate now rejects them outright
+#: (VERDICT r2 "Next round" #2; scripts/lint_oracle_types.py is the
+#: standalone no-execution version).
+BAD_DUCK_TYPES = re.compile(r"HUGEINT|\bLIST\b|\[\]|STRUCT|MAP\(", re.IGNORECASE)
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
@@ -89,6 +99,18 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, SF_DIR)
+            if name in oracles:
+                from pyspark.sql import types as T
+
+                nested = [
+                    (f.name, f.dataType.simpleString())
+                    for f in sdf.schema.fields
+                    if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+                ]
+                if nested:
+                    failures.append(name)
+                    print(f"FAIL  {name}: result surfaces driver-canon-unsafe columns {nested}")
+                    continue
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
             s_n, s_h = table_hash(scols, srows)
@@ -101,6 +123,15 @@ def main() -> int:
             print(f"ROWS-ONLY  {name}: rows={s_n} (no oracle)")
             continue
         try:
+            lint = [
+                (c, ty)
+                for c, ty, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+                if BAD_DUCK_TYPES.search(ty)
+            ]
+            if lint:
+                failures.append(name)
+                print(f"FAIL  {name}: oracle surfaces driver-canon-unsafe types {lint}")
+                continue
             res = con.execute(sql)
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
