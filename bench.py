@@ -187,6 +187,25 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    # Extended timings go to their own stdout line AND a sidecar file:
+    # round 2's single combined line outgrew the driver's tail-capture
+    # window once queries_extended hit 41 entries ("parsed": null in
+    # BENCH_r02.json), so the LAST line must stay compact — it is the
+    # machine-read headline record (VERDICT r2 "Next round" #4).
+    ext_record = {
+        "metric": "extended_total_sec",
+        "value": round(sum(extended.values()), 3),
+        "unit": "sec",
+        "queries_extended": extended,
+        "sf": sf_val,
+    }
+    print(json.dumps(ext_record))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_extended.json"),
+        "w",
+    ) as fh:
+        json.dump(ext_record, fh, indent=1)
     print(
         json.dumps(
             {
@@ -196,7 +215,6 @@ def main() -> None:
                 "queries": timings,
                 "queries_warm": warm,
                 "warm_total_sec": round(sum(warm.values()), 3),
-                "queries_extended": extended,
                 "sf": sf_val,
             }
         )

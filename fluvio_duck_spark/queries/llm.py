@@ -824,14 +824,40 @@ FROM r WHERE rn <= 5
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL random projection 64→32 of the embedding column — the
     dimensionality-reduction scale path (reduced-space shortlist, exact
-    re-rank).  Rows-only: the seeded Gaussian matrix is deterministic
+    re-rank).  The seeded Gaussian matrix is deterministic
     (test_llm_ops.py proves bit-stability, distance preservation, and
-    near-dup survival) but not SQL-expressible."""
+    near-dup survival) but not SQL-expressible, so the driver-checkable
+    contract is per-vector dims (exact) plus a norm-preservation boolean:
+    ‖Px‖²/‖x‖² for a 1/√k-scaled Gaussian P is χ²₃₂/32-distributed
+    (mean 1), so [0.16, 3.24] is a ≳6σ envelope — P(outside) < 1e-9 per
+    vector.  A wrong matrix, scale, or GEMM flips booleans and fails the
+    driver hash; zero vectors must project to exactly zero."""
     from fluvio_duck_spark.operators.projection import random_projection
 
-    return random_projection(
-        load(spark, sf_dir, "embeddings"), out_dim=32, seed=7
+    proj = random_projection(
+        load(spark, sf_dir, "embeddings"), out_dim=32, seed=7, out_col="proj"
     )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda a, x: a + x.cast("double") * x
+    )
+    en2, pn2 = sq(F.col("embedding")), sq(F.col("proj"))
+    return proj.select(
+        "vec_id",
+        F.size("embedding").alias("dim_in"),
+        F.size("proj").alias("dim_out"),
+        F.when(en2 == 0, pn2 == 0)
+        .otherwise((pn2 / en2).between(F.lit(0.16), F.lit(3.24)))
+        .alias("norm_ratio_ok"),
+    )
+
+
+ORACLE_RANDOM_PROJECTION = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim_in,
+       32 AS dim_out,
+       TRUE AS norm_ratio_ok
+FROM embeddings
+"""
 
 
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1476,8 +1502,8 @@ QUERIES: dict[str, QuerySpec] = {
                                         doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
     "text_chunk_documents": QuerySpec(q_chunk_documents, ORACLE_CHUNK,
                                       doc="token-budget sliding-window chunking with overlap (map-only explode)"),
-    "sim_random_projection": QuerySpec(q_random_projection, None,
-                                       doc="JL random projection 64->32 (seeded GEMM per Arrow batch; map-only)"),
+    "sim_random_projection": QuerySpec(q_random_projection, ORACLE_RANDOM_PROJECTION,
+                                       doc="JL random projection 64->32 (seeded GEMM per Arrow batch), norm-bound-checked"),
     "sim_topk_batch": QuerySpec(q_topk_batch, ORACLE_TOPK_BATCH,
                                 doc="batch retrieval scale path: GEMM + map-side partial top-k (sim rounded 6dp)"),
     "sim_topk_batch_exact": QuerySpec(q_topk_batch_exact, ORACLE_TOPK_BATCH_EXACT,

