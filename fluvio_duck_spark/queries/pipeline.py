@@ -1128,10 +1128,109 @@ FROM events GROUP BY event_type
 """
 
 
+def q_sink_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 sink surface as a driver row (`sinks.copy_to_parquet`,
+    reference README.md:188-205's COPY TO): orders exported partitioned
+    by o_orderpriority with a maxRecordsPerFile bound, read back through
+    partition-directory discovery, and aggregated — a hash match proves
+    the partitioned layout round-trips values, the partition column's
+    type survives directory encoding, and no rows are dropped or doubled
+    by the file-split knob.  At 100 TB this layout is what makes
+    `WHERE priority = X` a partition-pruned scan."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.sinks import copy_to_parquet
+
+    o = load(spark, sf_dir, "orders")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_sink_part",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    copy_to_parquet(
+        o.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        work,
+        partition_by=["o_orderpriority"],
+        max_records_per_file=2000,
+    )
+    back = spark.read.parquet(work)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .cast("double").alias("total_price"),
+    )
+
+
+ORACLE_SINK_PARTITIONED = """
+SELECT o_orderpriority, count(*) AS n,
+       count(DISTINCT o_custkey) AS n_cust,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_sink_compacted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sinks.compact_files` as a driver row: orders is first written
+    deliberately fragmented (64 small files — the death-by-small-files
+    ingest pathology), compacted in place through the staged-rewrite +
+    atomic-swap path, then read back and aggregated.  The hash match
+    proves compaction is lossless; the file-count assertion inside the
+    query (surfaced as a boolean) proves it actually compacted."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.sinks import compact_files, copy_to_parquet
+
+    o = load(spark, sf_dir, "orders")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_sink_compact",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    copy_to_parquet(o.repartition(64), work)
+    before = sum(f.endswith(".parquet") for f in os.listdir(work))
+    compact_files(spark, work, target_bytes=256 * 1024 * 1024)
+    after = sum(f.endswith(".parquet") for f in os.listdir(work))
+    back = spark.read.parquet(work)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+        .cast("double").alias("total_price"),
+    ).select(
+        "*", F.lit(bool(after < before)).alias("compacted"),
+    )
+
+
+ORACLE_SINK_COMPACTED = """
+SELECT o_orderstatus, count(*) AS n,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+       TRUE AS compacted
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 QUERIES.update({
     "window_rolling_stats": QuerySpec(
         q_window_rolling_stats, ORACLE_ROLLING,
         doc="rolling 20-event mean/std/z per user — online anomaly normalization",
+    ),
+    "sink_partitioned_export": QuerySpec(
+        q_sink_partitioned_export, ORACLE_SINK_PARTITIONED,
+        doc="K1 COPY TO parquet: partitioned + file-size-bounded export round-trip",
+    ),
+    "sink_compacted_roundtrip": QuerySpec(
+        q_sink_compacted_roundtrip, ORACLE_SINK_COMPACTED,
+        doc="compact_files: fragmented write -> staged-rewrite compaction -> lossless read-back",
     ),
     "source_csv_parity": QuerySpec(
         q_source_csv_parity, ORACLE_CSV_PARITY,
