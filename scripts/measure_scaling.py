@@ -11,13 +11,20 @@ sink is reported.
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SFS = ["0.001", "0.01", "0.1"]
+#: sf label -> fixture dir.  sf1 is the locally-synthesized 10× decade
+#: (scripts/gen_sf1.py) — included when present so the scaling table can
+#: separate fixed per-job overhead from data cost (VERDICT r2 #8).
+SF_DIRS = [(sf, f"/root/testdata/sf{sf}") for sf in ("0.001", "0.01", "0.1")]
+_SF1 = "/root/repo/.bench_data/sf1"
+if os.path.exists(os.path.join(_SF1, "_READY")):
+    SF_DIRS.append(("1", _SF1))
 
 
 def main() -> None:
@@ -33,8 +40,7 @@ def main() -> None:
     for name in names:
         fn = specs[name].fn
         per_sf = []
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for _sf, sf_dir in SF_DIRS:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
             times = []
             for _ in range(3):
@@ -44,9 +50,11 @@ def main() -> None:
             per_sf.append(statistics.median(times))
         rows[name] = per_sf
     print()
-    for name, (a, b, c) in rows.items():
-        ratio = f"{c / a:.1f}x" if a else "-"
-        print(f"| {name} | {a:.2f} | {b:.2f} | {c:.2f} | {ratio} |")
+    for name, ts in rows.items():
+        cells = " | ".join(f"{t:.2f}" for t in ts)
+        # slope of the last decade: how much of the last step is data cost
+        last = f"{ts[-1] / ts[-2]:.1f}x" if ts[-2] else "-"
+        print(f"| {name} | {cells} | {last} |")
 
 
 if __name__ == "__main__":
