@@ -2513,3 +2513,189 @@ QUERIES.update({
         doc="sliding 7-day distinct via daily HLL sketch unions, bound-checked vs exact",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# maintenance surface: MERGE apply, snapshot diff, skyline, audit checksum
+# ---------------------------------------------------------------------------
+
+def q_merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO semantics over the orders snapshot
+    (operators/merge.py): a deterministic change feed derived from the
+    base itself — keys %10∈{0,1,2} update price (+10%) and status,
+    %10=3 delete, %10=7 insert under a shifted key — applied in ONE
+    full-outer join.  The oracle spells the same MERGE as SQL, so the
+    hash match proves all four WHEN branches (matched-update,
+    matched-delete, unmatched-insert, carry-through) byte-for-byte.
+
+    Scale shape: one key-equi join; with |changes| ≪ |base| AQE
+    broadcasts the change side and the base scan stays map-only — the
+    base is never globally sorted or rewritten."""
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 10 <= 3).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 3, F.lit("D"))
+        .otherwise(F.lit("U")).alias("_op"),
+        (F.col("o_totalprice") * 1.1).alias("new_price"),
+        F.lit("M").alias("new_status"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("_op"),
+        F.lit(1.0).alias("new_price"),
+        F.lit("N").alias("new_status"),
+    )
+    merged = merge_upsert(
+        o, upd.unionAll(ins), key="o_orderkey",
+        set_cols={"o_totalprice": "new_price", "o_orderstatus": "new_status"},
+    )
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH ch AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+         o_totalprice * 1.1 AS new_price, 'M' AS new_status
+  FROM orders WHERE o_orderkey % 10 <= 3
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'I', 1.0, 'N'
+  FROM orders WHERE o_orderkey % 10 = 7),
+j AS (
+  SELECT b.o_orderkey AS bk, c.o_orderkey AS ck, c.op,
+         COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+         b.o_custkey,
+         CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
+              THEN COALESCE(c.new_status, b.o_orderstatus)
+              ELSE b.o_orderstatus END AS o_orderstatus,
+         CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
+              THEN COALESCE(c.new_price, b.o_totalprice)
+              ELSE b.o_totalprice END AS o_totalprice
+  FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM j
+WHERE (bk IS NOT NULL AND (ck IS NULL OR op <> 'D'))
+   OR (bk IS NULL AND ck IS NOT NULL AND op <> 'D')
+"""
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed generation between two snapshot generations of the
+    events table (operators/diff.py) — the inverse of the MERGE apply:
+    v_old drops keys %7=6, v_new drops %7=0 and rewrites event_type
+    where %5=0, so the diff must classify exactly those keys as
+    added / removed / changed and drop the unchanged majority before
+    anything re-shuffles."""
+    from fluvio_duck_spark.operators.diff import snapshot_diff
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type")
+    v_old = ev.filter(F.col("event_id") % 7 != 6)
+    v_new = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit("modified"))
+        .otherwise(F.col("event_type")).alias("event_type"),
+    )
+    return snapshot_diff(v_old, v_new, key="event_id")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH v_old AS (
+  SELECT event_id, event_type FROM events WHERE event_id % 7 <> 6),
+v_new AS (
+  SELECT event_id,
+         CASE WHEN event_id % 5 = 0 THEN 'modified' ELSE event_type END
+           AS event_type
+  FROM events WHERE event_id % 7 <> 0),
+j AS (
+  SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+         o.event_id AS ok, n.event_id AS nk,
+         o.event_type AS old_event_type, n.event_type AS new_event_type
+  FROM v_old o FULL OUTER JOIN v_new n ON o.event_id = n.event_id)
+SELECT event_id,
+       CASE WHEN ok IS NULL THEN 'added'
+            WHEN nk IS NULL THEN 'removed'
+            WHEN old_event_type IS DISTINCT FROM new_event_type
+              THEN 'changed' END AS change,
+       old_event_type, new_event_type
+FROM j
+WHERE ok IS NULL OR nk IS NULL
+   OR old_event_type IS DISTINCT FROM new_event_type
+"""
+
+
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of part on (price minimized, size maximized) —
+    operators/skyline.py's two-level local-sweep/merge plan, checked
+    against the quadratic NOT EXISTS dominance definition.  The n² never
+    runs on Spark: each Arrow batch emits only its local frontier and
+    one k-bounded merge finishes the job."""
+    from fluvio_duck_spark.operators.skyline import skyline2d
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    return skyline2d(p, min_col="p_retailprice", max_col="p_size")
+
+
+ORACLE_PARETO_SKYLINE = """
+SELECT p_partkey, p_retailprice, p_size FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
+def q_audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine audit checksums (functions/checksum.py): orders and
+    customer each reduce to ONE (table, n_rows, checksum) row via the
+    md5-fold portable hash; the oracle runs the SAME generated fold in
+    DuckDB, so a hash match here IS the 100 TB migration-validation
+    workflow in miniature — two engines agreeing on a corpus with one
+    number each.  Order/partitioning-insensitive by construction
+    (commutative DECIMAL sum of per-row folds)."""
+    from fluvio_duck_spark.functions.checksum import table_checksum
+
+    a = table_checksum(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_orderpriority"], "orders",
+    )
+    b = table_checksum(
+        load(spark, sf_dir, "customer"),
+        ["c_custkey", "c_name", "c_mktsegment"], "customer",
+    )
+    return a.unionAll(b)
+
+
+def _oracle_audit_checksum() -> str:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    return (
+        checksum_sql("orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+        + "\nUNION ALL\n"
+        + checksum_sql("customer", ["c_custkey", "c_name", "c_mktsegment"])
+    )
+
+
+QUERIES.update({
+    "merge_upsert_apply": QuerySpec(
+        q_merge_upsert_apply, ORACLE_MERGE_UPSERT,
+        doc="MERGE INTO semantics: U/D/I change feed applied in one full-outer join",
+    ),
+    "snapshot_diff": QuerySpec(
+        q_snapshot_diff, ORACLE_SNAPSHOT_DIFF,
+        doc="change-feed generation: added/removed/changed between snapshot generations",
+    ),
+    "pareto_skyline": QuerySpec(
+        q_pareto_skyline, ORACLE_PARETO_SKYLINE,
+        doc="2-D Pareto frontier via local-sweep + k-bounded merge (never n^2)",
+    ),
+    "audit_table_checksum": QuerySpec(
+        q_audit_table_checksum, _oracle_audit_checksum(),
+        doc="portable order-insensitive md5-fold table checksums, same fold both engines",
+    ),
+})

@@ -1,0 +1,176 @@
+"""Maintenance-surface operators: MERGE apply, snapshot diff, skyline,
+portable checksum — semantics pinned on small crafted frames plus
+layout-independence checks (the properties the oracle can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+
+
+def test_merge_all_four_branches(spark):
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    changes = spark.createDataFrame(
+        [
+            (2, "U", "B", 21.0),   # matched update
+            (3, "D", None, None),  # matched delete
+            (9, "I", "Z", 90.0),   # unmatched insert
+            (8, "D", None, None),  # unmatched delete -> no-op
+        ],
+        "k long, _op string, new_s string, new_v double",
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(
+            _base(spark), changes, key="k",
+            set_cols={"s": "new_s", "v": "new_v"},
+        ).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),   # carry-through
+        2: ("B", 21.0),   # updated
+        4: ("d", 40.0),   # carry-through
+        9: ("Z", 90.0),   # inserted
+    }
+
+
+def test_merge_upsert_u_without_match_inserts_and_i_with_match_updates(spark):
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    changes = spark.createDataFrame(
+        [(7, "U", "new", 70.0), (1, "I", "re", 11.0)],
+        "k long, _op string, new_s string, new_v double",
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(
+            _base(spark), changes, key="k",
+            set_cols={"s": "new_s", "v": "new_v"},
+        ).collect()
+    }
+    assert got[7] == ("new", 70.0)  # upsert: U without match inserts
+    assert got[1] == ("re", 11.0)   # idempotent: I with match updates
+    assert len(got) == 5
+
+
+def test_merge_unmapped_column_null_on_insert_kept_on_update(spark):
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    changes = spark.createDataFrame(
+        [(2, "U", 22.0), (9, "I", 99.0)], "k long, _op string, new_v double"
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(
+            _base(spark), changes, key="k", set_cols={"v": "new_v"}
+        ).collect()
+    }
+    assert got[2] == ("b", 22.0)   # unmapped s kept on update
+    assert got[9] == (None, 99.0)  # unmapped s NULL on insert
+
+
+def test_snapshot_diff_classes_and_null_safety(spark):
+    from fluvio_duck_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None), (4, "w"), (5, None)],
+        "k long, c string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (3, "now"), (4, None), (5, None), (6, "new")],
+        "k long, c string",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, key="k").collect()}
+    # 1: unchanged (dropped); 5: NULL==NULL unchanged (dropped)
+    assert got == {
+        2: "removed",
+        3: "changed",   # NULL -> value
+        4: "changed",   # value -> NULL
+        6: "added",
+    }
+
+
+def test_skyline_matches_bruteforce_any_layout(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, float(random.randint(0, 50)), random.randint(0, 50))
+            for i in range(400)]
+    # force duplicate frontier points: ties must all survive
+    rows += [(1000, 0.0, 50), (1001, 0.0, 50)]
+    df = spark.createDataFrame(rows, "id long, cost double, gain int")
+
+    def dominated(a, others):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in others
+        )
+
+    expect = sorted(r[0] for r in rows if not dominated(r, rows))
+
+    from fluvio_duck_spark.operators.skyline import skyline2d
+
+    for parts in (1, 7):
+        got = sorted(
+            r.id
+            for r in skyline2d(
+                df.repartition(parts), "cost", "gain"
+            ).collect()
+        )
+        assert got == expect, parts
+
+
+def test_checksum_order_and_partitioning_invariant(spark):
+    from fluvio_duck_spark.functions.checksum import table_checksum
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, s string"
+    )
+    a = table_checksum(df, ["k", "s"], "t").collect()[0]
+    b = table_checksum(
+        df.repartition(5).sortWithinPartitions(F.desc("k")), ["k", "s"], "t"
+    ).collect()[0]
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+
+
+def test_checksum_detects_single_cell_change_and_null_vs_empty(spark):
+    from fluvio_duck_spark.functions.checksum import table_checksum
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    tweaked = spark.createDataFrame([(1, "a"), (2, "c")], "k long, s string")
+    nullish = spark.createDataFrame([(1, "a"), (2, None)], "k long, s string")
+    empty = spark.createDataFrame([(1, "a"), (2, "")], "k long, s string")
+    cks = {
+        name: table_checksum(d, ["k", "s"], "t").collect()[0].checksum
+        for name, d in [("base", base), ("tweak", tweaked),
+                        ("null", nullish), ("empty", empty)]
+    }
+    assert len(set(cks.values())) == 4  # all distinct; NULL != ''
+
+
+def test_checksum_matches_duckdb_fold_exactly(spark):
+    """The generated SQL fold and the Spark fold are the same arithmetic:
+    run both over the same tiny relation and compare the number."""
+    import duckdb
+
+    from fluvio_duck_spark.functions.checksum import (
+        checksum_sql,
+        table_checksum,
+    )
+
+    rows = [(1, "alpha"), (2, "beta"), (3, None), (4, "Ω-unicode")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    got = table_checksum(df, ["k", "s"], "t").collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = con.execute(checksum_sql("t", ["k", "s"])).fetchone()
+    assert (got.table_name, got.n_rows, got.checksum) == want
