@@ -2699,3 +2699,210 @@ QUERIES.update({
         doc="portable order-insensitive md5-fold table checksums, same fold both engines",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# attribution, sketch set-algebra, inter-rater agreement
+# ---------------------------------------------------------------------------
+
+def q_attrib_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style first-touch / last-touch attribution: each
+    purchase credits the user's earliest and latest preceding
+    non-purchase event type (channel); purchases with no prior touch
+    credit 'direct'.  One user-key shuffle carries BOTH window passes
+    (same partition/order spec); credited value accumulates in DECIMAL
+    so the per-channel revenue is bit-stable on any cluster."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    scored = ev.select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.first(touch, ignorenulls=True).over(w).alias("_first"),
+        F.last(touch, ignorenulls=True).over(w).alias("_last"),
+    ).filter(F.col("event_type") == "purchase")
+    credit = scored.select(
+        F.coalesce(F.col("_first"), F.lit("direct")).alias("first_touch"),
+        F.coalesce(F.col("_last"), F.lit("direct")).alias("last_touch"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    first = credit.groupBy(F.col("first_touch").alias("channel")).agg(
+        F.count("*").alias("n_first"),
+        F.sum("v").cast("double").alias("value_first"),
+    )
+    last = credit.groupBy(F.col("last_touch").alias("channel")).agg(
+        F.count("*").alias("n_last"),
+        F.sum("v").cast("double").alias("value_last"),
+    )
+    return first.join(last, "channel", "full_outer").select(
+        "channel",
+        F.coalesce("n_first", F.lit(0)).alias("n_first"),
+        F.coalesce("value_first", F.lit(0.0)).alias("value_first"),
+        F.coalesce("n_last", F.lit(0)).alias("n_last"),
+        F.coalesce("value_last", F.lit(0.0)).alias("value_last"),
+    )
+
+
+ORACLE_ATTRIB = """
+WITH scored AS (
+  SELECT event_type, value,
+    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+  FROM events),
+credit AS (
+  SELECT COALESCE(f, 'direct') AS first_touch,
+         COALESCE(l, 'direct') AS last_touch,
+         CAST(value AS DECIMAL(18,2)) AS v
+  FROM scored WHERE event_type = 'purchase'),
+f AS (SELECT first_touch AS channel, COUNT(*) AS n_first,
+             CAST(SUM(v) AS DOUBLE) AS value_first
+      FROM credit GROUP BY 1),
+l AS (SELECT last_touch AS channel, COUNT(*) AS n_last,
+             CAST(SUM(v) AS DOUBLE) AS value_last
+      FROM credit GROUP BY 1)
+SELECT COALESCE(f.channel, l.channel) AS channel,
+       COALESCE(n_first, 0) AS n_first,
+       COALESCE(value_first, 0.0) AS value_first,
+       COALESCE(n_last, 0) AS n_last,
+       COALESCE(value_last, 0.0) AS value_last
+FROM f FULL OUTER JOIN l ON f.channel = l.channel
+"""
+
+
+def q_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap set algebra from mergeable sketches: distinct
+    users in segment A ∩ B for every event-type pair, estimated by HLL
+    inclusion-exclusion (est A + est B − est A∪B — the union sketch is
+    ONE hll_union of the two per-segment sketches, no rescan).  Surfaced
+    driver-checkably: exact per-pair cardinalities (oracle-matched) plus
+    a boolean asserting the estimate landed within 10% of |A|+|B| (three
+    ≈1.6%-rse terms compound; 10% of the segment mass is a ≳6σ
+    envelope).  At 100 TB the per-segment sketches are KBs — pair
+    overlap for ANY segment pair costs one sketch union, never a rescan
+    of the corpus; that's the trade this operator packages."""
+    ev = load(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n"),
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        (
+            F.hll_sketch_estimate(F.col("a.sk"))
+            + F.hll_sketch_estimate(F.col("b.sk"))
+            - F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+        ).alias("_est_inter"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    x, y = du.alias("x"), du.alias("y")
+    exact = (
+        x.join(y, (F.col("x.user_id") == F.col("y.user_id"))
+               & (F.col("x.event_type") < F.col("y.event_type")))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return pairs.join(exact, ["type_a", "type_b"]).select(
+        "type_a", "type_b", "n_a", "n_b", "n_inter",
+        (F.abs(F.col("_est_inter") - F.col("n_inter"))
+         <= 0.1 * (F.col("n_a") + F.col("n_b"))).alias("est_within_bound"),
+    )
+
+
+ORACLE_SEGMENT_OVERLAP = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+n AS (SELECT event_type, COUNT(*) AS n FROM du GROUP BY 1),
+inter AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b, COUNT(*) AS n_inter
+  FROM du x JOIN du y
+    ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b, na.n AS n_a, nb.n AS n_b, n_inter,
+       TRUE AS est_within_bound
+FROM inter
+JOIN n na ON na.event_type = type_a
+JOIN n nb ON nb.event_type = type_b
+"""
+
+
+def q_eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-rater agreement in-engine: two deterministic
+    binary raters over the embeddings table (rater1 = label parity,
+    rater2 = rater1 with every third vec_id flipped → κ is exactly
+    computable and ≠ raw agreement).  One count-shaped pass collects the
+    2×2 confusion; κ = (p_o − p_e)/(1 − p_e) as a single double
+    expression over exact BIGINT counts — the annotation-quality gate a
+    labeling pipeline runs before trusting a rater pool."""
+    e = load(spark, sf_dir, "embeddings")
+    r = e.select(
+        (F.col("label") % 2).alias("r1"),
+        F.when(F.col("vec_id") % 3 == 0, 1 - F.col("label") % 2)
+        .otherwise(F.col("label") % 2).alias("r2"),
+    )
+    c = r.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 1)).cast("long")).alias("a"),
+        F.sum(((F.col("r1") == 1) & (F.col("r2") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("r1") == 0) & (F.col("r2") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("r1") == 0) & (F.col("r2") == 0)).cast("long")).alias("d"),
+    )
+    po = (F.col("a") + F.col("d")).cast("double") / F.col("n")
+    pe = (
+        (F.col("a") + F.col("b")) * (F.col("a") + F.col("c"))
+        + (F.col("c") + F.col("d")) * (F.col("b") + F.col("d"))
+    ).cast("double") / (F.col("n").cast("double") * F.col("n"))
+    return c.select(
+        "n", "a", "b", "c", "d",
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+ORACLE_COHENS_KAPPA = """
+WITH r AS (
+  SELECT label % 2 AS r1,
+         CASE WHEN vec_id % 3 = 0 THEN 1 - label % 2 ELSE label % 2 END AS r2
+  FROM embeddings),
+c AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM r)
+SELECT n, a, b, c, d,
+       round((CAST(a + d AS DOUBLE) / n
+              - CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * n))
+             / (1.0 - CAST((a + b) * (a + c) + (c + d) * (b + d) AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+FROM c
+"""
+
+
+QUERIES.update({
+    "attrib_first_last_touch": QuerySpec(
+        q_attrib_first_last_touch, ORACLE_ATTRIB,
+        doc="first/last-touch purchase attribution per channel (one user-key shuffle, two frames)",
+    ),
+    "sketch_segment_overlap": QuerySpec(
+        q_sketch_segment_overlap, ORACLE_SEGMENT_OVERLAP,
+        doc="HLL inclusion-exclusion audience overlap per segment pair, bound-checked vs exact",
+    ),
+    "eval_cohens_kappa": QuerySpec(
+        q_eval_cohens_kappa, ORACLE_COHENS_KAPPA,
+        doc="Cohen's kappa inter-rater agreement from one exact confusion-count pass",
+    ),
+})

@@ -174,3 +174,51 @@ def test_checksum_matches_duckdb_fold_exactly(spark):
     con.executemany("INSERT INTO t VALUES (?, ?)", rows)
     want = con.execute(checksum_sql("t", ["k", "s"])).fetchone()
     assert (got.table_name, got.n_rows, got.checksum) == want
+
+
+def test_attribution_first_last_and_direct(spark, sf_dir):
+    """Crafted journey: view -> click -> purchase credits first=view,
+    last=click; a user whose first event is a purchase credits direct."""
+    import datetime as dt
+
+    from fluvio_duck_spark.queries.pipeline import q_attrib_first_last_touch
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "view", 0.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=1), 10, "click", 0.0, "{}"),
+        (3, t0 + dt.timedelta(minutes=2), 10, "purchase", 5.0, "{}"),
+        (4, t0, 20, "purchase", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    import os
+    import tempfile
+
+    work = os.path.join(tempfile.gettempdir(), "attrib_unit")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, "events.parquet")
+    )
+    got = {r.channel: (r.n_first, r.value_first, r.n_last, r.value_last)
+           for r in q_attrib_first_last_touch(spark, work).collect()}
+    assert got == {
+        "view": (1, 5.0, 0, 0.0),
+        "click": (0, 0.0, 1, 5.0),
+        "direct": (1, 7.0, 1, 7.0),
+    }
+
+
+def test_cohens_kappa_value_is_consistent(spark, sf_dir):
+    """kappa recomputed from the surfaced confusion counts equals the
+    surfaced kappa (internal consistency), and raters that agree on ~2/3
+    of rows give 0 < kappa < raw agreement."""
+    from fluvio_duck_spark.queries.pipeline import q_eval_cohens_kappa
+
+    r = q_eval_cohens_kappa(spark, sf_dir).collect()[0]
+    n, a, b, c, d = r.n, r.a, r.b, r.c, r.d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
+    assert 0 < r.kappa < po
