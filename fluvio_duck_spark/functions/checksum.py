@@ -55,16 +55,18 @@ def table_checksum(df: DataFrame, cols: list[str], label: str) -> DataFrame:
     ).select(F.lit(label).alias("table_name"), "n_rows", "checksum")
 
 
-def checksum_sql(table: str, cols: list[str]) -> str:
+def checksum_sql(table: str, cols: list[str], label: str | None = None) -> str:
     """The identical fold as ANSI SQL (DuckDB-ready) — built from the
-    same weight table so both engines run the same arithmetic."""
+    same weight table so both engines run the same arithmetic.  ``table``
+    may be a parenthesized subquery; ``label`` overrides the emitted
+    table_name (defaults to ``table``)."""
     canon = ", ".join(f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in cols)
     terms = " + ".join(
         f"CAST(ascii(substr(h, {i}, 1)) AS BIGINT) * {w}"
         for i, w in enumerate(_WEIGHTS, start=1)
     )
     return f"""
-SELECT '{table}' AS table_name, COUNT(*) AS n_rows,
+SELECT '{label or table}' AS table_name, COUNT(*) AS n_rows,
        CAST(SUM(CAST({terms} AS DECIMAL(38,0))) AS BIGINT) AS checksum
 FROM (SELECT md5(concat_ws('|', {canon})) AS h FROM {table})
 """

@@ -74,10 +74,11 @@ def merge_upsert(
         if new_name is None:
             return base_val.alias(name)
         new_val = F.col(f"c.{new_name}")
-        # matched U/I -> new value; unmatched insert -> new value;
+        # matched U/I -> new value (NULL means SET NULL, per ANSI MERGE —
+        # a change feed that narrows a value to NULL must round-trip);
         # matched D is already filtered; plain carry-through -> old value
         return (
-            F.when(has_change & (op != OP_DELETE), F.coalesce(new_val, base_val))
+            F.when(has_change & (op != OP_DELETE), new_val)
             .otherwise(base_val)
             .alias(name)
         )

@@ -2570,10 +2570,10 @@ j AS (
          COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
          b.o_custkey,
          CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
-              THEN COALESCE(c.new_status, b.o_orderstatus)
+              THEN c.new_status
               ELSE b.o_orderstatus END AS o_orderstatus,
          CASE WHEN c.o_orderkey IS NOT NULL AND c.op <> 'D'
-              THEN COALESCE(c.new_price, b.o_totalprice)
+              THEN c.new_price
               ELSE b.o_totalprice END AS o_totalprice
   FROM orders b FULL OUTER JOIN ch c ON b.o_orderkey = c.o_orderkey)
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -2904,5 +2904,65 @@ QUERIES.update({
     "eval_cohens_kappa": QuerySpec(
         q_eval_cohens_kappa, ORACLE_COHENS_KAPPA,
         doc="Cohen's kappa inter-rater agreement from one exact confusion-count pass",
+    ),
+})
+
+
+def q_cdc_roundtrip_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintenance surface's algebraic identity, proven in-engine and
+    driver-verified: diff two snapshot generations (operators/diff.py),
+    apply the emitted change feed back onto the old generation
+    (operators/merge.py), and return the REBUILT snapshot's portable
+    audit pair (n_rows, checksum).  The oracle computes the same audit
+    pair directly over v_new in SQL — so a driver hash match is a
+    cross-engine proof that diff→merge reconstructs the new snapshot
+    byte-for-byte.  This is the validation loop a 100 TB incremental
+    pipeline runs nightly: one number per engine, compared."""
+    from fluvio_duck_spark.functions.checksum import table_checksum
+    from fluvio_duck_spark.operators.diff import snapshot_diff
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    v_old = ev.filter(F.col("event_id") % 7 != 6)
+    v_new = ev.filter(F.col("event_id") % 7 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0, F.lit("modified"))
+        .otherwise(F.col("event_type")).alias("event_type"),
+        "user_id",
+    )
+    d = snapshot_diff(v_old, v_new, key="event_id")
+    feed = d.selectExpr(
+        "event_id",
+        "CASE change WHEN 'removed' THEN 'D' ELSE 'U' END AS _op",
+        "new_event_type", "new_user_id",
+    )
+    rebuilt = merge_upsert(
+        v_old, feed, key="event_id",
+        set_cols={"event_type": "new_event_type", "user_id": "new_user_id"},
+    )
+    return table_checksum(
+        rebuilt, ["event_id", "event_type", "user_id"], "v_new"
+    )
+
+
+def _oracle_cdc_roundtrip() -> str:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    v_new = (
+        "(SELECT event_id, CASE WHEN event_id % 5 = 0 THEN 'modified' "
+        "ELSE event_type END AS event_type, user_id "
+        "FROM events WHERE event_id % 7 <> 0)"
+    )
+    return checksum_sql(
+        v_new, ["event_id", "event_type", "user_id"], label="v_new"
+    )
+
+
+QUERIES.update({
+    "cdc_roundtrip_identity": QuerySpec(
+        q_cdc_roundtrip_identity, _oracle_cdc_roundtrip(),
+        doc="diff -> merge identity proven via the portable checksum: rebuilt snapshot audits equal to v_new cross-engine",
     ),
 })

@@ -222,3 +222,32 @@ def test_cohens_kappa_value_is_consistent(spark, sf_dir):
     pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
     assert abs(r.kappa - round((po - pe) / (1 - pe), 6)) < 1e-9
     assert 0 < r.kappa < po
+
+
+def test_diff_then_merge_roundtrip_reconstructs_new(spark):
+    """Algebraic contract tying the two operators: applying the change
+    feed that snapshot_diff emits onto the old snapshot reconstructs the
+    new snapshot exactly — for random frames and any partitioning."""
+    import random
+
+    from fluvio_duck_spark.operators.diff import snapshot_diff
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    random.seed(23)
+    old_rows = [(k, random.choice(["a", "b", None]), float(random.randint(0, 9)))
+                for k in range(60)]
+    new_rows = [(k, random.choice(["a", "b", "c", None]), float(random.randint(0, 9)))
+                for k in range(20, 80)]
+    old = spark.createDataFrame(old_rows, "k long, s string, v double")
+    new = spark.createDataFrame(new_rows, "k long, s string, v double")
+
+    d = snapshot_diff(old.repartition(5), new.repartition(3), key="k")
+    feed = d.selectExpr(
+        "k",
+        "CASE change WHEN 'removed' THEN 'D' ELSE 'U' END AS _op",
+        "new_s", "new_v",
+    )
+    rebuilt = merge_upsert(
+        old, feed, key="k", set_cols={"s": "new_s", "v": "new_v"}
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(new_rows)
