@@ -2966,3 +2966,80 @@ QUERIES.update({
         doc="diff -> merge identity proven via the portable checksum: rebuilt snapshot audits equal to v_new cross-engine",
     ),
 })
+
+
+def q_er_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (operators/linkage.py): every distinct part name is
+    deterministically corrupted (one character dropped at a
+    name-derived position — a typo feed), then fuzzy-joined back against
+    the clean catalog by char-3-gram Jaccard, best match per dirty
+    record.  The oracle runs the identical gram/Jaccard/top-1 pipeline in
+    SQL, so the hash match pins blocking, scoring, and tie-break
+    semantics.  Inverted-index blocking — the join is gram-keyed, never
+    |dirty|×|clean|; at 100 TB add max_gram_df to bound stop-gram
+    fan-out."""
+    from fluvio_duck_spark.operators.linkage import fuzzy_join
+
+    names = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("clean_name")).distinct()
+    )
+    pos = (
+        (F.length("clean_name") + F.ascii(F.substring("clean_name", 1, 1)))
+        % F.length("clean_name") + 1
+    )
+    dirty = names.select(
+        F.concat(
+            F.col("clean_name").substr(F.lit(1), pos - 1),
+            F.col("clean_name").substr(pos + 1, F.length("clean_name") - pos),
+        ).alias("dirty_name")
+    ).distinct()
+    return fuzzy_join(
+        names, dirty, "clean_name", "dirty_name", q=3, threshold=0.3
+    ).select("dirty_name", "clean_name", "jaccard")
+
+
+ORACLE_ER_FUZZY = """
+WITH names AS (SELECT DISTINCT p_name AS clean_name FROM part),
+dirty AS (
+  SELECT DISTINCT
+    concat(substr(clean_name, 1, pos - 1),
+           substr(clean_name, pos + 1, length(clean_name) - pos)) AS dirty_name
+  FROM (SELECT clean_name,
+               (length(clean_name) + ascii(substr(clean_name, 1, 1)))
+                 % length(clean_name) + 1 AS pos
+        FROM names)),
+lg AS (
+  SELECT DISTINCT clean_name,
+         substr('^' || lower(clean_name) || '$', CAST(i.i AS INTEGER), 3) AS g
+  FROM names, (SELECT unnest(range(1, 1000)) AS i) i
+  WHERE i.i <= length(clean_name) + 2 - 2),
+rg AS (
+  SELECT DISTINCT dirty_name,
+         substr('^' || lower(dirty_name) || '$', CAST(i.i AS INTEGER), 3) AS g
+  FROM dirty, (SELECT unnest(range(1, 1000)) AS i) i
+  WHERE i.i <= length(dirty_name) + 2 - 2),
+ln AS (SELECT clean_name, COUNT(*) AS nl FROM lg GROUP BY 1),
+rn AS (SELECT dirty_name, COUNT(*) AS nr FROM rg GROUP BY 1),
+common AS (
+  SELECT lg.clean_name, rg.dirty_name, COUNT(*) AS common
+  FROM lg JOIN rg ON lg.g = rg.g GROUP BY 1, 2),
+scored AS (
+  SELECT dirty_name, clean_name,
+         CAST(common AS DOUBLE) / (nl + nr - common) AS jaccard
+  FROM common JOIN ln USING (clean_name) JOIN rn USING (dirty_name)
+  WHERE CAST(common AS DOUBLE) / (nl + nr - common) >= 0.3)
+SELECT dirty_name, clean_name, jaccard
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY dirty_name ORDER BY jaccard DESC, clean_name) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
+QUERIES.update({
+    "er_fuzzy_join_parts": QuerySpec(
+        q_er_fuzzy_join_parts, ORACLE_ER_FUZZY,
+        doc="record linkage: char-3-gram Jaccard fuzzy join, gram-blocked, best match per dirty record",
+    ),
+})

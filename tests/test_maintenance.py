@@ -251,3 +251,47 @@ def test_diff_then_merge_roundtrip_reconstructs_new(spark):
         old, feed, key="k", set_cols={"s": "new_s", "v": "new_v"}
     )
     assert sorted(map(tuple, rebuilt.collect())) == sorted(new_rows)
+
+
+def test_fuzzy_join_links_typos_and_is_layout_stable(spark):
+    """Known typos link back to their source; an unrelated string does
+    not cross the threshold; result is identical under repartitioning."""
+    from fluvio_duck_spark.operators.linkage import fuzzy_join
+
+    clean = spark.createDataFrame(
+        [("red widget",), ("blue bolt",), ("small gear",)], "clean string"
+    )
+    dirty = spark.createDataFrame(
+        [("red widgt",), ("blu bolt",), ("zzzzqqq",)], "dirty string"
+    )
+    got = {
+        r.dirty: r.clean
+        for r in fuzzy_join(clean, dirty, "clean", "dirty",
+                            threshold=0.3).collect()
+    }
+    assert got == {"red widgt": "red widget", "blu bolt": "blue bolt"}
+
+    again = {
+        r.dirty: r.clean
+        for r in fuzzy_join(
+            clean.repartition(4), dirty.repartition(3), "clean", "dirty",
+            threshold=0.3,
+        ).collect()
+    }
+    assert again == got
+
+
+def test_fuzzy_join_max_gram_df_bounds_fanout_keeps_matches(spark):
+    """With a stop-gram bound the join still links distinctive typos —
+    the bound drops only corpus-wide grams (here ' wi' style shared
+    grams survive since df is small, so results are unchanged)."""
+    from fluvio_duck_spark.operators.linkage import fuzzy_join
+
+    clean = spark.createDataFrame(
+        [("red widget",), ("blue bolt",)], "clean string"
+    )
+    dirty = spark.createDataFrame([("red widgt",)], "dirty string")
+    got = fuzzy_join(
+        clean, dirty, "clean", "dirty", threshold=0.3, max_gram_df=10
+    ).collect()
+    assert len(got) == 1 and got[0].clean == "red widget"
