@@ -1,0 +1,108 @@
+"""BPE tokenizer fitting in-engine (Sennrich et al., ACL 2016).
+
+The tokenizer-training half of an LLM data pipeline, expressed so the
+corpus is scanned ONCE: byte-pair-encoding merges are learned from the
+word-frequency table, not the raw text — the standard construction — so
+after one corpus shuffle every merge round runs over a |vocab|-sized
+relation.
+
+Per round r:
+  1. adjacent symbol pairs explode from each word's symbol sequence,
+     weighted by word count → ONE vocab-sized aggregation;
+  2. the argmax pair (count desc, then lexicographic — fully
+     deterministic ties) survives as a 1-row DataFrame;
+  3. the merge applies to every word via a greedy left-to-right
+     ``F.aggregate`` fold over the symbol array (JVM higher-order
+     function, no UDF): the pair's occurrences collapse exactly the way
+     a BPE tokenizer applies a learned merge ('aaaa' + merge(a,a) →
+     [aa, aa], not [aa, a, a]).
+
+Scale: corpus → vocab is the only corpus-sized shuffle; each of the K
+rounds then costs one pair-count aggregation plus a broadcast of the
+1-row argmax.  The 1-row winners are eagerly localCheckpointed (they're
+consumed twice — by the next round and by the output union — and the
+checkpoint caps the K-round lineage the way operators/graph.py does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt) over lowercase alpha tokens — the one corpus pass."""
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _apply_merge(syms_col, a_col, b_col):
+    """Greedy left-to-right application of merge (a, b) to a symbol
+    array: fold, replacing a trailing `a` by `ab` whenever `b` arrives —
+    a freshly merged `ab` cannot chain into the same-round next merge,
+    matching tokenizer semantics."""
+    first = F.slice(syms_col, 1, 1)
+    rest = F.slice(syms_col, 2, F.greatest(F.size(syms_col) - 1, F.lit(0)))
+    return F.aggregate(
+        rest,
+        first,
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == a_col) & (x == b_col),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(a_col, b_col)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_fit(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges; returns (round, sym_a,
+    sym_b, pair_count) — the merge table a tokenizer ships."""
+    spark = docs.sparkSession
+    vocab = word_vocab(docs, text_col).select(
+        "cnt",
+        F.split(F.col("word"), "").alias("syms"),
+    )
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+            .limit(1)
+            .select(F.lit(r).alias("round"), "sym_a", "sym_b", "pair_count")
+            .localCheckpoint(eager=True)
+        )
+        merges.append(best)
+        vocab = vocab.crossJoin(F.broadcast(best)).select(
+            "cnt",
+            _apply_merge(
+                F.col("syms"), F.col("sym_a"), F.col("sym_b")
+            ).alias("syms"),
+        )
+        if r % 2 == 0 and r < n_merges:
+            vocab = vocab.localCheckpoint(eager=False)
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

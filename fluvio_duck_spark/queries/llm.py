@@ -2941,3 +2941,66 @@ QUERIES.update({
         doc="semi-supervised 2-round k-NN label propagation, seeds frozen, n*k-bounded rounds",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_fit — BPE tokenizer fitting, SQL-unrolled oracle
+# ---------------------------------------------------------------------------
+
+def q_text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges learned from the documents corpus
+    (operators/bpe.py): corpus → word-frequency table once, then every
+    round is a vocab-sized pair count + argmax + greedy fold.  The
+    oracle unrolls all six rounds in SQL — pair counts via position
+    explode, the greedy merge application via a recursive-CTE fold per
+    word — so an ITERATIVE tokenizer-training algorithm gets an exact
+    hash-compared oracle, same as graph_pagerank's unrolled recurrence."""
+    from fluvio_duck_spark.operators.bpe import bpe_fit
+
+    return bpe_fit(load(spark, sf_dir, "documents"), n_merges=6)
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
+    parts = ["""WITH RECURSIVE v1 AS MATERIALIZED (
+  SELECT CAST(cnt AS BIGINT) AS cnt,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, CAST(i AS INTEGER), 1)) AS syms
+  FROM (SELECT word, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word))"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""best{r} AS MATERIALIZED (
+  SELECT {r} AS round, a AS sym_a, b AS sym_b,
+         CAST(SUM(cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, syms[CAST(i.i AS INTEGER)] AS a,
+               syms[CAST(i.i AS INTEGER) + 1] AS b
+        FROM v{r}, (SELECT unnest(range(1, 1000)) AS i) i
+        WHERE i.i < len(syms))
+  GROUP BY a, b
+  ORDER BY pair_count DESC, a, b LIMIT 1)""")
+        if r < n_merges:
+            parts.append(f"""f{r} AS (
+  SELECT cnt, syms, 2 AS i, list_slice(syms, 1, 1) AS acc FROM v{r}
+  UNION ALL
+  SELECT cnt, syms, i + 1,
+    CASE WHEN acc[len(acc)] = (SELECT sym_a FROM best{r})
+              AND syms[i] = (SELECT sym_b FROM best{r})
+         THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                          (SELECT sym_a || sym_b FROM best{r}))
+         ELSE list_append(acc, syms[i]) END
+  FROM f{r} WHERE i <= len(syms)),
+v{r + 1} AS MATERIALIZED (SELECT cnt, acc AS syms FROM f{r} WHERE i = len(syms) + 1)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT round, sym_a, sym_b, pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return ",\n".join(parts) + "\n" + tail
+
+
+QUERIES.update({
+    "text_bpe_fit": QuerySpec(
+        q_text_bpe_fit, _bpe_oracle(6),
+        doc="BPE tokenizer fit: 6 merges, one corpus pass + vocab-sized rounds; recursive-CTE-unrolled oracle",
+    ),
+})

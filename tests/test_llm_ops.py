@@ -882,3 +882,53 @@ def test_label_propagation_densifies_and_freezes_seeds(spark, sf_dir):
     assert len(labeled) > len(seeds)  # propagation actually happened
     vocab = {r.own_label for r in rows}
     assert {r.label_prop for r in labeled} <= vocab
+
+
+def test_bpe_fit_classic_corpus(spark):
+    """Sennrich et al.'s canonical example: es, est, lo, low come out in
+    order with the right weighted counts."""
+    from fluvio_duck_spark.operators.bpe import bpe_fit
+
+    docs = spark.createDataFrame(
+        [("low low low low low lower lower newest newest newest "
+          "newest newest newest widest widest widest",)],
+        "text string",
+    )
+    got = [(r.round, r.sym_a, r.sym_b, r.pair_count)
+           for r in bpe_fit(docs, n_merges=4).collect()]
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+
+def test_bpe_merge_application_is_greedy_left_to_right(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — the freshly
+    merged symbol never chains into the same round's next position."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("a",)], "w string")
+    got = {
+        r.w: r.m
+        for r in df.select(
+            "w",
+            _apply_merge(F.split("w", ""), F.lit("a"), F.lit("a")).alias("m"),
+        ).collect()
+    }
+    assert got == {"aaaa": ["aa", "aa"], "aaa": ["aa", "a"], "a": ["a"]}
+
+
+def test_bpe_fit_layout_independent(spark, sf_dir):
+    """Same merges from 1 and 7 input partitions (argmax tie-break and
+    fold are partitioning-free)."""
+    from fluvio_duck_spark.operators.bpe import bpe_fit
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    a = bpe_fit(docs.repartition(1), n_merges=3).collect()
+    b = bpe_fit(docs.repartition(7), n_merges=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
