@@ -129,6 +129,16 @@ EXTENDED = [
     "rollup_hll_sliding_wau",
     "agg_winsorized_mean",
     "agg_gini_by_type",
+    # round-3 additions
+    "merge_upsert_apply",
+    "snapshot_diff",
+    "cdc_roundtrip_identity",
+    "audit_table_checksum",
+    "pareto_skyline",
+    "attrib_first_last_touch",
+    "sketch_segment_overlap",
+    "er_fuzzy_join_parts",
+    "text_bpe_fit",
 ]
 
 

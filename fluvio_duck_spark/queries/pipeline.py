@@ -3043,3 +3043,133 @@ QUERIES.update({
         doc="record linkage: char-3-gram Jaccard fuzzy join, gram-blocked, best match per dirty record",
     ),
 })
+
+
+def q_join_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with a nullable subquery — the SQL semantics trap NOT
+    EXISTS avoids: if the subquery produces ANY NULL, NOT IN yields no
+    rows at all (three-valued logic), so engines need a null-aware anti
+    join, not a hash anti join.  The probe list here mixes real custkeys
+    with NULLs (every 10th order contributes NULL), so the correct
+    answer counts only customers outside the NON-NULL key set AND the
+    plan must prove the list was null-free per-group... exercised both
+    ways: `n_not_in` uses the null-stripped list (classic anti join),
+    `n_not_in_raw` uses the raw list via SQL NOT IN (null-aware — zero
+    when any NULL exists, which the fixture guarantees).  Catalyst plans
+    the raw form as NullAwareAntiJoin; both come back exact."""
+    ev = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    ev.select(
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("k")
+    ).createOrReplaceTempView("_probe_keys")
+    cu.createOrReplaceTempView("_cust")
+    return spark.sql("""
+        SELECT
+          (SELECT COUNT(*) FROM _cust
+           WHERE c_custkey NOT IN (SELECT k FROM _probe_keys WHERE k IS NOT NULL))
+            AS n_not_in,
+          (SELECT COUNT(*) FROM _cust
+           WHERE c_custkey NOT IN (SELECT k FROM _probe_keys))
+            AS n_not_in_raw
+    """)
+
+
+ORACLE_NOT_IN_NULLAWARE = """
+WITH pk AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS k
+  FROM orders)
+SELECT
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM pk WHERE k IS NOT NULL)) AS n_not_in,
+  (SELECT COUNT(*) FROM customer
+   WHERE c_custkey NOT IN (SELECT k FROM pk)) AS n_not_in_raw
+"""
+
+
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user over time — Spark
+    forbids DISTINCT inside window frames, so this packages the standard
+    rewrite: flag each (user, type)'s FIRST occurrence with a
+    row_number over a second window, then running-sum the flags on the
+    time axis.  Both windows share ONE user-key shuffle (same partition
+    key); no extra exchange, no distinct state.  The oracle uses the
+    same rewrite (DuckDB also rejects DISTINCT aggregates over ordered
+    frames)."""
+    ev = load(spark, sf_dir, "events")
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id", "event_id", "ts",
+        (F.row_number().over(w_first) == 1).cast("int").alias("_new"),
+    ).select(
+        "user_id", "event_id",
+        F.sum("_new").over(w_run).cast("long").alias("distinct_types_so_far"),
+    )
+
+
+ORACLE_RUNNING_DISTINCT = """
+SELECT user_id, event_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_types_so_far
+FROM (
+  SELECT user_id, event_id, ts,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM events)
+"""
+
+
+def q_source_orc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-independence for ORC (Spark-native columnar sibling of
+    parquet): events round-trips through an ORC write/read and must
+    aggregate identically to the pristine parquet the oracle reads —
+    same contract as source_csv_parity/source_jsonl_parity, completing
+    the landed-format matrix."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_orc_parity",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    ev.select("event_id", "user_id", "event_type", "value").write.orc(work)
+    back = spark.read.orc(work)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+ORACLE_ORC_PARITY = """
+SELECT event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "join_not_in_nullaware": QuerySpec(
+        q_join_not_in_nullaware, ORACLE_NOT_IN_NULLAWARE,
+        doc="NOT IN three-valued-logic semantics: null-aware anti join vs null-stripped anti join",
+    ),
+    "window_running_distinct": QuerySpec(
+        q_window_running_distinct, ORACLE_RUNNING_DISTINCT,
+        doc="running COUNT(DISTINCT) over a window via the first-occurrence rewrite (one shared shuffle)",
+    ),
+    "source_orc_parity": QuerySpec(
+        q_source_orc_parity, ORACLE_ORC_PARITY,
+        doc="ORC round-trip aggregates identically to pristine parquet (format matrix complete)",
+    ),
+})
