@@ -3125,40 +3125,6 @@ FROM (
 """
 
 
-def q_source_orc_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format-independence for ORC (Spark-native columnar sibling of
-    parquet): events round-trips through an ORC write/read and must
-    aggregate identically to the pristine parquet the oracle reads —
-    same contract as source_csv_parity/source_jsonl_parity, completing
-    the landed-format matrix."""
-    import os
-    import shutil
-    import tempfile
-
-    ev = load(spark, sf_dir, "events")
-    work = os.path.join(
-        tempfile.gettempdir(), "fluvio_duck_orc_parity",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    ev.select("event_id", "user_id", "event_type", "value").write.orc(work)
-    back = spark.read.orc(work)
-    return back.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.min("event_id").alias("min_id"),
-        F.max("event_id").alias("max_id"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
-    )
-
-
-ORACLE_ORC_PARITY = """
-SELECT event_type, count(*) AS n,
-       min(event_id) AS min_id, max(event_id) AS max_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events GROUP BY event_type
-"""
-
-
 QUERIES.update({
     "join_not_in_nullaware": QuerySpec(
         q_join_not_in_nullaware, ORACLE_NOT_IN_NULLAWARE,
@@ -3167,9 +3133,5 @@ QUERIES.update({
     "window_running_distinct": QuerySpec(
         q_window_running_distinct, ORACLE_RUNNING_DISTINCT,
         doc="running COUNT(DISTINCT) over a window via the first-occurrence rewrite (one shared shuffle)",
-    ),
-    "source_orc_parity": QuerySpec(
-        q_source_orc_parity, ORACLE_ORC_PARITY,
-        doc="ORC round-trip aggregates identically to pristine parquet (format matrix complete)",
     ),
 })
