@@ -112,3 +112,21 @@ def test_misc_flags():
     assert opts.max_bytes == 1048576
     assert opts.rows == 99
     assert opts.end == 5
+
+
+def test_no_duplicate_query_registrations_within_modules():
+    """all_queries() raises on cross-module duplicates, but a repeated
+    name WITHIN one module silently overwrites the earlier QuerySpec
+    (dict update) — this pins source-level uniqueness so a re-registered
+    name can never shadow an existing query again."""
+    import re
+    from collections import Counter
+    from pathlib import Path
+
+    qdir = Path(__file__).resolve().parents[1] / "fluvio_duck_spark" / "queries"
+    for mod in qdir.glob("*.py"):
+        names = re.findall(
+            r'^    "([a-z0-9_]+)": QuerySpec', mod.read_text(), re.M
+        )
+        dups = [n for n, c in Counter(names).items() if c > 1]
+        assert not dups, f"{mod.name}: duplicate registrations {dups}"
