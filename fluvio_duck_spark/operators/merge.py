@@ -5,19 +5,24 @@ views, reference README.md:149-205); a landed-topic warehouse still needs
 the maintenance half of the story: applying a batch of keyed changes —
 updates, deletes, inserts — onto a base snapshot, i.e. ANSI
 ``MERGE INTO base USING changes ON key WHEN MATCHED ... WHEN NOT
-MATCHED ...`` expressed as a full-outer join + row classification, the
-same rewrite Delta/Iceberg execute underneath.
+MATCHED ...``, the same rewrite Delta/Iceberg execute underneath.
 
-Design for 100 TB:
+Design for 100 TB — two branches, because join strategy is the whole
+game when ``|changes| ≪ |base|``:
 
-* ONE full-outer join on the key is the whole plan — the base table is
-  never sorted or rewritten wholesale, and when ``|changes| ≪ |base|``
-  AQE turns the join into a broadcast, so the base scan is map-only.
-* Classification is a CASE over the join's null-sides (JVM codegen):
-  matched+U → updated row, matched+D → dropped, unmatched-change+I →
-  inserted, unmatched-base → carried through.
-* The operator is deterministic and partitioning-independent: output
-  rows depend only on (base row, change row) pairs, never on layout.
+* **matched/carry-through branch**: ``base LEFT JOIN changes`` — a LEFT
+  join CAN broadcast its build side (full-outer cannot: Spark has no
+  broadcast-hash full-outer), so the base table streams map-only past a
+  broadcast change set; it is never sorted, shuffled, or rewritten
+  wholesale.
+* **insert branch**: ``changes LEFT ANTI JOIN base`` on the key — only
+  the base's KEY COLUMN shuffles (Catalyst prunes the projection to the
+  join key), and AQE turns even that into a broadcast when the change
+  side is small.
+
+Row classification is a CASE over the join null-sides (JVM codegen);
+the operator is deterministic and partitioning-independent: output rows
+depend only on (base row, change row) pairs, never on layout.
 """
 
 from __future__ import annotations
@@ -47,42 +52,64 @@ def merge_upsert(
     same-named column).
 
     Semantics (ANSI MERGE):
-      * U with a match   → base row with mapped columns replaced
+      * U with a match   → base row with mapped columns replaced (a NULL
+        new value means SET NULL — a feed narrowing a value to NULL must
+        round-trip)
       * U without match  → inserted (upsert reading of U)
       * D with a match   → row removed;  D without match → no-op
       * I without match  → inserted;     I with a match  → treated as U
         (idempotent re-apply of a change feed never duplicates keys)
     """
     set_cols = set_cols or {}
+    change_names = set(changes.columns) - {op_col}
+    op = F.col(f"c.{op_col}")
+    has_change = F.col(f"c.{key}").isNotNull()
+
+    def new_value(name: str) -> Column | None:
+        new_name = set_cols.get(name, name if name in change_names else None)
+        return None if new_name is None else F.col(f"c.{new_name}")
+
     b = base.alias("b")
     c = changes.alias("c")
-    joined = b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer")
 
-    has_base = F.col(f"b.{key}").isNotNull()
-    has_change = F.col(f"c.{key}").isNotNull()
-    op = F.col(f"c.{op_col}")
+    # matched / carry-through branch: LEFT join — broadcastable build
+    # side (AQE sizes it at runtime; callers may F.broadcast the changes
+    # frame themselves when its bound is known a priori)
+    matched = b.join(
+        c, F.col(f"b.{key}") == F.col(f"c.{key}"), "left"
+    ).filter(~has_change | (op != OP_DELETE))
+    m_cols = [F.col(f"b.{key}").alias(key)]
+    for name in base.columns:
+        if name == key:
+            continue
+        nv = new_value(name)
+        if nv is None:
+            m_cols.append(F.col(f"b.{name}").alias(name))
+        else:
+            m_cols.append(
+                F.when(has_change & (op != OP_DELETE), nv)
+                .otherwise(F.col(f"b.{name}"))
+                .alias(name)
+            )
+    kept = matched.select(*m_cols)
 
-    keep = has_base & (~has_change | (op != OP_DELETE))
-    insert = ~has_base & has_change & (op != OP_DELETE)
-    survives = keep | insert
-
-    change_names = set(changes.columns) - {op_col}
-
-    def out_col(name: str) -> Column:
-        new_name = set_cols.get(name, name if name in change_names else None)
-        base_val = F.col(f"b.{name}")
-        if new_name is None:
-            return base_val.alias(name)
-        new_val = F.col(f"c.{new_name}")
-        # matched U/I -> new value (NULL means SET NULL, per ANSI MERGE —
-        # a change feed that narrows a value to NULL must round-trip);
-        # matched D is already filtered; plain carry-through -> old value
-        return (
-            F.when(has_change & (op != OP_DELETE), new_val)
-            .otherwise(base_val)
+    # insert branch: changes with no base match — only base's key column
+    # reaches this join (projection pruning)
+    unmatched = c.join(
+        b.select(F.col(f"b.{key}")),
+        F.col(f"c.{key}") == F.col(f"b.{key}"),
+        "left_anti",
+    ).filter(op != OP_DELETE)
+    i_cols = [F.col(f"c.{key}").alias(key)]
+    for name in base.columns:
+        if name == key:
+            continue
+        nv = new_value(name)
+        i_cols.append(
+            (F.lit(None) if nv is None else nv)
+            .cast(base.schema[name].dataType)
             .alias(name)
         )
+    inserted = unmatched.select(*i_cols)
 
-    key_col = F.coalesce(F.col(f"b.{key}"), F.col(f"c.{key}")).alias(key)
-    others = [out_col(n) for n in base.columns if n != key]
-    return joined.filter(survives).select(key_col, *others)
+    return kept.unionAll(inserted)

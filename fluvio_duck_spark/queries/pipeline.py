@@ -2523,14 +2523,16 @@ def q_merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI MERGE INTO semantics over the orders snapshot
     (operators/merge.py): a deterministic change feed derived from the
     base itself — keys %10∈{0,1,2} update price (+10%) and status,
-    %10=3 delete, %10=7 insert under a shifted key — applied in ONE
-    full-outer join.  The oracle spells the same MERGE as SQL, so the
-    hash match proves all four WHEN branches (matched-update,
-    matched-delete, unmatched-insert, carry-through) byte-for-byte.
+    %10=3 delete, %10=7 insert under a shifted key.  The oracle spells
+    the same MERGE as SQL, so the hash match proves all four WHEN
+    branches (matched-update, matched-delete, unmatched-insert,
+    carry-through) byte-for-byte.
 
-    Scale shape: one key-equi join; with |changes| ≪ |base| AQE
-    broadcasts the change side and the base scan stays map-only — the
-    base is never globally sorted or rewritten."""
+    Scale shape (two branches, because full-outer joins cannot
+    broadcast): base LEFT JOIN changes — broadcastable build side, base
+    streams map-only — plus a changes-anti-base insert branch where only
+    the base's pruned KEY column reaches the join.  The base is never
+    globally sorted or rewritten."""
     from fluvio_duck_spark.operators.merge import merge_upsert
 
     o = load(spark, sf_dir, "orders")

@@ -295,3 +295,26 @@ def test_fuzzy_join_max_gram_df_bounds_fanout_keeps_matches(spark):
         clean, dirty, "clean", "dirty", threshold=0.3, max_gram_df=10
     ).collect()
     assert len(got) == 1 and got[0].clean == "red widget"
+
+
+def test_merge_left_branch_broadcasts_small_changes(spark):
+    """The scale claim as a plan assertion: with a broadcast-hinted
+    change set, the matched branch plans a BroadcastHashJoin (LEFT
+    OUTER), never a sort-merge of the base — the property full-outer
+    MERGE rewrites cannot have."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.merge import merge_upsert
+
+    base = spark.range(0, 10000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    changes = spark.createDataFrame(
+        [(1, "U", 99), (20000, "I", 5)], "k long, _op string, new_v long"
+    )
+    out = merge_upsert(base, F.broadcast(changes), key="k",
+                       set_cols={"v": "new_v"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
+    got = {r.k: r.v for r in out.collect()}
+    assert got[1] == 99 and got[20000] == 5 and len(got) == 10001
