@@ -650,3 +650,46 @@ QUERIES.update({
         doc="continuously-maintained OLS drift fit from mergeable sufficient statistics",
     ),
 })
+
+
+def q_stream_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained corpus audit checksum: the portable
+    md5-fold row checksum (functions/checksum.py) summed as a
+    complete-mode streaming aggregate.  The fold sum is a commutative
+    DECIMAL accumulation — mergeable state — so the running audit equals
+    the one-shot batch checksum under ANY micro-batch slicing, and a
+    consumer can compare a live ingest against a warehouse copy without
+    stopping the stream.  Shares the batch checksum's generated-SQL
+    oracle (same weights, same fold)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.checksum import row_checksum
+
+    cols = ["event_id", "event_type", "user_id"]
+    s = event_stream(spark, sf_dir).select(
+        row_checksum(cols).alias("rc")
+    )
+    agg = s.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("rc").cast("decimal(38,0)")).cast("long").alias("checksum"),
+    )
+    out = run_stream_to_table(agg, spark, output_mode="complete")
+    return out.select(
+        F.lit("events").alias("table_name"), "n_rows", "checksum"
+    )
+
+
+def _oracle_stream_checksum() -> str:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    return checksum_sql(
+        "events", ["event_id", "event_type", "user_id"], label="events"
+    )
+
+
+QUERIES.update({
+    "stream_audit_checksum": QuerySpec(
+        q_stream_audit_checksum, _oracle_stream_checksum(),
+        doc="continuously-maintained portable corpus checksum (mergeable fold sum; batch-equal under any slicing)",
+    ),
+})

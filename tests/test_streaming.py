@@ -411,3 +411,24 @@ def test_datasource_stream_multi_chunk_and_replay(spark, sf_dir):
     # drained everything exactly once
     from fluvio_duck_spark.sources.consume import read_events
     assert len(offs) == read_events(spark, sf_dir).count()
+
+
+def test_stream_checksum_equals_batch_under_slicing(spark, sf_dir):
+    """The streaming audit checksum must equal the batch table_checksum
+    regardless of micro-batch boundaries (maxFilesPerTrigger=1 over the
+    multi-file layout still converges to the same commutative sum)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.checksum import table_checksum
+    from fluvio_duck_spark.queries.streaming_queries import (
+        q_stream_audit_checksum,
+    )
+    from fluvio_duck_spark.sources.consume import read_events
+
+    got = q_stream_audit_checksum(spark, sf_dir).collect()[0]
+    want = table_checksum(
+        read_events(spark, sf_dir).select("event_id", "event_type", "user_id"),
+        ["event_id", "event_type", "user_id"],
+        "events",
+    ).collect()[0]
+    assert (got.n_rows, got.checksum) == (want.n_rows, want.checksum)
