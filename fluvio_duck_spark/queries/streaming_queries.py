@@ -693,3 +693,76 @@ QUERIES.update({
         doc="continuously-maintained portable corpus checksum (mergeable fold sum; batch-equal under any slicing)",
     ),
 })
+
+
+def q_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained Pareto frontier over a streamed part
+    catalog: per micro-batch the DISTRIBUTED local sweep
+    (operators/skyline.py) reduces the batch to its own frontier, and
+    only that k-bounded frontier reaches the driver to merge+re-sweep
+    with the running state — legitimate driver-held state because the
+    frontier is the stream's answer, same as a top-k heap.  Skylines are
+    mergeable (skyline(A∪B) = skyline(skyline(A) ∪ skyline(B))), so the
+    final state equals the batch skyline under any micro-batch slicing.
+    Shares pareto_skyline's quadratic NOT EXISTS oracle."""
+    import os
+
+    import pandas as pd
+
+    from fluvio_duck_spark.operators.skyline import _sweep, skyline2d
+
+    path = os.path.join(sf_dir, "part.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "part.parquet")
+            .load(sf_dir)
+        )
+    stream = stream.select("p_partkey", "p_retailprice", "p_size")
+
+    state: dict[str, pd.DataFrame] = {}
+
+    def apply_batch(batch_df, _batch_id) -> None:
+        local = skyline2d(batch_df, "p_retailprice", "p_size").toPandas()
+        if "f" in state and not state["f"].empty:
+            local = pd.concat([state["f"], local], ignore_index=True)
+        state["f"] = _sweep(local, "p_retailprice", "p_size")
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"skyline_ckpt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        state["f"], "p_partkey long, p_retailprice double, p_size int"
+    )
+
+
+QUERIES.update({
+    "stream_skyline": QuerySpec(
+        q_stream_skyline,
+        None,  # set below to share the batch oracle without import cycles
+        doc="continuously-maintained Pareto frontier (mergeable skyline state; batch-equal under any slicing)",
+    ),
+})
+
+
+def _wire_stream_skyline_oracle() -> None:
+    from fluvio_duck_spark.queries.pipeline import ORACLE_PARETO_SKYLINE
+
+    QUERIES["stream_skyline"] = QuerySpec(
+        q_stream_skyline, ORACLE_PARETO_SKYLINE,
+        doc=QUERIES["stream_skyline"].doc,
+    )
+
+
+_wire_stream_skyline_oracle()

@@ -432,3 +432,28 @@ def test_stream_checksum_equals_batch_under_slicing(spark, sf_dir):
         "events",
     ).collect()[0]
     assert (got.n_rows, got.checksum) == (want.n_rows, want.checksum)
+
+
+def test_stream_skyline_slicing_independent(spark, tmp_path):
+    """The maintained frontier equals the batch skyline when the stream
+    arrives in many small files (one file per trigger boundary), i.e.
+    frontier merging is order/slicing-independent."""
+    import random
+
+    from fluvio_duck_spark.operators.skyline import skyline2d
+    from fluvio_duck_spark.queries.streaming_queries import q_stream_skyline
+
+    random.seed(7)
+    rows = [(i, float(random.randint(0, 30)), random.randint(0, 30))
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    work = str(tmp_path / "skyline_stream")
+    df.repartition(6).write.parquet(f"{work}/part.parquet")
+
+    want = sorted(
+        tuple(r) for r in skyline2d(df, "p_retailprice", "p_size").collect()
+    )
+    got = sorted(tuple(r) for r in q_stream_skyline(spark, work).collect())
+    assert got == want
