@@ -3137,3 +3137,59 @@ QUERIES.update({
         doc="running COUNT(DISTINCT) over a window via the first-occurrence rewrite (one shared shuffle)",
     ),
 })
+
+
+def q_ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/ivm.py): a per-priority
+    revenue view is built over a base snapshot (orders %9≠4), then a
+    delta batch — inserts (%9=4) and retractions (%9=2) — is applied to
+    the VIEW STATE: additive count/sum merge exactly in DECIMAL, min
+    recomputes only for groups present in the delta via a key semi-join
+    against the post-delta base.  The oracle recomputes the view from
+    scratch over the final relation, so the hash match proves
+    incremental ≡ full refresh.  At 100 TB the increment touches |Δ|
+    plus the affected-group slice; the base is never rescanned."""
+    from fluvio_duck_spark.operators.ivm import (
+        IvmMeasure,
+        agg_state,
+        apply_delta,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    m = [
+        IvmMeasure("n_orders", "o_orderkey", "count"),
+        IvmMeasure("total_price", "o_totalprice", "sum"),
+        IvmMeasure("min_price", "o_totalprice", "min"),
+    ]
+    keys = ["o_orderpriority"]
+    base = o.filter(F.col("o_orderkey") % 9 != 4)
+    d_plus = o.filter(F.col("o_orderkey") % 9 == 4)
+    d_minus = o.filter(F.col("o_orderkey") % 9 == 2)
+    base_after = o.filter(F.col("o_orderkey") % 9 != 2)
+
+    view = agg_state(base, keys, m)
+    updated = apply_delta(view, base_after, d_plus, d_minus, keys, m)
+    return updated.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("total_price").cast("double").alias("total_price"),
+        "min_price",
+    )
+
+
+ORACLE_IVM_DELTA = """
+SELECT o_orderpriority,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+       MIN(o_totalprice) AS min_price
+FROM orders WHERE o_orderkey % 9 <> 2
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({
+    "ivm_delta_agg": QuerySpec(
+        q_ivm_delta_agg, ORACLE_IVM_DELTA,
+        doc="incremental view maintenance: exact DECIMAL merge/retract + affected-group min recompute ≡ full refresh",
+    ),
+})

@@ -318,3 +318,83 @@ def test_merge_left_branch_broadcasts_small_changes(spark):
     assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     got = {r.k: r.v for r in out.collect()}
     assert got[1] == 99 and got[20000] == 5 and len(got) == 10001
+
+
+def test_ivm_retraction_of_group_minimum_and_vanishing_group(spark):
+    """The two IVM edge cases the additive path can't fake: retracting a
+    group's current minimum forces the affected-group recompute to find
+    the runner-up, and retracting a group's last row removes the group."""
+    from fluvio_duck_spark.operators.ivm import (
+        IvmMeasure,
+        agg_state,
+        apply_delta,
+    )
+
+    m = [
+        IvmMeasure("n", "v", "count"),
+        IvmMeasure("s", "v", "sum"),
+        IvmMeasure("lo", "v", "min"),
+    ]
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 5.0), ("b", 7.0)], "k string, v double"
+    )
+    d_plus = spark.createDataFrame([("c", 2.0)], "k string, v double")
+    d_minus = spark.createDataFrame(
+        [("a", 1.0), ("b", 7.0)], "k string, v double"
+    )
+    base_after = spark.createDataFrame(
+        [("a", 5.0), ("c", 2.0)], "k string, v double"
+    )
+    got = {
+        r.k: (r.n, float(r.s), r.lo)
+        for r in apply_delta(
+            agg_state(base, ["k"], m), base_after, d_plus, d_minus, ["k"], m
+        ).collect()
+    }
+    assert got == {
+        "a": (1, 5.0, 5.0),  # min recomputed to the runner-up
+        "c": (1, 2.0, 2.0),  # brand-new group from the delta
+    }  # and b vanished with its last row
+
+
+def test_ivm_equals_full_refresh_any_layout(spark):
+    """incremental apply over random splits equals agg over the final
+    relation, for 1 and 7 partitions."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.ivm import (
+        IvmMeasure,
+        agg_state,
+        apply_delta,
+    )
+
+    random.seed(31)
+    rows = [(i, f"g{i % 6}", float(random.randint(1, 99)))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k string, v double")
+    m = [
+        IvmMeasure("n", "v", "count"),
+        IvmMeasure("s", "v", "sum"),
+        IvmMeasure("hi", "v", "max"),
+    ]
+    base = df.filter(F.col("id") % 5 != 0)
+    d_plus = df.filter(F.col("id") % 5 == 0)
+    d_minus = df.filter(F.col("id") % 7 == 3)
+    base_after = df.filter(F.col("id") % 7 != 3)
+
+    want = sorted(
+        (r.k, r.n, float(r.s), r.hi)
+        for r in agg_state(base_after, ["k"], m).collect()
+    )
+    for parts in (1, 7):
+        got = sorted(
+            (r.k, r.n, float(r.s), r.hi)
+            for r in apply_delta(
+                agg_state(base.repartition(parts), ["k"], m),
+                base_after.repartition(parts),
+                d_plus, d_minus, ["k"], m,
+            ).collect()
+        )
+        assert got == want, parts
