@@ -355,3 +355,69 @@ def test_interp_fill_recovers_linear_series(spark, seed, n, holes):
         expect_src = "interp" if h in knocked else "obs"
         assert src == expect_src, (h, src)
         assert abs(val - (a + b * h)) < 1e-9, (h, val, a + b * h)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50),
+                  st.one_of(st.none(), st.text("abcxyz|\\", max_size=6))),
+        min_size=1, max_size=40,
+    ),
+    seed=st.integers(0, 10_000),
+)
+def test_checksum_permutation_invariant_and_injective_ish(spark, rows, seed):
+    """Property: the portable table checksum is identical under any row
+    permutation/partitioning, and removing one row changes it (the audit
+    must catch a lost row) — including rows whose strings contain the
+    join delimiter and escape-ish characters."""
+    import random
+
+    from fluvio_duck_spark.functions.checksum import table_checksum
+
+    df = spark.createDataFrame(rows, "k long, s string")
+    a = table_checksum(df, ["k", "s"], "t").collect()[0]
+
+    shuffled = list(rows)
+    random.Random(seed).shuffle(shuffled)
+    b = table_checksum(
+        spark.createDataFrame(shuffled, "k long, s string").repartition(3),
+        ["k", "s"], "t",
+    ).collect()[0]
+    assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+
+    c = table_checksum(
+        spark.createDataFrame(rows[1:], "k long, s string")
+        if len(rows) > 1 else spark.createDataFrame([], "k long, s string"),
+        ["k", "s"], "t",
+    ).collect()[0]
+    assert (c.n_rows, c.checksum) != (a.n_rows, a.checksum)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1, max_size=60,
+    ),
+)
+def test_skyline_property_no_dominated_survivor_no_missing_point(spark, pts):
+    """Property: every returned point is non-dominated and every
+    non-dominated input point is returned (with multiplicity — ties on
+    both axes all survive)."""
+    from collections import Counter
+
+    from fluvio_duck_spark.operators.skyline import skyline2d
+
+    rows = [(i, float(c), g) for i, (c, g) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, cost double, gain int")
+    got = [(r.cost, r.gain) for r in skyline2d(df.repartition(4), "cost", "gain").collect()]
+
+    def dominated(p):
+        return any(
+            q[1] <= p[0] and q[2] >= p[1] and (q[1] < p[0] or q[2] > p[1])
+            for q in rows
+        )
+
+    expect = Counter((c, g) for _i, c, g in rows if not dominated((c, g)))
+    assert Counter(got) == expect
