@@ -139,6 +139,11 @@ EXTENDED = [
     "sketch_segment_overlap",
     "er_fuzzy_join_parts",
     "text_bpe_fit",
+    "ivm_delta_agg",
+    "window_running_distinct",
+    "join_not_in_nullaware",
+    "stream_audit_checksum",
+    "stream_skyline",
 ]
 
 
