@@ -732,12 +732,16 @@ def q_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             local = pd.concat([state["f"], local], ignore_index=True)
         state["f"] = _sweep(local, "p_retailprice", "p_size")
 
+    import uuid
+
     q = (
         stream.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
+        # fresh checkpoint per invocation: a reused location would mark
+        # the files committed and deliver ZERO batches on a re-run
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"skyline_ckpt_{os.path.basename(sf_dir.rstrip('/'))}_{os.getpid()}"),
+            os.path.join("/tmp", f"skyline_ckpt_{uuid.uuid4().hex[:12]}"),
         )
         .start()
     )
