@@ -770,3 +770,89 @@ def _wire_stream_skyline_oracle() -> None:
 
 
 _wire_stream_skyline_oracle()
+
+
+def q_stream_ivm_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental view maintenance, additive case: the orders
+    change feed arrives as a stream of SIGNED rows (+1 inserts for
+    %9=4, −1 retractions for %9=2) whose per-group Δ-aggregates are
+    continuously maintained in complete mode — signed counts and signed
+    DECIMAL sums are the classic retraction-safe streaming-IVM state.
+    The serving layer merges the frozen base view (batch, %9≠4) with the
+    live Δ state; the result must equal a from-scratch refresh over the
+    final relation (the oracle), under any micro-batch slicing (signed
+    sums are commutative).  Non-additive measures (min/max) need the
+    affected-group recompute — that path is the batch ivm_delta_agg;
+    this twin is the state a stream can carry alone."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.ivm import IvmMeasure, agg_state
+    from fluvio_duck_spark.sources.tables import load
+
+    path = os.path.join(sf_dir, "orders.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "orders.parquet")
+            .load(sf_dir)
+        )
+    feed = stream.filter(
+        (F.col("o_orderkey") % 9 == 4) | (F.col("o_orderkey") % 9 == 2)
+    ).select(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 9 == 4, F.lit(1))
+        .otherwise(F.lit(-1)).alias("sign"),
+        F.col("o_totalprice").cast("decimal(28,2)").alias("price"),
+    )
+    delta = feed.groupBy("o_orderpriority").agg(
+        F.sum("sign").alias("dn"),
+        F.sum(
+            (F.col("sign").cast("decimal(28,2)") * F.col("price"))
+            .cast("decimal(28,2)")
+        ).alias("ds"),
+    )
+    dt = run_stream_to_table(delta, spark, output_mode="complete")
+
+    base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 != 4)
+    view = agg_state(
+        base, ["o_orderpriority"],
+        [IvmMeasure("n_orders", "o_orderkey", "count"),
+         IvmMeasure("total_price", "o_totalprice", "sum")],
+    )
+    zero_n = F.lit(0).cast("long")
+    zero_s = F.lit(0).cast("decimal(28,2)")
+    return (
+        view.join(dt, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            (F.coalesce(F.col("n_orders"), zero_n)
+             + F.coalesce(F.col("dn"), zero_n)).alias("n_orders"),
+            (F.coalesce(F.col("total_price"), zero_s)
+             + F.coalesce(F.col("ds"), zero_s))
+            .cast("double").alias("total_price"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+
+
+ORACLE_STREAM_IVM = """
+SELECT o_orderpriority,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders WHERE o_orderkey % 9 <> 2
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({
+    "stream_ivm_additive": QuerySpec(
+        q_stream_ivm_additive, ORACLE_STREAM_IVM,
+        doc="streaming IVM: signed Δ-aggregates (retraction-safe state) merged onto the frozen base view ≡ full refresh",
+    ),
+})

@@ -457,3 +457,41 @@ def test_stream_skyline_slicing_independent(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in q_stream_skyline(spark, work).collect())
     assert got == want
+
+
+def test_stream_ivm_slicing_independent(spark, tmp_path):
+    """Signed Δ-aggregate maintenance must converge to the same view when
+    the change feed arrives across many files (signed sums commute)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.queries.streaming_queries import (
+        q_stream_ivm_additive,
+    )
+    from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR  # noqa: F401
+    from fluvio_duck_spark.sources.tables import load
+
+    src = "/root/testdata/sf0.001"
+    o = load(spark, src, "orders")
+    work = str(tmp_path / "ivm_stream")
+    o.repartition(5).write.parquet(f"{work}/orders.parquet")
+
+    single = {
+        r.o_orderpriority: (r.n_orders, r.total_price)
+        for r in q_stream_ivm_additive(spark, src).collect()
+    }
+    sliced = {
+        r.o_orderpriority: (r.n_orders, r.total_price)
+        for r in q_stream_ivm_additive(spark, work).collect()
+    }
+    assert sliced == single
+    # and both equal the full refresh
+    want = {
+        r.o_orderpriority: (r.n, float(r.s))
+        for r in o.filter(F.col("o_orderkey") % 9 != 2)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+             .cast("double").alias("s"))
+        .collect()
+    }
+    assert single == want
