@@ -68,3 +68,39 @@ def assert_plan(df: DataFrame, **bounds: int) -> Counter:
             f"plan has {actual} × {key!r}, expected ≤ {bound}:\n{formatted_plan(df)}"
         )
     return ops
+
+
+def join_cardinality_audit(left, right, lkey: str, rkey: str, label: str):
+    """Optimizer-statistics audit: the textbook equi-join cardinality
+    estimate |A|·|B| / max(ndv_A, ndv_B) next to the ACTUAL join count —
+    the sanity check a planner's statistics pipeline runs to know whether
+    its NDV stats predict reality (for FK joins the two should agree
+    almost exactly; a big ratio flags stale stats or key skew).  Exact
+    NDVs on purpose: the audit is the ground truth the approximate
+    ANALYZE path is judged against."""
+    from pyspark.sql import functions as F
+
+    a = left.agg(
+        F.count(lkey).alias("n_a"), F.count_distinct(lkey).alias("ndv_a")
+    )
+    b = right.agg(
+        F.count(rkey).alias("n_b"), F.count_distinct(rkey).alias("ndv_b")
+    )
+    actual = (
+        left.join(right, left[lkey] == right[rkey])
+        .agg(F.count("*").alias("actual"))
+    )
+    est = F.floor(
+        F.col("n_a").cast("double") * F.col("n_b")
+        / F.greatest("ndv_a", "ndv_b")
+    ).cast("long")
+    return (
+        a.crossJoin(b).crossJoin(actual)
+        .select(
+            F.lit(label).alias("join_name"),
+            "n_a", "ndv_a", "n_b", "ndv_b",
+            est.alias("est_rows"),
+            "actual",
+            F.round(F.col("actual") / est.cast("double"), 6).alias("actual_over_est"),
+        )
+    )

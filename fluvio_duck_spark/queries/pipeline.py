@@ -3193,3 +3193,56 @@ QUERIES.update({
         doc="incremental view maintenance: exact DECIMAL merge/retract + affected-group min recompute ≡ full refresh",
     ),
 })
+
+
+def q_stats_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-statistics audit (plans/join_cardinality_audit): the
+    textbook equi-join estimate |A|·|B|/max(ndv) vs the actual count for
+    the two FK joins of the schema — on clean FK data the ratio must be
+    ~1.0, which is exactly what a statistics pipeline asserts before
+    trusting its NDVs for join reordering.  Everything exact and
+    SQL-expressible, so the oracle recomputes estimate and actual from
+    scratch."""
+    from fluvio_duck_spark.plans import join_cardinality_audit
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    return join_cardinality_audit(
+        o, c, "o_custkey", "c_custkey", "orders-customer"
+    ).unionAll(
+        join_cardinality_audit(
+            li, o, "l_orderkey", "o_orderkey", "lineitem-orders"
+        )
+    )
+
+
+ORACLE_STATS_JOIN = """
+WITH oc AS (
+  SELECT 'orders-customer' AS join_name, a.n_a, a.ndv_a, b.n_b, b.ndv_b,
+         CAST(floor(CAST(a.n_a AS DOUBLE) * b.n_b
+                    / greatest(a.ndv_a, b.ndv_b)) AS BIGINT) AS est_rows,
+         j.actual
+  FROM (SELECT COUNT(o_custkey) n_a, COUNT(DISTINCT o_custkey) ndv_a FROM orders) a,
+       (SELECT COUNT(c_custkey) n_b, COUNT(DISTINCT c_custkey) ndv_b FROM customer) b,
+       (SELECT COUNT(*) actual FROM orders JOIN customer ON o_custkey = c_custkey) j),
+lo AS (
+  SELECT 'lineitem-orders' AS join_name, a.n_a, a.ndv_a, b.n_b, b.ndv_b,
+         CAST(floor(CAST(a.n_a AS DOUBLE) * b.n_b
+                    / greatest(a.ndv_a, b.ndv_b)) AS BIGINT) AS est_rows,
+         j.actual
+  FROM (SELECT COUNT(l_orderkey) n_a, COUNT(DISTINCT l_orderkey) ndv_a FROM lineitem) a,
+       (SELECT COUNT(o_orderkey) n_b, COUNT(DISTINCT o_orderkey) ndv_b FROM orders) b,
+       (SELECT COUNT(*) actual FROM lineitem JOIN orders ON l_orderkey = o_orderkey) j)
+SELECT join_name, n_a, ndv_a, n_b, ndv_b, est_rows, actual,
+       round(actual / CAST(est_rows AS DOUBLE), 6) AS actual_over_est
+FROM (SELECT * FROM oc UNION ALL SELECT * FROM lo)
+"""
+
+
+QUERIES.update({
+    "stats_join_estimate": QuerySpec(
+        q_stats_join_estimate, ORACLE_STATS_JOIN,
+        doc="planner-statistics audit: textbook join-cardinality estimate vs actual on the FK joins",
+    ),
+})
