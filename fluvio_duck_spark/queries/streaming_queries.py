@@ -856,3 +856,100 @@ QUERIES.update({
         doc="streaming IVM: signed Δ-aggregates (retraction-safe state) merged onto the frozen base view ≡ full refresh",
     ),
 })
+
+
+def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming record-linkage gate: dirty part names arrive as a
+    stream and each micro-batch fuzzy-joins (operators/linkage.py)
+    against the STATIC clean catalog — per-record matching needs no
+    cross-batch state, so the gate is embarrassingly streaming (the same
+    shape as stream_neardup_gate).  The dirty feed is derived in-stream
+    from the part stream with the same deterministic one-char-drop
+    corruption as the batch query, so the accumulated matches equal
+    er_fuzzy_join_parts exactly — oracle shared."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.linkage import fuzzy_join
+    from fluvio_duck_spark.sources.tables import load
+
+    path = os.path.join(sf_dir, "part.parquet")
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "part.parquet")
+            .load(sf_dir)
+        )
+    pos = (
+        (F.length("p_name") + F.ascii(F.substring("p_name", 1, 1)))
+        % F.length("p_name") + 1
+    )
+    dirty_stream = stream.select(
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos - 1),
+            F.col("p_name").substr(pos + 1, F.length("p_name") - pos),
+        ).alias("dirty_name")
+    )
+    clean = (
+        load(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("clean_name")).distinct()
+        .localCheckpoint(eager=True)  # static side materialized once
+    )
+
+    acc: list = []
+
+    def match_batch(batch_df, _bid) -> None:
+        out = fuzzy_join(
+            clean, batch_df.distinct(), "clean_name", "dirty_name",
+            q=3, threshold=0.3,
+        ).select("dirty_name", "clean_name", "jaccard")
+        acc.append(out.toPandas())
+
+    q = (
+        dirty_stream.writeStream.foreachBatch(match_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"er_gate_ckpt_{uuid.uuid4().hex[:12]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    import pandas as pd
+
+    frames = [f for f in acc if not f.empty]
+    merged = (
+        pd.concat(frames).drop_duplicates()
+        if frames
+        else pd.DataFrame(columns=["dirty_name", "clean_name", "jaccard"])
+    )
+    return spark.createDataFrame(
+        merged, "dirty_name string, clean_name string, jaccard double"
+    )
+
+
+QUERIES.update({
+    "stream_er_gate": QuerySpec(
+        q_stream_er_gate,
+        None,  # wired to the batch oracle below (import at call time)
+        doc="streaming record-linkage gate: per-batch fuzzy join vs the static clean catalog (stateless)",
+    ),
+})
+
+
+def _wire_stream_er_oracle() -> None:
+    from fluvio_duck_spark.queries.pipeline import ORACLE_ER_FUZZY
+
+    QUERIES["stream_er_gate"] = QuerySpec(
+        q_stream_er_gate, ORACLE_ER_FUZZY,
+        doc=QUERIES["stream_er_gate"].doc,
+    )
+
+
+_wire_stream_er_oracle()
