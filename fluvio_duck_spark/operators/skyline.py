@@ -60,5 +60,8 @@ def skyline2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
             return
         yield _sweep(pd.concat(frames), min_col, max_col)
 
-    # frontier-of-frontiers is small: one partition, one final sweep
-    return candidates.coalesce(1).mapInPandas(merge, schema=schema)
+    # frontier-of-frontiers is small: one partition, one final sweep.
+    # repartition(1), NOT coalesce(1) — coalesce would fuse upstream and
+    # run the whole scan + local sweep in a single task; the shuffle here
+    # moves only the k-bounded candidate frontiers.
+    return candidates.repartition(1).mapInPandas(merge, schema=schema)
