@@ -70,7 +70,27 @@ _DRIVER_VERIFIED_R01 = frozenset({
     "sql_passthrough", "unpivot_metrics",
 })
 
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+_DRIVER_VERIFIED_R03 = frozenset({
+    "curate_domain_report", "curate_pipeline_e2e", "dedup_boilerplate",
+    "dedup_canonical", "dedup_components", "dedup_exact",
+    "dedup_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_prefix_blocks", "dedup_segments", "dedup_simhash",
+    "dedup_substring_spans", "grouped_minmax_scale", "pack_token_budget",
+    "sample_split_assign", "sample_training_order", "sample_upsample_repeat",
+    "sim_ann_lsh", "sim_embedding_near_dups", "sim_ivf_topk",
+    "sim_ivf_topk_batch", "sim_ivf_trained", "sim_knn_graph",
+    "sim_label_noise", "sim_matryoshka_energy", "sim_mmr_rerank",
+    "sim_near_dups_blocked", "sim_near_dups_bucketed", "sim_normalize_embeddings",
+    "sim_pq_rerank", "sim_random_projection", "sim_scalar_quantize",
+    "sim_topk_batch", "sim_topk_batch_exact", "sim_topk_bruteforce",
+    "text_bigram_logprob", "text_bm25_search", "text_char_entropy",
+    "text_chunk_documents", "text_fingerprint_winnow", "text_hybrid_rrf",
+    "text_langid_ngram", "text_quality_langid", "text_repetition",
+    "text_stats", "text_tfidf_topterms", "text_token_regex",
+    "text_unigram_logprob", "text_vocab_oov",
+})
+
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -1987,8 +1987,6 @@ def q_sketch_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     only) made hash-checkable.  Hashes are the engine-portable
     Knuth-multiplicative family (operators/sampling.py::uniform_key),
     so the oracle rebuilds the identical sketch."""
-    from pyspark.sql import Window as W
-
     from fluvio_duck_spark.operators.sampling import uniform_key
 
     ev = load(spark, sf_dir, "events")
@@ -2011,14 +2009,11 @@ def q_sketch_cms_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("rb.hrow", "rb.bucket")
         .agg(F.sum("n").alias("c"))
     )
-    top = (
-        per_user.withColumn(
-            "_rk",
-            F.row_number().over(W.orderBy(F.desc("n"), F.asc("user_id"))),
-        )
-        .filter(F.col("_rk") <= 20)
-        .drop("_rk")
-    )
+    # Top-20 heavy hitters via orderBy().limit() -> TakeOrderedAndProject
+    # (per-partition heaps + driver merge of 20 rows), NOT a global
+    # row_number() window, which would funnel the whole data-sized
+    # per-user table through one unpartitioned WindowExec task.
+    top = per_user.orderBy(F.desc("n"), F.asc("user_id")).limit(20)
     probes = top.select(
         "user_id", "n", F.explode(rows).alias("rb")
     ).select("user_id", "n", "rb.hrow", "rb.bucket")

@@ -435,3 +435,14 @@ def test_quality_family_plan_contracts(specs, spark, sf_dir):
     # a 1-row agg), never an eager driver action or a sort-merge join
     df = _run(specs, spark, sf_dir, "forecast_backtest_mape")
     assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_cms_heavy_hitter_topk_is_heap_not_window(specs, spark, sf_dir):
+    # VERDICT r3 #2: the top-20 heavy-hitter probe must be a
+    # TakeOrderedAndProject (per-partition heaps, driver merges 20 rows)
+    # over the per-user pre-agg — never a row_number() window with no
+    # PARTITION BY, which funnels the whole data-sized user table through
+    # one WindowExec task at 100x scale.
+    df = _run(specs, spark, sf_dir, "sketch_cms_users")
+    ops = assert_plan(df, Window=0, ArrowEvalPython=0, BatchEvalPython=0)
+    assert ops["TakeOrderedAndProject"] >= 1
