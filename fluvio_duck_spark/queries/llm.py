@@ -436,17 +436,33 @@ FROM b GROUP BY block HAVING COUNT(*) > 1
 """
 
 
+#: Stop-shingle bound for the exact-Jaccard query (VERDICT r3 #3): a
+#: shingle shared by D docs creates O(D^2) candidate rows in the
+#: inverted-index self-join, so one boilerplate 5-gram shared by 1e5
+#: docs would emit 1e10 pairs at 100x scale.  Dropping shingles with
+#: document frequency > bound keeps the fan-out per shingle bounded;
+#: Jaccard is then exact over the filtered shingle universe (the
+#: standard stop-shingle contract, mirrored in the oracle's WHERE).
+_JACCARD_MAX_SHINGLE_DF = 1000
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"), k=5, threshold=0.8)
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), k=5, threshold=0.8,
+        max_shingle_df=_JACCARD_MAX_SHINGLE_DF,
+    )
 
 
-ORACLE_NGRAM_JACCARD = """
+ORACLE_NGRAM_JACCARD = f"""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-sh AS (
+sh0 AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(len(w) - 3, 1)),
            i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
   FROM w),
+sdf AS (SELECT s, COUNT(*) AS df_ FROM sh0 GROUP BY 1),
+sh AS (SELECT doc_id, s FROM sh0 JOIN sdf USING (s)
+       WHERE df_ <= {_JACCARD_MAX_SHINGLE_DF}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c

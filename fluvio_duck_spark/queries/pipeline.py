@@ -1725,29 +1725,45 @@ def q_source_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The topic scan through Spark 4's Python DataSource API
     (``spark.read.format("fluvio")``) — the connector-ergonomics twin
     of ``fluvio_consume`` (one InputPartition per Fluvio partition,
-    worker-side offset algebra, footer-statistics LEO).  Aggregates the
-    read so the oracle checks exact row/offset parity per partition."""
+    plan-time offset resolution, footer-statistics LEO).  Two legs:
+    the dense whole-log budget (offset-range arithmetic) and the sparse
+    sub-topic + -A + --rows combination, where the planner resolves the
+    global budget to the rows-th matching offset before partition
+    planning (VERDICT r3 parity-gap fix).  Aggregates each read so the
+    oracle checks exact row/offset parity per partition."""
     from fluvio_duck_spark.sources.datasource import register_fluvio_source
 
     register_fluvio_source(spark)
-    df = (
-        spark.read.format("fluvio")
-        .option("topic", "events")
-        .option("args", "-A -B --rows 3000")
-        .option("sf_dir", sf_dir)
-        .load()
-    )
-    return df.groupBy("partition").agg(
-        F.count("*").alias("n"),
-        F.min("offset").alias("min_offset"),
-        F.max("offset").alias("max_offset"),
+
+    def leg(tag, topic, args):
+        df = (
+            spark.read.format("fluvio")
+            .option("topic", topic)
+            .option("args", args)
+            .option("sf_dir", sf_dir)
+            .load()
+        )
+        return df.groupBy("partition").agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        ).select(F.lit(tag).alias("leg"), "*")
+
+    return leg("events_dense", "events", "-A -B --rows 3000").unionAll(
+        leg("click_budget", "click", "-A -B --rows 120")
     )
 
 
 ORACLE_DATASOURCE = """
-SELECT CAST(user_id % 4 AS INTEGER) AS "partition", COUNT(*) AS n,
-       MIN(event_id) AS min_offset, MAX(event_id) AS max_offset
-FROM events WHERE event_id < 3000 GROUP BY 1
+SELECT 'events_dense' AS leg, CAST(user_id % 4 AS INTEGER) AS "partition",
+       COUNT(*) AS n, MIN(event_id) AS min_offset, MAX(event_id) AS max_offset
+FROM events WHERE event_id < 3000 GROUP BY 2
+UNION ALL
+SELECT 'click_budget' AS leg, CAST(user_id % 4 AS INTEGER) AS "partition",
+       COUNT(*) AS n, MIN(event_id) AS min_offset, MAX(event_id) AS max_offset
+FROM (SELECT event_id, user_id FROM events
+      WHERE event_type = 'click' ORDER BY event_id LIMIT 120)
+GROUP BY 2
 """
 
 

@@ -902,36 +902,37 @@ def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # static side materialized once
     )
 
-    acc: list = []
+    # Each micro-batch's matches go to a parquet sink, NOT a driver-side
+    # list (VERDICT r3 #4): match volume scales with the stream, so
+    # accumulating pandas frames on the driver caps at driver memory.
+    # The sink append is executor-side and unbounded; the final read-back
+    # is a lazy scan.
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"er_gate_out_{run_id}")
 
     def match_batch(batch_df, _bid) -> None:
         out = fuzzy_join(
             clean, batch_df.distinct(), "clean_name", "dirty_name",
             q=3, threshold=0.3,
         ).select("dirty_name", "clean_name", "jaccard")
-        acc.append(out.toPandas())
+        out.write.mode("append").parquet(out_dir)
 
     q = (
         dirty_stream.writeStream.foreachBatch(match_batch)
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"er_gate_ckpt_{uuid.uuid4().hex[:12]}"),
+            os.path.join("/tmp", f"er_gate_ckpt_{run_id}"),
         )
         .start()
     )
     q.awaitTermination()
-    import pandas as pd
-
-    frames = [f for f in acc if not f.empty]
-    merged = (
-        pd.concat(frames).drop_duplicates()
-        if frames
-        else pd.DataFrame(columns=["dirty_name", "clean_name", "jaccard"])
-    )
-    return spark.createDataFrame(
-        merged, "dirty_name string, clean_name string, jaccard double"
-    )
+    out_schema = "dirty_name string, clean_name string, jaccard double"
+    if not os.path.isdir(out_dir):  # stream had zero batches
+        return spark.createDataFrame([], out_schema)
+    # dropDuplicates: a record replayed across micro-batch retries must
+    # not double-count (the sink is append-only, so dedup on read).
+    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
 
 
 QUERIES.update({

@@ -23,13 +23,24 @@ Contract notes:
   with the query on top.  This DataSource is the connector-ergonomics
   surface: same semantics, Arrow-batched Python reads (one Python
   worker hop per batch).
-* ``--rows`` compiles three ways: the dense-offset-range predicate (the
-  L1 pushdown form) for ``-A`` on a whole-log topic; a LOCAL top-n when
-  a single partition is pinned (that partition is the whole selection);
-  and ``-A`` over a sparse sub-topic raises — a global budget there
-  needs cross-partition coordination a DataSource partition does not
-  have, which is exactly what ``fluvio_consume``'s ordered-limit plan
-  provides.
+* ALL offset algebra resolves at PLAN time, driver-side in
+  ``partitions()`` — each ``InputPartition`` carries a concrete
+  ``[lo, hi]`` offset window, so ``read()`` is a pure bounded scan.
+  This mirrors how a real connector plans (offset resolution via the
+  cluster's offset/metadata API at plan time, record fetch at execute
+  time); over the parquet stand-in the "offset API" is footer
+  statistics for the dense whole-log case and a 2–3-column driver read
+  for sparse selections (sub-topics / pinned partitions), whose tail
+  anchor and row budget depend on which offsets the selection owns.
+* ``--rows`` compiles three ways (the builder's two-plan logic at
+  sources/consume.py:160-204 is the spec): a dense-offset-range bound
+  for ``-A`` on a whole-log topic (``hi = lo + rows - 1``); a LOCAL
+  top-n when a single partition is pinned (that partition is the whole
+  selection); and for ``-A`` over a sparse sub-topic the planner
+  resolves the global budget to an offset bound — the rows-th smallest
+  matching offset at/above the start — before partition planning, so
+  the per-partition readers need no cross-partition coordination
+  (closes the VERDICT r3 parity gap with ``fluvio_consume``).
 """
 
 from __future__ import annotations
@@ -44,8 +55,18 @@ _WHOLE_LOG_TOPICS = {"events", "*"}
 
 
 class _FluvioPartition(InputPartition):
-    def __init__(self, pid: int):
+    """One Fluvio partition plus its plan-time-resolved offset window.
+
+    ``lo`` is inclusive; ``hi`` is inclusive or None (unbounded);
+    ``budget`` is a LOCAL top-n applied after the window when a single
+    pinned partition is the whole selection."""
+
+    def __init__(self, pid: int, lo: int = 0, hi: int | None = None,
+                 budget: int | None = None):
         self.pid = pid
+        self.lo = lo
+        self.hi = hi
+        self.budget = budget
 
 
 class FluvioDataSource(DataSource):
@@ -70,29 +91,110 @@ class FluvioReader(DataSourceReader):
             raise ValueError("fluvio datasource requires .option('sf_dir', ...)")
         args = options.get("args", "-B")
         self.opts = parse_consume_opts(f"{self.topic} {args}".split())
-        # --rows compiles three ways: dense-offset range for -A on a
-        # whole-log topic; a LOCAL top-n when a single partition is
-        # pinned (that partition IS the whole selection); impossible for
-        # -A over a sparse sub-topic (global budget needs cross-
-        # partition coordination a DataSource partition doesn't have)
-        self.local_budget = False
-        if self.opts.rows is not None:
-            if not self.opts.all_partitions:
-                self.local_budget = True
-            elif self.topic not in _WHOLE_LOG_TOPICS:
-                raise NotImplementedError(
-                    "--rows with -A on a sparse sub-topic needs cross-"
-                    "partition coordination; use fluvio_consume() for "
-                    "that combination"
-                )
+        # LOCAL top-n: a pinned single partition is the whole selection,
+        # so the --rows budget applies within the one reader task.
+        self.local_budget = (
+            self.opts.rows is not None and not self.opts.all_partitions
+        )
+
+    # -- plan-time offset resolution --------------------------------------
+    def _selection_offsets(self):
+        """Sorted offsets the selection owns — the stand-in's analogue of
+        the cluster offset index (driver-side, 2–3 columns, plan time)."""
+        import os
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(self.sf_dir, "events.parquet"))
+        cols = ["event_id"]
+        if self.topic not in _WHOLE_LOG_TOPICS:
+            cols.append("event_type")
+        if not self.opts.all_partitions:
+            cols.append("user_id")
+        tbl = pf.read(columns=cols)
+        mask = np.ones(tbl.num_rows, dtype=bool)
+        if self.topic not in _WHOLE_LOG_TOPICS:
+            mask &= tbl["event_type"].to_numpy(zero_copy_only=False) == self.topic
+        if not self.opts.all_partitions:
+            uid = tbl["user_id"].to_numpy(zero_copy_only=False)
+            mask &= (uid % _N_PARTITIONS) == int(self.opts.partition)
+        off = tbl["event_id"].to_numpy(zero_copy_only=False)[mask]
+        off.sort()
+        return off
+
+    def _footer_leo(self) -> int:
+        """Whole-log LEO from parquet footer statistics — no data scan."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(self.sf_dir, "events.parquet"))
+        leo = -1
+        idx = pf.schema_arrow.get_field_index("event_id")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.max is not None:
+                leo = max(leo, int(st.max))
+        return leo + 1
+
+    def _resolve_window(self) -> tuple[int, int | None]:
+        """Offset algebra → concrete [lo, hi] window, at plan time.
+
+        Dense case (whole log, all partitions): footer-stats LEO and
+        arithmetic bounds only.  Sparse case (sub-topic or pinned
+        partition): the tail anchor is the SELECTION's log-end — the max
+        offset the selection owns, plus one — matching the builder,
+        which filters the log before applying the offset algebra
+        (sources/consume.py:152-160); likewise real Fluvio resolves -T
+        against the chosen partition's LEO, not some global counter."""
+        dense = (
+            self.topic in _WHOLE_LOG_TOPICS and self.opts.all_partitions
+        )
+        sel = None  # lazily-resolved sorted selection offsets
+
+        start = self.opts.calculate_start()
+        lo = 0
+        if start.kind in ("head", "start"):
+            lo = start.n
+        elif start.kind in ("tail", "end"):
+            if dense:
+                leo = self._footer_leo()
+            else:
+                sel = self._selection_offsets()
+                leo = int(sel[-1]) + 1 if len(sel) else 0
+            lo = leo if start.kind == "end" else max(leo - start.n, 0)
+
+        hi = self.opts.end  # inclusive, may be None
+        if self.opts.rows is not None and not self.local_budget:
+            if dense:
+                # dense offsets: first n at/above lo is pure arithmetic
+                budget_hi = lo + self.opts.rows - 1
+            else:
+                # sparse sub-topic with -A: resolve the global budget to
+                # the rows-th smallest matching offset in [lo, hi]
+                if sel is None:
+                    sel = self._selection_offsets()
+                win = sel[sel >= lo]
+                if hi is not None:
+                    win = win[win <= hi]
+                if len(win) <= self.opts.rows:
+                    budget_hi = None  # budget exceeds selection: keep all
+                else:
+                    budget_hi = int(win[self.opts.rows - 1])
+            if budget_hi is not None:
+                hi = budget_hi if hi is None else min(hi, budget_hi)
+        return lo, hi
 
     def partitions(self):
         # reference semantics: partition 0 unless -A/--all-partitions
         # (options.py:155-156; the reference parses -p but pins 0 —
         # we honor the parsed value, SURVEY §1.4.2 fix)
+        lo, hi = self._resolve_window()
+        budget = self.opts.rows if self.local_budget else None
         if not self.opts.all_partitions:
-            return [_FluvioPartition(int(self.opts.partition))]
-        return [_FluvioPartition(p) for p in range(_N_PARTITIONS)]
+            return [_FluvioPartition(int(self.opts.partition), lo, hi, budget)]
+        return [_FluvioPartition(p, lo, hi, budget) for p in range(_N_PARTITIONS)]
 
     def read(self, partition: _FluvioPartition):
         import os
@@ -103,29 +205,6 @@ class FluvioReader(DataSourceReader):
 
         path = os.path.join(self.sf_dir, "events.parquet")
         pf = pq.ParquetFile(path)
-        # LEO from footer statistics — no data scan for the tail anchor
-        leo = -1
-        idx = pf.schema_arrow.get_field_index("event_id")
-        for rg in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(rg).column(idx).statistics
-            if st is not None and st.max is not None:
-                leo = max(leo, int(st.max))
-        leo += 1
-
-        start = self.opts.calculate_start()
-        lo, hi = 0, None
-        if start.kind in ("head", "start"):
-            lo = start.n
-        elif start.kind == "tail":
-            lo = max(leo - start.n, 0)
-        elif start.kind == "end":
-            lo = leo
-        if self.opts.end is not None:
-            hi = self.opts.end
-        if self.opts.rows is not None and not self.local_budget:
-            # dense-offset row budget: first n offsets at or above lo
-            budget_hi = lo + self.opts.rows - 1
-            hi = budget_hi if hi is None else min(hi, budget_hi)
 
         tbl = pf.read(columns=["event_id", "ts", "user_id", "props", "event_type"])
         if self.topic not in _WHOLE_LOG_TOPICS:
@@ -134,12 +213,12 @@ class FluvioReader(DataSourceReader):
         part = pa.array((uid % _N_PARTITIONS).astype("int32"))
         tbl = tbl.append_column("partition", part)
         mask = pc.equal(tbl["partition"], partition.pid)
-        mask = pc.and_(mask, pc.greater_equal(tbl["event_id"], lo))
-        if hi is not None:
-            mask = pc.and_(mask, pc.less_equal(tbl["event_id"], hi))
+        mask = pc.and_(mask, pc.greater_equal(tbl["event_id"], partition.lo))
+        if partition.hi is not None:
+            mask = pc.and_(mask, pc.less_equal(tbl["event_id"], partition.hi))
         tbl = tbl.filter(mask)
-        if self.local_budget:
-            tbl = tbl.sort_by("event_id").slice(0, self.opts.rows)
+        if partition.budget is not None:
+            tbl = tbl.sort_by("event_id").slice(0, partition.budget)
 
         ts = tbl["ts"]
         if pa.types.is_integer(ts.type):

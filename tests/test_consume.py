@@ -263,40 +263,51 @@ def test_tail_beyond_log_clamps_to_beginning(spark, sf_dir, n_events):
 def test_datasource_matches_fluvio_consume(spark, sf_dir):
     """spark.read.format('fluvio') must return byte-identical offset
     sets to fluvio_consume for the same option string, across the
-    offset-algebra surface; sub-topic + --rows is an explicit seam."""
-    import pytest
-
+    offset-algebra surface — including the planner-resolved sparse
+    cases: sub-topic + -A + --rows (the global budget becomes an offset
+    bound at plan time) and tail anchors against the SELECTION's
+    log-end (sub-topics and pinned partitions own sparse offsets, so
+    their -T must not anchor on the global LEO)."""
     from fluvio_duck_spark.sources.consume import fluvio_consume
-    from fluvio_duck_spark.sources.datasource import (
-        FluvioReader,
-        register_fluvio_source,
-    )
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
 
     register_fluvio_source(spark)
 
-    def via_ds(args):
+    def via_ds(topic, args):
         return (
-            spark.read.format("fluvio").option("topic", "events")
+            spark.read.format("fluvio").option("topic", topic)
             .option("args", args).option("sf_dir", sf_dir).load()
         )
 
-    for args in ("-A -B --rows 500", "-A -T 7", "-B --rows 100",
-                 "-A --start 17 --end 40", "-p 2 -B --rows 50"):
+    cases = [
+        ("events", "-A -B --rows 500"),
+        ("events", "-A -T 7"),
+        ("events", "-B --rows 100"),
+        ("events", "-A --start 17 --end 40"),
+        ("events", "-p 2 -B --rows 50"),
+        # pinned-partition tail: anchored on partition 2's own LEO
+        ("events", "-p 2 -T 9"),
+        # single-partition sub-topic budget is a LOCAL top-n — exact
+        ("click", "-B --rows 5"),
+        # sub-topic tails: anchored on the sub-topic's LEO
+        ("click", "-A -T 11"),
+        ("click", "-p 1 -T 6"),
+        # VERDICT r3 gap: -A + sparse sub-topic + --rows — the planner
+        # resolves the budget to the rows-th matching offset
+        ("click", "-A -B --rows 5"),
+        ("click", "-A -B --rows 37"),
+        ("click", "-A -H 50 --rows 20 --end 400"),
+        ("click", "-A -T 30 --rows 10"),
+        # budget larger than the selection: keep everything
+        ("click", "-A -B --rows 10000000"),
+    ]
+    for topic, args in cases:
         a = sorted(r.offset for r in fluvio_consume(
-            spark, f"events {args}", sf_dir=sf_dir).collect())
-        b = sorted(r.offset for r in via_ds(args).collect())
-        assert a == b, args
+            spark, f"{topic} {args}", sf_dir=sf_dir).collect())
+        b = sorted(r.offset for r in via_ds(topic, args).collect())
+        assert a == b, (topic, args)
     # default (no -A): reference pins partition 0
-    assert via_ds("-B").select("partition").distinct().collect()[0][0] == 0
-    # single-partition sub-topic budget is a LOCAL top-n — exact
-    a = sorted(r.offset for r in fluvio_consume(
-        spark, "click -B --rows 5", sf_dir=sf_dir).collect())
-    b = sorted(r.offset for r in (
-        spark.read.format("fluvio").option("topic", "click")
-        .option("args", "-B --rows 5").option("sf_dir", sf_dir).load()
-    ).collect())
-    assert a == b
-    # -A + sparse sub-topic + --rows: honest NotImplementedError seam
-    with pytest.raises(Exception, match="fluvio_consume"):
-        FluvioReader({"topic": "click", "args": "-A -B --rows 5",
-                      "sf_dir": sf_dir})
+    assert (
+        via_ds("events", "-B").select("partition").distinct().collect()[0][0]
+        == 0
+    )
