@@ -14,7 +14,13 @@ Measure algebra:
   needs the runner-up), so affected groups — only those present in the
   delta — recompute from the post-delta base via a key semi-join: a
   pruned scan of the affected slice, never the full table.
-* groups whose count reaches 0 leave the view.
+* Group liveness is tracked by an INTERNAL ``__n`` = count(*) measure
+  the state always carries (ADVICE r3): groups leave the view exactly
+  when their row count reaches 0.  A user-declared ``count`` measure is
+  a VALUE count (``COUNT(col)`` skips NULLs) and is never used for the
+  exit decision — a count over a nullable column must not evict a group
+  that still has rows, nor may a view with no count measure keep zombie
+  groups (zero sums / stale min-max) after full retraction.
 
 Determinism: merges are commutative DECIMAL/long arithmetic; the
 recompute is a plain agg — partitioning-independent by construction.
@@ -29,6 +35,10 @@ from pyspark.sql import functions as F
 
 KINDS = ("count", "sum", "min", "max")
 
+#: internal row-count measure: always present in view state, drives the
+#: group-exit filter.  count(*) semantics (rows, not non-NULL values).
+ROWCOUNT = "__n"
+
 
 @dataclass(frozen=True)
 class IvmMeasure:
@@ -40,6 +50,8 @@ class IvmMeasure:
     def __post_init__(self) -> None:
         if self.kind not in KINDS:
             raise ValueError(f"unknown IVM measure kind {self.kind!r}")
+        if self.name == ROWCOUNT:
+            raise ValueError(f"{ROWCOUNT!r} is reserved for internal state")
 
     @property
     def _dec(self) -> str:
@@ -62,8 +74,12 @@ def _aggs(measures: list[IvmMeasure]) -> list:
 
 
 def agg_state(df: DataFrame, keys: list[str], measures: list[IvmMeasure]) -> DataFrame:
-    """The view's mergeable state: one row per key group."""
-    return df.groupBy(*keys).agg(*_aggs(measures))
+    """The view's mergeable state: one row per key group.  Carries the
+    internal ``__n`` row count alongside the declared measures — part of
+    the state contract so retraction can decide group exit exactly."""
+    return df.groupBy(*keys).agg(
+        *_aggs(measures), F.count(F.lit(1)).alias(ROWCOUNT)
+    )
 
 
 def apply_delta(
@@ -77,7 +93,8 @@ def apply_delta(
     """Updated view state after applying Δ⁺ (inserts) and Δ⁻
     (retractions).  ``base_after`` is the post-delta base relation,
     consulted ONLY for min/max recomputes of affected groups (key
-    semi-join → pruned scan)."""
+    semi-join → pruned scan).  Output is itself valid state (it keeps
+    ``__n``), so delta applications chain."""
     additive = [m for m in measures if m.kind in ("count", "sum")]
     order_stats = [m for m in measures if m.kind in ("min", "max")]
 
@@ -87,8 +104,9 @@ def apply_delta(
 
     merged = v.join(dp, keys, "full_outer").join(dm, keys, "full_outer")
     cols = [F.col(k) for k in keys]
+    zero_n = F.lit(0).cast("long")
     for m in additive:
-        zero = F.lit(0).cast("long" if m.kind == "count" else m._dec)
+        zero = zero_n if m.kind == "count" else F.lit(0).cast(m._dec)
         cols.append(
             (
                 F.coalesce(F.col(f"v.{m.name}"), zero)
@@ -98,20 +116,25 @@ def apply_delta(
         )
     for m in order_stats:
         cols.append(F.col(f"v.{m.name}").alias(m.name))  # placeholder
-    out = merged.select(*cols)
-
-    count_names = [m.name for m in additive if m.kind == "count"]
-    if count_names:
-        out = out.filter(F.col(count_names[0]) > 0)
+    cols.append(
+        (
+            F.coalesce(F.col(f"v.{ROWCOUNT}"), zero_n)
+            + F.coalesce(F.col(f"dp.{ROWCOUNT}"), zero_n)
+            - F.coalesce(F.col(f"dm.{ROWCOUNT}"), zero_n)
+        ).alias(ROWCOUNT)
+    )
+    # group exit: the internal count(*) reaches zero — unconditional,
+    # never a user count (which may skip NULLs) and never absent
+    out = merged.select(*cols).filter(F.col(ROWCOUNT) > 0)
 
     if order_stats:
         affected = (
             delta_plus.select(*keys).unionAll(delta_minus.select(*keys)).distinct()
         )
-        recomputed = agg_state(
-            base_after.join(F.broadcast(affected), keys, "left_semi"),
-            keys,
-            order_stats,
+        recomputed = (
+            base_after.join(F.broadcast(affected), keys, "left_semi")
+            .groupBy(*keys)
+            .agg(*_aggs(order_stats))
         )
         r = recomputed.alias("r")
         out = out.alias("o").join(r, keys, "left").select(
@@ -125,5 +148,6 @@ def apply_delta(
                 .alias(m.name)
                 for m in order_stats
             ],
+            F.col(f"o.{ROWCOUNT}").alias(ROWCOUNT),
         )
     return out

@@ -663,7 +663,7 @@ def q_stream_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle (same weights, same fold)."""
     from pyspark.sql import functions as F
 
-    from fluvio_duck_spark.functions.checksum import row_checksum
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
 
     cols = ["event_id", "event_type", "user_id"]
     s = event_stream(spark, sf_dir).select(
@@ -671,7 +671,7 @@ def q_stream_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = s.agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.col("rc").cast("decimal(38,0)")).cast("long").alias("checksum"),
+        fold_sum(F.col("rc")).alias("checksum"),
     )
     out = run_stream_to_table(agg, spark, output_mode="complete")
     return out.select(

@@ -45,20 +45,25 @@ SHIFTED = {
     "supplier": [("s_suppkey", "supp")],
     "events": [("event_id", "event"), ("user_id", "user")],
     "documents": [("doc_id", "doc")],
-    "embeddings": [("vec_id", "vec")],
+    # vec_id IS doc_id (llm.py joins embeddings.vec_id AS doc_id), so
+    # embeddings shifts with the SAME "doc" family constant — two
+    # independently-derived shifts would silently break the
+    # embeddings<->documents link the moment the fixture maxes land in
+    # different decades (ADVICE r3).
+    "embeddings": [("vec_id", "doc")],
 }
 COPIED = ["nation", "region"]
 
-#: family -> (table, column) to derive the shift from
+#: family -> (table, column) sources; the shift derives from the max
+#: across ALL of a family's sources, so every member stays collision-free
 FAMILY_SOURCE = {
-    "order": ("orders", "o_orderkey"),
-    "cust": ("customer", "c_custkey"),
-    "part": ("part", "p_partkey"),
-    "supp": ("supplier", "s_suppkey"),
-    "event": ("events", "event_id"),
-    "user": ("events", "user_id"),
-    "doc": ("documents", "doc_id"),
-    "vec": ("embeddings", "vec_id"),
+    "order": [("orders", "o_orderkey")],
+    "cust": [("customer", "c_custkey")],
+    "part": [("part", "p_partkey")],
+    "supp": [("supplier", "s_suppkey")],
+    "event": [("events", "event_id")],
+    "user": [("events", "user_id")],
+    "doc": [("documents", "doc_id"), ("embeddings", "vec_id")],
 }
 
 
@@ -80,10 +85,11 @@ def main() -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     shifts: dict[str, int] = {}
-    for fam, (t, c) in FAMILY_SOURCE.items():
-        mx = (
+    for fam, sources in FAMILY_SOURCE.items():
+        mx = max(
             spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
             .agg(F.max(c)).collect()[0][0]
+            for t, c in sources
         )
         shifts[fam] = 10 ** math.ceil(math.log10(mx + 2))
     print("shift constants:", shifts)

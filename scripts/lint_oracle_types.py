@@ -7,8 +7,12 @@ wrong" #1/#2).  This lint makes that class unshippable:
 
 * DuckDB side: ``DESCRIBE`` every oracle (no execution) and reject any
   result column typed HUGEINT / UHUGEINT / LIST / ARRAY / STRUCT / MAP.
-* Spark side: analyze every oracle-paired query's schema (no execution)
-  and reject Array/Map/Struct result columns.
+* Spark side: analyze every oracle-paired query's schema and reject
+  Array/Map/Struct result columns.  Building most queries is pure plan
+  analysis, but sink_*/stream_* queries RUN to produce their result
+  (filesystem round-trips, streaming drains) — those are excluded here
+  and covered by the full verify gate instead, keeping this lint
+  side-effect-free (ADVICE r3).
 
 Usage: python scripts/lint_oracle_types.py [sf_dir]
 Exit 0 = clean.  Run as part of the local gate before any commit that adds
@@ -64,6 +68,11 @@ def main() -> int:
     for name, fn in sorted(queries.items()):
         if name not in oracles:
             continue  # rows-only entries never reach the pandas hash
+        if name.startswith(("sink_", "stream_")):
+            # building these EXECUTES (writes/streaming drains) just to
+            # expose .schema — verify_local covers them; the lint stays
+            # a pure-analysis pass
+            continue
         try:
             schema = fn(spark, SF_DIR).schema
         except Exception as e:  # noqa: BLE001

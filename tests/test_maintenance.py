@@ -176,6 +176,73 @@ def test_checksum_matches_duckdb_fold_exactly(spark):
     assert (got.table_name, got.n_rows, got.checksum) == want
 
 
+def test_checksum_delimiter_shift_and_backslash_values(spark):
+    """ADVICE r3: ('a|b','c') vs ('a','b|c') must checksum differently
+    (delimiter escaping), and values containing backslashes must not
+    alias the NULL sentinel — checked cross-engine so the escaping is
+    literally the same in both folds."""
+    import duckdb
+
+    from fluvio_duck_spark.functions.checksum import (
+        checksum_sql,
+        table_checksum,
+    )
+
+    shift_a = spark.createDataFrame([("a|b", "c")], "x string, y string")
+    shift_b = spark.createDataFrame([("a", "b|c")], "x string, y string")
+    ca = table_checksum(shift_a, ["x", "y"], "t").collect()[0].checksum
+    cb = table_checksum(shift_b, ["x", "y"], "t").collect()[0].checksum
+    assert ca != cb
+
+    tricky = [("a|b", "c"), ("x\\N", None), ("\\", "|"), (None, "\\|")]
+    df = spark.createDataFrame(tricky, "x string, y string")
+    got = table_checksum(df, ["x", "y"], "t").collect()[0]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x VARCHAR, y VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", tricky)
+    want = con.execute(checksum_sql("t", ["x", "y"])).fetchone()
+    assert (got.table_name, got.n_rows, got.checksum) == want
+    # 4 distinct-content rows: every pairwise single-row swap flips it
+    one_less = table_checksum(
+        df.limit(3), ["x", "y"], "t").collect()[0].checksum
+    assert one_less != got.checksum
+
+
+def test_checksum_stays_in_bigint_range_at_any_cardinality(spark):
+    """ADVICE r3 (medium): the reported checksum is the DECIMAL(38,0)
+    fold sum mod the largest prime < 2^63, so it fits BIGINT on every
+    engine at any row count.  Drive the accumulator past int64 overflow
+    (3e9 rows x the max ~3.9e9 per-row fold > 2^63) and assert Spark's
+    pmod and DuckDB's % both land on the exact Python value — the old
+    bare cast returned silent NULL on Spark and raised on DuckDB right
+    at the scale the audit is documented for."""
+    import duckdb
+
+    from fluvio_duck_spark.functions.checksum import (
+        CHECKSUM_MODULUS,
+        fold_sum,
+    )
+
+    n, per_row = 3_000_000_000, 3_900_000_000
+    expect = (n * per_row) % CHECKSUM_MODULUS
+    assert n * per_row > 2**63  # the scenario actually overflows int64
+
+    got = (
+        spark.range(n)
+        .select(F.lit(per_row).alias("rc"))
+        .agg(fold_sum(F.col("rc")).alias("checksum"))
+        .collect()[0]
+        .checksum
+    )
+    assert got == expect and 0 <= got < CHECKSUM_MODULUS
+
+    want = duckdb.sql(
+        f"SELECT CAST(SUM(CAST({per_row} AS DECIMAL(38,0)))"
+        f" % {CHECKSUM_MODULUS} AS BIGINT) FROM range({n})"
+    ).fetchone()[0]
+    assert want == expect
+
+
 def test_attribution_first_last_and_direct(spark, sf_dir):
     """Crafted journey: view -> click -> purchase credits first=view,
     last=click; a user whose first event is a purchase credits direct."""
@@ -355,6 +422,54 @@ def test_ivm_retraction_of_group_minimum_and_vanishing_group(spark):
         "a": (1, 5.0, 5.0),  # min recomputed to the runner-up
         "c": (1, 2.0, 2.0),  # brand-new group from the delta
     }  # and b vanished with its last row
+
+
+def test_ivm_group_exit_without_count_and_with_nullable_count(spark):
+    """ADVICE r3: group exit is driven by the internal count(*) state —
+    (a) a view with NO user count measure must still drop a fully
+    retracted group (no zombie zero-sum rows), and (b) a user count over
+    a nullable column is a VALUE count: retracting all the non-NULL
+    values must leave the group alive (count 0) while rows remain."""
+    from fluvio_duck_spark.operators.ivm import (
+        IvmMeasure,
+        agg_state,
+        apply_delta,
+    )
+
+    # (a) sum-only view: group b fully retracted -> must vanish
+    m = [IvmMeasure("s", "v", "sum")]
+    base = spark.createDataFrame(
+        [("a", 1.0), ("b", 7.0), ("b", 3.0)], "k string, v double"
+    )
+    d_plus = spark.createDataFrame([], "k string, v double")
+    d_minus = spark.createDataFrame(
+        [("b", 7.0), ("b", 3.0)], "k string, v double"
+    )
+    base_after = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    got = {
+        r.k: float(r.s)
+        for r in apply_delta(
+            agg_state(base, ["k"], m), base_after, d_plus, d_minus, ["k"], m
+        ).collect()
+    }
+    assert got == {"a": 1.0}  # no zombie ("b", 0.0) row
+
+    # (b) nullable count column: a's non-NULL values all retract, but a
+    # NULL-valued row remains -> group stays with value-count 0
+    m2 = [IvmMeasure("n", "v", "count")]
+    base2 = spark.createDataFrame(
+        [("a", 5.0), ("a", None)], "k string, v double"
+    )
+    d_minus2 = spark.createDataFrame([("a", 5.0)], "k string, v double")
+    base_after2 = spark.createDataFrame([("a", None)], "k string, v double")
+    got2 = {
+        r.k: r.n
+        for r in apply_delta(
+            agg_state(base2, ["k"], m2), base_after2,
+            d_plus, d_minus2, ["k"], m2,
+        ).collect()
+    }
+    assert got2 == {"a": 0}  # alive (one row left), value count 0
 
 
 def test_ivm_equals_full_refresh_any_layout(spark):
