@@ -177,15 +177,17 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         # steady-state: same query again, plan/codegen now hot — this is
         # the per-query marginal cost a long-running cluster session pays
-        t0 = time.perf_counter()
-        fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
-        w1 = time.perf_counter() - t0
-        # best-of-2: a single warm rerun is exposed to GC pauses and OS
-        # scheduling noise on a shared box; the minimum is the steady-state
-        # per-query marginal cost the regression gate should compare
-        t0 = time.perf_counter()
-        fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(min(w1, time.perf_counter() - t0), 3)
+        # best-of-3 (VERDICT r3 #8): warm reruns are exposed to GC pauses
+        # and OS scheduling noise on a shared box; the minimum of three is
+        # the steady-state per-query marginal cost the 2x regression gate
+        # should compare — it shrank the locked-vs-remeasure drift that
+        # best-of-2 left as load noise.
+        reruns = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
+            reruns.append(time.perf_counter() - t0)
+        warm[name] = round(min(reruns), 3)
 
     extended: dict[str, float] = {}
     for name in EXTENDED:

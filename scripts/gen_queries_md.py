@@ -35,6 +35,25 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(f"QUERIES.md: {n} entries, {n_oracle} oracle-paired")
 
+    # Rewrite COVERAGE.md's totals line from the same live registry so
+    # the committed numbers cannot drift from QUERIES.md (VERDICT r3 #9:
+    # one source of truth).
+    import re
+
+    cov_path = "/root/repo/COVERAGE.md"
+    cov = open(cov_path).read()
+    cov2, n_sub = re.subn(
+        r"Current totals: \d+ registered queries, \d+ oracle-paired",
+        f"Current totals: {n} registered queries, {n_oracle} oracle-paired",
+        cov,
+        count=1,
+    )
+    if n_sub:
+        open(cov_path, "w").write(cov2)
+        print(f"COVERAGE.md: totals synced ({n}/{n_oracle})")
+    else:
+        print("COVERAGE.md: totals line not found — update manually")
+
 
 if __name__ == "__main__":
     main()
