@@ -106,3 +106,66 @@ def bpe_fit(
     for m in merges[1:]:
         out = out.unionAll(m)
     return out
+
+
+def _spaced(word_col):
+    """Word → the boundary-safe symbol-sequence string: every symbol
+    flanked by double spaces ('abc' → '  a  b  c  ').  Patterns below
+    consume ONE space on each side of a merge pair, so two adjacent
+    matches can both fire in a single left-to-right replace pass
+    (' a  b  a  b ' → ' ab  ab '), and a pattern can never start
+    mid-symbol (symbols contain no spaces)."""
+    return F.concat(F.lit("  "), F.regexp_replace(word_col, "(.)", "$1  "))
+
+
+def bpe_encode_tokens(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token counts per document under a learned BPE merge list.
+
+    The tokenizer-APPLICATION half (pairs with ``bpe_fit``): ``merges``
+    is the ordered (sym_a, sym_b) list — driver-held tokenizer state,
+    vocab-bounded like the k-means codebook (operators/kmeans.py
+    precedent), broadcast into the plan as literals.
+
+    Applying merge (a, b) exhaustively left-to-right over a symbol
+    sequence IS a single string ``replace(' a  b ', ' ab ')`` on the
+    double-spaced representation (see ``_spaced``) — both engines'
+    replace() scan left-to-right non-overlapping, which matches BPE's
+    greedy convention exactly ('aaa' + merge(a,a) → [aa, a]).
+
+    Scale shape: the K replaces run over the DISTINCT-WORD table (Heaps'
+    law: vocab ≪ corpus), never per occurrence; per-doc counts then come
+    from one word-level equi-join + one doc-id aggregation.  Zero Python,
+    two shuffles total.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+
+    enc = _spaced(F.col("word"))
+    for a, b in merges:
+        enc = F.replace(
+            enc, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        )
+    vocab_tok = (
+        words.select("word").distinct()
+        .select(
+            "word",
+            F.size(F.split(F.trim(enc), " +")).cast("long").alias("n_tok"),
+        )
+    )
+    return (
+        words.join(vocab_tok, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+    )

@@ -94,6 +94,117 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    k: int = 5,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard-over-shingles pairs ≥ threshold via PREFIX
+    FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs /
+    Xiao et al. PPJoin — all published) — the third way to bound the
+    inverted-index self-join, complementing ``max_shingle_df`` (drops
+    frequent shingles, changes the universe) and MinHash/LSH
+    (approximate): prefix filtering keeps the result EXACTLY equal to
+    the unbounded all-pairs Jaccard while joining only on each set's
+    rarest few shingles.
+
+    Principle: order every doc's shingle set by ascending global
+    document frequency (rarest first; ties by shingle).  If
+    J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so A's
+    (|A| − ⌈t·|A|⌉ + 1)-prefix must contribute an intersection
+    element — two qualifying sets MUST share a prefix shingle.  The
+    self-join therefore runs on prefixes only (≈ (1−t)·|S| shingles
+    per doc, and the rarest ones, so per-shingle fan-out is small);
+    candidates are then verified with full intersection counts.
+
+    The threshold is a RATIONAL (num/den) and every comparison is
+    integer arithmetic — ⌈t·n⌉ as ``(num·n + den − 1) div den`` and
+    the final test as ``den·common ≥ num·(na + nb − common)`` — so no
+    float-rounding hazard exists on either engine (binary 0.8·5
+    rounds UP to a 5-shingle prefix requirement; exact 4/5 does not).
+
+    Plan: df(shingle) agg + join back (shuffles on the shingle), one
+    per-doc window for the frequency rank (bounded group = one doc's
+    shingles), prefix self-join on the shingle, then the verification
+    equi-join on (doc_b, shingle) restricted to candidate pairs.  No
+    stage is quadratic in a shingle's document frequency beyond the
+    prefix join itself, which the rarest-first order keeps small —
+    the published scale behavior of AllPairs/PPJoin.
+    """
+    from pyspark.sql import Window as W
+
+    sh = _exploded_shingles(df, text_col, id_col, k, None)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    freq = sh.groupBy("s").agg(F.count("*").alias("df_"))
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy("df_", "s")
+            ),
+        )
+        .join(sizes, id_col)
+        # prefix length: n - ceil(t*n) + 1; ceil(a/b) = (a + b - 1) div b
+        # (floor of a double ratio is exact while a < 2^53 — shingle
+        # counts are nowhere near that)
+        .withColumn(
+            "pfx",
+            F.col("n")
+            - F.floor(
+                (F.lit(threshold_num) * F.col("n") + threshold_den - 1)
+                / threshold_den
+            ).cast("long")
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("pfx")).select(id_col, "s")
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+    # verification: count the FULL intersection for candidate pairs only
+    sa = sh.select(F.col(id_col).alias("doc_a"), F.col("s"))
+    sb = sh.select(F.col(id_col).alias("doc_b"), F.col("s"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("common")
+            >= F.lit(threshold_num)
+            * (F.col("na") + F.col("nb") - F.col("common"))
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 5,

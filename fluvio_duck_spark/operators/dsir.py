@@ -1,0 +1,129 @@
+"""DSIR-style importance weights for targeted data selection.
+
+Data Selection with Importance Resampling (Xie et al., NeurIPS 2023,
+public arXiv:2302.03169): score every corpus document by how much more
+likely its hashed n-gram features are under a TARGET distribution than
+under the CORPUS distribution — the standard recipe for skewing a
+pretraining mixture toward a high-quality / in-domain slice without
+training a classifier.  log w(x) = Σ_f n_f(x) · [ln p̂_target(f) −
+ln p̂_corpus(f)] over hashed bigram buckets with add-one smoothing.
+
+Spark shape (all JVM expressions, no Python):
+  1. explode token bigrams per doc (map-only), bucket each by a
+     PORTABLE md5-fold hash mod B — the same ascii-fold family as
+     functions/checksum.py, so DuckDB reproduces bucket ids exactly;
+  2. two bucket-count aggregations (target slice + whole corpus) —
+     each collapses to ≤ B rows with map-side combine, so the shuffle
+     is feature-table-sized, not corpus-sized (the target slice pays a
+     second map-only explode; its filter pushes to the scan);
+  3. the ≤ B-row log-ratio table broadcast-joins back onto the exploded
+     bigrams; ONE corpus-sized shuffle on doc id sums the per-doc
+     weight in DECIMAL(28,12) (partial-aggregation-order-independent,
+     and the 1e-12 quantization absorbs any cross-engine ln() ulp).
+
+At 100 TB: one corpus-sized shuffle (the per-doc sum); everything else
+is map-side or ≤ B rows.  B=256 keeps the hashed feature table
+broadcastable forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: md5-fold weights (i·2654435761 mod 1000003) — same portable family as
+#: functions/checksum.py; 8 hex chars mix 16^8 values before the mod.
+_HASH_WEIGHTS = [(i * 2654435761) % 1000003 for i in range(1, 9)]
+
+N_BUCKETS = 256
+
+
+def hash_bucket(col: Column, n_buckets: int = N_BUCKETS) -> Column:
+    """Engine-portable string → [0, n_buckets) hash: weighted ascii fold
+    of the first 8 md5 hex chars (md5/ascii/substr exist everywhere)."""
+    h = F.md5(col)
+    term = None
+    for i, w in enumerate(_HASH_WEIGHTS, start=1):
+        t = F.ascii(F.substring(h, i, 1)).cast("long") * F.lit(w)
+        term = t if term is None else term + t
+    return F.pmod(term, F.lit(n_buckets))
+
+
+def hash_bucket_sql(expr: str, n_buckets: int = N_BUCKETS) -> str:
+    """The identical hash as SQL text, built from the same weights."""
+    terms = " + ".join(
+        f"ascii(substr(md5({expr}), {i}, 1)) * {w}"
+        for i, w in enumerate(_HASH_WEIGHTS, start=1)
+    )
+    return f"(({terms}) % {n_buckets})"
+
+
+def _bucketed_bigrams(
+    docs: DataFrame, id_col: str | None, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id?, bucket) — one row per adjacent token pair, hashed."""
+    from fluvio_duck_spark.operators.lm import _doc_bigrams
+
+    bi = _doc_bigrams(docs, id_col, text_col)
+    gram = F.concat_ws(" ", F.col("w1"), F.col("w2"))
+    cols = ([F.col(id_col)] if id_col else []) + [
+        hash_bucket(gram, n_buckets).alias("bucket")
+    ]
+    return bi.select(*cols)
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR log importance weight over hashed bigram
+    features.  ``target_pred`` selects the target slice (e.g.
+    ``F.col("lang") == "en"``).  Documents with < 2 tokens have no
+    features and drop out (same as the bigram LM).  Output:
+    (id, n_grams, dsir_logweight) — positive = more target-like than
+    corpus-typical; resample ∝ exp(weight) to shift the mixture."""
+    grams = _bucketed_bigrams(docs, id_col, text_col, n_buckets)
+    tgrams = _bucketed_bigrams(
+        docs.filter(target_pred), None, text_col, n_buckets
+    )
+
+    corpus = grams.groupBy("bucket").agg(F.count("*").alias("cc"))
+    target = tgrams.groupBy("bucket").agg(F.count("*").alias("ct"))
+    tot = (
+        corpus.agg(F.sum("cc").alias("nc"))
+        .crossJoin(target.agg(F.sum("ct").alias("nt")))
+    )
+    # log-ratio per bucket, add-one smoothed over B buckets:
+    #   λ(b) = ln((ct+1)/(nt+B)) − ln((cc+1)/(nc+B))
+    # built on the corpus bucket table (every scored gram's bucket has
+    # cc ≥ 1 by construction), target side coalesced to 0.
+    lam = (
+        corpus.join(target, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    / (F.col("nt") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("cc") + 1).cast("double")
+                    / (F.col("nc") + n_buckets).cast("double")
+                )
+            ).alias("lam"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(lam), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_grams"),
+            F.sum(F.col("lam").cast("decimal(28,12)"))
+            .cast("double")
+            .alias("dsir_logweight"),
+        )
+    )

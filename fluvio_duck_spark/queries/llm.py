@@ -2976,7 +2976,9 @@ def q_text_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_fit(load(spark, sf_dir, "documents"), n_merges=6)
 
 
-def _bpe_oracle(n_merges: int = 6) -> str:
+def _bpe_oracle_ctes(n_merges: int = 6) -> str:
+    """The merge-learning CTE chain (v1..best{n}) shared by the fit
+    oracle and the encode oracle."""
     parts = ["""WITH RECURSIVE v1 AS MATERIALIZED (
   SELECT CAST(cnt AS BIGINT) AS cnt,
          list_transform(range(1, length(word) + 1),
@@ -3007,16 +3009,163 @@ def _bpe_oracle(n_merges: int = 6) -> str:
          ELSE list_append(acc, syms[i]) END
   FROM f{r} WHERE i <= len(syms)),
 v{r + 1} AS MATERIALIZED (SELECT cnt, acc AS syms FROM f{r} WHERE i = len(syms) + 1)""")
+    return ",\n".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 6) -> str:
     tail = "\nUNION ALL\n".join(
         f"SELECT round, sym_a, sym_b, pair_count FROM best{r}"
         for r in range(1, n_merges + 1)
     )
-    return ",\n".join(parts) + "\n" + tail
+    return _bpe_oracle_ctes(n_merges) + "\n" + tail
 
 
 QUERIES.update({
     "text_bpe_fit": QuerySpec(
         q_text_bpe_fit, _bpe_oracle(6),
         doc="BPE tokenizer fit: 6 merges, one corpus pass + vocab-sized rounds; recursive-CTE-unrolled oracle",
+    ),
+})
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: DSIR importance weights, prefix-filtered exact Jaccard,
+# BPE tokenizer application
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/dsir.py): every document
+    scored by Σ n_f·[ln p̂_en(f) − ln p̂_corpus(f)] over 256 hashed
+    bigram buckets, target slice = lang='en'.  One corpus-sized shuffle
+    (per-doc sum); the feature tables are ≤256 rows and broadcast."""
+    from fluvio_duck_spark.operators.dsir import dsir_logweights
+
+    return dsir_logweights(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    )
+
+
+def _oracle_dsir() -> str:
+    from fluvio_duck_spark.operators.dsir import N_BUCKETS, hash_bucket_sql
+
+    gram = ("list_extract(tk, CAST(i AS INTEGER)) || ' ' || "
+            "list_extract(tk, CAST(i AS INTEGER) + 1)")
+    b = N_BUCKETS
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+bi AS (
+  SELECT doc_id, lang, {hash_bucket_sql(gram)} AS bucket
+  FROM (SELECT doc_id, lang, tk, unnest(range(1, len(tk))) AS i
+        FROM t WHERE len(tk) >= 2) x),
+cc AS (SELECT bucket, COUNT(*) AS cc FROM bi GROUP BY bucket),
+ct AS (SELECT bucket, COUNT(*) AS ct FROM bi WHERE lang = 'en' GROUP BY bucket),
+tot AS (SELECT (SELECT SUM(cc) FROM cc) AS nc,
+               (SELECT COALESCE(SUM(ct), 0) FROM ct) AS nt),
+lam AS (
+  SELECT cc.bucket,
+         ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / CAST(nt + {b} AS DOUBLE))
+       - ln(CAST(cc.cc + 1 AS DOUBLE) / CAST(nc + {b} AS DOUBLE)) AS lam
+  FROM cc LEFT JOIN ct USING (bucket) CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_grams,
+       CAST(SUM(CAST(lam AS DECIMAL(28,12))) AS DOUBLE) AS dsir_logweight
+FROM bi JOIN lam USING (bucket) GROUP BY doc_id
+"""
+
+
+def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard pairs ≥ 4/5
+    (operators/dedup.py::ngram_jaccard_pairs_prefix): the AllPairs/
+    PPJoin bound — self-join only on each doc's rarest
+    (n − ⌈t·n⌉ + 1) shingles, verify candidates with full intersection
+    counts.  Same answer as the unbounded all-pairs join (the oracle IS
+    the unbounded form), with join fan-out cut to the prefix."""
+    from fluvio_duck_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    return ngram_jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), k=5,
+        threshold_num=4, threshold_den=5,
+    )
+
+
+#: the UNBOUNDED exact form — prefix filtering must reproduce it exactly
+ORACLE_JACCARD_PREFIX = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 5 * c >= 4 * (sa.n + sb.n - c)
+"""
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/bpe.py::bpe_encode_tokens):
+    fit 6 BPE merges on the corpus, then encode every document and
+    report per-doc word/BPE-token counts.  The merge list is
+    vocab-bounded driver state (kmeans-codebook precedent); encoding
+    runs over the DISTINCT-word table as K boundary-safe string
+    replaces — zero Python, two shuffles."""
+    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens, bpe_fit
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_fit(docs, n_merges=6).orderBy("round").collect()
+    ]
+    return bpe_encode_tokens(docs, merges)
+
+
+def _bpe_encode_oracle(n_merges: int = 6) -> str:
+    """Recompute the merges with the fit oracle's CTE chain, then apply
+    them as nested boundary-safe replaces over the distinct-word table
+    (scalar subqueries against best1..bestK)."""
+    enc = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for r in range(1, n_merges + 1):
+        pat = (f"' ' || (SELECT sym_a FROM best{r}) || '  ' || "
+               f"(SELECT sym_b FROM best{r}) || ' '")
+        rep = f"' ' || (SELECT sym_a || sym_b FROM best{r}) || ' '"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return _bpe_oracle_ctes(n_merges) + f""",
+wrd AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents) z
+  WHERE word <> ''),
+encw AS MATERIALIZED (
+  SELECT word,
+         len(string_split_regex(trim({enc}), ' +')) AS n_tok
+  FROM (SELECT DISTINCT word FROM wrd) dw)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+FROM wrd JOIN encw USING (word) GROUP BY doc_id
+"""
+
+
+QUERIES.update({
+    "text_dsir_weights": QuerySpec(
+        q_dsir_weights, _oracle_dsir(),
+        doc="DSIR importance weights: hashed-bigram log-ratio vs target slice (one corpus shuffle; 256-row broadcast tables)",
+    ),
+    "dedup_jaccard_prefix": QuerySpec(
+        q_jaccard_prefix, ORACLE_JACCARD_PREFIX,
+        doc="prefix-filtered EXACT Jaccard pairs (AllPairs/PPJoin bound) — equals the unbounded all-pairs result",
+    ),
+    "text_bpe_encode": QuerySpec(
+        q_bpe_encode, _bpe_encode_oracle(6),
+        doc="BPE tokenizer application: per-doc token counts under the 6 fitted merges; distinct-word encode, boundary-safe replaces",
     ),
 })

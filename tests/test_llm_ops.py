@@ -932,3 +932,120 @@ def test_bpe_fit_layout_independent(spark, sf_dir):
     a = bpe_fit(docs.repartition(1), n_merges=3).collect()
     b = bpe_fit(docs.repartition(7), n_merges=3).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_bpe_encode_matches_reference_greedy_encoder(spark):
+    """Encode under known merges equals a per-word Python reference that
+    applies each merge exhaustively left-to-right — including the
+    boundary traps: a merge pair whose 'b' symbol starts another symbol
+    ('ab'+'y' vs the 'b y' substring inside 'ab  y') and chained
+    adjacent matches ('abab' must become [ab, ab] in ONE pass)."""
+    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens
+
+    merges = [("a", "b"), ("ab", "y"), ("ab", "ab")]
+
+    def ref_encode(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    words = ["abab", "aby", "abyab", "bab", "aab", "ababab", "y", "ba"]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "abab abab"), (3, "xyz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_bpe_tokens)
+        for r in bpe_encode_tokens(docs, merges).collect()
+    }
+    want1 = sum(len(ref_encode(w)) for w in words)
+    assert got == {
+        1: (len(words), want1),
+        2: (2, 2 * len(ref_encode("abab"))),
+        3: (1, len(ref_encode("xyz"))),
+    }
+
+
+def test_jaccard_prefix_filter_equals_unbounded_exact(docs):
+    """Prefix filtering is a pruning, not an approximation: pairs and
+    jaccard values must equal the unbounded inverted-index join on the
+    real corpus."""
+    from fluvio_duck_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    want = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, k=5, threshold=0.8).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs_prefix(
+            docs, k=5, threshold_num=4, threshold_den=5
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_jaccard_prefix_integer_ceil_boundary(spark):
+    """Boundary cases around t = 4/5 on 5-shingle sets: identical sets
+    pair (J=1), a superset at J = 5/6 pairs, and a 4-of-5 overlap
+    (J = 4/6) must NOT — binary-float ceil(0.8*5) = 5 (0.8*5 rounds to
+    4.0000000000000002) would shrink the prefix to length 1 and risk
+    dropping true pairs; the rational form keeps
+    n - ceil(4n/5) + 1 = 2 at n = 5."""
+    from fluvio_duck_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    w = "w1 w2 w3 w4 w5 w6 w7 w8 w9"  # 9 tokens -> 5 shingles (k=5)
+    docs = spark.createDataFrame(
+        [
+            (1, w),
+            (2, w),
+            (3, w + " DIFFERENT"),       # 6 shingles, shares 5: J=5/6
+            (4, "w1 w2 w3 w4 w5 w6 w7 w8 CHANGED"),  # shares 4: J=4/6
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs_prefix(docs, k=5).collect()
+    }
+    assert got == {
+        (1, 2): 1.0,
+        (1, 3): round(5 / 6, 9),
+        (2, 3): round(5 / 6, 9),
+    }
+
+
+def test_dsir_weights_rank_target_slice_higher(docs):
+    """The target slice (lang='en') must average a higher DSIR log
+    weight than the complement — the defining property of the
+    importance weight — and the weights must be layout-independent."""
+    from fluvio_duck_spark.operators.dsir import dsir_logweights
+
+    w = dsir_logweights(docs, F.col("lang") == "en")
+    j = w.join(docs.select("doc_id", "lang"), "doc_id")
+    rows = j.groupBy(F.col("lang") == "en").agg(
+        F.avg("dsir_logweight").alias("m")
+    ).collect()
+    means = {r[0]: r.m for r in rows}
+    assert means[True] > means[False]
+
+    a = sorted(tuple(r) for r in w.collect())
+    b = sorted(
+        tuple(r)
+        for r in dsir_logweights(
+            docs.repartition(13), F.col("lang") == "en"
+        ).collect()
+    )
+    assert a == b
