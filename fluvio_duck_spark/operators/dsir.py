@@ -72,24 +72,20 @@ def _bucketed_bigrams(
     return bi.select(*cols)
 
 
-def dsir_logweights(
+def dsir_lambda(
     docs: DataFrame,
     target_pred: Column,
     n_buckets: int = N_BUCKETS,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Per-document DSIR log importance weight over hashed bigram
-    features.  ``target_pred`` selects the target slice (e.g.
-    ``F.col("lang") == "en"``).  Documents with < 2 tokens have no
-    features and drop out (same as the bigram LM).  Output:
-    (id, n_grams, dsir_logweight) — positive = more target-like than
-    corpus-typical; resample ∝ exp(weight) to shift the mixture."""
-    grams = _bucketed_bigrams(docs, id_col, text_col, n_buckets)
+    """The ≤ n_buckets-row (bucket, lam) log-ratio table — the trained
+    "model" of DSIR.  Fit once over the reference corpus, broadcast
+    everywhere (batch scoring, streaming gates): bounded state, like a
+    k-means codebook."""
+    grams = _bucketed_bigrams(docs, None, text_col, n_buckets)
     tgrams = _bucketed_bigrams(
         docs.filter(target_pred), None, text_col, n_buckets
     )
-
     corpus = grams.groupBy("bucket").agg(F.count("*").alias("cc"))
     target = tgrams.groupBy("bucket").agg(F.count("*").alias("ct"))
     tot = (
@@ -117,13 +113,47 @@ def dsir_logweights(
             ).alias("lam"),
         )
     )
+    return lam
+
+
+def dsir_score(
+    docs: DataFrame,
+    lam: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a fitted λ table: explode bigrams,
+    broadcast-join λ, sum per doc in DECIMAL.  The only corpus-sized
+    shuffle in the whole DSIR pipeline.  Buckets absent from λ score 0
+    (unseen at fit time — no evidence either way)."""
+    grams = _bucketed_bigrams(docs, id_col, text_col, n_buckets)
     return (
-        grams.join(F.broadcast(lam), "bucket")
+        grams.join(F.broadcast(lam), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_grams"),
-            F.sum(F.col("lam").cast("decimal(28,12)"))
+            F.sum(F.coalesce(F.col("lam"), F.lit(0.0)).cast("decimal(28,12)"))
             .cast("double")
             .alias("dsir_logweight"),
         )
+    )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document DSIR log importance weight over hashed bigram
+    features.  ``target_pred`` selects the target slice (e.g.
+    ``F.col("lang") == "en"``).  Documents with < 2 tokens have no
+    features and drop out (same as the bigram LM).  Output:
+    (id, n_grams, dsir_logweight) — positive = more target-like than
+    corpus-typical; resample ∝ exp(weight) to shift the mixture."""
+    return dsir_score(
+        docs, dsir_lambda(docs, target_pred, n_buckets, text_col),
+        n_buckets, id_col, text_col,
     )

@@ -664,3 +664,82 @@ def hard_negatives(
         .select("query_id", id_col, F.round("sim", 6).alias("sim"),
                 F.col("rn").cast("int").alias("rn"))
     )
+
+
+def pack_sign_bits(vec_col, lo: int, hi: int):
+    """Sign bits of dims ``lo..hi`` (1-indexed, inclusive) packed into a
+    BIGINT — bit (i - lo) set iff element i ≥ 0.  Packed per 32 dims so
+    the value stays far from the int64 sign bit on every engine; exact
+    because 2^31 is exactly representable in the double pow()."""
+    return F.aggregate(
+        F.sequence(F.lit(lo), F.lit(hi)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at(vec_col, i.cast("int")) >= 0,
+            F.pow(F.lit(2.0), (i - lo).cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN: 1-bit-per-dimension sign quantization
+    (64 dims → two 32-bit words), Hamming-distance candidate scan via
+    xor + popcount, exact-cosine rerank of the top ``n_candidates``.
+
+    The modern memory-bound retrieval recipe (32× smaller index than
+    float32; Hamming on packed words is a few ALU ops/comparison): scan
+    cost is two BIGINTs per row instead of the full vector, the
+    candidate heap is ``orderBy().limit()`` (per-partition
+    TakeOrderedAndProject, no global sort), and the expensive cosine
+    fold touches only ``n_candidates`` rows.  Deterministic end-to-end:
+    Hamming ties break on id, so the candidate set — and therefore the
+    reranked answer — is reproducible and oracle-parity-checkable.
+
+    At 100 TB: the packed-words table is the only full scan (16 bytes +
+    id per row); everything downstream is candidate-sized.
+    """
+    from fluvio_duck_spark.functions.vectors import cosine
+
+    packed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        pack_sign_bits(F.col(vec_col), 1, 32).alias("w1"),
+        pack_sign_bits(F.col(vec_col), 33, 64).alias("w2"),
+    )
+    q = packed.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qv"),
+        F.col("w1").alias("__qw1"),
+        F.col("w2").alias("__qw2"),
+    )
+    cand = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            vec_col,
+            "__qv",
+            (
+                F.bit_count(F.col("w1").bitwiseXOR(F.col("__qw1")))
+                + F.bit_count(F.col("w2").bitwiseXOR(F.col("__qw2")))
+            ).alias("hamming"),
+        )
+        .orderBy(F.asc("hamming"), F.asc(id_col))
+        .limit(n_candidates)
+    )
+    return (
+        cand.select(
+            id_col,
+            "hamming",
+            cosine(F.col(vec_col), F.col("__qv")).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -3169,3 +3169,59 @@ QUERIES.update({
         doc="BPE tokenizer application: per-doc token counts under the 6 fitted merges; distinct-word encode, boundary-safe replaces",
     ),
 })
+
+
+def q_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (operators/similarity.py::
+    binary_hamming_topk): sign bits packed into two 32-bit words,
+    Hamming candidate scan (xor + popcount over 16 bytes/row), exact
+    cosine rerank of the 50 candidates.  Deterministic two-stage
+    pipeline, replicated exactly by the oracle."""
+    from fluvio_duck_spark.operators.similarity import binary_hamming_topk
+
+    out = binary_hamming_topk(
+        load(spark, sf_dir, "embeddings"), query_id=0, k=10, n_candidates=50
+    )
+    return out.select("vec_id", F.col("hamming").cast("int").alias("hamming"), "sim")
+
+
+def _pack_sql(lo: int, hi: int) -> str:
+    return (
+        f"CAST(list_aggregate(list_transform(range({lo}, {hi} + 1), "
+        f"i -> CASE WHEN embedding[CAST(i AS INTEGER)] >= 0 "
+        f"THEN CAST(power(2, i - {lo}) AS BIGINT) ELSE 0 END), 'sum') AS BIGINT)"
+    )
+
+
+ORACLE_BINARY_HAMMING = f"""
+WITH p AS (
+  SELECT vec_id, embedding,
+         {_pack_sql(1, 32)} AS w1,
+         {_pack_sql(33, 64)} AS w2
+  FROM embeddings),
+q AS (SELECT embedding AS qv, w1 AS qw1, w2 AS qw2 FROM p WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding, qv,
+         CAST(bit_count(xor(w1, qw1)) + bit_count(xor(w2, qw2)) AS INTEGER)
+           AS hamming
+  FROM p, q WHERE vec_id <> 0
+  ORDER BY hamming, vec_id LIMIT 50),
+r AS (
+  SELECT vec_id, hamming,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM cand)
+SELECT vec_id, hamming, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+QUERIES.update({
+    "sim_binary_hamming": QuerySpec(
+        q_binary_hamming, ORACLE_BINARY_HAMMING,
+        doc="binary-quantization ANN: sign-bit packing, xor+popcount Hamming scan, exact-cosine rerank of 50 candidates",
+    ),
+})

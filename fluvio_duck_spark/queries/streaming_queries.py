@@ -954,3 +954,62 @@ def _wire_stream_er_oracle() -> None:
 
 
 _wire_stream_er_oracle()
+
+
+def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR curation gate: documents arrive as a stream and
+    each micro-batch is scored against the FROZEN λ log-ratio table
+    (operators/dsir.py::dsir_lambda — ≤256 rows, fit once on the static
+    reference corpus, broadcast).  Stateless across batches — a doc's
+    bigrams all live in its own row, so per-batch scoring needs no
+    cross-batch state; matches append to a parquet sink (never a
+    driver-side list — VERDICT r3 #4 pattern) and the accumulated scores
+    equal the batch text_dsir_weights exactly, so the oracle is shared.
+    This is the production topology for importance-weighted ingest: fit
+    λ offline, gate the firehose with a broadcast table."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dsir import dsir_lambda, dsir_score
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    lam = dsir_lambda(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    ).localCheckpoint(eager=True)  # the frozen model, materialized once
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"dsir_gate_out_{run_id}")
+
+    def score_batch(batch_df, _bid) -> None:
+        dsir_score(batch_df, lam).write.mode("append").parquet(out_dir)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"dsir_gate_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, n_grams int, dsir_logweight double"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+
+
+def _wire_stream_dsir_oracle() -> None:
+    from fluvio_duck_spark.queries.llm import _oracle_dsir
+
+    QUERIES["stream_dsir_gate"] = QuerySpec(
+        q_stream_dsir_gate, _oracle_dsir(),
+        doc="streaming DSIR gate: frozen 256-row λ broadcast, per-batch scoring, parquet-sink accumulation ≡ batch weights",
+    )
+
+
+_wire_stream_dsir_oracle()

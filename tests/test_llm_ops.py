@@ -1049,3 +1049,46 @@ def test_dsir_weights_rank_target_slice_higher(docs):
         ).collect()
     )
     assert a == b
+
+
+def test_binary_hamming_recall_vs_exact(emb):
+    """1-bit quantization keeps enough signal on the fixture: recall@10
+    of the Hamming-candidates + cosine-rerank pipeline vs the exact
+    cosine top-10, plus exactness of the rerank stage (sims of returned
+    ids equal their exact cosine values)."""
+    from fluvio_duck_spark.operators.similarity import (
+        binary_hamming_topk,
+        cosine_topk,
+    )
+
+    exact = {r.vec_id: r.sim for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    got = {r.vec_id: r.sim
+           for r in binary_hamming_topk(emb, query_id=0, k=10).collect()}
+    recall = len(exact.keys() & got.keys()) / 10
+    assert recall >= 0.5, recall
+    for vid in exact.keys() & got.keys():
+        assert abs(exact[vid] - got[vid]) < 1e-12
+
+
+def test_pack_sign_bits_exact_words(spark):
+    """Known sign pattern packs to the expected words; all-negative
+    packs to 0 and all-positive to 2^32-1."""
+    from fluvio_duck_spark.operators.similarity import pack_sign_bits
+
+    neg, pos = [-1.0] * 64, [1.0] * 64
+    mixed = [1.0 if i % 3 == 0 else -1.0 for i in range(64)]
+    want_lo = sum(1 << i for i in range(32) if i % 3 == 0)
+    want_hi = sum(1 << (i - 32) for i in range(32, 64) if i % 3 == 0)
+    df = spark.createDataFrame(
+        [(1, neg), (2, pos), (3, mixed)], "vec_id long, v array<double>"
+    )
+    got = {
+        r.vec_id: (r.w1, r.w2)
+        for r in df.select(
+            "vec_id",
+            pack_sign_bits(F.col("v"), 1, 32).alias("w1"),
+            pack_sign_bits(F.col("v"), 33, 64).alias("w2"),
+        ).collect()
+    }
+    assert got == {1: (0, 0), 2: (2**32 - 1, 2**32 - 1),
+                   3: (want_lo, want_hi)}

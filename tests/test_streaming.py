@@ -495,3 +495,23 @@ def test_stream_ivm_slicing_independent(spark, tmp_path):
         .collect()
     }
     assert single == want
+
+
+def test_stream_dsir_gate_equals_batch_weights(spark, sf_dir):
+    """The streaming DSIR gate (frozen λ broadcast + per-batch scoring +
+    parquet-sink accumulation) must reproduce the batch weights exactly,
+    independent of micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dsir import dsir_logweights
+    from fluvio_duck_spark.queries.streaming_queries import q_stream_dsir_gate
+    from fluvio_duck_spark.sources.tables import load
+
+    got = sorted(tuple(r) for r in q_stream_dsir_gate(spark, sf_dir).collect())
+    want = sorted(
+        tuple(r)
+        for r in dsir_logweights(
+            load(spark, sf_dir, "documents"), F.col("lang") == "en"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
