@@ -778,3 +778,186 @@ def edit_distance_pairs(
         "token_b",
         F.levenshtein("token_a", "token_b").alias("dist"),
     ).filter(F.col("dist") <= max_dist)
+
+
+# -- portable MinHash (engine-reproducible) ---------------------------------
+
+#: Knuth-multiplicative weight families for the portable MinHash chain.
+#: Fixed forever: the whole point is that ANY engine with md5/ascii/substr
+#: and 64-bit integer arithmetic reproduces identical signatures.
+_PMH_W16 = [(i * 2654435761) % 1000003 for i in range(1, 17)]
+_PMH_P = 1_000_000_007
+_PMH_P2 = 998_244_353
+_PMH_A = [(((2 * i + 1) * 2654435761) % 1000003) | 1 for i in range(64)]
+_PMH_B = [(i * 40503) % 999983 for i in range(64)]
+_PMH_V = [((r + 7) * 2654435761) % 1000003 for r in range(16)]
+
+
+def portable_text_hash(col) -> F.Column:
+    """Engine-portable string → long: weighted ascii fold of the first
+    16 md5 hex chars (~2^31 span — plenty for within-doc MinHash)."""
+    h = F.md5(col)
+    term = None
+    for i, w in enumerate(_PMH_W16, start=1):
+        t = F.ascii(F.substring(h, i, 1)).cast("long") * F.lit(w)
+        term = t if term is None else term + t
+    return term
+
+
+def portable_text_hash_sql(expr: str) -> str:
+    # every factor cast to BIGINT up front: DuckDB's INTEGER arithmetic
+    # is overflow-checked, not silently promoted
+    terms = " + ".join(
+        f"CAST(ascii(substr(md5({expr}), {i}, 1)) AS BIGINT) * {w}"
+        for i, w in enumerate(_PMH_W16, start=1)
+    )
+    return f"CAST(({terms}) AS BIGINT)"
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    k: int = 5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with an ENGINE-PORTABLE hash
+    chain, so the whole approximate pipeline is exactly reproducible by
+    any SQL engine (the xxhash64 form in ``minhash_lsh_pairs`` is the
+    performance path; this is the auditable one — same plan shape, same
+    banding curve, rows-only becomes hash-checked).
+
+    Chain: shingle → md5 ascii-fold base hash h; permutation i →
+    (A_i·h + B_i) mod 1e9+7 (products ≤ ~1.6e15, comfortably in int64
+    on every engine); band hash → Σ mh_j·V_j mod 998244353.  Candidates
+    are same-(band, bh) pairs; each is verified with exact Jaccard
+    (rational threshold, integer comparison), so output has no false
+    positives and the banding curve only costs recall.
+
+    Plan shape is the measured-fast form from ``minhash_signatures``:
+    explode → hash string ONCE → hash-aggregate with n_hashes min
+    buffers (map-side combine ⇒ shuffle = |docs| × n_hashes longs)."""
+    assert n_hashes % n_bands == 0 and n_hashes <= 64
+    rpb = n_hashes // n_bands
+
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    ).select(id_col, portable_text_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * _PMH_A[i] + _PMH_B[i], F.lit(_PMH_P))
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.pmod(
+                    sum(
+                        F.col(f"mh{band * rpb + r}") * F.lit(_PMH_V[r])
+                        for r in range(rpb)
+                    ),
+                    F.lit(_PMH_P2),
+                ).alias("bh"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("shb"))
+    common = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    union = F.size("sha") + F.size("shb") - common
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * common >= F.lit(threshold_num) * union
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (common.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_portable_oracle_sql(
+    k: int = 5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> str:
+    """The identical pipeline as DuckDB SQL, generated from the same
+    constant tables — signatures, banding, candidates, and the exact
+    verification all replicated."""
+    rpb = n_hashes // n_bands
+    mh_aggs = ",\n         ".join(
+        f"MIN((h * {_PMH_A[i]} + {_PMH_B[i]}) % {_PMH_P}) AS mh{i}"
+        for i in range(n_hashes)
+    )
+    band_arms = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {band} AS band, ({expr}) % {p2} AS bh FROM sig".format(
+            band=band,
+            p2=_PMH_P2,
+            expr=" + ".join(
+                f"mh{band * rpb + r} * {_PMH_V[r]}" for r in range(rpb)
+            ),
+        )
+        for band in range(n_bands)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {k - 2}, 1)),
+           i -> concat_ws(' ', {", ".join(f"w[i+{j}]" for j in range(k))})))) AS s
+  FROM w),
+hh AS (SELECT doc_id, {portable_text_hash_sql("s")} AS h FROM sh),
+sig AS (
+  SELECT doc_id,
+         {mh_aggs}
+  FROM hh GROUP BY doc_id),
+bk AS (
+{band_arms}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b USING (band, bh) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS cn
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(cn AS DOUBLE) / (sa.n + sb.n - cn) AS jaccard
+FROM com
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {threshold_den} * cn >= {threshold_num} * (sa.n + sb.n - cn)
+"""

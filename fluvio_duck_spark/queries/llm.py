@@ -3225,3 +3225,31 @@ QUERIES.update({
         doc="binary-quantization ANN: sign-bit packing, xor+popcount Hamming scan, exact-cosine rerank of 50 candidates",
     ),
 })
+
+
+def q_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash+LSH (operators/dedup.py::
+    minhash_lsh_pairs_portable): the same banded-signature plan as
+    dedup_minhash_lsh, but the whole hash chain (md5 ascii-fold base,
+    modular permutations, band folds) is reproducible in ANY SQL
+    engine — so the APPROXIMATE pipeline itself is hash-compared
+    end-to-end, not just its verified output."""
+    from fluvio_duck_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    return minhash_lsh_pairs_portable(load(spark, sf_dir, "documents"))
+
+
+def _oracle_minhash_portable() -> str:
+    from fluvio_duck_spark.operators.dedup import (
+        minhash_lsh_portable_oracle_sql,
+    )
+
+    return minhash_lsh_portable_oracle_sql()
+
+
+QUERIES.update({
+    "dedup_minhash_portable": QuerySpec(
+        q_minhash_portable, _oracle_minhash_portable(),
+        doc="portable-hash MinHash+LSH: md5-fold base + modular permutations — the approximate pipeline itself oracle-checked",
+    ),
+})

@@ -1092,3 +1092,18 @@ def test_pack_sign_bits_exact_words(spark):
     }
     assert got == {1: (0, 0), 2: (2**32 - 1, 2**32 - 1),
                    3: (want_lo, want_hi)}
+
+
+def test_minhash_portable_matches_exact_pairs(docs, exact_pairs):
+    """The portable-hash chain must behave like a MinHash: on the
+    fixture's planted near-dups (J mostly ~1) the banding curve gives
+    ~full recall, and verification removes all false positives — so the
+    output equals the exact pair set, like the xxhash64 form."""
+    from fluvio_duck_spark.operators.dedup import minhash_lsh_pairs_portable
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs_portable(docs).collect()
+    }
+    assert got <= exact_pairs  # no false positives, ever
+    assert len(got) >= int(0.9 * len(exact_pairs))  # banding recall

@@ -446,3 +446,23 @@ def test_cms_heavy_hitter_topk_is_heap_not_window(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "sketch_cms_users")
     ops = assert_plan(df, Window=0, ArrowEvalPython=0, BatchEvalPython=0)
     assert ops["TakeOrderedAndProject"] >= 1
+
+
+def test_dsir_single_corpus_shuffle_no_python(specs, spark, sf_dir):
+    # DSIR: feature tables are <=256 rows (bucket aggs), lambda joins
+    # back via broadcast, and the ONLY corpus-sized exchange is the
+    # per-doc weight sum.  No sort-merge join may appear, no Python.
+    df = _run(specs, spark, sf_dir, "text_dsir_weights")
+    ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0,
+                      BatchEvalPython=0)
+    assert ops.get("BroadcastHashJoin", 0) >= 1
+
+
+def test_binary_hamming_heap_scan_then_tiny_rerank(specs, spark, sf_dir):
+    # the Hamming candidate stage must be a bounded heap
+    # (TakeOrderedAndProject), never a global sort; rerank runs on 50
+    # rows so no further exchange is corpus-sized
+    df = _run(specs, spark, sf_dir, "sim_binary_hamming")
+    ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0,
+                      BatchEvalPython=0)
+    assert ops["TakeOrderedAndProject"] >= 1
