@@ -961,3 +961,148 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE {threshold_den} * cn >= {threshold_num} * (sa.n + sb.n - cn)
 """
+
+
+def portable_text_hash2(col) -> F.Column:
+    """Second independent portable fold (md5 hex chars 17..32) — paired
+    with ``portable_text_hash`` when one 31-bit value isn't enough."""
+    h = F.md5(col)
+    term = None
+    for i, w in enumerate(_PMH_W16, start=1):
+        t = F.ascii(F.substring(h, i + 16, 1)).cast("long") * F.lit(w)
+        term = t if term is None else term + t
+    return term
+
+
+_SIMHASH_BITS = 60  # 4 bands × 15 bits; stays clear of the int64 sign
+
+
+def simhash_portable_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """60-bit SimHash per doc with NO Python and an engine-portable hash
+    chain — the JVM-expression twin of the pandas-UDF ``simhash``:
+    per-token bit votes become 60 conditional SUM aggregates over the
+    exploded token table (the same codegen hash-agg shape that made
+    ``minhash_signatures`` 50× faster than its HOF form), so Python
+    leaves the hot path entirely AND any SQL engine reproduces the
+    signature.  Bit b of a token = parity of (h·A_b + B_b) mod 1e9+7
+    over the md5 ascii-fold base hash — per-bit rehashing keeps each
+    vote unbiased even though the base fold is sum-shaped."""
+    from fluvio_duck_spark.operators.chunking import tokenize
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    ).filter(F.col("token") != "")
+    h = portable_text_hash(F.col("token"))
+    votes = toks.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.pmod(
+                        F.pmod(F.col("h") * _PMH_A[b] + _PMH_B[b], F.lit(_PMH_P)),
+                        F.lit(2),
+                    )
+                    == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"v{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for b in range(_SIMHASH_BITS):
+        t = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = t if sig is None else sig + t
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs_portable(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-hamming near-dup pairs over the portable SimHash: 4 ×
+    15-bit chunks — any pair within hamming ≤ 3 shares a chunk
+    (pigeonhole) — equi-join on the chunk, exact popcount filter.
+    Same plan as ``simhash_near_dup_pairs`` minus the Python pass and
+    its materialization barrier (nothing to keep from re-running:
+    the signature is plain codegen)."""
+    sig = simhash_portable_signatures(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * 15)
+                .bitwiseAND(F.lit(0x7FFF))
+                .alias("cv"),
+            )
+            for c in range(4)
+        ]
+    )
+    banded = sig.select(id_col, "simhash", F.explode(chunks).alias("ck")).select(
+        id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_portable_oracle_sql(max_hamming: int = 3) -> str:
+    """The identical portable SimHash pipeline as DuckDB SQL."""
+    fold = " + ".join(
+        f"CAST(ascii(substr(md5(token), {i}, 1)) AS BIGINT) * {w}"
+        for i, w in enumerate(_PMH_W16, start=1)
+    )
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN ((h * {_PMH_A[b]} + {_PMH_B[b]}) % {_PMH_P}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    chunk_arms = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {c} AS chunk, (simhash >> {c * 15}) & 32767 AS cv FROM sig"
+        for c in range(4)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+hh AS (SELECT doc_id, CAST(({fold}) AS BIGINT) AS h
+       FROM tok WHERE token <> ''),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hh GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes),
+bk AS (
+{chunk_arms}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bk a JOIN bk b USING (chunk, cv)
+  WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""

@@ -3253,3 +3253,84 @@ QUERIES.update({
         doc="portable-hash MinHash+LSH: md5-fold base + modular permutations — the approximate pipeline itself oracle-checked",
     ),
 })
+
+
+def _oracle_ann_lsh(n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """Oracle for the hyperplane-LSH ANN: the seeded plane matrix is
+    deterministic driver state (like a trained codebook), so its floats
+    embed in the generated SQL as exact repr() literals — DuckDB parses
+    each back to the identical double, and both engines' sequential
+    left-to-right projection folds agree bit-for-bit (the
+    functions/vectors.py contract).  The hamming-≤1 multiprobe is
+    written as bit_count(xor(sig, qsig)) <= 1, equivalent to the
+    Spark side's explicit (sig == qsig) OR (sig == qsig ^ 2^i) chain.
+    Upgrade path of VERDICT coverage: a formerly rows-only approximate
+    family, now hash-compared end-to-end."""
+    from fluvio_duck_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bits = " + ".join(
+        "(CASE WHEN list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) * ([{plane}])[i]), 'sum') >= 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            d=dim,
+            plane=", ".join(repr(float(x)) for x in plane),
+            bit=1 << i,
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+WITH s AS (SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS sig
+           FROM embeddings),
+q AS (SELECT embedding AS qv, sig AS qsig FROM s WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, embedding, qv FROM s, q
+  WHERE vec_id <> 0 AND bit_count(xor(sig, qsig)) <= 1),
+r AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM cand)
+SELECT vec_id, sim FROM r ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+# upgrade: sim_ann_lsh from rows-only to oracle-paired (plane matrix is
+# seeded deterministic state, embedded in the generated SQL as literals)
+QUERIES["sim_ann_lsh"] = QuerySpec(
+    q_ann_lsh, _oracle_ann_lsh(),
+    doc="hyperplane-LSH ANN top-10, hamming-≤1 multiprobe — oracle-paired (plane literals in generated SQL) + recall-tested",
+)
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable JVM-only SimHash near-dups (operators/dedup.py::
+    simhash_near_dup_pairs_portable): per-token bit votes as 60
+    conditional SUM aggregates (codegen hash-agg — no pandas UDF, no
+    materialization barrier), banded-hamming candidates, popcount
+    filter.  The whole approximate pipeline hash-compared end-to-end."""
+    from fluvio_duck_spark.operators.dedup import (
+        simhash_near_dup_pairs_portable,
+    )
+
+    return simhash_near_dup_pairs_portable(
+        load(spark, sf_dir, "documents"), max_hamming=3
+    )
+
+
+def _oracle_simhash_portable() -> str:
+    from fluvio_duck_spark.operators.dedup import simhash_portable_oracle_sql
+
+    return simhash_portable_oracle_sql(max_hamming=3)
+
+
+QUERIES.update({
+    "dedup_simhash_portable": QuerySpec(
+        q_simhash_portable, _oracle_simhash_portable(),
+        doc="portable JVM-only SimHash: 60 vote-sum aggregates, banded hamming — no Python, oracle-checked end-to-end",
+    ),
+})

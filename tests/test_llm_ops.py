@@ -1107,3 +1107,19 @@ def test_minhash_portable_matches_exact_pairs(docs, exact_pairs):
     }
     assert got <= exact_pairs  # no false positives, ever
     assert len(got) >= int(0.9 * len(exact_pairs))  # banding recall
+
+
+def test_simhash_portable_no_python_and_finds_near_dups(docs, exact_pairs):
+    """The JVM-only SimHash twin must find most planted near-dups (its
+    pairs overlap the exact-Jaccard set heavily at hamming<=3) and its
+    executed plan must contain NO Python passes."""
+    from fluvio_duck_spark.operators.dedup import (
+        simhash_near_dup_pairs_portable,
+    )
+    from fluvio_duck_spark.plans import assert_plan
+
+    df = simhash_near_dup_pairs_portable(docs, max_hamming=3)
+    df.write.format("noop").mode("overwrite").save()
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0)
+    got = {(r.doc_a, r.doc_b) for r in df.collect()}
+    assert len(got & exact_pairs) >= len(exact_pairs) // 2
