@@ -3334,3 +3334,49 @@ QUERIES.update({
         doc="portable JVM-only SimHash: 60 vote-sum aggregates, banded hamming — no Python, oracle-checked end-to-end",
     ),
 })
+
+
+def _oracle_near_dups_bucketed(
+    n_planes: int = 6, seed: int = 42, dim: int = 64
+) -> str:
+    """Oracle for the LSH-bucketed near-dup join — same literal-plane
+    embedding trick as _oracle_ann_lsh: the seeded signature is
+    deterministic, so the bucket equi-join and the exact-cosine filter
+    replicate exactly."""
+    from fluvio_duck_spark.operators.similarity import _planes
+
+    planes = _planes(dim, n_planes, seed)
+    bits = " + ".join(
+        "(CASE WHEN list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> CAST(embedding[i] AS DOUBLE) * ([{plane}])[i]), 'sum') >= 0 "
+        "THEN {bit} ELSE 0 END)".format(
+            d=dim,
+            plane=", ".join(repr(float(x)) for x in plane),
+            bit=1 << i,
+        )
+        for i, plane in enumerate(planes)
+    )
+    cos = """
+    list_aggregate(list_transform(range(1, len(va)+1),
+        i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(va)+1),
+        i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(vb)+1),
+        i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)), 'sum')))"""
+    return f"""
+WITH s AS (SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS sig
+           FROM embeddings),
+j AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM s a JOIN s b USING (sig) WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, {cos} AS sim
+FROM j WHERE {cos} >= 0.45
+"""
+
+
+# upgrade: sim_near_dups_bucketed from rows-only to oracle-paired
+QUERIES["sim_near_dups_bucketed"] = QuerySpec(
+    q_near_dups_bucketed, _oracle_near_dups_bucketed(),
+    doc="LSH-bucketed near-dup pairs (scale path) — oracle-paired via plane literals + recall-tested",
+)
