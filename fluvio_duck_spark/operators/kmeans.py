@@ -143,3 +143,185 @@ def kmeans_assign(
         return pd.Series(np.argmin(d2, axis=1).astype(np.int32))
 
     return df.withColumn(cell_col, assign(F.col(vec_col)))
+
+
+# -- portable (engine-reproducible) k-means ---------------------------------
+
+
+def _dist2_to_literal(v, cent: list[float]):
+    """Σ (x−c)² as the sequential zip-fold (left-to-right double adds —
+    the functions/vectors.py portability contract)."""
+    lits = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(v, lits, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _argmin_cell(v, cents: list[list[float]]):
+    """Nearest-centroid index with ties toward the lower cell: array_min
+    over (d2, cell) structs compares lexicographically."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _dist2_to_literal(v, c).alias("d2"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+    )["cell"]
+
+
+def kmeans_fit_portable(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means whose every float is ENGINE-REPRODUCIBLE — the
+    auditable twin of :func:`kmeans_fit` (which keeps the zero-shuffle
+    mapInPandas perf path):
+
+    * init = the k lowest-id vectors (no RNG);
+    * assignment = in-row sequential-fold distances to centroid
+      LITERALS, argmin with ties toward the lower cell;
+    * update = per-cell per-dimension sums in DECIMAL(38,12) —
+      partial-aggregation-ORDER-INDEPENDENT, so the fit is bit-stable
+      under any partitioning, unlike float partial sums — divided as
+      correctly-rounded double;
+    * empty cells keep their previous centroid;
+    * FIXED iteration count (no tol early-exit: a convergence test on
+      floats would reintroduce order sensitivity).
+
+    Per iteration: one scan + one k-row shuffle (map-side combine).
+    Driver state is the k×d codebook — bounded, the kmeans-codebook
+    precedent.  Returns the centroid list; DuckDB replicates the whole
+    fit from the same arithmetic (see the generated oracle)."""
+    emb = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    init = emb.orderBy(id_col).limit(k).collect()
+    cents = [list(r.v) for r in init]
+    d = len(cents[0])
+    for _ in range(iters):
+        assigned = emb.select(_argmin_cell(F.col("v"), cents).alias("cell"), "v")
+        aggs = [
+            F.sum(F.element_at("v", i + 1).cast("decimal(38,12)")).alias(f"s{i}")
+            for i in range(d)
+        ] + [F.count("*").alias("cnt")]
+        rows = {r["cell"]: r for r in assigned.groupBy("cell").agg(*aggs).collect()}
+        new = []
+        for c in range(k):
+            r = rows.get(c)
+            if r is None:
+                new.append(cents[c])  # empty cell keeps its centroid
+            else:
+                # float(Decimal) is the correctly-rounded double — the
+                # same value as the engine's CAST(sum AS DOUBLE) — and
+                # double division matches the engine's
+                new.append([float(r[f"s{i}"]) / r.cnt for i in range(d)])
+        cents = new
+    return cents
+
+
+def ivf_topk_portable(
+    df: DataFrame,
+    cents: list[list[float]],
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against the portable codebook: assign every vector (and
+    the query) a cell in-row, score only the query's cell, exact-cosine
+    top-k.  Same plan as ivf_topk; the cell column is what the table is
+    partitioned by at scale."""
+    from fluvio_duck_spark.functions.vectors import cosine
+
+    emb = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    signed = emb.withColumn("cell", _argmin_cell(F.col("__v"), cents))
+    q = (
+        signed.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("__qv"), F.col("cell").alias("__qcell"))
+    )
+    return (
+        signed.crossJoin(F.broadcast(q))
+        .filter((F.col("cell") == F.col("__qcell")) & (F.col(id_col) != query_id))
+        .select(id_col, cosine(F.col(vec_col), F.col("__qv")).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def kmeans_portable_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, query_id: int = 0, topk: int = 10
+) -> str:
+    """The ENTIRE portable pipeline — k-means fit (unrolled iterations)
+    + IVF probe — as DuckDB SQL, from the same arithmetic: sequential
+    distance folds, DECIMAL(38,12) per-dimension sums, double division,
+    lexicographic argmin tie-break."""
+    sums = ",\n           ".join(
+        f"SUM(CAST(CAST(v[{i + 1}] AS DOUBLE) AS DECIMAL(38,12))) AS s{i}"
+        for i in range(dim)
+    )
+    cv = ", ".join(f"CAST(s{i} AS DOUBLE) / cnt" for i in range(dim))
+    d2 = (
+        "list_aggregate(list_transform(range(1, {d} + 1), "
+        "i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum')".format(d=dim)
+    )
+    parts = [f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cent0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v AS cv
+  FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}) z)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, v, cell FROM (
+    SELECT e.vec_id, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cell) AS rn
+    FROM emb e CROSS JOIN cent{t - 1} c) z
+  WHERE rn = 1),
+n{t} AS MATERIALIZED (
+  SELECT cell, COUNT(*) AS cnt,
+           {sums}
+  FROM a{t} GROUP BY cell),
+cent{t} AS MATERIALIZED (
+  SELECT p.cell,
+         CASE WHEN n.cell IS NULL THEN p.cv ELSE list_value({cv}) END AS cv
+  FROM cent{t - 1} p LEFT JOIN n{t} n USING (cell))""")
+    parts.append(f"""asg AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cell) AS rn
+    FROM emb e CROSS JOIN cent{iters} c) z
+  WHERE rn = 1),
+q AS (
+  SELECT e.embedding AS qv, a.cell AS qcell
+  FROM emb e JOIN asg a USING (vec_id) WHERE e.vec_id = {query_id}),
+scored AS (
+  SELECT e.vec_id,
+    list_aggregate(list_transform(range(1, len(e.embedding)+1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM emb e JOIN asg a USING (vec_id) CROSS JOIN q
+  WHERE a.cell = qcell AND e.vec_id <> {query_id})""")
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT {topk}\n"
+    )

@@ -3380,3 +3380,36 @@ QUERIES["sim_near_dups_bucketed"] = QuerySpec(
     q_near_dups_bucketed, _oracle_near_dups_bucketed(),
     doc="LSH-bucketed near-dup pairs (scale path) — oracle-paired via plane literals + recall-tested",
 )
+
+
+def q_ivf_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF ANN whose ENTIRE training run is
+    oracle-checked (operators/kmeans.py::kmeans_fit_portable): Lloyd's
+    iterations with in-row sequential-fold distances to centroid
+    literals, DECIMAL(38,12) per-dimension sums (partial-aggregation-
+    order-independent — the fit is bit-stable under any partitioning),
+    fixed 3 iterations, then the cell-pruned cosine probe.  The oracle
+    unrolls the identical fit in SQL — the iterative-ML analogue of the
+    text_bpe_fit contract."""
+    from fluvio_duck_spark.operators.kmeans import (
+        ivf_topk_portable,
+        kmeans_fit_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_portable(emb, k=8, iters=3)
+    return ivf_topk_portable(emb, cents, query_id=0, k=10)
+
+
+def _oracle_ivf_portable() -> str:
+    from fluvio_duck_spark.operators.kmeans import kmeans_portable_oracle_sql
+
+    return kmeans_portable_oracle_sql(k=8, iters=3, dim=64, query_id=0, topk=10)
+
+
+QUERIES.update({
+    "sim_ivf_kmeans_portable": QuerySpec(
+        q_ivf_portable, _oracle_ivf_portable(),
+        doc="IVF ANN over a k-means codebook whose FIT is oracle-checked: decimal-sum Lloyd's unrolled in SQL (3 iters, k=8)",
+    ),
+})

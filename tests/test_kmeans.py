@@ -161,3 +161,32 @@ def test_semantic_dup_pairs_deterministic(spark, sf_dir):
         for r in semantic_dup_pairs(corpus, k=8, threshold=0.99).collect()
     )
     assert r1 == r2 and len(r1) == 10
+
+
+def test_kmeans_portable_fit_bit_stable_across_layouts(spark, sf_dir):
+    """The DECIMAL-accumulated portable fit must produce BIT-IDENTICAL
+    centroids under any partitioning (the float-partial-sum perf path
+    can only promise near-equality; this one is order-independent by
+    construction)."""
+    from fluvio_duck_spark.operators.kmeans import kmeans_fit_portable
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = kmeans_fit_portable(emb.repartition(1), k=4, iters=2)
+    b = kmeans_fit_portable(emb.repartition(13), k=4, iters=2)
+    assert a == b  # exact float equality, every component
+
+
+def test_ivf_portable_recall_vs_bruteforce(spark, sf_dir):
+    from fluvio_duck_spark.operators.kmeans import (
+        ivf_topk_portable,
+        kmeans_fit_portable,
+    )
+    from fluvio_duck_spark.operators.similarity import cosine_topk
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_portable(emb, k=8, iters=3)
+    got = {r.vec_id for r in ivf_topk_portable(emb, cents, 0, k=10).collect()}
+    exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    assert len(got & exact) / 10 >= 0.3  # single-cell probe recall
