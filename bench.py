@@ -144,6 +144,17 @@ EXTENDED = [
     "join_not_in_nullaware",
     "stream_audit_checksum",
     "stream_skyline",
+    # round-4 additions
+    "text_dsir_weights",
+    "dedup_jaccard_prefix",
+    "text_bpe_encode",
+    "sim_binary_hamming",
+    "dedup_minhash_portable",
+    "dedup_simhash_portable",
+    "sim_ivf_kmeans_portable",
+    "stream_dsir_gate",
+    "curate_dsir_select",
+    "sim_ann_lsh",
 ]
 
 

@@ -3413,3 +3413,74 @@ QUERIES.update({
         doc="IVF ANN over a k-means codebook whose FIT is oracle-checked: decimal-sum Lloyd's unrolled in SQL (3 iters, k=8)",
     ),
 })
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end targeted-selection report: DSIR-score the corpus
+    (text_dsir_weights machinery), keep each source's top-10 documents
+    by importance weight (deterministic tie-break), report per-source
+    kept counts, token budget, and mean weight.  The composition a
+    mixture-retuning pipeline runs nightly: score → per-domain quota →
+    budget report.  Per-source top-k is a bounded window (quota rows per
+    source), never a global sort."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.functions.text import token_count
+    from fluvio_duck_spark.operators.dsir import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_logweights(docs, F.col("lang") == "en")
+    joined = w.join(
+        docs.select("doc_id", "source", token_count("text").alias("n_tok")),
+        "doc_id",
+    )
+    kept = (
+        joined.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(
+                    F.desc("dsir_logweight"), F.asc("doc_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 10)
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.sum("n_tok").alias("token_budget"),
+        (
+            F.sum(F.col("dsir_logweight").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_weight"),
+    )
+
+
+def _oracle_dsir_select() -> str:
+    # reuse the scored-docs CTE body of the DSIR oracle as a subquery
+    scores = _oracle_dsir().strip()
+    return f"""
+WITH w AS ({scores}),
+j AS (
+  SELECT w.doc_id, w.dsir_logweight, d.source,
+         len(string_split_regex(trim(d.text), '\\s+')) AS n_tok
+  FROM w JOIN documents d USING (doc_id)),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY dsir_logweight DESC, doc_id) AS rk
+    FROM j) z
+  WHERE rk <= 10)
+SELECT source, CAST(COUNT(*) AS INTEGER) AS n_kept,
+       CAST(SUM(n_tok) AS BIGINT) AS token_budget,
+       CAST(SUM(CAST(dsir_logweight AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+         AS mean_weight
+FROM kept GROUP BY source
+"""
+
+
+QUERIES.update({
+    "curate_dsir_select": QuerySpec(
+        q_dsir_select, _oracle_dsir_select(),
+        doc="targeted-selection report: DSIR score -> per-source top-10 quota -> budget/weight report (composition)",
+    ),
+})

@@ -466,3 +466,13 @@ def test_binary_hamming_heap_scan_then_tiny_rerank(specs, spark, sf_dir):
     ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0,
                       BatchEvalPython=0)
     assert ops["TakeOrderedAndProject"] >= 1
+
+
+def test_ivf_kmeans_portable_probe_no_python(specs, spark, sf_dir):
+    # the portable fit runs as driver-coordinated tiny jobs before the
+    # probe; the PROBE plan itself must be Python-free with the 1-row
+    # query side broadcast and a bounded top-k heap
+    df = _run(specs, spark, sf_dir, "sim_ivf_kmeans_portable")
+    ops = assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
+                      SortMergeJoin=0)
+    assert ops["TakeOrderedAndProject"] >= 1
