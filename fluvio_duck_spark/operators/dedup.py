@@ -814,32 +814,17 @@ def portable_text_hash_sql(expr: str) -> str:
     return f"CAST(({terms}) AS BIGINT)"
 
 
-def minhash_lsh_pairs_portable(
+def minhash_portable_buckets(
     df: DataFrame,
     k: int = 5,
     n_hashes: int = 32,
     n_bands: int = 8,
-    threshold_num: int = 4,
-    threshold_den: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash + banded LSH near-dup pairs with an ENGINE-PORTABLE hash
-    chain, so the whole approximate pipeline is exactly reproducible by
-    any SQL engine (the xxhash64 form in ``minhash_lsh_pairs`` is the
-    performance path; this is the auditable one — same plan shape, same
-    banding curve, rows-only becomes hash-checked).
-
-    Chain: shingle → md5 ascii-fold base hash h; permutation i →
-    (A_i·h + B_i) mod 1e9+7 (products ≤ ~1.6e15, comfortably in int64
-    on every engine); band hash → Σ mh_j·V_j mod 998244353.  Candidates
-    are same-(band, bh) pairs; each is verified with exact Jaccard
-    (rational threshold, integer comparison), so output has no false
-    positives and the banding curve only costs recall.
-
-    Plan shape is the measured-fast form from ``minhash_signatures``:
-    explode → hash string ONCE → hash-aggregate with n_hashes min
-    buffers (map-side combine ⇒ shuffle = |docs| × n_hashes longs)."""
+    """(id, band, bh) LSH bucket keys from the portable hash chain —
+    shared by the batch pair join and the streaming gate so both sides
+    hash identically (the portable twin of ``band_buckets``)."""
     assert n_hashes % n_bands == 0 and n_hashes <= 64
     rpb = n_hashes // n_bands
 
@@ -869,8 +854,39 @@ def minhash_lsh_pairs_portable(
             for band in range(n_bands)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    k: int = 5,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs with an ENGINE-PORTABLE hash
+    chain, so the whole approximate pipeline is exactly reproducible by
+    any SQL engine (the xxhash64 form in ``minhash_lsh_pairs`` is the
+    performance path; this is the auditable one — same plan shape, same
+    banding curve, rows-only becomes hash-checked).
+
+    Chain: shingle → md5 ascii-fold base hash h; permutation i →
+    (A_i·h + B_i) mod 1e9+7 (products ≤ ~1.6e15, comfortably in int64
+    on every engine); band hash → Σ mh_j·V_j mod 998244353.  Candidates
+    are same-(band, bh) pairs; each is verified with exact Jaccard
+    (rational threshold, integer comparison), so output has no false
+    positives and the banding curve only costs recall.
+
+    Plan shape is the measured-fast form from ``minhash_signatures``:
+    explode → hash string ONCE → hash-aggregate with n_hashes min
+    buffers (map-side combine ⇒ shuffle = |docs| × n_hashes longs)."""
+    buckets = minhash_portable_buckets(
+        df, k, n_hashes, n_bands, text_col, id_col
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
@@ -915,6 +931,31 @@ def minhash_lsh_portable_oracle_sql(
     """The identical pipeline as DuckDB SQL, generated from the same
     constant tables — signatures, banding, candidates, and the exact
     verification all replicated."""
+    return _minhash_portable_ctes(k, n_hashes, n_bands) + f"""
+,cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bk a JOIN bk b USING (band, bh) WHERE a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+com AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS cn
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(cn AS DOUBLE) / (sa.n + sb.n - cn) AS jaccard
+FROM com
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE {threshold_den} * cn >= {threshold_num} * (sa.n + sb.n - cn)
+"""
+
+
+def _minhash_portable_ctes(
+    k: int = 5, n_hashes: int = 32, n_bands: int = 8
+) -> str:
+    """Shared CTE chain (shingles → base hash → signatures → buckets)
+    for the portable-MinHash oracles."""
     rpb = n_hashes // n_bands
     mh_aggs = ",\n         ".join(
         f"MIN((h * {_PMH_A[i]} + {_PMH_B[i]}) % {_PMH_P}) AS mh{i}"
@@ -943,23 +984,19 @@ sig AS (
          {mh_aggs}
   FROM hh GROUP BY doc_id),
 bk AS (
-{band_arms}),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bk a JOIN bk b USING (band, bh) WHERE a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-com AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS cn
-  FROM cand c
-  JOIN sh x ON x.doc_id = c.doc_a
-  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
-  GROUP BY 1, 2)
-SELECT doc_a, doc_b,
-       CAST(cn AS DOUBLE) / (sa.n + sb.n - cn) AS jaccard
-FROM com
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE {threshold_den} * cn >= {threshold_num} * (sa.n + sb.n - cn)
+{band_arms})"""
+
+
+def minhash_portable_gate_oracle_sql(
+    k: int = 5, n_hashes: int = 32, n_bands: int = 8
+) -> str:
+    """Oracle for the streaming portable near-dup gate: per doc, the
+    number of DISTINCT other docs sharing any LSH band bucket."""
+    return _minhash_portable_ctes(k, n_hashes, n_bands) + """
+SELECT doc_id, CAST(COUNT(DISTINCT other) AS INTEGER) AS n_partners
+FROM (SELECT a.doc_id AS doc_id, b.doc_id AS other
+      FROM bk a JOIN bk b USING (band, bh) WHERE a.doc_id <> b.doc_id) z
+GROUP BY doc_id
 """
 
 

@@ -1013,3 +1013,71 @@ def _wire_stream_dsir_oracle() -> None:
 
 
 _wire_stream_dsir_oracle()
+
+
+def q_stream_neardup_gate_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup gate over the PORTABLE MinHash chain — the
+    oracle-paired twin of stream_neardup_gate (which stays rows-only on
+    xxhash64): arriving docs are banded per micro-batch and joined
+    against the static corpus bucket index (broadcast); each match
+    reports how many distinct other docs share a band bucket.  Stateless
+    across batches (a doc's buckets live in its own batch); matches
+    append to a parquet sink; the accumulated result equals the batch
+    computation exactly, so the generated oracle replicates it."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dedup import minhash_portable_buckets
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    index = (
+        minhash_portable_buckets(load(spark, sf_dir, "documents"))
+        .select(F.col("doc_id").alias("other"), "band", "bh")
+        .localCheckpoint(eager=True)  # static corpus index, built once
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"ndgate_out_{run_id}")
+
+    def gate_batch(batch_df, _bid) -> None:
+        hits = (
+            minhash_portable_buckets(batch_df)
+            .join(F.broadcast(index), ["band", "bh"])
+            .filter(F.col("doc_id") != F.col("other"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("other").cast("int").alias("n_partners"))
+        )
+        hits.write.mode("append").parquet(out_dir)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"ndgate_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, n_partners int"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+
+
+def _wire_stream_neardup_portable_oracle() -> None:
+    from fluvio_duck_spark.operators.dedup import (
+        minhash_portable_gate_oracle_sql,
+    )
+
+    QUERIES["stream_neardup_gate_portable"] = QuerySpec(
+        q_stream_neardup_gate_portable, minhash_portable_gate_oracle_sql(),
+        doc="streaming near-dup gate on the portable MinHash chain: static bucket index broadcast, per-batch banding — oracle-paired",
+    )
+
+
+_wire_stream_neardup_portable_oracle()
