@@ -156,3 +156,184 @@ def pq_topk_rerank(
         .orderBy(F.desc("sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# -- portable PQ (engine-reproducible training + ADC) -----------------------
+
+
+def pq_train_portable(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks from the DECIMAL-accumulated portable
+    k-means (operators/kmeans.py::kmeans_fit_portable) — every float in
+    every codebook is engine-reproducible, so PQ *training* can be
+    hash-audited, not just its output (the numpy ``pq_train`` stays the
+    perf path).  Returns m × k × (d/m) nested lists (bounded driver
+    state)."""
+    from fluvio_duck_spark.operators.kmeans import kmeans_fit_portable
+
+    dim = len(df.select(vec_col).first()[0])
+    assert dim % m == 0
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            id_col, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        books.append(
+            kmeans_fit_portable(sliced, k=k, iters=iters,
+                                vec_col=vec_col, id_col=id_col)
+        )
+    return books
+
+
+def _py_d2(a: list[float], b: list[float]) -> float:
+    """Sequential left-to-right Σ(x−y)² in doubles — the same fold the
+    engines run, so a driver-computed ADC table matches them exactly."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += (x - y) * (x - y)
+    return s
+
+
+def pq_topk_portable(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    query_id: int = 0,
+    k_out: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC retrieval over the portable codebooks: each row's subspace
+    codes are in-row argmins against codebook literals; the asymmetric
+    distance is an EXPLICIT left-to-right sum of per-subspace lookup
+    literals (no float-order ambiguity anywhere); the best ``shortlist``
+    by ADC (bounded heap) re-rank by exact cosine.  Scan cost at scale:
+    the codes-from-floats form here demos the arithmetic — a production
+    table persists the m uint8 codes and never touches the floats."""
+    from fluvio_duck_spark.functions.vectors import cosine
+    from fluvio_duck_spark.operators.kmeans import _argmin_cell
+
+    m = len(books)
+    sub = len(books[0][0])
+    qv = [float(x) for x in df.filter(F.col(id_col) == query_id)
+          .select(vec_col).first()[0]]
+
+    emb = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    score = None
+    for j in range(m):
+        qsub = qv[j * sub:(j + 1) * sub]
+        adc = [_py_d2(qsub, c) for c in books[j]]
+        code = _argmin_cell(F.slice(F.col("__v"), j * sub + 1, sub), books[j])
+        term = F.element_at(
+            F.array(*[F.lit(d) for d in adc]), code + 1
+        )
+        score = term if score is None else score + term
+    cand = (
+        emb.filter(F.col(id_col) != query_id)
+        .select(id_col, vec_col, score.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc(id_col))
+        .limit(shortlist)
+    )
+    qlit = F.array(*[F.lit(x) for x in qv])
+    return (
+        cand.select(id_col, cosine(F.col(vec_col), qlit).alias("sim"))
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k_out)
+    )
+
+
+def pq_portable_oracle_sql(
+    m: int = 4, k: int = 4, iters: int = 2, dim: int = 64,
+    query_id: int = 0, k_out: int = 10, shortlist: int = 50,
+) -> str:
+    """The whole portable-PQ pipeline as DuckDB SQL: per-subspace
+    unrolled k-means chains (same decimal arithmetic as the kmeans
+    portable oracle), per-row code assignment, ADC as an explicit
+    left-to-right 4-term sum, bounded shortlist, exact-cosine rerank."""
+    sub = dim // m
+
+    def d2(vec_expr: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {sub} + 1), "
+            f"i -> ({vec_expr}[i] - cv[i]) * ({vec_expr}[i] - cv[i])), 'sum')"
+        )
+
+    parts = [f"""WITH emb AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings)"""]
+    for j in range(m):
+        lo = j * sub + 1
+        sl = f"list_slice(v, {lo}, {lo + sub - 1})"
+        sums = ",\n           ".join(
+            f"SUM(CAST(sv[{i + 1}] AS DECIMAL(38,12))) AS s{i}"
+            for i in range(sub)
+        )
+        cvexpr = ", ".join(f"CAST(s{i} AS DOUBLE) / cnt" for i in range(sub))
+        parts.append(f"""sub{j} AS MATERIALIZED (
+  SELECT vec_id, {sl} AS sv FROM emb),
+c{j}_0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         sv AS cv
+  FROM (SELECT vec_id, sv FROM sub{j} ORDER BY vec_id LIMIT {k}) z)""")
+        for t in range(1, iters + 1):
+            parts.append(f"""a{j}_{t} AS MATERIALIZED (
+  SELECT vec_id, sv, cell FROM (
+    SELECT e.vec_id, e.sv, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2('sv')}, c.cell) AS rn
+    FROM sub{j} e CROSS JOIN c{j}_{t - 1} c) z
+  WHERE rn = 1),
+n{j}_{t} AS MATERIALIZED (
+  SELECT cell, COUNT(*) AS cnt,
+           {sums}
+  FROM a{j}_{t} GROUP BY cell),
+c{j}_{t} AS MATERIALIZED (
+  SELECT p.cell,
+         CASE WHEN n.cell IS NULL THEN p.cv ELSE list_value({cvexpr}) END AS cv
+  FROM c{j}_{t - 1} p LEFT JOIN n{j}_{t} n USING (cell))""")
+        parts.append(f"""code{j} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2('sv')}, c.cell) AS rn
+    FROM sub{j} e CROSS JOIN c{j}_{iters} c) z
+  WHERE rn = 1),
+adc{j} AS MATERIALIZED (
+  SELECT c.cell, {d2(f'list_slice(q.v, {lo}, {lo + sub - 1})').replace('cv[i]', 'c.cv[i]')} AS d
+  FROM c{j}_{iters} c CROSS JOIN (SELECT v FROM emb WHERE vec_id = {query_id}) q)""")
+    code_joins = " ".join(
+        f"JOIN code{j} k{j} USING (vec_id)" for j in range(m)
+    )
+    adc_joins = " ".join(
+        f"JOIN adc{j} a{j} ON a{j}.cell = k{j}.cell" for j in range(m)
+    )
+    adc_sum = " + ".join(f"a{j}.d" for j in range(m))
+    parts.append(f"""cand AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding, {adc_sum} AS adc
+  FROM emb e {code_joins} {adc_joins}
+  WHERE e.vec_id <> {query_id}
+  ORDER BY adc, e.vec_id LIMIT {shortlist}),
+q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_id}),
+scored AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM cand CROSS JOIN q2)
+SELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT {k_out}""")
+    return ",\n".join(parts) + "\n"

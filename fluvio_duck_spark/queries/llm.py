@@ -3484,3 +3484,36 @@ QUERIES.update({
         doc="targeted-selection report: DSIR score -> per-source top-10 quota -> budget/weight report (composition)",
     ),
 })
+
+
+def q_pq_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized retrieval whose TRAINING is oracle-checked
+    (operators/pq.py::pq_train_portable): 4 subspace codebooks from the
+    decimal-accumulated portable k-means, per-row code assignment as
+    in-row argmins, asymmetric distance as an explicit left-to-right
+    4-term lookup sum (no float-order ambiguity), bounded-heap
+    shortlist of 50, exact-cosine rerank.  The oracle unrolls all four
+    subspace fits plus the ADC pipeline in SQL."""
+    from fluvio_duck_spark.operators.pq import (
+        pq_topk_portable,
+        pq_train_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train_portable(emb, m=4, k=4, iters=2)
+    return pq_topk_portable(emb, books, query_id=0, k_out=10, shortlist=50)
+
+
+def _oracle_pq_portable() -> str:
+    from fluvio_duck_spark.operators.pq import pq_portable_oracle_sql
+
+    return pq_portable_oracle_sql(m=4, k=4, iters=2, dim=64,
+                                  query_id=0, k_out=10, shortlist=50)
+
+
+QUERIES.update({
+    "sim_pq_portable": QuerySpec(
+        q_pq_portable, _oracle_pq_portable(),
+        doc="portable PQ/ADC retrieval: 4 oracle-checked subspace codebooks, explicit-order ADC sum, shortlist-50 + exact rerank",
+    ),
+})

@@ -190,3 +190,25 @@ def test_ivf_portable_recall_vs_bruteforce(spark, sf_dir):
     got = {r.vec_id for r in ivf_topk_portable(emb, cents, 0, k=10).collect()}
     exact = {r.vec_id for r in cosine_topk(emb, query_id=0, k=10).collect()}
     assert len(got & exact) / 10 >= 0.3  # single-cell probe recall
+
+
+def test_pq_portable_recall_and_shortlist_contract(spark, sf_dir):
+    """Portable-PQ ADC shortlist + rerank: decent recall vs brute force,
+    and the reranked sims are the exact cosine values of the returned
+    ids (the rerank stage is exact, only the shortlist is approximate)."""
+    from fluvio_duck_spark.operators.pq import (
+        pq_topk_portable,
+        pq_train_portable,
+    )
+    from fluvio_duck_spark.operators.similarity import cosine_topk
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    books = pq_train_portable(emb, m=4, k=4, iters=2)
+    got = {r.vec_id: r.sim
+           for r in pq_topk_portable(emb, books, 0, k_out=10).collect()}
+    exact = {r.vec_id: r.sim
+             for r in cosine_topk(emb, query_id=0, k=10).collect()}
+    assert len(got.keys() & exact.keys()) / 10 >= 0.3
+    for vid in got.keys() & exact.keys():
+        assert abs(got[vid] - exact[vid]) < 1e-12
