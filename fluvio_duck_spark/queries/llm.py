@@ -3517,3 +3517,53 @@ QUERIES.update({
         doc="portable PQ/ADC retrieval: 4 oracle-checked subspace codebooks, explicit-order ADC sum, shortlist-50 + exact rerank",
     ),
 })
+
+
+def q_dedup_semantic_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup with ORACLE-CHECKED clustering (operators/semdedup.py::
+    semantic_dup_pairs_portable): in-engine L2 normalization, the
+    decimal-accumulated portable k-means (k=8, 2 iters), in-row cell
+    assignment, same-cell exact-cosine pairs.  Planted duplicates as in
+    dedup_semantic: vec_id<50 re-added at +100000 scaled by 2.0 (exact
+    in IEEE — cosine exactly the self-cosine), so the pair set is
+    nonempty and must recover every plant."""
+    from fluvio_duck_spark.operators.semdedup import (
+        semantic_dup_pairs_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    return semantic_dup_pairs_portable(
+        emb.unionAll(planted), k=8, iters=2, threshold=0.9
+    )
+
+
+def _oracle_semdedup_portable() -> str:
+    from fluvio_duck_spark.operators.semdedup import (
+        semdedup_portable_oracle_sql,
+    )
+
+    src = (
+        "SELECT vec_id, embedding FROM embeddings "
+        "UNION ALL "
+        "SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS FLOAT))"
+        " AS embedding "
+        "FROM embeddings WHERE vec_id < 50"
+    )
+    return semdedup_portable_oracle_sql(
+        k=8, iters=2, dim=64, threshold=0.9, source_sql=src
+    )
+
+
+QUERIES.update({
+    "dedup_semantic_portable": QuerySpec(
+        q_dedup_semantic_portable, _oracle_semdedup_portable(),
+        doc="SemDedup with oracle-checked clustering: portable k-means cells + same-cell exact-cosine pairs (planted dups)",
+    ),
+})

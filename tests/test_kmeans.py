@@ -212,3 +212,27 @@ def test_pq_portable_recall_and_shortlist_contract(spark, sf_dir):
     assert len(got.keys() & exact.keys()) / 10 >= 0.3
     for vid in got.keys() & exact.keys():
         assert abs(got[vid] - exact[vid]) < 1e-12
+
+
+def test_semdedup_portable_recovers_all_plants(spark, sf_dir):
+    """Every planted exact duplicate must land in its original's cell
+    (bit-identical after normalization) and appear as a pair."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.semdedup import (
+        semantic_dup_pairs_portable,
+    )
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    pairs = semantic_dup_pairs_portable(
+        emb.unionAll(planted), k=8, iters=2, threshold=0.9
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(i, i + 100000) for i in range(50)}
