@@ -155,6 +155,9 @@ EXTENDED = [
     "stream_dsir_gate",
     "curate_dsir_select",
     "sim_ann_lsh",
+    "stream_neardup_gate_portable",
+    "sim_pq_portable",
+    "dedup_semantic_portable",
 ]
 
 

@@ -135,7 +135,14 @@ def semantic_dup_pairs_portable(
     Assignment is an in-row argmin against centroid literals; pairs are
     the same-cell self-join with exact cosine ≥ threshold.  Output:
     (cell, id_a, id_b, sim) — fully oracle-checkable, unlike the
-    numpy-fit perf path."""
+    numpy-fit perf path.
+
+    SCALE CONTRACT (measured, SCALE.md round-4 block): the in-cell pair
+    join is quadratic in cell population, so k must grow with the
+    corpus — pick ``k ≈ n / target_cell_size`` (the published SemDedup
+    setup).  This portable twin embeds k centroid literals in-row, so
+    it is the moderate-k AUDIT path; use the mapInPandas fit
+    (``semantic_dup_pairs``) when k reaches the tens of thousands."""
     from fluvio_duck_spark.functions.vectors import cosine, l2_normalize
     from fluvio_duck_spark.operators.kmeans import (
         _argmin_cell,
