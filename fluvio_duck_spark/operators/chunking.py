@@ -148,3 +148,88 @@ def concat_pack(
             ),
         )
     )
+
+
+def span_corruption_plan(
+    docs: DataFrame,
+    start_pct: int = 5,
+    span_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al., JMLR 2020):
+    deterministically select noise spans per document and report the
+    masking statistics a pretraining pipeline needs before writing
+    (inputs, targets) pairs.
+
+    A token position i starts a span iff the PORTABLE hash of
+    ``"<doc_id>:<i>"`` lands below ``start_pct`` of 100 buckets
+    (operators/dsir.py::hash_bucket — md5 ascii-fold, so the plan is
+    engine-reproducible and resample-stable: adding documents never
+    changes another document's mask).  Each span covers ``span_len``
+    tokens; overlapping/adjacent spans merge, which the position-wise
+    OR over the trailing window expresses exactly.  Expected noise
+    density ≈ start_pct·span_len / 100 (≈15% at the defaults).
+
+    Plan shape: everything is per-row array HOFs — sequence →
+    start flags → trailing-window OR → masked count and span count —
+    ZERO shuffles at any corpus size (the chunk_documents contract).
+    Output: (id, n_tokens, n_spans, n_masked, mask_ratio)."""
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+
+    tk = tokenize(text_col)
+    base = docs.select(F.col(id_col), tk.alias("_tk")).filter(
+        F.size("_tk") >= 1
+    )
+    n = F.size("_tk")
+    idcol = F.col(id_col)
+
+    def start_flag(i):
+        key = F.concat(idcol.cast("string"), F.lit(":"), i.cast("string"))
+        return (hash_bucket(key, 100) < start_pct).cast("int")
+
+    starts = F.transform(F.sequence(F.lit(1), n), start_flag)
+
+    def masked_flag(i):
+        # position i is masked iff some span starts in (i-span_len, i]
+        flags = [
+            F.when(i - off >= 1, F.element_at(F.col("_st"), (i - off).cast("int")))
+            .otherwise(F.lit(0))
+            for off in range(span_len)
+        ]
+        out = flags[0]
+        for fl in flags[1:]:
+            out = F.greatest(out, fl)
+        return out
+
+    with_masks = base.select(
+        idcol,
+        "_tk",
+        starts.alias("_st"),
+    ).select(
+        idcol,
+        F.size("_tk").alias("n_tokens"),
+        F.transform(F.sequence(F.lit(1), F.size("_tk")), masked_flag).alias(
+            "_mk"
+        ),
+    )
+    m = F.col("_mk")
+    n_masked = F.aggregate(m, F.lit(0), lambda a, x: a + x)
+    # a span begins where masked flips 0→1: position 1 counts if masked
+    n_spans = F.aggregate(
+        F.sequence(F.lit(1), F.size(m)),
+        F.lit(0),
+        lambda a, i: a
+        + F.when(
+            (F.element_at(m, i.cast("int")) == 1)
+            & ((i == 1) | (F.element_at(m, (i - 1).cast("int")) == 0)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return with_masks.select(
+        idcol,
+        "n_tokens",
+        n_spans.alias("n_spans"),
+        n_masked.alias("n_masked"),
+        (n_masked.cast("double") / F.col("n_tokens")).alias("mask_ratio"),
+    )

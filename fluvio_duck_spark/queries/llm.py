@@ -3567,3 +3567,55 @@ QUERIES.update({
         doc="SemDedup with oracle-checked clustering: portable k-means cells + same-cell exact-cosine pairs (planted dups)",
     ),
 })
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption planning (operators/chunking.py::
+    span_corruption_plan): portable-hash span starts, trailing-window
+    merge, per-doc mask statistics — all in-row HOFs, zero shuffles."""
+    from fluvio_duck_spark.operators.chunking import span_corruption_plan
+
+    return span_corruption_plan(load(spark, sf_dir, "documents"))
+
+
+def _oracle_span_corruption(start_pct: int = 5, span_len: int = 3) -> str:
+    from fluvio_duck_spark.operators.dsir import hash_bucket_sql
+
+    key = "doc_id || ':' || CAST(i AS VARCHAR)"
+    hb = hash_bucket_sql(f"({key})", 100)
+    offs = " , ".join(
+        f"CASE WHEN i - {o} >= 1 THEN st[CAST(i - {o} AS INTEGER)] ELSE 0 END"
+        for o in range(span_len)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''),
+s AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         list_transform(range(1, len(tk) + 1),
+                        i -> CASE WHEN {hb} < {start_pct} THEN 1 ELSE 0 END)
+           AS st
+  FROM t WHERE len(tk) >= 1),
+mk AS (
+  SELECT doc_id, n_tokens,
+         list_transform(range(1, n_tokens + 1),
+                        i -> greatest({offs})) AS m
+  FROM s)
+SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(list_aggregate(list_transform(range(1, n_tokens + 1),
+            i -> CASE WHEN m[CAST(i AS INTEGER)] = 1
+                       AND (i = 1 OR m[CAST(i - 1 AS INTEGER)] = 0)
+                      THEN 1 ELSE 0 END), 'sum') AS INTEGER) AS n_spans,
+       CAST(list_aggregate(m, 'sum') AS INTEGER) AS n_masked,
+       CAST(list_aggregate(m, 'sum') AS DOUBLE) / n_tokens AS mask_ratio
+FROM mk
+"""
+
+
+QUERIES.update({
+    "text_span_corruption": QuerySpec(
+        q_span_corruption, _oracle_span_corruption(),
+        doc="T5 span-corruption plan: portable-hash span starts, merged spans, per-doc mask stats — map-only",
+    ),
+})

@@ -1123,3 +1123,31 @@ def test_simhash_portable_no_python_and_finds_near_dups(docs, exact_pairs):
     assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0)
     got = {(r.doc_a, r.doc_b) for r in df.collect()}
     assert len(got & exact_pairs) >= len(exact_pairs) // 2
+
+
+def test_span_corruption_plan_contract(docs):
+    """Mask stats are internally consistent (spans*len bounds, flips
+    counted right), the corpus-level density is near start_pct*span_len,
+    the plan is resample-stable (per-doc mask independent of other docs)
+    and map-only."""
+    from fluvio_duck_spark.operators.chunking import span_corruption_plan
+    from fluvio_duck_spark.plans import assert_plan
+
+    df = span_corruption_plan(docs)
+    df.write.format("noop").mode("overwrite").save()
+    assert_plan(df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0)
+    rows = df.collect()
+    for r in rows:
+        assert 0 <= r.n_masked <= r.n_tokens
+        # each merged span covers >= 1 token (overlapping starts merge
+        # into runs LONGER than span_len, so there is no *3 upper bound)
+        assert r.n_spans <= r.n_masked
+    total = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    assert 0.08 <= masked / total <= 0.25  # ~15% expected
+
+    # resample stability: the plan for a subset equals the full plan's
+    # rows for those docs (hash depends only on (doc_id, position))
+    sub = span_corruption_plan(docs.filter("doc_id < 100")).collect()
+    full = {r.doc_id: (r.n_spans, r.n_masked) for r in rows}
+    assert all(full[r.doc_id] == (r.n_spans, r.n_masked) for r in sub)
