@@ -3619,3 +3619,64 @@ QUERIES.update({
         doc="T5 span-corruption plan: portable-hash span starts, merged spans, per-doc mask stats — map-only",
     ),
 })
+
+
+def q_token_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget epoch planner — the decision table a pretraining
+    run is configured from: per-source token counts, temperature-
+    weighted (α=0.5) target shares, allocation against a 200k-token
+    budget with a 4-epochs-per-source repetition cap (the data-
+    constrained-scaling guardrail), and resulting epochs.  The
+    normalizer sums in DECIMAL so the shares are partitioning-
+    independent; every output rounds to fixed dp so both engines agree
+    at the hash level.  Complements sample_temperature_mixture (doc-
+    count allocation) with the token/epoch form."""
+    docs = load(spark, sf_dir, "documents").select(
+        "source", token_count("text").alias("nt")
+    )
+    c = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("n_tokens"),
+    )
+    w = c.select(
+        "source", "n_docs", "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).alias("wgt"),
+    )
+    z = w.agg(
+        F.sum(F.col("wgt").cast("decimal(28,12)")).cast("double").alias("z")
+    )
+    alloc = F.least(
+        F.lit(200000) * F.col("wgt") / F.col("z"),
+        F.lit(4.0) * F.col("n_tokens"),
+    )
+    return w.crossJoin(F.broadcast(z)).select(
+        "source", "n_docs", "n_tokens",
+        F.round(F.col("wgt") / F.col("z"), 6).alias("share"),
+        F.round(alloc, 2).alias("alloc_tokens"),
+        F.round(alloc / F.col("n_tokens"), 6).alias("epochs"),
+    )
+
+
+ORACLE_TOKEN_EPOCHS = """
+WITH c AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT source, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS wgt FROM c),
+z AS (SELECT CAST(SUM(CAST(wgt AS DECIMAL(28,12))) AS DOUBLE) AS z FROM w)
+SELECT source, n_docs, n_tokens,
+       round(wgt / z, 6) AS share,
+       round(least(200000 * wgt / z, 4.0 * n_tokens), 2) AS alloc_tokens,
+       round(least(200000 * wgt / z, 4.0 * n_tokens) / n_tokens, 6) AS epochs
+FROM w, z
+"""
+
+
+QUERIES.update({
+    "curate_token_epochs": QuerySpec(
+        q_token_epochs, ORACLE_TOKEN_EPOCHS,
+        doc="token-budget epoch planner: temperature shares, budget allocation, 4-epoch repetition cap (decimal-safe normalizer)",
+    ),
+})
