@@ -476,3 +476,26 @@ def test_ivf_kmeans_portable_probe_no_python(specs, spark, sf_dir):
     ops = assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
                       SortMergeJoin=0)
     assert ops["TakeOrderedAndProject"] >= 1
+
+
+def test_bpe_encode_distinct_word_shape(specs, spark, sf_dir):
+    # encode must run over the DISTINCT-word table (Heaps' law), never
+    # per occurrence: vocab distinct + word join + doc agg are the only
+    # exchanges, no Python anywhere, and the K merge replaces must not
+    # introduce a sort-merge join
+    df = _run(specs, spark, sf_dir, "text_bpe_encode")
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_jaccard_prefix_no_nested_loop(specs, spark, sf_dir):
+    # every join in the prefix-filter pipeline is an equi-join (shingle,
+    # doc keys): a nested-loop join anywhere means the candidate or
+    # verify stage regressed to all-pairs
+    df = _run(specs, spark, sf_dir, "dedup_jaccard_prefix")
+    assert_plan(df, BroadcastNestedLoopJoin=0, CartesianProduct=0,
+                ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_span_corruption_map_only(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "text_span_corruption")
+    assert_plan(df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0)
