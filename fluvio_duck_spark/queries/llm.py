@@ -3680,3 +3680,62 @@ QUERIES.update({
         doc="token-budget epoch planner: temperature shares, budget allocation, 4-epoch repetition cap (decimal-safe normalizer)",
     ),
 })
+
+
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export-shard manifest — the planning table a webdataset-style
+    training-data export is driven by: documents are packed in id order
+    (the distributed two-level prefix sum of operators/chunking.py::
+    concat_pack — NOT a single-task global window), each doc is assigned
+    to shard ``cum_before div 16384`` (16k tokens/shard, whole docs
+    never split), and the manifest reports per-shard doc count, token
+    fill, fill ratio vs the budget, and the id range — what the writer
+    process consumes to emit one tar per shard."""
+    from fluvio_duck_spark.operators.chunking import concat_pack
+
+    docs = load(spark, sf_dir, "documents")
+    packed = concat_pack(
+        docs, n_tokens=token_count("text"), seq_len=16384
+    )
+    shard = F.floor(F.col("cum_before") / 16384).cast("long")
+    return (
+        packed.select(shard.alias("shard_id"), "doc_id", "n_tokens")
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.lit(16384.0), 6
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+ORACLE_SHARD_MANIFEST = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+  FROM t)
+SELECT CAST(floor(cum_before / 16384.0) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS INTEGER) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       round(CAST(SUM(n_tokens) AS DOUBLE) / 16384.0, 6) AS fill_ratio
+FROM c GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "pack_shard_manifest": QuerySpec(
+        q_shard_manifest, ORACLE_SHARD_MANIFEST,
+        doc="export-shard manifest: distributed prefix-sum packing, 16k-token shards, per-shard fill report",
+    ),
+})
