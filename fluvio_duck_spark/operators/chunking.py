@@ -178,8 +178,15 @@ def span_corruption_plan(
     from fluvio_duck_spark.operators.dsir import hash_bucket
 
     tk = tokenize(text_col)
-    base = docs.select(F.col(id_col), tk.alias("_tk")).filter(
-        F.size("_tk") >= 1
+    # NULL/blank docs are excluded up front: split(trim(''), '\s+') yields
+    # [''] (size 1), which would count a phantom empty token and diverge
+    # from the oracle's WHERE trim(text) <> '' (ADVICE r4).
+    base = (
+        docs.filter(
+            F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+        )
+        .select(F.col(id_col), tk.alias("_tk"))
+        .filter(F.size("_tk") >= 1)
     )
     n = F.size("_tk")
     idcol = F.col(id_col)

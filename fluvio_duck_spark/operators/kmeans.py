@@ -206,6 +206,10 @@ def kmeans_fit_portable(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     init = emb.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans_fit_portable: need at least k={k} rows, got {len(init)}"
+        )
     cents = [list(r.v) for r in init]
     d = len(cents[0])
     for _ in range(iters):

@@ -90,7 +90,28 @@ _DRIVER_VERIFIED_R03 = frozenset({
     "text_unigram_logprob", "text_vocab_oov",
 })
 
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02 | _DRIVER_VERIFIED_R03
+_DRIVER_VERIFIED_R04 = frozenset({
+    "consume_aggregate_fold", "consume_infer_typed", "curate_dsir_select",
+    "curate_split_leakage", "curate_token_epochs", "dedup_jaccard_prefix",
+    "dedup_minhash_portable", "dedup_semantic_portable", "dedup_simhash_portable",
+    "eval_auc", "eval_calibration", "eval_ndcg_mrr",
+    "mm_extract_features", "mm_frame_stats", "mm_sniff_formats",
+    "pack_shard_manifest", "sim_anisotropy", "sim_binary_hamming",
+    "sim_dim_stats", "sim_ivf_kmeans_portable", "sim_label_propagation",
+    "sim_pq_portable", "stream_asof_enrich", "stream_audit_checksum",
+    "stream_cdc_apply", "stream_compact_latest", "stream_consume_parity",
+    "stream_datasource_parity", "stream_dedup_keys", "stream_dsir_gate",
+    "stream_er_gate", "stream_ewma", "stream_ivm_additive",
+    "stream_neardup_gate", "stream_neardup_gate_portable", "stream_ohlc_bars",
+    "stream_rollup_hist", "stream_rollup_hourly", "stream_session_windows",
+    "stream_skyline", "stream_sliding_windows", "stream_stateful_fold",
+    "stream_static_enrich", "stream_stream_join", "stream_trend_ols",
+    "stream_tumbling_windows", "text_bpe_encode", "text_bpe_fit",
+    "text_dsir_weights", "text_span_corruption",
+})
+
+_DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
+                    | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04)
 
 
 def all_queries() -> dict[str, QuerySpec]:

@@ -3461,8 +3461,10 @@ def _oracle_dsir_select() -> str:
     return f"""
 WITH w AS ({scores}),
 j AS (
+  -- string_split on ' ' mirrors the Spark side's token_count
+  -- (split(text, ' '), no trim) exactly, incl. empty tokens (ADVICE r4)
   SELECT w.doc_id, w.dsir_logweight, d.source,
-         len(string_split_regex(trim(d.text), '\\s+')) AS n_tok
+         len(string_split(d.text, ' ')) AS n_tok
   FROM w JOIN documents d USING (doc_id)),
 kept AS (
   SELECT * FROM (
@@ -3659,8 +3661,10 @@ def q_token_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOKEN_EPOCHS = """
 WITH c AS (
+  -- string_split on ' ' mirrors Spark token_count (split(text, ' '),
+  -- no trim) exactly, incl. empty tokens on repeated spaces (ADVICE r4)
   SELECT source, COUNT(*) AS n_docs,
-         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY source),
 w AS (SELECT source, n_docs, n_tokens,

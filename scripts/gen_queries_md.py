@@ -7,9 +7,11 @@ query.  Usage: python scripts/gen_queries_md.py
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 
 def main() -> None:
@@ -31,7 +33,7 @@ def main() -> None:
     for name, spec in qs.items():
         kind = "SQL" if spec.oracle else "rows-only"
         lines.append(f"| `{name}` | {kind} | {spec.doc} |")
-    with open("/root/repo/QUERIES.md", "w") as f:
+    with open(os.path.join(_REPO, "QUERIES.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"QUERIES.md: {n} entries, {n_oracle} oracle-paired")
 
@@ -40,7 +42,7 @@ def main() -> None:
     # one source of truth).
     import re
 
-    cov_path = "/root/repo/COVERAGE.md"
+    cov_path = os.path.join(_REPO, "COVERAGE.md")
     cov = open(cov_path).read()
     cov2, n_sub = re.subn(
         r"Current totals: \d+ registered queries, \d+ oracle-paired",

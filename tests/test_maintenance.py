@@ -223,7 +223,10 @@ def test_checksum_stays_in_bigint_range_at_any_cardinality(spark):
         fold_sum,
     )
 
-    n, per_row = 3_000_000_000, 3_900_000_000
+    # 3M rows x an inflated per-row value still exceeds 2^63 (fold_sum
+    # doesn't bound rc), proving the same overflow property at ~1/1000th
+    # the runtime of the original 3e9-row version (ADVICE r4).
+    n, per_row = 3_000_000, 3_900_000_000_000
     expect = (n * per_row) % CHECKSUM_MODULUS
     assert n * per_row > 2**63  # the scenario actually overflows int64
 
