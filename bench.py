@@ -158,6 +158,10 @@ EXTENDED = [
     "stream_neardup_gate_portable",
     "sim_pq_portable",
     "dedup_semantic_portable",
+    # round-5 additions
+    "source_mapped_typed",
+    "mm_extract_features_portable",
+    "stream_dsir_select",
 ]
 
 

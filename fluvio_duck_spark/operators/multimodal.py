@@ -178,6 +178,57 @@ def resize_content(
     return df.select(id_col, content_col, meta_col).mapInPandas(run, schema=schema)
 
 
+def portable_decode_kernel(content: bytes, n_features: int) -> list[int]:
+    """The PORTABLE twin of ``_fake_decode``: feature j is the md5
+    ascii-fold bucket (operators/dsir.py::hash_bucket — the engine-
+    reproducible hash family) of ``content || ':' || j`` in parts-per-
+    million units, so a SQL engine replicates every value exactly with
+    ``md5 / ascii / substr / %`` — no sha256 byte-slicing, no float.
+    Returned as integers (ppm); divide by 1e6 for the [0, 1) form."""
+    from fluvio_duck_spark.operators.dsir import _HASH_WEIGHTS
+
+    out = []
+    for j in range(n_features):
+        h = hashlib.md5(content + f":{j}".encode()).hexdigest()
+        v = sum(ord(h[i]) * w for i, w in enumerate(_HASH_WEIGHTS))
+        out.append(v % 1_000_000)
+    return out
+
+
+def extract_features_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    n_features: int = 16,
+) -> DataFrame:
+    """Arrow-batched decode→featurize with an ENGINE-REPRODUCIBLE kernel
+    — the oracle-paired twin of :func:`extract_features` (VERDICT r4 #4).
+
+    The plumbing is identical to the perf path (mapInPandas over
+    (id, content) batches, bytes never row-trip through Python objects
+    one call at a time), so what the oracle check proves is the Spark-
+    side batching AND the kernel arithmetic end-to-end.  A real codec
+    kernel swaps in via extract_features(decode_fn=...); this twin stays
+    as the verification path."""
+    schema = f"{id_col} long, features array<int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "features": [
+                        portable_decode_kernel(bytes(c), n_features)
+                        if c is not None
+                        else None
+                        for c in pdf[content_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
 def decode_image(*args, **kwargs):
     """Real image decode requires PIL/opencv — not in this container."""
     raise NotImplementedError(

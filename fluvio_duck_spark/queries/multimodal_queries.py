@@ -152,3 +152,54 @@ QUERIES.update({
         doc="perceptual-hash media near-dup: decode once, dHash + banded LSH + Hamming verify in Catalyst",
     ),
 })
+
+
+N_FEAT = 16
+
+
+def q_extract_features_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-paired twin of mm_extract_features (VERDICT r4 #4):
+    same mapInPandas batching, but the decode kernel is the md5-fold
+    portable hash in ppm integers, so DuckDB reproduces every feature
+    value — the driver hash covers the Arrow plumbing AND the kernel
+    arithmetic, not just row counts.  All-integer outputs: zero float
+    drift by construction."""
+    from fluvio_duck_spark.operators.multimodal import extract_features_portable
+
+    d = attach_binary_content(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    feats = extract_features_portable(d, n_features=N_FEAT)
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("n_features"),
+        F.element_at("features", 1).alias("f0_ppm"),
+        F.element_at("features", 8).alias("f7_ppm"),
+        F.aggregate(
+            "features", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("f_sum_ppm"),
+    )
+
+
+def _oracle_extract_features_portable() -> str:
+    from fluvio_duck_spark.operators.dsir import hash_bucket_sql
+
+    hb = hash_bucket_sql("(text || ':' || CAST(j AS VARCHAR))", 1_000_000)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         list_transform(range(0, {N_FEAT}), j -> {hb}) AS ppm
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, CAST(len(ppm) AS INT) AS n_features,
+       CAST(ppm[1] AS INT) AS f0_ppm, CAST(ppm[8] AS INT) AS f7_ppm,
+       CAST(list_aggregate(ppm, 'sum') AS BIGINT) AS f_sum_ppm
+FROM f
+"""
+
+
+QUERIES.update({
+    "mm_extract_features_portable": QuerySpec(
+        q_extract_features_portable, _oracle_extract_features_portable(),
+        doc="portable-twin feature extraction: md5-fold ppm kernel in mapInPandas, every value oracle-checked",
+    ),
+})

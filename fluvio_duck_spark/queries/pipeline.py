@@ -1775,6 +1775,47 @@ QUERIES.update({
 })
 
 
+def q_source_mapped_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """consume_mapped_typed through the DataSource front end (VERDICT r4
+    #7): the whole-log scan arrives via ``spark.read.format("fluvio")``
+    (one InputPartition per Fluvio partition, plan-time offset algebra)
+    and the same ``-c name[:code]=path`` typed-JSON projection runs on
+    top as JVM expressions.  Benched in bench.py's extended block so a
+    regression in the DataSource's partition planning shows up in the
+    2x perf gate, not only in correctness."""
+    from fluvio_duck_spark.mappings import mapped_columns
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+
+    register_fluvio_source(spark)
+    df = (
+        spark.read.format("fluvio")
+        .option("topic", "events")
+        .option("args", "-A -B --rows 1000000")
+        .option("sf_dir", sf_dir)
+        .load()
+    )
+    cols = [("k:i", "k"), ("ks", "k"), ("kd:d", "k"), ("kf:f", "k"), ("kl:l", "k")]
+    return df.select(*mapped_columns(cols, F.col("value")))
+
+
+ORACLE_SOURCE_MAPPED_TYPED = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       json_extract_string(props, '$.k') AS ks,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd,
+       CAST(json_extract_string(props, '$.k') AS FLOAT) AS kf,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS kl
+FROM events
+"""
+
+
+QUERIES.update({
+    "source_mapped_typed": QuerySpec(
+        q_source_mapped_typed, ORACLE_SOURCE_MAPPED_TYPED,
+        doc="typed -c JSON mapping over the DataSource scan — benched DataSource partition-planning path",
+    ),
+})
+
+
 def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences (the next-event model behind session recommendation and

@@ -1081,3 +1081,91 @@ def _wire_stream_neardup_portable_oracle() -> None:
 
 
 _wire_stream_neardup_portable_oracle()
+
+
+def q_stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DSIR *selection* (VERDICT r4 #6) — the composition on
+    top of stream_dsir_gate: micro-batches are scored against the frozen
+    λ broadcast and appended to a parquet sink together with their
+    source and token count (the per-doc facts selection needs); when the
+    stream drains, the per-source top-10 quota + budget report runs over
+    the accumulated sink.  The report is a pure function of the scored
+    set, so sink-accumulation ≡ batch curate_dsir_select and the oracle
+    is shared.  Production topology: the gate writes the scored firehose
+    continuously; the quota report is the cheap periodic reader — no
+    cross-batch streaming state anywhere."""
+    import os
+    import uuid
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.text import token_count
+    from fluvio_duck_spark.operators.dsir import dsir_lambda, dsir_score
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    lam = dsir_lambda(
+        load(spark, sf_dir, "documents"), F.col("lang") == "en"
+    ).localCheckpoint(eager=True)  # frozen model, fit once on the reference corpus
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"dsir_sel_out_{run_id}")
+
+    def score_batch(batch_df, _bid) -> None:
+        scored = dsir_score(batch_df, lam).join(
+            batch_df.select(
+                "doc_id", "source", token_count("text").alias("n_tok")
+            ),
+            "doc_id",
+        )
+        scored.write.mode("append").parquet(out_dir)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"dsir_sel_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = (
+        "doc_id long, n_grams int, dsir_logweight double, "
+        "source string, n_tok int"
+    )
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [], "source string, n_kept int, token_budget bigint, mean_weight double"
+        )
+    acc = spark.read.schema(out_schema).parquet(out_dir).dropDuplicates(["doc_id"])
+    kept = acc.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.desc("dsir_logweight"), F.asc("doc_id")
+            )
+        ),
+    ).filter(F.col("rk") <= 10)
+    return kept.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.sum("n_tok").alias("token_budget"),
+        (
+            F.sum(F.col("dsir_logweight").cast("decimal(28,12)")).cast("double")
+            / F.count("*")
+        ).alias("mean_weight"),
+    )
+
+
+def _wire_stream_dsir_select_oracle() -> None:
+    from fluvio_duck_spark.queries.llm import _oracle_dsir_select
+
+    QUERIES["stream_dsir_select"] = QuerySpec(
+        q_stream_dsir_select, _oracle_dsir_select(),
+        doc="streaming DSIR selection: scored-sink accumulation + per-source top-10 quota report — oracle-shared with curate_dsir_select",
+    )
+
+
+_wire_stream_dsir_select_oracle()

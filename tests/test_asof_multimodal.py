@@ -524,3 +524,38 @@ def test_phash_candidates_complete_by_pigeonhole(spark):
         for r in mm_phash_neardup(withc, max_hamming=3).collect()
     }
     assert got == brute
+
+
+def test_extract_features_portable_matches_pure_python(spark, sf_dir):
+    """The mapInPandas path reproduces a driver-side recomputation of the
+    portable kernel — and the kernel itself matches the documented
+    md5-ascii-fold construction (the same family the oracle generates)."""
+    import hashlib
+
+    from fluvio_duck_spark.operators.dsir import _HASH_WEIGHTS
+    from fluvio_duck_spark.operators.multimodal import (
+        attach_binary_content,
+        extract_features_portable,
+        portable_decode_kernel,
+    )
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d = attach_binary_content(docs)
+    got = {
+        r.doc_id: list(r.features)
+        for r in extract_features_portable(d, n_features=16).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    assert set(got) == set(texts)
+    for did, text in texts.items():
+        b = text.encode()
+        expect = []
+        for j in range(16):
+            h = hashlib.md5(b + f":{j}".encode()).hexdigest()
+            expect.append(
+                sum(ord(h[i]) * w for i, w in enumerate(_HASH_WEIGHTS))
+                % 1_000_000
+            )
+        assert got[did] == expect == portable_decode_kernel(b, 16)
+        assert all(0 <= v < 1_000_000 for v in expect)

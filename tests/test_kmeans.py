@@ -236,3 +236,18 @@ def test_semdedup_portable_recovers_all_plants(spark, sf_dir):
     ).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(i, i + 100000) for i in range(50)}
+
+
+def test_kmeans_fit_portable_rejects_fewer_than_k_rows(spark):
+    """ADVICE r4: < k input rows used to crash with IndexError deep in the
+    update loop; now a clear ValueError up front."""
+    import pytest
+
+    from fluvio_duck_spark.operators.kmeans import kmeans_fit_portable
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k=8"):
+        kmeans_fit_portable(df, k=8, iters=1)
