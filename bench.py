@@ -162,6 +162,11 @@ EXTENDED = [
     "source_mapped_typed",
     "mm_extract_features_portable",
     "stream_dsir_select",
+    "dedup_containment_prefix",
+    "text_bpe_fertility",
+    "curate_classifier_gate",
+    "stream_decontaminate_gate",
+    "mm_dedup_content_exact",
 ]
 
 

@@ -205,6 +205,94 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def ngram_containment_pairs_prefix(
+    df: DataFrame,
+    k: int = 5,
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT shingle-CONTAINMENT pairs via prefix filtering — the
+    asymmetric cousin of :func:`ngram_jaccard_pairs_prefix` and the op
+    behind doc-in-doc duplication (quotes, mirrored excerpts, wrapper
+    pages around a copied body): C(A→B) = |A∩B| / |A| ≥ t flags A as
+    mostly contained in B even when B is much larger, which a symmetric
+    Jaccard threshold misses (|A∪B| grows with B).
+
+    Prefix bound (same SSJoin family, containment form): if
+    |A∩B| ≥ ⌈t·|A|⌉ then A's rarest-first prefix of
+    |A| − ⌈t·|A|⌉ + 1 shingles must intersect B — so the candidate
+    join runs A-PREFIX × FULL-INDEX (containment constrains only the
+    contained side, so B probes with all its shingles).  The prefix is
+    the globally rarest shingles of each A, so per-shingle fan-out on
+    the index side stays df-of-a-rare-shingle-sized.  Candidates are
+    verified with full intersection counts; the threshold is a rational
+    and every comparison integer (``den·common ≥ num·na``), so the
+    result equals the unbounded all-ordered-pairs form exactly.
+
+    Plan: shingle df agg + join back, one per-doc window (bounded
+    group), prefix × index equi-join on the shingle, verification
+    equi-join restricted to candidates — the AllPairs shape with an
+    asymmetric verify.  Output ordered pairs (doc_a contained-in
+    doc_b, containment)."""
+    from pyspark.sql import Window as W
+
+    sh = _exploded_shingles(df, text_col, id_col, k, None)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+    freq = sh.groupBy("s").agg(F.count("*").alias("df_"))
+    ranked = (
+        sh.join(freq, "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(W.partitionBy(id_col).orderBy("df_", "s")),
+        )
+        .join(sizes, id_col)
+        .withColumn(
+            "pfx",
+            F.col("n")
+            - F.floor(
+                (F.lit(threshold_num) * F.col("n") + threshold_den - 1)
+                / threshold_den
+            ).cast("long")
+            + 1,
+        )
+    )
+    prefix = ranked.filter(F.col("rk") <= F.col("pfx")).select(
+        F.col(id_col).alias("doc_a"), "s"
+    )
+
+    index = sh.select(F.col(id_col).alias("doc_b"), "s")
+    cand = (
+        prefix.join(index, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("doc_a"), "s")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(index, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    return (
+        common.join(za, "doc_a")
+        .filter(
+            F.lit(threshold_den) * F.col("common")
+            >= F.lit(threshold_num) * F.col("na")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("common").cast("double") / F.col("na")).alias("containment"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     k: int = 5,

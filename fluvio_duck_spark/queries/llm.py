@@ -3155,7 +3155,165 @@ FROM wrd JOIN encw USING (word) GROUP BY doc_id
 """
 
 
+def q_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT shingle-containment pairs ≥ 9/10
+    (operators/dedup.py::ngram_containment_pairs_prefix): doc-in-doc
+    duplication — flags a doc mostly contained in another even when the
+    container is much larger (symmetric Jaccard misses those).  The
+    oracle is the unbounded all-ordered-pairs form; the prefix bound
+    must reproduce it exactly."""
+    from fluvio_duck_spark.operators.dedup import ngram_containment_pairs_prefix
+
+    return ngram_containment_pairs_prefix(
+        load(spark, sf_dir, "documents"), k=5,
+        threshold_num=9, threshold_den=10,
+    )
+
+
+#: the UNBOUNDED exact ordered-pairs form — prefix filtering must match it
+ORACLE_CONTAINMENT_PREFIX = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(c AS DOUBLE) / sa.n AS containment
+FROM common JOIN sizes sa ON sa.doc_id = doc_a
+WHERE 10 * c >= 9 * sa.n
+"""
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report — BPE tokens per word, by source: the
+    number a tokenizer team watches per domain before committing a vocab
+    (high fertility on a source = that domain is under-represented in
+    the merges and trains slower).  Composes bpe_fit + bpe_encode_tokens
+    (vocab-bounded driver state) with a per-source roll-up; fertility is
+    an exact integer ratio surfaced as a 6-dp-rounded double so both
+    engines agree at the hash level."""
+    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens, bpe_fit
+
+    docs = load(spark, sf_dir, "documents")
+    merges = [
+        (r.sym_a, r.sym_b)
+        for r in bpe_fit(docs, n_merges=6).orderBy("round").collect()
+    ]
+    enc = bpe_encode_tokens(docs, merges).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return enc.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.round(
+            F.sum("n_bpe_tokens").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 6) -> str:
+    """Per-source roll-up over the same encode chain as the bpe_encode
+    oracle (merges recomputed by the fit CTEs, applied as nested
+    boundary-safe replaces over the distinct-word table)."""
+    enc = "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')"
+    for r in range(1, n_merges + 1):
+        pat = (f"' ' || (SELECT sym_a FROM best{r}) || '  ' || "
+               f"(SELECT sym_b FROM best{r}) || ' '")
+        rep = f"' ' || (SELECT sym_a || sym_b FROM best{r}) || ' '"
+        enc = f"replace({enc}, {pat}, {rep})"
+    return _bpe_oracle_ctes(n_merges) + f""",
+wrd AS MATERIALIZED (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+    FROM documents) z
+  WHERE word <> ''),
+encw AS MATERIALIZED (
+  SELECT word,
+         len(string_split_regex(trim({enc}), ' +')) AS n_tok
+  FROM (SELECT DISTINCT word FROM wrd) dw),
+perdoc AS (
+  SELECT doc_id, COUNT(*) AS n_words, SUM(n_tok) AS n_bpe
+  FROM wrd JOIN encw USING (word) GROUP BY doc_id)
+SELECT d.source, CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(SUM(p.n_bpe) AS DOUBLE) / SUM(p.n_words), 6) AS fertility
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+def q_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CLASSIFIER gate — the fasttext-style linear filter every
+    pretraining pipeline runs (CCNet/Gopher lineage), with the trained
+    weights as literals: logit = w·(stopword count, distinct words,
+    total words) + b, keep if logit ≥ 0, report per-source volumes and
+    keep rates.  All features are integer counts and all weights are
+    integer parts-per-million, so the logit is EXACT integer arithmetic
+    on both engines — the portable-twin discipline applied to a scoring
+    model (a real fasttext swaps in via a pandas UDF; the gate/report
+    plumbing is identical).  Map-only scoring, one source-sized agg."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    sw = F.size(
+        F.filter(w, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "it"))
+    )
+    feats = docs.select(
+        "source",
+        (
+            F.lit(-400000)
+            + F.lit(45000) * sw
+            + F.lit(10000) * F.size(F.array_distinct(w))
+            - F.lit(1500) * F.size(w)
+        ).cast("long").alias("logit_ppm"),
+    )
+    kept = (F.col("logit_ppm") >= 0).cast("int")
+    return feats.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(kept).cast("int").alias("n_kept"),
+        F.round(F.sum(kept).cast("double") / F.count("*"), 6).alias("keep_rate"),
+        F.sum("logit_ppm").alias("logit_sum_ppm"),
+    )
+
+
+ORACLE_CLASSIFIER_GATE = """
+WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+f AS (
+  SELECT source,
+         -400000
+           + 45000 * len(list_filter(w,
+               t -> t IN ('the','a','of','and','to','in','is','it')))
+           + 10000 * len(list_distinct(w))
+           - 1500 * len(w) AS logit_ppm
+  FROM t)
+SELECT source, CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(SUM(CASE WHEN logit_ppm >= 0 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       round(CAST(SUM(CASE WHEN logit_ppm >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS keep_rate,
+       CAST(SUM(logit_ppm) AS BIGINT) AS logit_sum_ppm
+FROM f GROUP BY source
+"""
+
+
 QUERIES.update({
+    "curate_classifier_gate": QuerySpec(
+        q_classifier_gate, ORACLE_CLASSIFIER_GATE,
+        doc="linear quality-classifier gate (literal ppm weights, integer-exact logit): per-source keep-rate report",
+    ),
+    "text_bpe_fertility": QuerySpec(
+        q_bpe_fertility, _bpe_fertility_oracle(6),
+        doc="tokenizer fertility by source: BPE tokens per word under the fitted merges — vocab-planning report",
+    ),
+    "dedup_containment_prefix": QuerySpec(
+        q_containment_prefix, ORACLE_CONTAINMENT_PREFIX,
+        doc="prefix-filtered EXACT shingle-containment pairs (doc-in-doc dup; asymmetric) — equals the unbounded ordered-pairs result",
+    ),
     "text_dsir_weights": QuerySpec(
         q_dsir_weights, _oracle_dsir(),
         doc="DSIR importance weights: hashed-bigram log-ratio vs target slice (one corpus shuffle; 256-row broadcast tables)",

@@ -154,6 +154,48 @@ QUERIES.update({
 })
 
 
+def q_mm_dedup_content_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary-content dedup — the first pass of every media
+    pipeline (byte-identical re-uploads dominate image/video dup mass):
+    md5 over the BINARY column (not the text), group, keep the lowest id
+    as canonical.  Five payloads are re-tagged under new ids so every SF
+    contains known byte-dups.  One fingerprint-keyed shuffle, same
+    shape as exact text dedup; payload bytes never leave the JVM."""
+    docs = load(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") < 5).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    d = attach_binary_content(docs.unionByName(copies))
+    return (
+        d.groupBy(F.md5(F.col("content")).alias("content_fp"))
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").cast("int").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+ORACLE_MM_DEDUP_EXACT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+)
+SELECT md5(text) AS content_fp, MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS INT) AS n_copies
+FROM corpus GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+QUERIES.update({
+    "mm_dedup_content_exact": QuerySpec(
+        q_mm_dedup_content_exact, ORACLE_MM_DEDUP_EXACT,
+        doc="exact binary-content media dedup: md5 over the binary column, planted byte-dups, one fp-keyed shuffle",
+    ),
+})
+
+
 N_FEAT = 16
 
 

@@ -1169,3 +1169,66 @@ def _wire_stream_dsir_select_oracle() -> None:
 
 
 _wire_stream_dsir_select_oracle()
+
+
+def q_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming benchmark-decontamination gate: the eval set's distinct
+    3-gram table is built once from the static fixture (tiny by
+    construction — an eval suite) and broadcast; arriving corpus docs are
+    screened per micro-batch and leak candidates append to a parquet
+    sink with their shared-shingle counts.  Stateless across batches (a
+    doc's shingles live in its own row); sink accumulation ≡ batch
+    text_decontaminate, so the oracle is shared.  The production
+    topology for continuous ingest screening: freeze the eval grams,
+    gate the firehose."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dedup import contamination_report
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    bench = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .localCheckpoint(eager=True)  # the frozen eval suite
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"decon_gate_out_{run_id}")
+
+    def gate_batch(batch_df, _bid) -> None:
+        corpus = batch_df.filter(F.col("doc_id") % 97 != 0)
+        contamination_report(corpus, bench, k=3).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"decon_gate_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, n_shared_grams long"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+
+
+def _wire_stream_decontaminate_oracle() -> None:
+    from fluvio_duck_spark.queries.llm import ORACLE_DECONTAMINATE
+
+    QUERIES["stream_decontaminate_gate"] = QuerySpec(
+        q_stream_decontaminate_gate, ORACLE_DECONTAMINATE,
+        doc="streaming decontamination gate: frozen eval 3-gram broadcast, per-batch screening — oracle-shared with text_decontaminate",
+    )
+
+
+_wire_stream_decontaminate_oracle()

@@ -1151,3 +1151,64 @@ def test_span_corruption_plan_contract(docs):
     sub = span_corruption_plan(docs.filter("doc_id < 100")).collect()
     full = {r.doc_id: (r.n_spans, r.n_masked) for r in rows}
     assert all(full[r.doc_id] == (r.n_spans, r.n_masked) for r in sub)
+
+
+def test_containment_prefix_equals_unbounded_exact(docs):
+    """Containment prefix filtering is a pruning, not an approximation:
+    ordered pairs and values must equal the unbounded inverted-index
+    join on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dedup import (
+        _exploded_shingles,
+        ngram_containment_pairs_prefix,
+    )
+
+    sh = _exploded_shingles(docs, "text", "doc_id", 5, None)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    unbounded = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .filter(F.lit(10) * F.col("c") >= F.lit(9) * F.col("na"))
+    )
+    want = {
+        (r.doc_a, r.doc_b): round(r.c / r.na, 9) for r in unbounded.collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 9)
+        for r in ngram_containment_pairs_prefix(
+            docs, k=5, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_containment_is_asymmetric_where_jaccard_fails(spark):
+    """A short doc fully inside a much longer one: containment 1.0 one
+    way, below threshold the other way, and Jaccard would miss the pair
+    entirely at the same threshold."""
+    from fluvio_duck_spark.operators.dedup import (
+        ngram_containment_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "w1 w2 w3 w4 w5 w6 w7 w8 w9"            # 5 shingles (k=5)
+    container = quote + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11"  # 16 shingles
+    docs = spark.createDataFrame(
+        [(1, quote), (2, container)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): round(r.containment, 9)
+        for r in ngram_containment_pairs_prefix(
+            docs, k=5, threshold_num=9, threshold_den=10
+        ).collect()
+    }
+    assert got == {(1, 2): 1.0}  # contained direction only
+    jac = ngram_jaccard_pairs(docs, k=5, threshold=0.8).collect()
+    assert jac == []  # J = 5/16 — symmetric threshold misses the dup

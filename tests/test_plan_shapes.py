@@ -499,3 +499,19 @@ def test_jaccard_prefix_no_nested_loop(specs, spark, sf_dir):
 def test_span_corruption_map_only(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "text_span_corruption")
     assert_plan(df, Exchange=0, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_containment_prefix_no_nested_loop(specs, spark, sf_dir):
+    # asymmetric prefix join: candidate + verify stages must stay
+    # equi-joins — a nested-loop anywhere means all-pairs regression
+    df = _run(specs, spark, sf_dir, "dedup_containment_prefix")
+    assert_plan(df, BroadcastNestedLoopJoin=0, CartesianProduct=0,
+                ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_classifier_gate_single_agg_no_python(specs, spark, sf_dir):
+    # literal-weight logit: map-only scoring + one source-keyed agg,
+    # zero Python eval nodes
+    df = _run(specs, spark, sf_dir, "curate_classifier_gate")
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
+                BroadcastNestedLoopJoin=0, CartesianProduct=0)
