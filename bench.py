@@ -167,6 +167,9 @@ EXTENDED = [
     "curate_classifier_gate",
     "stream_decontaminate_gate",
     "mm_dedup_content_exact",
+    "sim_mutual_knn",
+    "sim_ivf_cell_balance",
+    "stream_classifier_gate",
 ]
 
 

@@ -266,13 +266,10 @@ def ivf_topk_portable(
     )
 
 
-def kmeans_portable_oracle_sql(
-    k: int = 8, iters: int = 3, dim: int = 64, query_id: int = 0, topk: int = 10
-) -> str:
-    """The ENTIRE portable pipeline — k-means fit (unrolled iterations)
-    + IVF probe — as DuckDB SQL, from the same arithmetic: sequential
-    distance folds, DECIMAL(38,12) per-dimension sums, double division,
-    lexicographic argmin tie-break."""
+def _kmeans_fit_ctes(k: int, iters: int, dim: int) -> list[str]:
+    """Shared CTE chain: the unrolled portable fit through the final
+    assignment table ``asg`` (vec_id, cell).  Reused by the IVF-probe
+    oracle and the cell-balance oracle so both check the SAME fit."""
     sums = ",\n           ".join(
         f"SUM(CAST(CAST(v[{i + 1}] AS DOUBLE) AS DECIMAL(38,12))) AS s{i}"
         for i in range(dim)
@@ -311,8 +308,19 @@ cent{t} AS MATERIALIZED (
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {d2}, c.cell) AS rn
     FROM emb e CROSS JOIN cent{iters} c) z
-  WHERE rn = 1),
-q AS (
+  WHERE rn = 1)""")
+    return parts
+
+
+def kmeans_portable_oracle_sql(
+    k: int = 8, iters: int = 3, dim: int = 64, query_id: int = 0, topk: int = 10
+) -> str:
+    """The ENTIRE portable pipeline — k-means fit (unrolled iterations)
+    + IVF probe — as DuckDB SQL, from the same arithmetic: sequential
+    distance folds, DECIMAL(38,12) per-dimension sums, double division,
+    lexicographic argmin tie-break."""
+    parts = _kmeans_fit_ctes(k, iters, dim)
+    parts.append(f"""q AS (
   SELECT e.embedding AS qv, a.cell AS qcell
   FROM emb e JOIN asg a USING (vec_id) WHERE e.vec_id = {query_id}),
 scored AS (
@@ -328,4 +336,23 @@ scored AS (
     return (
         ",\n".join(parts)
         + f"\nSELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT {topk}\n"
+    )
+
+
+def kmeans_cells_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Cell-population report over the SAME oracle-checked fit: per cell
+    the vector count, the corpus fraction (6 dp), and the ratio to the
+    perfectly-balanced size — the skew number an IVF deployment watches
+    (a hot cell is a hot partition at probe time)."""
+    parts = _kmeans_fit_ctes(k, iters, dim)
+    return (
+        ",\n".join(parts)
+        + f""",
+tot AS (SELECT COUNT(*) AS n FROM asg)
+SELECT cell, CAST(COUNT(*) AS INT) AS n_vecs,
+       round(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot), 6) AS frac,
+       round(CAST(COUNT(*) AS DOUBLE) * {k} / (SELECT n FROM tot), 6)
+         AS balance_ratio
+FROM asg GROUP BY cell
+"""
     )

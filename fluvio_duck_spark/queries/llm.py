@@ -1867,10 +1867,48 @@ FROM top WHERE vr = 1
 """
 
 
+def q_sim_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL (reciprocal) k-NN pairs: (a, b) kept only when b is in
+    a's 3-NN AND a is in b's 3-NN — the standard high-precision match
+    filter (hubness-resistant: a hub vector near everything is not
+    reciprocated by its victims), used for ER confirmation and
+    conservative semantic dedup.  One extra self-equi-join on the
+    (n·k)-row kNN edge list — the n² never materializes."""
+    from fluvio_duck_spark.operators.similarity import knn_graph_blocked
+
+    g = knn_graph_blocked(load(spark, sf_dir, "embeddings"), k=3)
+    fwd = g.select(
+        F.col("id").alias("id_a"), F.col("nbr").alias("id_b"), "sim"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    rev = g.select(
+        F.col("nbr").alias("id_a"), F.col("id").alias("id_b")
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return fwd.join(rev, ["id_a", "id_b"]).select("id_a", "id_b", "sim")
+
+
+ORACLE_MUTUAL_KNN = f"""
+WITH s AS (
+  SELECT a.vec_id AS id, b.vec_id AS nbr, round({_COS_AB}, 6) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+r AS (
+  SELECT id, nbr, sim,
+         row_number() OVER (PARTITION BY id ORDER BY sim DESC, nbr) AS rn
+  FROM s),
+knn AS (SELECT id, nbr, sim FROM r WHERE rn <= 3)
+SELECT f.id AS id_a, f.nbr AS id_b, f.sim
+FROM knn f JOIN knn g ON g.id = f.nbr AND g.nbr = f.id
+WHERE f.id < f.nbr
+"""
+
+
 QUERIES.update({
     "sim_knn_graph": QuerySpec(
         q_sim_knn_graph, ORACLE_KNN_GRAPH,
         doc="exact all-pairs 3-NN graph via blocked GEMM partial top-k",
+    ),
+    "sim_mutual_knn": QuerySpec(
+        q_sim_mutual_knn, ORACLE_MUTUAL_KNN,
+        doc="reciprocal 3-NN pairs (hubness-resistant match filter) — one self-join on the n*k edge list",
     ),
     "sim_label_noise": QuerySpec(
         q_sim_label_noise, ORACLE_LABEL_NOISE,
@@ -3565,10 +3603,49 @@ def _oracle_ivf_portable() -> str:
     return kmeans_portable_oracle_sql(k=8, iters=3, dim=64, query_id=0, topk=10)
 
 
+def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-balance report — the skew health check an ANN deployment
+    runs before committing a codebook: per cell the vector count, corpus
+    fraction, and ratio to the perfectly-balanced size (a hot cell is a
+    hot partition at probe time, the direct 100-TB failure mode of an
+    unbalanced quantizer).  Same oracle-checked portable fit as
+    sim_ivf_kmeans_portable (shared CTE chain in the generated SQL);
+    the report itself is one k-row aggregate."""
+    from fluvio_duck_spark.operators.kmeans import (
+        _argmin_cell,
+        kmeans_fit_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_portable(emb, k=8, iters=3)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    asg = emb.select(_argmin_cell(v, cents).alias("cell"))
+    counts = asg.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    tot = counts.agg(F.sum("n_vecs").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("n_vecs").cast("int").alias("n_vecs"),
+        F.round(F.col("n_vecs").cast("double") / F.col("n"), 6).alias("frac"),
+        F.round(
+            F.col("n_vecs").cast("double") * 8 / F.col("n"), 6
+        ).alias("balance_ratio"),
+    )
+
+
+def _oracle_ivf_cell_balance() -> str:
+    from fluvio_duck_spark.operators.kmeans import kmeans_cells_oracle_sql
+
+    return kmeans_cells_oracle_sql(k=8, iters=3, dim=64)
+
+
 QUERIES.update({
     "sim_ivf_kmeans_portable": QuerySpec(
         q_ivf_portable, _oracle_ivf_portable(),
         doc="IVF ANN over a k-means codebook whose FIT is oracle-checked: decimal-sum Lloyd's unrolled in SQL (3 iters, k=8)",
+    ),
+    "sim_ivf_cell_balance": QuerySpec(
+        q_ivf_cell_balance, _oracle_ivf_cell_balance(),
+        doc="IVF cell-balance skew report over the oracle-checked portable fit (hot cell = hot partition at probe time)",
     ),
 })
 

@@ -1232,3 +1232,86 @@ def _wire_stream_decontaminate_oracle() -> None:
 
 
 _wire_stream_decontaminate_oracle()
+
+
+def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quality-classifier gate: the literal-ppm-weight linear
+    filter (curate_classifier_gate) applied per micro-batch — the
+    highest-volume stage of a streaming ingest stack runs exactly this
+    shape (stateless map-only scoring, no model fetch).  Scored rows
+    append to a parquet sink; the per-source keep-rate report runs over
+    the drained sink and equals the batch report, so the oracle is
+    shared.  Integer-exact logit ⇒ no cross-engine or cross-batch float
+    hazard anywhere."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"clf_gate_out_{run_id}")
+
+    def gate_batch(batch_df, _bid) -> None:
+        w = F.split(F.col("text"), " ")
+        sw = F.size(
+            F.filter(
+                w,
+                lambda t: t.isin(
+                    "the", "a", "of", "and", "to", "in", "is", "it"
+                ),
+            )
+        )
+        scored = batch_df.select(
+            "doc_id",
+            "source",
+            (
+                F.lit(-400000)
+                + F.lit(45000) * sw
+                + F.lit(10000) * F.size(F.array_distinct(w))
+                - F.lit(1500) * F.size(w)
+            ).cast("long").alias("logit_ppm"),
+        )
+        scored.write.mode("append").parquet(out_dir)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"clf_gate_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, source string, logit_ppm long"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame(
+            [],
+            "source string, n_docs int, n_kept int, keep_rate double, "
+            "logit_sum_ppm long",
+        )
+    acc = (
+        spark.read.schema(out_schema).parquet(out_dir).dropDuplicates(["doc_id"])
+    )
+    kept = (F.col("logit_ppm") >= 0).cast("int")
+    return acc.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum(kept).cast("int").alias("n_kept"),
+        F.round(F.sum(kept).cast("double") / F.count("*"), 6).alias("keep_rate"),
+        F.sum("logit_ppm").alias("logit_sum_ppm"),
+    )
+
+
+def _wire_stream_classifier_oracle() -> None:
+    from fluvio_duck_spark.queries.llm import ORACLE_CLASSIFIER_GATE
+
+    QUERIES["stream_classifier_gate"] = QuerySpec(
+        q_stream_classifier_gate, ORACLE_CLASSIFIER_GATE,
+        doc="streaming quality-classifier gate: stateless per-batch integer-exact scoring — oracle-shared with curate_classifier_gate",
+    )
+
+
+_wire_stream_classifier_oracle()
