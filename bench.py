@@ -170,6 +170,7 @@ EXTENDED = [
     "sim_mutual_knn",
     "sim_ivf_cell_balance",
     "stream_classifier_gate",
+    "join_salted_skew",
 ]
 
 

@@ -896,6 +896,53 @@ SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
 """
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py::salted_join) exercised
+    end-to-end in the correctness gate: events (every key hot — 5
+    distinct types over 100 K+ rows, the worst skew shape) join a
+    per-type weight dim with the dim replicated across 8 salts and the
+    fact salted by a row-content hash, then roll up.  Semantically
+    identical to the plain join — the oracle IS the plain join — while
+    the hot key's shuffle partition splits 8 ways.  (For a dim this
+    small Spark would broadcast anyway; the query pins the salted
+    shuffle-join path deliberately so the pattern itself is
+    hash-verified for the cases where the dim does NOT broadcast.)"""
+    from fluvio_duck_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.length("event_type") * 10).cast("int").alias("weight"),
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(
+                (F.col("value") * F.col("weight")).cast("decimal(28,6)")
+            ).cast("double"),
+            4,
+        ).alias("weighted_value"),
+    )
+
+
+ORACLE_JOIN_SALTED = """
+WITH dim AS (
+  SELECT DISTINCT event_type,
+         CAST(length(event_type) * 10 AS INTEGER) AS weight
+  FROM events)
+SELECT e.event_type, COUNT(*) AS n,
+       round(CAST(SUM(CAST(e.value * d.weight AS DECIMAL(28,6)))
+                  AS DOUBLE), 4) AS weighted_value
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 array/collection family: collect_list → sort → size/element/
     contains/fold, all JVM-side expressions over grouped rows."""
@@ -2263,6 +2310,8 @@ QUERIES: dict[str, QuerySpec] = {
                                  doc="identical SQL text on Spark and DuckDB (EXISTS/Q4 shape)"),
     "agg_salted_hotkey": QuerySpec(q_salted_hotkey_agg, ORACLE_SALTED_AGG,
                                    doc="two-phase salted aggregation (skew pattern) — §2.7"),
+    "join_salted_skew": QuerySpec(q_join_salted_skew, ORACLE_JOIN_SALTED,
+                                  doc="salted equi-join (8-way hot-key split, dim replicated) — hash-equal to the plain join"),
     "join_asof": QuerySpec(q_asof_join, ORACLE_ASOF,
                            doc="as-of join via union+window merge — §2.6"),
     "join_asof_broadcast": QuerySpec(q_asof_broadcast, ORACLE_ASOF,

@@ -54,6 +54,21 @@ _N_PARTITIONS = 4  # events stand-in: user_id % 4 (sources/consume.py)
 _WHOLE_LOG_TOPICS = {"events", "*"}
 
 
+def _log_fragments(sf_dir: str) -> list[str]:
+    """Parquet fragment files of the events log: a single file (the
+    driver fixtures) or the part-files of a directory layout (any real
+    multi-file ingest — at scale a topic is never one file).  Footer-
+    statistics walks iterate these; bulk reads go through
+    ``pq.read_table``, which handles both layouts natively."""
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return sorted(glob.glob(os.path.join(path, "*.parquet")))
+    return [path]
+
+
 class _FluvioPartition(InputPartition):
     """One Fluvio partition plus its plan-time-resolved offset window.
 
@@ -106,13 +121,14 @@ class FluvioReader(DataSourceReader):
         import numpy as np
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(os.path.join(self.sf_dir, "events.parquet"))
         cols = ["event_id"]
         if self.topic not in _WHOLE_LOG_TOPICS:
             cols.append("event_type")
         if not self.opts.all_partitions:
             cols.append("user_id")
-        tbl = pf.read(columns=cols)
+        tbl = pq.read_table(
+            os.path.join(self.sf_dir, "events.parquet"), columns=cols
+        )
         mask = np.ones(tbl.num_rows, dtype=bool)
         if self.topic not in _WHOLE_LOG_TOPICS:
             mask &= tbl["event_type"].to_numpy(zero_copy_only=False) == self.topic
@@ -129,13 +145,14 @@ class FluvioReader(DataSourceReader):
 
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(os.path.join(self.sf_dir, "events.parquet"))
         leo = -1
-        idx = pf.schema_arrow.get_field_index("event_id")
-        for rg in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(rg).column(idx).statistics
-            if st is not None and st.max is not None:
-                leo = max(leo, int(st.max))
+        for frag in _log_fragments(self.sf_dir):
+            pf = pq.ParquetFile(frag)
+            idx = pf.schema_arrow.get_field_index("event_id")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is not None and st.max is not None:
+                    leo = max(leo, int(st.max))
         return leo + 1
 
     def _resolve_window(self) -> tuple[int, int | None]:
@@ -203,10 +220,10 @@ class FluvioReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        path = os.path.join(self.sf_dir, "events.parquet")
-        pf = pq.ParquetFile(path)
-
-        tbl = pf.read(columns=["event_id", "ts", "user_id", "props", "event_type"])
+        tbl = pq.read_table(
+            os.path.join(self.sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "props", "event_type"],
+        )
         if self.topic not in _WHOLE_LOG_TOPICS:
             tbl = tbl.filter(pc.equal(tbl["event_type"], self.topic))
         uid = tbl["user_id"].to_numpy(zero_copy_only=False)
@@ -272,13 +289,14 @@ class FluvioSimpleStreamReader:
 
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(os.path.join(self.sf_dir, "events.parquet"))
         leo = -1
-        idx = pf.schema_arrow.get_field_index("event_id")
-        for rg in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(rg).column(idx).statistics
-            if st is not None and st.max is not None:
-                leo = max(leo, int(st.max))
+        for frag in _log_fragments(self.sf_dir):
+            pf = pq.ParquetFile(frag)
+            idx = pf.schema_arrow.get_field_index("event_id")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is not None and st.max is not None:
+                    leo = max(leo, int(st.max))
         return leo + 1
 
     def _rows(self, lo: int, hi: int):
@@ -287,8 +305,10 @@ class FluvioSimpleStreamReader:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        pf = pq.ParquetFile(os.path.join(self.sf_dir, "events.parquet"))
-        tbl = pf.read(columns=["event_id", "ts", "user_id", "props", "event_type"])
+        tbl = pq.read_table(
+            os.path.join(self.sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "props", "event_type"],
+        )
         if self.topic not in _WHOLE_LOG_TOPICS:
             tbl = tbl.filter(pc.equal(tbl["event_type"], self.topic))
         mask = pc.and_(

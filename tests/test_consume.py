@@ -311,3 +311,35 @@ def test_datasource_matches_fluvio_consume(spark, sf_dir):
         via_ds("events", "-B").select("partition").distinct().collect()[0][0]
         == 0
     )
+
+
+def test_datasource_reads_multifile_directory_layout(spark, sf_dir, tmp_path):
+    """At scale a topic is never ONE parquet file: the DataSource must
+    plan and read a directory of part-files (footer-LEO walks every
+    fragment; bulk reads go through pq.read_table).  Regression: the
+    single-file-only ParquetFile call crashed on the bench cache's
+    8-file layout."""
+    import os
+
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+
+    multi = str(tmp_path / "multi")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(multi, "events.parquet")
+    )
+    register_fluvio_source(spark)
+
+    def read(sd, args):
+        return (
+            spark.read.format("fluvio")
+            .option("topic", "events")
+            .option("args", args)
+            .option("sf_dir", sd)
+            .load()
+        )
+
+    for args in ("-A -B --rows 500", "-A -T 100"):
+        single = {tuple(r) for r in read(sf_dir, args).collect()}
+        split = {tuple(r) for r in read(multi, args).collect()}
+        assert split == single and len(split) > 0
