@@ -171,6 +171,8 @@ EXTENDED = [
     "sim_ivf_cell_balance",
     "stream_classifier_gate",
     "join_salted_skew",
+    "text_novelty_fraction",
+    "curate_curriculum_order",
 ]
 
 

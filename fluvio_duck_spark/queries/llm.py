@@ -3287,6 +3287,134 @@ GROUP BY d.source
 """
 
 
+def q_novelty_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY — the fraction of a doc's distinct 3-gram
+    shingles whose FIRST corpus occurrence (minimum doc id, the arrival
+    order) is this doc.  The content-contribution metric a dedup'd
+    corpus is audited with: a near-copy of earlier material scores ~0,
+    the first instance of boilerplate scores high while its repeats
+    score 0 — prioritizing docs for keep/drop beyond binary dup flags.
+
+    Plan: explode distinct shingles (map-only), ONE shingle-keyed agg
+    for first-owner (min doc id, map-side combined), broadcast-free
+    join back on the shingle (both sides already shuffled on s — one
+    exchange each), one doc-keyed count agg.  Nothing is pairwise; the
+    shuffles carry shingle instances, linear in corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    from fluvio_duck_spark.operators.dedup import _exploded_shingles
+
+    sh = _exploded_shingles(docs, "text", "doc_id", 3, None)
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_shingles"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+            .cast("int")
+            .alias("n_novel"),
+            F.round(
+                F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+                .cast("double")
+                / F.count("*"),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+ORACLE_NOVELTY = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS s
+  FROM w),
+first AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_shingles,
+       CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS INT)
+         AS n_novel,
+       round(CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty
+FROM sh JOIN first USING (s)
+GROUP BY doc_id
+"""
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum manifest: difficulty-quartile bins (exact corpus
+    quality percentiles, broadcast thresholds — the q_quality_gate
+    pattern, NOT a percent_rank window that would sort a stratum in one
+    task) plus a deterministic within-bin shuffle key.  A curriculum
+    loader reads bins in order and shuffles within each — this query
+    emits exactly that plan: (doc, bin, key).  Two-phase: one
+    3-row threshold aggregate, then a map-only bin/key projection."""
+    from fluvio_duck_spark.functions.text import quality_score
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("q")
+    )
+    thr = docs.agg(
+        F.expr("percentile(q, 0.25)").alias("t1"),
+        F.expr("percentile(q, 0.5)").alias("t2"),
+        F.expr("percentile(q, 0.75)").alias("t3"),
+    )
+    # higher quality = easier: bin 0 (easiest) = top quartile.
+    # quality surfaces as floor(q·1e6) ppm: round(q, 6) hits the
+    # HALF_UP-vs-multiply tie on dyadic scores like 0.5203125
+    # (SCALE.md cross-engine trap #1); floor of the same double is
+    # tie-free on both engines.
+    binned = docs.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        F.floor(F.col("q") * 1000000).cast("long").alias("quality_ppm"),
+        F.when(F.col("q") >= F.col("t3"), 0)
+        .when(F.col("q") >= F.col("t2"), 1)
+        .when(F.col("q") >= F.col("t1"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("difficulty_bin"),
+    )
+    return binned.withColumn(
+        "order_key",
+        ((F.col("doc_id") + 1) * F.lit(2654435761 + 7 * 98765431))
+        % F.lit(1000003),
+    )
+
+
+ORACLE_CURRICULUM = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(list_filter(string_split(text,' '), t -> t IN {_STOPLIST_SQL})) AS DOUBLE)
+      / len(string_split(text,' ')) AS sw,
+    CAST(length(text) - len(string_split(text,' ')) + 1 AS DOUBLE)
+      / len(string_split(text,' ')) AS mtl
+  FROM documents),
+q AS (SELECT doc_id,
+             least(sw * 4.0, 1.0) * 0.5
+               + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.5 AS q
+      FROM t),
+thr AS (SELECT quantile_cont(q, 0.25) AS t1, quantile_cont(q, 0.5) AS t2,
+               quantile_cont(q, 0.75) AS t3 FROM q)
+SELECT doc_id, CAST(floor(q * 1000000) AS BIGINT) AS quality_ppm,
+       CAST(CASE WHEN q >= t3 THEN 0 WHEN q >= t2 THEN 1
+                 WHEN q >= t1 THEN 2 ELSE 3 END AS INT) AS difficulty_bin,
+       ((doc_id + 1) * {2654435761 + 7 * 98765431}) % 1000003 AS order_key
+FROM q, thr
+"""
+
+
+QUERIES.update({
+    "text_novelty_fraction": QuerySpec(
+        q_novelty_fraction, ORACLE_NOVELTY,
+        doc="per-doc novelty: fraction of shingles first seen in this doc (arrival order) — content-contribution audit",
+    ),
+    "curate_curriculum_order": QuerySpec(
+        q_curriculum_order, ORACLE_CURRICULUM,
+        doc="curriculum manifest: exact-percentile difficulty quartiles (broadcast thresholds) + deterministic within-bin shuffle key",
+    ),
+})
+
+
 def q_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-CLASSIFIER gate — the fasttext-style linear filter every
     pretraining pipeline runs (CCNet/Gopher lineage), with the trained
