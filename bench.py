@@ -173,6 +173,7 @@ EXTENDED = [
     "join_salted_skew",
     "text_novelty_fraction",
     "curate_curriculum_order",
+    "stream_novelty_gate",
 ]
 
 

@@ -1315,3 +1315,84 @@ def _wire_stream_classifier_oracle() -> None:
 
 
 _wire_stream_classifier_oracle()
+
+
+def q_stream_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming novelty gate: the corpus shingle→first-owner index
+    (min doc id per 3-gram — ORDER-INDEPENDENT, so batch and stream
+    agree by construction) is built once from the static fixture and
+    broadcast; each arriving doc's novelty fraction is scored per
+    micro-batch and appended to a parquet sink.  Stateless across
+    batches; the drained sink equals batch text_novelty_fraction, so
+    the oracle is shared.  The ingest topology for 'how much new
+    content is the firehose bringing': freeze the index nightly, score
+    continuously."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dedup import _exploded_shingles
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    corpus_sh = _exploded_shingles(
+        load(spark, sf_dir, "documents"), "text", "doc_id", 3, None
+    )
+    first = (
+        corpus_sh.groupBy("s")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .localCheckpoint(eager=True)  # the frozen first-owner index
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    out_dir = os.path.join("/tmp", f"novelty_gate_out_{run_id}")
+
+    def gate_batch(batch_df, _bid) -> None:
+        sh = _exploded_shingles(batch_df, "text", "doc_id", 3, None)
+        scored = (
+            sh.join(F.broadcast(first), "s")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("int").alias("n_shingles"),
+                F.sum((F.col("doc_id") == F.col("first_doc")).cast("int"))
+                .cast("int")
+                .alias("n_novel"),
+                F.round(
+                    F.sum(
+                        (F.col("doc_id") == F.col("first_doc")).cast("int")
+                    ).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("novelty"),
+            )
+        )
+        scored.write.mode("append").parquet(out_dir)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"novelty_gate_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, n_shingles int, n_novel int, novelty double"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+
+
+def _wire_stream_novelty_oracle() -> None:
+    from fluvio_duck_spark.queries.llm import ORACLE_NOVELTY
+
+    QUERIES["stream_novelty_gate"] = QuerySpec(
+        q_stream_novelty_gate, ORACLE_NOVELTY,
+        doc="streaming novelty gate: frozen first-owner shingle index broadcast, per-batch scoring — oracle-shared with text_novelty_fraction",
+    )
+
+
+_wire_stream_novelty_oracle()
