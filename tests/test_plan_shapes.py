@@ -515,3 +515,26 @@ def test_classifier_gate_single_agg_no_python(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "curate_classifier_gate")
     assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
                 BroadcastNestedLoopJoin=0, CartesianProduct=0)
+
+
+def test_novelty_fraction_no_python_no_nested_loop(specs, spark, sf_dir):
+    # shingle-keyed min-agg + equi-join back: all JVM, nothing pairwise
+    df = _run(specs, spark, sf_dir, "text_novelty_fraction")
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
+                BroadcastNestedLoopJoin=0, CartesianProduct=0)
+
+
+def test_curriculum_order_broadcast_thresholds(specs, spark, sf_dir):
+    # the 3-row percentile thresholds must reach the corpus via a
+    # broadcast (1-row cross join), never a stratum-wide rank window
+    df = _run(specs, spark, sf_dir, "curate_curriculum_order")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_mutual_knn_no_new_exchange_beyond_knn(specs, spark, sf_dir):
+    # the reciprocal filter must not regress to a nested-loop or
+    # python-eval path — it is one extra equi-join on the edge list
+    df = _run(specs, spark, sf_dir, "sim_mutual_knn")
+    assert_plan(df, BroadcastNestedLoopJoin=0, CartesianProduct=0)
