@@ -174,6 +174,7 @@ EXTENDED = [
     "text_novelty_fraction",
     "curate_curriculum_order",
     "stream_novelty_gate",
+    "stream_neardup_incremental",
 ]
 
 

@@ -1231,3 +1231,19 @@ pairs AS (
   WHERE a.doc_id < b.doc_id)
 SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
+
+
+def minhash_portable_gate_incremental_oracle_sql(
+    k: int = 5, n_hashes: int = 32, n_bands: int = 8
+) -> str:
+    """Oracle for the INCREMENTAL streaming near-dup gate: per doc, the
+    number of DISTINCT EARLIER docs (lower id = earlier log offset)
+    sharing any LSH band bucket — the grows-with-the-stream index
+    semantics.  'Earlier' is defined on the id, not the batch, so the
+    result is micro-batch-split-independent and SQL-expressible."""
+    return _minhash_portable_ctes(k, n_hashes, n_bands) + """
+SELECT doc_id, CAST(COUNT(DISTINCT other) AS INTEGER) AS n_prior_dups
+FROM (SELECT a.doc_id AS doc_id, b.doc_id AS other
+      FROM bk a JOIN bk b USING (band, bh) WHERE b.doc_id < a.doc_id) z
+GROUP BY doc_id
+"""

@@ -1396,3 +1396,83 @@ def _wire_stream_novelty_oracle() -> None:
 
 
 _wire_stream_novelty_oracle()
+
+
+def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL streaming near-dup: unlike the static-index gates,
+    the LSH bucket index GROWS with the stream — each arriving doc is
+    scored against every doc that came before it (prior batches via the
+    accumulated parquet index, same-batch predecessors via a self-join),
+    then its own buckets join the index.  This is the production dedup
+    topology for continuous ingest: nothing is frozen, the index is the
+    stream's own history.
+
+    'Earlier' means lower doc id — the log-offset contract (a Fluvio
+    partition delivers in offset order, so id order IS arrival order) —
+    which makes the per-doc prior-duplicate count independent of how the
+    micro-batches split AND exactly SQL-expressible: the oracle is the
+    batch all-pairs form restricted to b.doc_id < a.doc_id.  State is a
+    parquet-backed bucket table (never driver memory), exactly the shape
+    a 100 TB deployment checkpoints."""
+    import os
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dedup import minhash_portable_buckets
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    run_id = uuid.uuid4().hex[:12]
+    idx_dir = os.path.join("/tmp", f"ndinc_idx_{run_id}")
+    out_dir = os.path.join("/tmp", f"ndinc_out_{run_id}")
+
+    def gate_batch(batch_df, _bid) -> None:
+        bk = minhash_portable_buckets(batch_df).localCheckpoint(eager=True)
+        idx_schema = "other long, band int, bh long"
+        if os.path.isdir(idx_dir):
+            prior = spark.read.schema(idx_schema).parquet(idx_dir)
+        else:
+            prior = spark.createDataFrame([], idx_schema)
+        same_batch = bk.select(
+            F.col("doc_id").alias("other"), "band", "bh"
+        )
+        earlier = prior.unionByName(same_batch)
+        hits = (
+            bk.join(earlier, ["band", "bh"])
+            .filter(F.col("other") < F.col("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("other").cast("int").alias("n_prior_dups"))
+        )
+        hits.write.mode("append").parquet(out_dir)
+        same_batch.write.mode("append").parquet(idx_dir)  # index grows
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join("/tmp", f"ndinc_ckpt_{run_id}"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, n_prior_dups int"
+    if not os.path.isdir(out_dir):
+        return spark.createDataFrame([], out_schema)
+    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+
+
+def _wire_stream_neardup_incremental_oracle() -> None:
+    from fluvio_duck_spark.operators.dedup import (
+        minhash_portable_gate_incremental_oracle_sql,
+    )
+
+    QUERIES["stream_neardup_incremental"] = QuerySpec(
+        q_stream_neardup_incremental,
+        minhash_portable_gate_incremental_oracle_sql(),
+        doc="incremental streaming near-dup: LSH index grows with the stream (parquet-backed state); per-doc prior-duplicate counts, oracle = all-pairs restricted to earlier ids",
+    )
+
+
+_wire_stream_neardup_incremental_oracle()

@@ -515,3 +515,53 @@ def test_stream_dsir_gate_equals_batch_weights(spark, sf_dir):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_neardup_incremental_batch_split_invariance(spark, sf_dir):
+    """The incremental gate's per-doc prior-duplicate count must not
+    depend on how the stream splits into micro-batches: 'earlier' is
+    lower id (the log-offset contract), so accumulating the bucket
+    index batch-by-batch — here simulated with 1, 2, and 3 splits —
+    yields identical counts, equal to the all-pairs form restricted to
+    b.doc_id < a.doc_id."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dedup import minhash_portable_buckets
+    from fluvio_duck_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bk = minhash_portable_buckets(docs).localCheckpoint(eager=True)
+    direct = {
+        (r.doc_id, r.n): None
+        for r in bk.alias("a")
+        .join(
+            bk.selectExpr("doc_id AS other", "band", "bh"), ["band", "bh"]
+        )
+        .filter(F.col("other") < F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("other").cast("int").alias("n"))
+        .collect()
+    }
+
+    for n_splits in (1, 2, 3):
+        got = {}
+        prior = None
+        # contiguous ascending id ranges: the log-offset delivery order
+        # the operator's contract states (a partition never delivers a
+        # lower offset after a higher one)
+        for b in range(n_splits):
+            lo, hi = b * 200 // n_splits, (b + 1) * 200 // n_splits
+            batch = bk.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            sb = batch.selectExpr("doc_id AS other", "band", "bh")
+            earlier = sb if prior is None else prior.unionByName(sb)
+            hits = (
+                batch.join(earlier, ["band", "bh"])
+                .filter(F.col("other") < F.col("doc_id"))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("other").cast("int").alias("n"))
+            )
+            got.update({(r.doc_id, r.n): None for r in hits.collect()})
+            prior = earlier.localCheckpoint(eager=True)
+        assert got == direct and len(direct) > 0
