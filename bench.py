@@ -175,6 +175,7 @@ EXTENDED = [
     "curate_curriculum_order",
     "stream_novelty_gate",
     "stream_neardup_incremental",
+    "sim_power_iteration_portable",
 ]
 
 

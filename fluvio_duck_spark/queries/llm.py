@@ -3778,6 +3778,40 @@ QUERIES.update({
 })
 
 
+def q_power_iteration_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by portable
+    POWER ITERATION (operators/pca.py): 3 fixed matvec steps, each one
+    scan + a 64-value DECIMAL-summed aggregate (one partial state per
+    task — the k-means iteration cost shape with d-vector driver
+    state).  The anisotropy/whitening direction and its eigenvalue —
+    the collapse metric an embedding pipeline monitors.  The oracle
+    unrolls the identical fit (sequential-fold dots, left-chained norm,
+    the same divisions), so every component double is hash-checked —
+    the spectral member of the portable-twin program."""
+    from fluvio_duck_spark.operators.pca import power_iteration_portable
+
+    emb = load(spark, sf_dir, "embeddings")
+    vec, eig = power_iteration_portable(emb, iters=3)
+    return spark.createDataFrame(
+        [(i, c, eig) for i, c in enumerate(vec)],
+        "dim int, component double, eigenvalue double",
+    )
+
+
+def _oracle_power_iteration() -> str:
+    from fluvio_duck_spark.operators.pca import power_iteration_oracle_sql
+
+    return power_iteration_oracle_sql(iters=3)
+
+
+QUERIES.update({
+    "sim_power_iteration_portable": QuerySpec(
+        q_power_iteration_portable, _oracle_power_iteration(),
+        doc="portable power-iteration PCA: dominant eigenvector + eigenvalue, DECIMAL-summed matvecs, fit unrolled in the oracle",
+    ),
+})
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end targeted-selection report: DSIR-score the corpus
     (text_dsir_weights machinery), keep each source's top-10 documents

@@ -251,3 +251,32 @@ def test_kmeans_fit_portable_rejects_fewer_than_k_rows(spark):
     )
     with pytest.raises(ValueError, match="at least k=8"):
         kmeans_fit_portable(df, k=8, iters=1)
+
+
+def test_power_iteration_portable_is_dominant_direction(spark, sf_dir):
+    """The portable fit must (a) return a unit vector, (b) be layout-
+    independent bit-for-bit, and (c) agree with numpy's power iteration
+    from the same start to ~1e-9 (the fixed-point quantization bound)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.pca import power_iteration_portable
+    from fluvio_duck_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    v, eig = power_iteration_portable(emb, iters=3)
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-9 and eig > 0
+
+    v2, eig2 = power_iteration_portable(emb.repartition(7), iters=3)
+    assert v2 == v and eig2 == eig  # bit-stable under repartitioning
+
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    ref = np.full(X.shape[1], 0.125)
+    for _ in range(3):
+        w = X.T @ (X @ ref)
+        ref = w / np.linalg.norm(w)
+    cos = abs(float(np.dot(ref, np.array(v))))
+    assert cos > 1 - 1e-9
