@@ -176,6 +176,7 @@ EXTENDED = [
     "stream_novelty_gate",
     "stream_neardup_incremental",
     "sim_power_iteration_portable",
+    "sim_whiten_residual",
 ]
 
 

@@ -3804,10 +3804,91 @@ def _oracle_power_iteration() -> str:
     return power_iteration_oracle_sql(iters=3)
 
 
+def q_whiten_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening planning report — what removing the dominant component
+    (sim_power_iteration_portable's fit) would leave, by label: mean
+    explained-variance fraction (x·v)²/‖x‖² and its residual.  The
+    number that decides whether the anisotropy direction is worth
+    projecting out before retrieval.  Map-only scoring against the
+    broadcast eigenvector (in-row fixed-point dots), one label-sized
+    aggregate of fixed-point fractions — cross-engine exact end to end."""
+    from fluvio_duck_spark.operators.pca import (
+        _dot_literal,
+        _fix,
+        power_iteration_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vec, _eig = power_iteration_portable(emb, iters=3)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d = emb.select(
+        "label",
+        _dot_literal(v, vec).alias("p"),
+        _dot_literal_self(v).alias("n2"),
+    )
+    frac = F.col("p") * F.col("p") / F.col("n2")
+    scored = d.select("label", _fix(frac).alias("f"))
+    return scored.groupBy("label").agg(
+        F.count("*").cast("int").alias("n_vecs"),
+        (F.sum("f").cast("double") / F.lit(1e12) / F.count("*")).alias(
+            "var_explained_mean"
+        ),
+        (
+            F.lit(1.0)
+            - F.sum("f").cast("double") / F.lit(1e12) / F.count("*")
+        ).alias("resid_mean"),
+    )
+
+
+def _dot_literal_self(v):
+    """Fixed-point ‖x‖² (dot of the column with itself)."""
+    from fluvio_duck_spark.operators.pca import SCALE, _fix
+
+    prods = F.transform(v, lambda a: _fix(a * a))
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("double")
+        / F.lit(SCALE)
+    )
+
+
+def _oracle_whiten_residual() -> str:
+    from fluvio_duck_spark.operators.pca import power_iteration_oracle_sql
+
+    fit = power_iteration_oracle_sql(iters=3)
+    # keep the CTE chain, swap the final projection for the per-label report
+    chain = fit[: fit.rindex("SELECT 0 AS dim")].rstrip()
+    return chain + """,
+emb2 AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+sc AS (
+  SELECT label,
+         CAST(list_aggregate(list_transform(range(1, 65),
+              i -> CAST(round(v[i] * vt[i] * 1e12) AS BIGINT)), 'sum')
+           AS DOUBLE) / 1e12 AS p,
+         CAST(list_aggregate(list_transform(range(1, 65),
+              i -> CAST(round(v[i] * v[i] * 1e12) AS BIGINT)), 'sum')
+           AS DOUBLE) / 1e12 AS n2
+  FROM emb2, (SELECT list_value(""" + ", ".join(
+        f"(SELECT c{i} FROM it3)" for i in range(64)
+    ) + """) AS vt) q),
+fr AS (SELECT label, CAST(round(p * p / n2 * 1e12) AS BIGINT) AS f FROM sc)
+SELECT label, CAST(COUNT(*) AS INT) AS n_vecs,
+       CAST(SUM(f) AS DOUBLE) / 1e12 / COUNT(*) AS var_explained_mean,
+       1.0 - CAST(SUM(f) AS DOUBLE) / 1e12 / COUNT(*) AS resid_mean
+FROM fr GROUP BY label
+"""
+
+
 QUERIES.update({
     "sim_power_iteration_portable": QuerySpec(
         q_power_iteration_portable, _oracle_power_iteration(),
         doc="portable power-iteration PCA: dominant eigenvector + eigenvalue, DECIMAL-summed matvecs, fit unrolled in the oracle",
+    ),
+    "sim_whiten_residual": QuerySpec(
+        q_whiten_residual, _oracle_whiten_residual(),
+        doc="whitening planning report: per-label explained-variance fraction of the fitted top component (fixed-point exact)",
     ),
 })
 
