@@ -177,6 +177,7 @@ EXTENDED = [
     "stream_neardup_incremental",
     "sim_power_iteration_portable",
     "sim_whiten_residual",
+    "curate_keep_drop_manifest",
 ]
 
 

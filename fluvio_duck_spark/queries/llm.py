@@ -3226,6 +3226,133 @@ WHERE 10 * c >= 9 * sa.n
 """
 
 
+def q_keep_drop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation END ARTIFACT: one keep/drop decision per document
+    with its reason, composing three gates in priority order —
+    (1) ``exact_dup``: byte-identical (normalized md5), keep-earliest;
+    (2) ``contained``: ≥9/10 of the doc's shingles inside another doc
+    (ngram_containment_pairs_prefix), dropped unless every containing
+    relationship is mutual with a HIGHER id (mutual near-identical
+    pairs keep the earliest — consistent with exact dedup; one-way
+    containment always drops the contained doc);
+    (3) ``low_quality``: the classifier gate's integer-exact logit < 0.
+    Survivors are ``keep``.  This is the table a 100 TB pipeline writes
+    last and audits first; each component keeps its own scale shape
+    (fingerprint shuffle, prefix join, map-only logit)."""
+    docs = load(spark, sf_dir, "documents")
+
+    from fluvio_duck_spark.operators.dedup import ngram_containment_pairs_prefix
+
+    fp = docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_id"))
+    exact_drop = (
+        fp.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("canonical_id"))
+        .select("doc_id")
+        .withColumn("r_exact", F.lit(1))
+    )
+
+    pairs = ngram_containment_pairs_prefix(
+        docs, k=5, threshold_num=9, threshold_den=10
+    ).select("doc_a", "doc_b")
+    rev = pairs.select(
+        F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
+    ).withColumn("mutual", F.lit(1))
+    contained_drop = (
+        pairs.join(rev, ["doc_a", "doc_b"], "left")
+        .filter(F.col("mutual").isNull() | (F.col("doc_b") < F.col("doc_a")))
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("r_cont", F.lit(1))
+    )
+
+    w = F.split(F.col("text"), " ")
+    sw = F.size(
+        F.filter(w, lambda t: t.isin("the", "a", "of", "and", "to", "in", "is", "it"))
+    )
+    logit = (
+        F.lit(-400000)
+        + F.lit(45000) * sw
+        + F.lit(10000) * F.size(F.array_distinct(w))
+        - F.lit(1500) * F.size(w)
+    )
+    scored = docs.select("doc_id", (logit < 0).cast("int").alias("r_qual"))
+
+    m = (
+        scored.join(exact_drop, "doc_id", "left")
+        .join(contained_drop, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("r_exact") == 1, "exact_dup")
+            .when(F.col("r_cont") == 1, "contained")
+            .when(F.col("r_qual") == 1, "low_quality")
+            .otherwise("keep")
+            .alias("reason"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        (F.col("reason") == "keep").alias("keep"),
+        "reason",
+    )
+
+
+ORACLE_KEEP_DROP = """
+WITH fp AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+canon AS (SELECT fp, MIN(doc_id) AS canonical_id FROM fp GROUP BY fp),
+exact_drop AS (
+  SELECT doc_id FROM fp JOIN canon USING (fp) WHERE doc_id <> canonical_id),
+w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+p AS (
+  SELECT doc_a, doc_b FROM common JOIN sizes sa ON sa.doc_id = doc_a
+  WHERE 10 * c >= 9 * sa.n),
+contained_drop AS (
+  SELECT DISTINCT p.doc_a AS doc_id
+  FROM p LEFT JOIN p q ON q.doc_a = p.doc_b AND q.doc_b = p.doc_a
+  WHERE q.doc_a IS NULL OR p.doc_b < p.doc_a),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+qual AS (
+  SELECT doc_id,
+         -400000
+           + 45000 * len(list_filter(w,
+               t -> t IN ('the','a','of','and','to','in','is','it')))
+           + 10000 * len(list_distinct(w))
+           - 1500 * len(w) AS logit_ppm
+  FROM t),
+m AS (
+  SELECT d.doc_id,
+         CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+              WHEN c.doc_id IS NOT NULL THEN 'contained'
+              WHEN q.logit_ppm < 0 THEN 'low_quality'
+              ELSE 'keep' END AS reason
+  FROM documents d
+  LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
+  LEFT JOIN contained_drop c ON c.doc_id = d.doc_id
+  JOIN qual q ON q.doc_id = d.doc_id)
+SELECT doc_id, reason = 'keep' AS keep, reason FROM m
+"""
+
+
+QUERIES.update({
+    "curate_keep_drop_manifest": QuerySpec(
+        q_keep_drop_manifest, ORACLE_KEEP_DROP,
+        doc="curation end artifact: per-doc keep/drop decision + reason (exact dup > containment > quality gate), each gate at its own scale shape",
+    ),
+})
+
+
 def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer FERTILITY report — BPE tokens per word, by source: the
     number a tokenizer team watches per domain before committing a vocab

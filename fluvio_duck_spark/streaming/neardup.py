@@ -43,7 +43,22 @@ DOCUMENTS_SCHEMA = T.StructType(
 
 def document_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the documents fixture (the arriving-corpus
-    stand-in)."""
+    stand-in).  Handles both layouts: a single ``documents.parquet``
+    file next to the other tables (the driver fixtures — selected via
+    pathGlobFilter, which matches LEAF files) and a
+    ``documents.parquet/`` DIRECTORY of part-files (any real multi-file
+    ingest, e.g. the sf1 cache) — the glob filter silently matches
+    nothing against a directory's children, so that case loads the
+    directory itself."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        return (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .format("parquet")
+            .load(path)
+        )
     return (
         spark.readStream.schema(DOCUMENTS_SCHEMA)
         .format("parquet")
