@@ -1212,3 +1212,37 @@ def test_containment_is_asymmetric_where_jaccard_fails(spark):
     assert got == {(1, 2): 1.0}  # contained direction only
     jac = ngram_jaccard_pairs(docs, k=5, threshold=0.8).collect()
     assert jac == []  # J = 5/16 — symmetric threshold misses the dup
+
+
+def test_keep_drop_manifest_planted_reasons(spark, tmp_path, sf_dir):
+    """Planted corpus hits every branch in priority order: a byte-dup
+    (exact_dup beats containment), a quote inside a long doc
+    (contained), a stopword-free word-soup (low_quality), and a fluent
+    original (keep)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.queries.llm import q_keep_drop_manifest
+
+    fluent = ("the quick brown fox and the lazy dog sat in the sun and "
+              "it is a tale of the calm morning to enjoy in peace")
+    soup = " ".join(f"tok{i}" for i in range(40))
+    quote = " ".join(fluent.split()[:12])
+    rows = [
+        (0, fluent, "en", "s0", len(fluent)),
+        (1, fluent, "en", "s0", len(fluent)),          # byte-dup of 0
+        (2, quote, "en", "s0", len(quote)),            # contained in 0
+        (3, soup, "en", "s0", len(soup)),              # low quality
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "kd")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.doc_id: r.reason for r in q_keep_drop_manifest(spark, d).collect()}
+    assert got[1] == "exact_dup"       # priority over mutual containment
+    assert got[2] == "contained"
+    assert got[3] == "low_quality"
+    assert got[0] == "keep"
