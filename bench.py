@@ -178,6 +178,7 @@ EXTENDED = [
     "sim_power_iteration_portable",
     "sim_whiten_residual",
     "curate_keep_drop_manifest",
+    "events_rfm_segments",
 ]
 
 

@@ -3298,3 +3298,84 @@ QUERIES.update({
         doc="planner-statistics audit: textbook join-cardinality estimate vs actual on the FK joins",
     ),
 })
+
+
+def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over purchase events — the classic engagement
+    table (Recency / Frequency / Monetary, each cut at the exact corpus
+    median) feeding churn and LTV models.  Scale-correct plan: per-user
+    facts in one user-keyed aggregate; the three medians come from ONE
+    3-row exact-percentile aggregate joined back by broadcast (never a
+    rank window over all users); binning and the segment label are then
+    map-only.  Monetary accumulates in DECIMAL so the median input and
+    the driver hash are partitioning-independent."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor"))
+    facts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").cast("int").alias("frequency"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("anchor", "last_day").cast("int").alias("recency_days"),
+            "frequency",
+            F.round("monetary", 4).alias("monetary"),
+        )
+    )
+    med = facts.agg(
+        F.expr("percentile(recency_days, 0.5)").alias("rm"),
+        F.expr("percentile(frequency, 0.5)").alias("fm"),
+        F.expr("percentile(monetary, 0.5)").alias("mm"),
+    )
+    scored = facts.crossJoin(F.broadcast(med)).select(
+        "user_id", "recency_days", "frequency", "monetary",
+        (F.col("recency_days") <= F.col("rm")).cast("int").alias("r_hi"),
+        (F.col("frequency") >= F.col("fm")).cast("int").alias("f_hi"),
+        (F.col("monetary") >= F.col("mm")).cast("int").alias("m_hi"),
+    )
+    return scored.select(
+        "user_id", "recency_days", "frequency", "monetary",
+        F.concat(
+            F.when(F.col("r_hi") == 1, "R").otherwise("r"),
+            F.when(F.col("f_hi") == 1, "F").otherwise("f"),
+            F.when(F.col("m_hi") == 1, "M").otherwise("m"),
+        ).alias("segment"),
+    )
+
+
+ORACLE_RFM = """
+WITH ev AS (SELECT * FROM events WHERE event_type = 'purchase'),
+anchor AS (SELECT MAX(CAST(ts AS DATE)) AS anchor FROM ev),
+facts AS (
+  SELECT user_id,
+         CAST(datediff('day', MAX(CAST(ts AS DATE)),
+                       (SELECT anchor FROM anchor)) AS INTEGER)
+           AS recency_days,
+         CAST(COUNT(*) AS INT) AS frequency,
+         round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
+           AS monetary
+  FROM ev GROUP BY user_id),
+med AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS rm,
+               quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS fm,
+               quantile_cont(monetary, 0.5) AS mm
+        FROM facts)
+SELECT user_id, recency_days, frequency, monetary,
+       concat(CASE WHEN recency_days <= rm THEN 'R' ELSE 'r' END,
+              CASE WHEN frequency >= fm THEN 'F' ELSE 'f' END,
+              CASE WHEN monetary >= mm THEN 'M' ELSE 'm' END) AS segment
+FROM facts, med
+"""
+
+
+QUERIES.update({
+    "events_rfm_segments": QuerySpec(
+        q_events_rfm_segments, ORACLE_RFM,
+        doc="RFM engagement segmentation: per-user facts, broadcast exact medians, map-only binning (no all-user rank window)",
+    ),
+})
