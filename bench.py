@@ -179,6 +179,7 @@ EXTENDED = [
     "sim_whiten_residual",
     "curate_keep_drop_manifest",
     "events_rfm_segments",
+    "source_schema_evolution",
 ]
 
 
