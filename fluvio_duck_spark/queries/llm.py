@@ -1494,8 +1494,9 @@ QUERIES: dict[str, QuerySpec] = {
                                      doc="exact cosine top-10"),
     "sim_embedding_near_dups": QuerySpec(q_embedding_near_dups, ORACLE_EMBEDDING_NEAR_DUPS,
                                          doc="all-pairs cosine ≥ 0.45"),
-    "sim_ann_lsh": QuerySpec(q_ann_lsh, None,
-                             doc="hyperplane-LSH ANN top-10 (recall-tested vs brute force)"),
+    # sim_ann_lsh registered below with its generated oracle (round-4
+    # upgrade) — one registration per name, enforced by
+    # test_no_duplicate_query_registrations_in_source
     "sim_pq_rerank": QuerySpec(q_sim_pq_rerank, None,
                                doc="product-quantized ANN: ADC shortlist + exact re-rank (recall-tested)"),
     "text_fingerprint_winnow": QuerySpec(q_winnow_fingerprints, ORACLE_WINNOW,
@@ -1514,8 +1515,8 @@ QUERIES: dict[str, QuerySpec] = {
                                        doc="exact all-pairs cosine via blocked GEMM (scale path)"),
     "sim_ivf_trained": QuerySpec(q_sim_ivf_trained, None,
                                  doc="IVF ANN over a k-means-trained codebook (shuffle-free Lloyd's fit)"),
-    "sim_near_dups_bucketed": QuerySpec(q_near_dups_bucketed, None,
-                                        doc="LSH-bucketed near-dup pairs (scale path; recall-tested)"),
+    # sim_near_dups_bucketed registered below with its generated oracle
+    # (round-4 upgrade)
     "text_chunk_documents": QuerySpec(q_chunk_documents, ORACLE_CHUNK,
                                       doc="token-budget sliding-window chunking with overlap (map-only explode)"),
     "sim_random_projection": QuerySpec(q_random_projection, ORACLE_RANDOM_PROJECTION,

@@ -3379,62 +3379,3 @@ QUERIES.update({
         doc="RFM engagement segmentation: per-user facts, broadcast exact medians, map-only binning (no all-user rank window)",
     ),
 })
-
-
-def q_source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution on read — the landed-topic ops reality: an old
-    generation of the table lacks a column a newer generation added.
-    Two generations are written from the events fixture (gen1: id/type;
-    gen2: id/type/value — the 'value' column arrived later), then read
-    back as ONE table with ``mergeSchema`` — gen1 rows surface NULL for
-    the late column, gen2 rows keep theirs.  The aggregate proves both
-    the union semantics and the NULL back-fill; the oracle replicates
-    from the pristine table with the same generation split (even ids =
-    gen1)."""
-    import os
-    import shutil
-    import tempfile
-
-    ev = load(spark, sf_dir, "events")
-    work = os.path.join(
-        tempfile.gettempdir(), "fluvio_duck_schema_evo",
-        os.path.basename(sf_dir.rstrip("/")),
-    )
-    shutil.rmtree(work, ignore_errors=True)
-    gen1 = ev.filter(F.col("event_id") % 2 == 0).select("event_id", "event_type")
-    gen2 = ev.filter(F.col("event_id") % 2 == 1).select(
-        "event_id", "event_type", "value"
-    )
-    gen1.write.parquet(os.path.join(work, "gen=1"))
-    gen2.write.parquet(os.path.join(work, "gen=2"))
-    merged = spark.read.option("mergeSchema", True).parquet(
-        os.path.join(work, "gen=1"), os.path.join(work, "gen=2")
-    )
-    return merged.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("value").isNull().cast("int")).cast("long").alias("n_backfilled"),
-        F.round(
-            F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(28,6)"))
-            .cast("double"),
-            4,
-        ).alias("value_sum"),
-    )
-
-
-ORACLE_SCHEMA_EVOLUTION = """
-SELECT event_type, count(*) AS n,
-       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_backfilled,
-       round(CAST(SUM(CAST(CASE WHEN event_id % 2 = 1 THEN value
-                                ELSE 0.0 END AS DECIMAL(28,6))) AS DOUBLE), 4)
-         AS value_sum
-FROM events GROUP BY event_type
-"""
-
-
-QUERIES.update({
-    "source_schema_evolution": QuerySpec(
-        q_source_schema_evolution, ORACLE_SCHEMA_EVOLUTION,
-        doc="mergeSchema read over table generations: late-added column NULL-backfills old rows — ops-real source surface",
-    ),
-})

@@ -56,3 +56,28 @@ def test_driver_verified_is_subset_of_registry():
     qs = all_queries()
     stray = _DRIVER_VERIFIED - set(qs)
     assert not stray, f"_DRIVER_VERIFIED names not in registry: {sorted(stray)}"
+
+
+def test_no_duplicate_query_registrations_in_source():
+    """all_queries() catches cross-module name collisions, but a
+    same-module QUERIES.update() silently OVERWRITES an earlier entry
+    (this bit round 5: a second source_schema_evolution shadowed the
+    original).  Scan the query modules' source for repeated
+    '"name": QuerySpec' registrations."""
+    import collections
+    import glob
+    import re
+
+    dupes = {}
+    for path in glob.glob(
+        os.path.join(_REPO, "fluvio_duck_spark", "queries", "*.py")
+    ):
+        names = re.findall(r'^\s*"([a-z0-9_]+)": QuerySpec', open(path).read(), re.M)
+        # streaming wiring assigns via QUERIES["name"] = QuerySpec too
+        names += re.findall(
+            r'^QUERIES\["([a-z0-9_]+)"\] = QuerySpec', open(path).read(), re.M
+        )
+        for name, cnt in collections.Counter(names).items():
+            if cnt > 1:
+                dupes[f"{os.path.basename(path)}::{name}"] = cnt
+    assert not dupes, f"duplicate registrations shadow earlier ones: {dupes}"
