@@ -180,6 +180,7 @@ EXTENDED = [
     "curate_keep_drop_manifest",
     "events_rfm_segments",
     "source_schema_evolution",
+    "sketch_bloom_join_filter",
 ]
 
 

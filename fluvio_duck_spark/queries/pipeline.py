@@ -3379,3 +3379,124 @@ QUERIES.update({
         doc="RFM engagement segmentation: per-user facts, broadcast exact medians, map-only binning (no all-user rank window)",
     ),
 })
+
+
+def q_sketch_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE Bloom filter as a join pre-filter — the runtime-filter
+    pattern a 100 TB join plans by hand when the optimizer can't: build
+    a k=3-hash, m=64 Ki-bit bloom over the build side's keys (customer ids), probe
+    with a mixed stream (real customer refs from orders + known-absent
+    keys), and report exact membership outcomes.  The filter is
+    represented as the DISTINCT SET of m bit positions (≤ m rows —
+    broadcast forever, the real topology: position set broadcast, probe
+    side map-only explode + semi-join + per-key agg).  Every position
+    is an md5-fold portable hash, so the WHOLE sketch — not just a
+    bound — is oracle-replicated: the driver hash covers false-positive
+    behavior bit-for-bit.  Output: per probe class (present/absent),
+    probe count, accepted count, and the exact-truth accept count
+    (absent accepts = the measured false positives; present accepts
+    must equal the class size — a bloom never false-negatives).
+
+    Honesty note on the hash family: the md5 ascii-fold trades full
+    hash independence for engine portability — the k probe positions
+    are correlated, so the measured FP rate runs ~2× the ideal
+    (1−e^(−kn/m))^k bound (e.g. 24% vs 12% at sf0.1's fill).  A
+    production filter uses xxhash64 double-hashing and sizes m ≈
+    1.44·k·n/ln 2 for the target FP; the broadcast-set topology and
+    the exact accounting here are identical."""
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+
+    M, K = 65536, 3
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("key")
+    ).distinct()
+
+    def positions(keycol):
+        return [
+            hash_bucket(
+                F.concat(keycol.cast("string"), F.lit(f"#b{h}")), M
+            )
+            for h in range(K)
+        ]
+
+    bloom = (
+        cust.select(F.explode(F.array(*positions(F.col("key")))).alias("pos"))
+        .distinct()
+    )
+
+    probes = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("long").alias("key"))
+        .distinct()
+        .withColumn("cls", F.lit("present"))
+        .unionByName(
+            cust.select((F.col("key") + F.lit(7000000)).alias("key"))
+            .withColumn("cls", F.lit("absent"))
+        )
+    )
+    exploded = probes.select(
+        "key", "cls", F.explode(F.array(*positions(F.col("key")))).alias("pos")
+    )
+    hits = (
+        exploded.join(F.broadcast(bloom), "pos")
+        .groupBy("key", "cls")
+        .agg(F.count("*").alias("nhit"))
+    )
+    accepted = hits.filter(F.col("nhit") == K).select("key", "cls")
+    truth = cust.select("key").withColumn("truth", F.lit(1))
+    return (
+        probes.join(accepted.withColumn("acc", F.lit(1)), ["key", "cls"], "left")
+        .join(truth, "key", "left")
+        .groupBy("cls")
+        .agg(
+            F.count("*").cast("int").alias("n_probes"),
+            F.sum(F.coalesce(F.col("acc"), F.lit(0))).cast("int").alias("n_accepted"),
+            F.sum(F.coalesce(F.col("truth"), F.lit(0))).cast("int").alias("n_truly_present"),
+        )
+    )
+
+
+def _oracle_bloom_join_filter() -> str:
+    from fluvio_duck_spark.operators.dsir import hash_bucket_sql
+
+    M, K = 65536, 3
+    def pos_sql(expr, h):
+        return hash_bucket_sql(f"(CAST({expr} AS VARCHAR) || '#b{h}')", M)
+
+    bloom_pos = " UNION ".join(
+        f"SELECT {pos_sql('c_custkey', h)} AS pos FROM customer"
+        for h in range(K)
+    )
+    probe_pos = lambda expr: ", ".join(pos_sql(expr, h) for h in range(K))
+    return f"""
+WITH bloom AS ({bloom_pos}),
+probes AS (
+  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key, 'present' AS cls FROM orders
+  UNION ALL
+  SELECT DISTINCT CAST(c_custkey AS BIGINT) + 7000000 AS key, 'absent' AS cls
+  FROM customer),
+pp AS (
+  SELECT key, cls, unnest([{probe_pos('key')}]) AS pos FROM probes),
+hits AS (
+  SELECT key, cls, COUNT(*) AS nhit
+  FROM pp JOIN bloom USING (pos) GROUP BY key, cls),
+acc AS (SELECT key, cls FROM hits WHERE nhit = {K})
+SELECT p.cls, CAST(COUNT(*) AS INT) AS n_probes,
+       CAST(SUM(CASE WHEN a.key IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_accepted,
+       CAST(SUM(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+         AS n_truly_present
+FROM probes p
+LEFT JOIN acc a ON a.key = p.key AND a.cls = p.cls
+LEFT JOIN (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS c_custkey
+           FROM customer) c ON c.c_custkey = p.key
+GROUP BY p.cls
+"""
+
+
+QUERIES.update({
+    "sketch_bloom_join_filter": QuerySpec(
+        q_sketch_bloom_join_filter, _oracle_bloom_join_filter(),
+        doc="portable Bloom join pre-filter: md5-fold positions, broadcast bit-set, exact FP accounting — the sketch itself oracle-replicated",
+    ),
+})
