@@ -538,3 +538,13 @@ def test_mutual_knn_no_new_exchange_beyond_knn(specs, spark, sf_dir):
     # python-eval path — it is one extra equi-join on the edge list
     df = _run(specs, spark, sf_dir, "sim_mutual_knn")
     assert_plan(df, BroadcastNestedLoopJoin=0, CartesianProduct=0)
+
+
+def test_bloom_join_filter_broadcasts_position_set(specs, spark, sf_dir):
+    # the m-bounded position set must reach the probe side as a
+    # broadcast; no nested loop, no Python
+    df = _run(specs, spark, sf_dir, "sketch_bloom_join_filter")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert_plan(df, BroadcastNestedLoopJoin=0, CartesianProduct=0,
+                ArrowEvalPython=0, BatchEvalPython=0)
