@@ -181,6 +181,7 @@ EXTENDED = [
     "events_rfm_segments",
     "source_schema_evolution",
     "sketch_bloom_join_filter",
+    "consume_sql_join_topics",
 ]
 
 

@@ -295,8 +295,49 @@ FROM p GROUP BY topic
 """
 
 
+def _sql_join_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO ``fluvio_consume`` calls joined in one SQL statement — the
+    cross-topic enrichment form of the reference's literal surface
+    (each call rewrites to its own parameterized plan reference, so
+    Catalyst plans the join + both scans as one statement: the
+    per-topic aggregates collapse before the join)."""
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    return consume_sql(
+        spark,
+        """
+        SELECT c.k AS route_key, c.n_clicks, p.n_purchases
+        FROM (SELECT k, count(*) AS n_clicks
+              FROM fluvio_consume('click -A -B --rows 1000000 -c k:i=k')
+              GROUP BY k) c
+        JOIN (SELECT k, count(*) AS n_purchases
+              FROM fluvio_consume('purchase -A -B --rows 1000000 -c k:i=k')
+              GROUP BY k) p
+        ON c.k = p.k
+        """,
+        sf_dir=sf_dir,
+    )
+
+
+ORACLE_SQL_JOIN_TOPICS = """
+WITH c AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1),
+p AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+SELECT c.k AS route_key, c.n_clicks, p.n_purchases
+FROM c JOIN p USING (k)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # §2.13/§3 entry point 1: literal SQL with inline table functions
+    "consume_sql_join_topics": QuerySpec(
+        _sql_join_topics, ORACLE_SQL_JOIN_TOPICS,
+        doc="SQL-text surface: TWO fluvio_consume scans joined in one statement (cross-topic enrichment)"),
     "consume_sql_avg_by_route": QuerySpec(
         _sql_avg_by_route, ORACLE_SQL_AVG_BY_ROUTE,
         doc="SQL-text surface: fluvio_consume('<opts>') inline in a GROUP BY statement (reference README.md:171-184)"),
