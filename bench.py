@@ -182,6 +182,7 @@ EXTENDED = [
     "source_schema_evolution",
     "sketch_bloom_join_filter",
     "consume_sql_join_topics",
+    "mm_resize_stats",
 ]
 
 

@@ -196,6 +196,51 @@ QUERIES.update({
 })
 
 
+def q_mm_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing exercised end-to-end in the correctness gate:
+    binary content → resized binary (deterministic hash-extend/truncate
+    stand-in for a real PIL/opencv kernel — operators/multimodal.py::
+    resize_content) at 224×224 → per-doc byte stats + an md5 over the
+    RESIZED payload.  The fake kernel is repeat-and-truncate of the
+    source bytes, which SQL reproduces exactly (ASCII fixture: octet ==
+    char), so the mapInPandas batch path — schema, meta rewrite, byte
+    slicing — is hash-checked, not just shape-tested.  A real codec
+    swaps in via ``resize_fn``; plumbing unchanged."""
+    from fluvio_duck_spark.operators.multimodal import resize_content
+
+    d = attach_binary_content(
+        load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
+    r = resize_content(d, target_w=224, target_h=224)
+    return r.select(
+        "doc_id",
+        F.length("content").cast("int").alias("resized_len"),
+        F.md5("content").alias("resized_fp"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+#: fake-resize contract: n = 224*224/64 = 784 bytes; payload truncates
+#: or repeats (reps = n div len + 1) then truncates
+ORACLE_MM_RESIZE = """
+SELECT doc_id, CAST(784 AS INT) AS resized_len,
+       md5(CASE WHEN length(text) >= 784 THEN substr(text, 1, 784)
+                ELSE substr(repeat(text, CAST(784 // length(text) AS INT) + 1),
+                            1, 784) END) AS resized_fp,
+       CAST(224 AS INT) AS width, CAST(224 AS INT) AS height
+FROM documents WHERE length(text) > 0
+"""
+
+
+QUERIES.update({
+    "mm_resize_stats": QuerySpec(
+        q_mm_resize_stats, ORACLE_MM_RESIZE,
+        doc="resize seam hash-checked end-to-end: deterministic repeat/truncate kernel through the mapInPandas batch path, md5 over resized bytes",
+    ),
+})
+
+
 N_FEAT = 16
 
 
