@@ -183,6 +183,7 @@ EXTENDED = [
     "sketch_bloom_join_filter",
     "consume_sql_join_topics",
     "mm_resize_stats",
+    "mm_frame_bytes",
 ]
 
 

@@ -59,9 +59,32 @@ def q_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling with the frame BYTES hash-checked (mm_frame_stats
+    proves the fan-out arithmetic; this proves the slicer returns the
+    right bytes): md5 of every sampled frame, replicated in SQL via
+    substr over the ASCII fixture."""
+    d = attach_binary_content(load(spark, sf_dir, "documents"))
+    frames = sample_frames(d, every_n_bytes=EVERY_N, max_frames=MAX_FRAMES)
+    return frames.select(
+        "doc_id", "frame_no", F.md5("frame").alias("frame_fp")
+    )
+
+
+ORACLE_FRAME_BYTES = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents)
+SELECT doc_id, CAST(n AS INT) AS frame_no,
+       md5(substr(text, CAST(n * {EVERY_N} + 1 AS INT), {EVERY_N}))
+         AS frame_fp
+FROM d, unnest(range(0, least({MAX_FRAMES}, greatest(1, L // {EVERY_N})))) AS t(n)
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "mm_frame_stats": QuerySpec(q_frame_stats, ORACLE_FRAME_STATS,
                                 doc="binary frame-sampling fan-out via mapInPandas; oracle on window arithmetic"),
+    "mm_frame_bytes": QuerySpec(q_frame_bytes, ORACLE_FRAME_BYTES,
+                                doc="frame slicer byte-exactness: md5 per sampled frame vs SQL substr"),
     "mm_extract_features": QuerySpec(q_extract_features, None,
                                      doc="Arrow-batched feature extraction (fake decode kernel; determinism in tests)"),
 }
