@@ -184,6 +184,7 @@ EXTENDED = [
     "consume_sql_join_topics",
     "mm_resize_stats",
     "mm_frame_bytes",
+    "agg_weighted_median",
 ]
 
 

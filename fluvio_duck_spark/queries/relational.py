@@ -2587,3 +2587,55 @@ QUERIES.update({
         doc="Gini concentration of value per type: in-group rank, DECIMAL-exact sums, one double expr",
     ),
 })
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median per event type (weight = 1 + user_id%5, a
+    deterministic importance stand-in) — the robust-aggregation shape
+    importance-weighted corpora need where plain percentile ignores
+    weights.  One per-type window cumulative weight + threshold pick:
+    the window sorts within each type partition (linear, spilled sort —
+    never a global single-task sort), and the tie analysis is
+    order-free: only the VALUE at the crossing surfaces, so ambiguous
+    ordering among equal values cannot change the answer."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", (1 + F.col("user_id") % 5).alias("wt")
+    )
+    cum = W.partitionBy("event_type").orderBy("value").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.partitionBy("event_type")
+    c = ev.select(
+        "event_type", "value",
+        F.sum("wt").over(cum).alias("cw"),
+        F.sum("wt").over(tot).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("wmedian"))
+    )
+
+
+ORACLE_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT event_type, value, 1 + user_id % 5 AS wt FROM events),
+c AS (
+  SELECT event_type, value, wt,
+         SUM(wt) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wt) OVER (PARTITION BY event_type) AS tw
+  FROM w)
+SELECT event_type, MIN(value) AS wmedian
+FROM c WHERE 2 * cw >= tw GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "agg_weighted_median": QuerySpec(
+        q_weighted_median, ORACLE_WEIGHTED_MEDIAN,
+        doc="exact weighted median per group (cumulative-weight crossing; tie-order-free) — robust weighted aggregation",
+    ),
+})
