@@ -185,6 +185,8 @@ EXTENDED = [
     "mm_resize_stats",
     "mm_frame_bytes",
     "agg_weighted_median",
+    "dedup_survivorship",
+    "sim_topk_filtered",
 ]
 
 

@@ -4349,3 +4349,126 @@ QUERIES.update({
         doc="export-shard manifest: distributed prefix-sum packing, 16k-token shards, per-shard fill report",
     ),
 })
+
+
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware SURVIVORSHIP: near-dup clusters keep their BEST
+    member, not their first — per connected component the vector with
+    the largest L2 energy survives (deterministic stand-in for 'keep
+    the highest-quality copy'; ties break to the lower id).  The real
+    curation decision dedup_components stops short of.  Energy is an
+    in-row integer fixed-point fold (order-free, cross-engine exact —
+    the operators/pca.py discipline); the survivor pick is one
+    component-keyed window over cluster-sized groups."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.dedup import connected_components
+    from fluvio_duck_spark.operators.similarity import blocked_near_dup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = blocked_near_dup_pairs(emb, threshold=0.45)
+    cc = connected_components(pairs)  # (id, component)
+    e2 = emb.select(
+        F.col("vec_id").alias("id"),
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.round(
+                    x.cast("double") * x.cast("double") * F.lit(1e12), 0
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("energy_fix"),
+    )
+    ranked = cc.join(e2, "id").withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("component").orderBy(
+                F.desc("energy_fix"), F.asc("id")
+            )
+        ),
+    )
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count("*").cast("int").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("id"))).alias("survivor_id"),
+        )
+    )
+
+
+def _oracle_dedup_survivorship() -> str:
+    base = ORACLE_DEDUP_COMPONENTS.strip()
+    # reuse the recursive-CTE components, add the energy argmax
+    body = base[base.index("WITH RECURSIVE") : base.rindex("SELECT node AS id")]
+    return (
+        body.rstrip()
+        + """,
+cc AS (SELECT node AS id, MIN(reach) AS component FROM walk GROUP BY node),
+e2 AS (
+  SELECT vec_id AS id,
+         list_aggregate(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e12)
+                       AS BIGINT)), 'sum') AS energy_fix
+  FROM embeddings),
+r AS (
+  SELECT cc.component, cc.id, e2.energy_fix,
+         row_number() OVER (PARTITION BY cc.component
+                            ORDER BY e2.energy_fix DESC, cc.id) AS rn
+  FROM cc JOIN e2 USING (id))
+SELECT component, CAST(COUNT(*) AS INT) AS n_members,
+       MIN(CASE WHEN rn = 1 THEN id END) AS survivor_id
+FROM r GROUP BY component
+"""
+    )
+
+
+QUERIES.update({
+    "dedup_survivorship": QuerySpec(
+        q_dedup_survivorship, _oracle_dedup_survivorship(),
+        doc="quality-aware survivorship: per near-dup cluster keep the highest-energy member (fixed-point exact; ties to lower id)",
+    ),
+})
+
+
+def q_sim_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-10 cosine neighbors restricted to a
+    metadata predicate (label = 3): the problem shape every modern
+    vector store names 'filtered ANN'.  The exact form is the baseline
+    and the scale lesson: the predicate applies BEFORE ranking (filter
+    pushes to the scan — pre-filtering), never after (post-filtering a
+    plain top-k under-fills the result when the predicate is selective).
+    The plan is the brute-force GEMM shape on the filtered corpus;
+    the IVF/Hamming paths compose the same way (filter inside the
+    probed cells)."""
+    from fluvio_duck_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") == 3).unionByName(
+        emb.filter(F.col("vec_id") == 0)  # keep the query row reachable
+    ).dropDuplicates(["vec_id"])
+    return cosine_topk(corpus, query_id=0, k=10)
+
+
+ORACLE_SIM_TOPK_FILTERED = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+        i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings, q WHERE label = 3 AND vec_id <> 0)
+SELECT vec_id, sim FROM s ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+QUERIES.update({
+    "sim_topk_filtered": QuerySpec(
+        q_sim_topk_filtered, ORACLE_SIM_TOPK_FILTERED,
+        doc="filtered vector search: metadata predicate applied BEFORE ranking (pre-filter pushed to the scan), exact baseline",
+    ),
+})
