@@ -187,6 +187,7 @@ EXTENDED = [
     "agg_weighted_median",
     "dedup_survivorship",
     "sim_topk_filtered",
+    "sim_topk_filtered_ivf",
 ]
 
 

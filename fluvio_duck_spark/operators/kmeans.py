@@ -280,7 +280,7 @@ def _kmeans_fit_ctes(k: int, iters: int, dim: int) -> list[str]:
         "i -> (v[i] - cv[i]) * (v[i] - cv[i])), 'sum')".format(d=dim)
     )
     parts = [f"""WITH emb AS MATERIALIZED (
-  SELECT vec_id, embedding,
+  SELECT vec_id, embedding, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings),
 cent0 AS MATERIALIZED (
@@ -313,12 +313,15 @@ cent{t} AS MATERIALIZED (
 
 
 def kmeans_portable_oracle_sql(
-    k: int = 8, iters: int = 3, dim: int = 64, query_id: int = 0, topk: int = 10
+    k: int = 8, iters: int = 3, dim: int = 64, query_id: int = 0,
+    topk: int = 10, probe_where: str = "",
 ) -> str:
     """The ENTIRE portable pipeline — k-means fit (unrolled iterations)
     + IVF probe — as DuckDB SQL, from the same arithmetic: sequential
     distance folds, DECIMAL(38,12) per-dimension sums, double division,
-    lexicographic argmin tie-break."""
+    lexicographic argmin tie-break.  ``probe_where`` adds a metadata
+    predicate to the probe's candidate set (filtered ANN) without
+    touching the fit."""
     parts = _kmeans_fit_ctes(k, iters, dim)
     parts.append(f"""q AS (
   SELECT e.embedding AS qv, a.cell AS qcell
@@ -332,7 +335,7 @@ scored AS (
      * sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
         i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))) AS sim
   FROM emb e JOIN asg a USING (vec_id) CROSS JOIN q
-  WHERE a.cell = qcell AND e.vec_id <> {query_id})""")
+  WHERE a.cell = qcell AND e.vec_id <> {query_id}{probe_where})""")
     return (
         ",\n".join(parts)
         + f"\nSELECT vec_id, sim FROM scored ORDER BY sim DESC, vec_id LIMIT {topk}\n"

@@ -4472,3 +4472,41 @@ QUERIES.update({
         doc="filtered vector search: metadata predicate applied BEFORE ranking (pre-filter pushed to the scan), exact baseline",
     ),
 })
+
+
+def q_sim_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN at SCALE — sim_topk_filtered's composition claim
+    made real: the codebook fits on the FULL corpus (partitioning by
+    cell is a corpus-level layout decision), the probe ranks only the
+    query's cell AND the metadata predicate (label = 3) — the filter
+    applies inside the probed cell, never post-ranking.  Same
+    oracle-checked portable fit; the probe predicate is the only
+    delta."""
+    from fluvio_duck_spark.operators.kmeans import (
+        ivf_topk_portable,
+        kmeans_fit_portable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = kmeans_fit_portable(emb, k=8, iters=3)
+    filtered = emb.filter(
+        (F.col("label") == 3) | (F.col("vec_id") == 0)
+    )
+    return ivf_topk_portable(filtered, cents, query_id=0, k=10)
+
+
+def _oracle_topk_filtered_ivf() -> str:
+    from fluvio_duck_spark.operators.kmeans import kmeans_portable_oracle_sql
+
+    return kmeans_portable_oracle_sql(
+        k=8, iters=3, dim=64, query_id=0, topk=10,
+        probe_where=" AND e.label = 3",
+    )
+
+
+QUERIES.update({
+    "sim_topk_filtered_ivf": QuerySpec(
+        q_sim_topk_filtered_ivf, _oracle_topk_filtered_ivf(),
+        doc="filtered ANN at scale: metadata predicate inside the probed IVF cell over the oracle-checked portable codebook",
+    ),
+})
