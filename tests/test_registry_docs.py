@@ -81,3 +81,20 @@ def test_no_duplicate_query_registrations_in_source():
             if cnt > 1:
                 dupes[f"{os.path.basename(path)}::{name}"] = cnt
     assert not dupes, f"duplicate registrations shadow earlier ones: {dupes}"
+
+
+def test_bench_query_names_exist_in_registry():
+    """A typo'd name in bench.py's HEADLINE/EXTENDED lists would crash
+    the driver's per-round bench run — check every name resolves."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    qs = all_queries()
+    missing = [n for n in bench.HEADLINE + bench.EXTENDED if n not in qs]
+    assert not missing, f"bench names not in registry: {missing}"
+    dupes = [n for n in set(bench.EXTENDED) if bench.EXTENDED.count(n) > 1]
+    assert not dupes, f"duplicate bench entries: {dupes}"
