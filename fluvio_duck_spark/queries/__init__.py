@@ -110,8 +110,29 @@ _DRIVER_VERIFIED_R04 = frozenset({
     "text_dsir_weights", "text_span_corruption",
 })
 
+_DRIVER_VERIFIED_R05 = frozenset({
+    "agg_mode_event_type", "agg_ordered_list", "agg_stats_family",
+    "agg_weighted_median", "cdc_apply_latest", "cohort_retention",
+    "consume_sql_join_topics", "curate_classifier_gate", "curate_curriculum_order",
+    "curate_keep_drop_manifest", "curate_source_cap", "dedup_containment_prefix",
+    "dedup_edit_distance", "dedup_survivorship", "drift_psi_by_type",
+    "funnel_conversion", "funnel_windowed", "graph_pagerank",
+    "grouped_robust_scale", "join_salted_skew", "mm_dedup_content_exact",
+    "mm_extract_features_portable", "mm_frame_bytes", "mm_phash_neardup",
+    "mm_resize_stats", "profile_documents", "rollup_gapfill_hourly",
+    "sample_hard_negatives", "sample_negatives", "sample_time_folds",
+    "scalar_bitwise_funcs", "sim_group_centroids", "sim_ivf_cell_balance",
+    "sim_ivf_recall", "sim_mutual_knn", "sim_power_iteration_portable",
+    "sim_topk_filtered", "sim_topk_filtered_ivf", "sim_whiten_residual",
+    "stream_classifier_gate", "stream_decontaminate_gate", "stream_dsir_select",
+    "stream_neardup_incremental", "stream_novelty_gate", "text_bpe_fertility",
+    "text_compression_ratio", "text_novelty_fraction", "text_pmi_cooccurrence",
+    "window_locf_fill", "window_trailing_features",
+})
+
 _DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
-                    | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04)
+                    | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
+                    | _DRIVER_VERIFIED_R05)
 
 
 def all_queries() -> dict[str, QuerySpec]:
