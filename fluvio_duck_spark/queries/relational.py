@@ -2068,10 +2068,12 @@ LIMIT 100
 def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape — parts whose stocked value (for one nation's
     suppliers) exceeds a fraction of the global total: per-part exact
-    decimal agg, then the global threshold via a whole-partition window
-    over the |parts|-row agg output — the scalar-subquery cross-join form
-    would rescan the corpus for the total (measured: 4 broadcast joins =
-    the dim joins duplicated); this form scans it once."""
+    decimal agg, then the global threshold as a 1-row aggregate broadcast
+    back over the agg output.  An unpartitioned window here would funnel
+    the |parts|-row relation (~2e9 rows at 100 TB TPC-H) through ONE
+    partition; the broadcast-scalar form keeps every stage parallel, and
+    Spark's ReusedExchange dedupes the per-part shuffle so the corpus is
+    still scanned exactly once (asserted in test_plan_shapes)."""
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -2083,15 +2085,14 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("part_value")
     )
-    threshold = (
+    total = per_part.agg(
         F.sum(F.col("part_value").cast("decimal(28,2)"))
-        .over(W.partitionBy())
         .cast("double")
-        * F.lit(0.001)
+        .alias("__total_value")
     )
     return (
-        per_part.withColumn("threshold", threshold)
-        .filter(F.col("part_value") > F.col("threshold"))
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("__total_value") * F.lit(0.001))
         .select("l_partkey", "part_value")
     )
 
