@@ -59,6 +59,7 @@ def cosine_topk_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     gemm: bool = False,
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k for a whole QUERY SET at once — the realistic
     retrieval workload (N queries × corpus), not one query per job.
@@ -81,7 +82,8 @@ def cosine_topk_batch(
     from pyspark.sql import Window
 
     if gemm:
-        scored = _gemm_scores(corpus, queries, 2 * k, id_col, vec_col)
+        scored = _gemm_scores(corpus, queries, 2 * k, id_col, vec_col,
+                              max_query_rows=max_query_rows)
     else:
         cn = corpus.select(
             F.col(id_col), l2_normalize(F.col(vec_col)).alias("__cv")
@@ -106,7 +108,7 @@ def cosine_topk_batch(
 
 def _gemm_scores(
     corpus: DataFrame, queries: DataFrame, keep: int, id_col: str, vec_col: str,
-    label_col: str | None = None,
+    label_col: str | None = None, max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Per-Arrow-batch GEMM scores pruned to each batch's top ``keep``
     rows per query (np.argpartition) before anything leaves the task.
@@ -118,11 +120,27 @@ def _gemm_scores(
 
     Contract: vectors must have nonzero L2 norm (a zero vector normalizes
     to NaN sims on both batch paths).  The output id field types are
-    derived from the input schemas, so non-long ids round-trip intact."""
+    derived from the input schemas, so non-long ids round-trip intact.
+
+    The query side is collected to the driver (that is the GEMM shape:
+    a query SET ≪ the corpus, broadcast into every Arrow batch).  A
+    corpus-sized query side would OOM the driver, so the collect is
+    guarded: above ``max_query_rows`` the call raises and points at
+    ``knn_graph_blocked``, the all-pairs form that never materializes
+    either side."""
     import numpy as np
     import pandas as pd
 
     qcols = [id_col, vec_col] + ([label_col] if label_col else [])
+    n_queries = queries.count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"GEMM query side has {n_queries} rows (> max_query_rows="
+            f"{max_query_rows}); the query set is collected to the driver, "
+            "so this shape would OOM at scale. For corpus×corpus top-k use "
+            "knn_graph_blocked (blocked GEMM, neither side materialized), "
+            "or raise max_query_rows explicitly if the driver can hold it."
+        )
     qpd = queries.select(*qcols).toPandas()
     qids = qpd[id_col].to_numpy()
     qlbl = qpd[label_col].to_numpy() if label_col else None
@@ -640,6 +658,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: per query, the k
     MOST-SIMILAR rows with a different label (the negatives that move a
@@ -654,7 +673,7 @@ def hard_negatives(
     from pyspark.sql import Window
 
     scored = _gemm_scores(corpus, queries, 2 * k, id_col, vec_col,
-                          label_col=label_col)
+                          label_col=label_col, max_query_rows=max_query_rows)
     rn = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc(id_col))
     )

@@ -528,6 +528,29 @@ def test_hard_negatives_mask_beats_post_filter(spark):
     assert got == [(100, 1), (101, 2)]
 
 
+def test_gemm_query_side_collect_is_guarded(spark):
+    """The GEMM batch path collects the query set to the driver — that is
+    only safe when queries ≪ corpus.  Passing a corpus-sized query side
+    must raise (naming knn_graph_blocked) instead of OOMing the driver;
+    raising the bound explicitly re-enables the collect."""
+    import pytest
+
+    from fluvio_duck_spark.operators.similarity import (
+        cosine_topk_batch,
+        hard_negatives,
+    )
+
+    rows = [(i, [1.0, float(i % 7), 0.5], i % 3) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError, match="knn_graph_blocked"):
+        cosine_topk_batch(emb, emb, k=2, gemm=True, max_query_rows=10)
+    with pytest.raises(ValueError, match="max_query_rows"):
+        hard_negatives(emb, emb, k=2, max_query_rows=10)
+    # raising the bound restores the documented behavior
+    ok = cosine_topk_batch(emb, emb.limit(12), k=2, gemm=True, max_query_rows=12)
+    assert ok.count() > 0
+
+
 def test_observation_metrics_ride_the_query(spark, sf_dir):
     """Spark's Observation API: data-quality counters collected DURING a
     query's single pass (no second scan) — the in-flight form of the
