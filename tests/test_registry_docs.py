@@ -98,3 +98,29 @@ def test_bench_query_names_exist_in_registry():
     assert not missing, f"bench names not in registry: {missing}"
     dupes = [n for n in set(bench.EXTENDED) if bench.EXTENDED.count(n) > 1]
     assert not dupes, f"duplicate bench entries: {dupes}"
+
+
+def test_bench_extended_sidecar_in_sync_with_bench_list():
+    """The committed bench_extended.json must name exactly bench.py's
+    EXTENDED queries (all registry-valid): editing the list without
+    re-running bench.py and committing the regenerated sidecar leaves a
+    stale perf record that the 2× regression gate would silently compare
+    against the wrong query set."""
+    import importlib.util
+    import json
+
+    with open(os.path.join(_REPO, "bench_extended.json")) as fh:
+        rec = json.load(fh)
+    sidecar = set(rec["queries_extended"])
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(_REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    expected = set(bench.EXTENDED)
+    assert sidecar == expected, (
+        f"bench_extended.json drift — missing {expected - sidecar}, "
+        f"stale {sidecar - expected}; re-run bench.py and commit the sidecar"
+    )
+    qs = all_queries()
+    assert sidecar <= set(qs)
