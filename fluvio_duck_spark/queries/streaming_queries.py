@@ -290,6 +290,31 @@ FROM events ORDER BY event_id LIMIT 200
 """
 
 
+def q_consume_aggregate_fold_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1, per-SPU form: ``-e partitioned=true`` folds each partition's
+    log independently — the reference's actual semantics when every SPU
+    runs the aggregate over its own partition (src/consume.rs:687-695),
+    and the scale form of the fold: the window shuffle is keyed by
+    partition, so the fold parallelizes across partitions instead of
+    funneling the log through one task."""
+    return fluvio_consume(
+        spark,
+        "events -A -B --rows 200 --smartmodule sum-aggregate "
+        "--aggregate-initial 1000 -e field=k -e partitioned=true",
+        sf_dir=sf_dir,
+    )
+
+
+ORACLE_AGGREGATE_FOLD_PARTITIONED = f"""
+SELECT {_DEFAULT_COLS.replace('props AS "value"', '')}
+       CAST(1000 + SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            OVER (PARTITION BY user_id % 4
+                  ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS VARCHAR) AS "value"
+FROM events ORDER BY event_id LIMIT 200
+"""
+
+
 def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained hourly rollup: streaming twin of
     rollup_hourly with identical mergeable state — shares that query's
@@ -427,6 +452,9 @@ QUERIES: dict[str, QuerySpec] = {
     "consume_aggregate_fold": QuerySpec(
         q_consume_aggregate_fold, ORACLE_AGGREGATE_FOLD,
         doc="aggregate smartmodule with seeded accumulator — A1 batch"),
+    "consume_aggregate_fold_partitioned": QuerySpec(
+        q_consume_aggregate_fold_partitioned, ORACLE_AGGREGATE_FOLD_PARTITIONED,
+        doc="per-partition aggregate fold (per-SPU semantics under -A) — A1 scale form"),
     "stream_dedup_keys": QuerySpec(
         q_stream_dedup, ORACLE_STREAM_DEDUP,
         doc="streaming exact dedup (dropDuplicatesWithinWatermark)"),

@@ -138,15 +138,24 @@ def aggregate_sum_transform(df: DataFrame, params: dict, accumulator: str = "0")
     ``--aggregate-initial`` — rewriting each record's value with the
     accumulator so far, exactly how a WASM aggregate emits per record.
 
-    A sequential fold is inherently serial, so this uses a global ordered
-    window (single-partition shuffle) — faithful to the reference, which
-    folds on one SPU partition; for parallel folds use
-    streaming.stateful.aggregate_fold_stream per partition instead."""
+    A sequential fold is inherently serial, so the default uses a global
+    ordered window (single-partition shuffle) — faithful to the reference,
+    which folds on one SPU partition.  ``-e partitioned=true`` folds per
+    ``partition`` column instead — the reference's ACTUAL per-SPU
+    semantics under ``-A`` (each SPU folds its own log independently,
+    src/consume.rs:687-695), and the form that scales: the shuffle is
+    keyed by partition, so a 1000-partition topic folds on 1000 tasks
+    instead of one.  For unbounded logs use
+    streaming.stateful.aggregate_fold_stream."""
     from pyspark.sql import Window
 
     field = params.get("field", "k")
     init = int(accumulator or "0")
-    w = Window.orderBy("offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    partitioned = str(params.get("partitioned", "")).lower() in ("true", "1", "yes")
+    base = (
+        Window.partitionBy("partition") if partitioned else Window.partitionBy()
+    )
+    w = base.orderBy("offset").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     running = F.lit(init) + F.sum(
         F.get_json_object(F.col("value"), f"$.{field}").try_cast("long")
     ).over(w)
