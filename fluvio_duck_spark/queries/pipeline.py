@@ -943,6 +943,61 @@ QUERIES.update({
 })
 
 
+def q_text_compressibility_companion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable companion to text_compression_ratio (the
+    agg_approx bound-boolean pattern): exact SQL-expressible
+    compressibility proxies — byte length and the distinct-trigram ratio
+    (repetitive text reuses trigrams, the same signal zlib's LZ77 window
+    exploits) — hash-matched bit-for-bit against the oracle, plus one
+    boolean asserting the zlib ratio obeys the DEFLATE worst-case bound
+    (stored blocks: ≤ 5 bytes per 16 KiB block + 11 bytes stream
+    overhead).  A broken zlib path flips the boolean and fails the
+    driver hash; the raw zlib ratio itself stays informational in
+    text_compression_ratio.  Same map-only plan: one scan, no shuffle."""
+    from fluvio_duck_spark.functions.text import compression_ratio_udf
+
+    docs = load(spark, sf_dir, "documents")
+    n_chars = F.length(F.col("text"))
+    n_bytes = F.octet_length(F.col("text"))
+    n_tri = n_chars - F.lit(2)
+    distinct_tri = F.size(
+        F.array_distinct(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        )
+    )
+    worst_case = (
+        n_bytes.cast("double") + F.lit(11.0)
+        + F.lit(5.0) * F.floor(n_bytes / F.lit(16384))
+    ) / n_bytes
+    ratio = compression_ratio_udf()(F.col("text"))
+    return docs.filter(n_chars >= 3).select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.round(distinct_tri.cast("double") / n_tri, 6).alias("trigram_ratio"),
+        (ratio <= worst_case).alias("zlib_within_worst_case"),
+    )
+
+
+ORACLE_COMPRESSIBILITY_COMPANION = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       round(CAST(len(list_distinct(list_transform(
+                 range(1, length(text) - 1), i -> text[i:i+2]))) AS DOUBLE)
+             / (length(text) - 2), 6) AS trigram_ratio,
+       TRUE AS zlib_within_worst_case
+FROM documents
+WHERE length(text) >= 3
+"""
+
+
+QUERIES.update({
+    "text_compressibility_companion": QuerySpec(
+        q_text_compressibility_companion, ORACLE_COMPRESSIBILITY_COMPANION,
+        doc="exact compressibility proxies + zlib worst-case bound boolean — oracle-paired companion to text_compression_ratio",
+    ),
+})
+
+
 def q_agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MODE: each user's most frequent event type.
     Engine-native mode() breaks ties arbitrarily (and differently per
