@@ -343,3 +343,45 @@ def test_datasource_reads_multifile_directory_layout(spark, sf_dir, tmp_path):
         single = {tuple(r) for r in read(sf_dir, args).collect()}
         split = {tuple(r) for r in read(multi, args).collect()}
         assert split == single and len(split) > 0
+
+
+def test_all_partitions_tail_is_global_by_offset(spark, sf_dir, tmp_path):
+    """`-A -T n` must return the last n records of the WHOLE log by
+    offset (the documented §1.4.2-faithful merged-log tail) — exactly n
+    rows spanning multiple Fluvio partitions — NOT n rows per partition
+    (4n) and NOT n rows per input file fragment.  Asserted through both
+    front ends, and through the DataSource over a multi-file directory
+    layout where each InputPartition could be tempted to tail locally."""
+    import os
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+
+    register_fluvio_source(spark)
+    n = 13
+    max_off = fluvio_consume(spark, "events -A -B", sf_dir=sf_dir).agg(
+        F.max("offset")
+    ).collect()[0][0]
+    expected = list(range(max_off - n + 1, max_off + 1))
+
+    builder = fluvio_consume(spark, f"events -A -T {n}", sf_dir=sf_dir)
+    assert sorted(r.offset for r in builder.select("offset").collect()) == expected
+
+    multi = str(tmp_path / "multi")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ev.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(multi, "events.parquet")
+    )
+    for sd in (sf_dir, multi):
+        ds = (
+            spark.read.format("fluvio")
+            .option("topic", "events")
+            .option("args", f"-A -T {n}")
+            .option("sf_dir", sd)
+            .load()
+        )
+        rows = ds.select("offset", "partition").collect()
+        assert sorted(r.offset for r in rows) == expected
+        # the global tail window spans multiple Fluvio partitions — the
+        # per-partition form would have returned n rows from EACH
+        assert len({r.partition for r in rows}) > 1
