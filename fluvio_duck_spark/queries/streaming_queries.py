@@ -36,6 +36,34 @@ from fluvio_duck_spark.streaming.windows import (
 _DEFAULT_COLS = 'event_id AS "offset", ts AS "timestamp", props AS "value"'
 
 
+def _run_dir(name: str, kind: str) -> str:
+    """Scratch dir for a streaming run's sink/checkpoint/index.
+
+    Deterministic per (query, kind) under ONE per-process root: a re-run
+    (bench loops the same query) wipes and reuses its own dir instead of
+    leaking a fresh ``/tmp/<name>_<uuid>`` per invocation, and the root
+    is removed at interpreter exit — /tmp stays bounded across
+    bench/verify sessions (ADVICE r5).  Wiping at query start also keeps
+    the fresh-checkpoint contract: a reused checkpoint would mark the
+    source files committed and deliver ZERO batches on a re-run.  The
+    returned report DataFrames stay lazy scans over the current run's
+    dir — nothing is collected to the driver."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"fluvio_duck_stream_runs_{os.getpid()}"
+    )
+    if not os.path.isdir(root):
+        os.makedirs(root, exist_ok=True)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, f"{name}_{kind}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
 def q_stream_consume_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = fluvio_consume_stream(
         spark, "events -A -H 100 --end 699 -c k:i=k -c kd:d=k", sf_dir=sf_dir
@@ -760,7 +788,6 @@ def q_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             local = pd.concat([state["f"], local], ignore_index=True)
         state["f"] = _sweep(local, "p_retailprice", "p_size")
 
-    import uuid
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
@@ -769,7 +796,7 @@ def q_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the files committed and deliver ZERO batches on a re-run
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"skyline_ckpt_{uuid.uuid4().hex[:12]}"),
+            _run_dir("skyline", "ckpt"),
         )
         .start()
     )
@@ -896,7 +923,6 @@ def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corruption as the batch query, so the accumulated matches equal
     er_fuzzy_join_parts exactly — oracle shared."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -935,8 +961,7 @@ def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulating pandas frames on the driver caps at driver memory.
     # The sink append is executor-side and unbounded; the final read-back
     # is a lazy scan.
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"er_gate_out_{run_id}")
+    out_dir = _run_dir("er_gate", "out")
 
     def match_batch(batch_df, _bid) -> None:
         out = fuzzy_join(
@@ -950,7 +975,7 @@ def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"er_gate_ckpt_{run_id}"),
+            _run_dir("er_gate", "ckpt"),
         )
         .start()
     )
@@ -996,7 +1021,6 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the production topology for importance-weighted ingest: fit
     λ offline, gate the firehose with a broadcast table."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -1008,8 +1032,7 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), F.col("lang") == "en"
     ).localCheckpoint(eager=True)  # the frozen model, materialized once
 
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"dsir_gate_out_{run_id}")
+    out_dir = _run_dir("dsir_gate", "out")
 
     def score_batch(batch_df, _bid) -> None:
         dsir_score(batch_df, lam).write.mode("append").parquet(out_dir)
@@ -1020,7 +1043,7 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"dsir_gate_ckpt_{run_id}"),
+            _run_dir("dsir_gate", "ckpt"),
         )
         .start()
     )
@@ -1053,7 +1076,6 @@ def q_stream_neardup_gate_portable(spark: SparkSession, sf_dir: str) -> DataFram
     append to a parquet sink; the accumulated result equals the batch
     computation exactly, so the generated oracle replicates it."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -1067,8 +1089,7 @@ def q_stream_neardup_gate_portable(spark: SparkSession, sf_dir: str) -> DataFram
         .localCheckpoint(eager=True)  # static corpus index, built once
     )
 
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"ndgate_out_{run_id}")
+    out_dir = _run_dir("ndgate", "out")
 
     def gate_batch(batch_df, _bid) -> None:
         hits = (
@@ -1086,7 +1107,7 @@ def q_stream_neardup_gate_portable(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"ndgate_ckpt_{run_id}"),
+            _run_dir("ndgate", "ckpt"),
         )
         .start()
     )
@@ -1123,7 +1144,6 @@ def q_stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     continuously; the quota report is the cheap periodic reader — no
     cross-batch streaming state anywhere."""
     import os
-    import uuid
 
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -1137,8 +1157,7 @@ def q_stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), F.col("lang") == "en"
     ).localCheckpoint(eager=True)  # frozen model, fit once on the reference corpus
 
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"dsir_sel_out_{run_id}")
+    out_dir = _run_dir("dsir_sel", "out")
 
     def score_batch(batch_df, _bid) -> None:
         scored = dsir_score(batch_df, lam).join(
@@ -1155,7 +1174,7 @@ def q_stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"dsir_sel_ckpt_{run_id}"),
+            _run_dir("dsir_sel", "ckpt"),
         )
         .start()
     )
@@ -1210,7 +1229,6 @@ def q_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology for continuous ingest screening: freeze the eval grams,
     gate the firehose."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -1224,8 +1242,7 @@ def q_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # the frozen eval suite
     )
 
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"decon_gate_out_{run_id}")
+    out_dir = _run_dir("decon_gate", "out")
 
     def gate_batch(batch_df, _bid) -> None:
         corpus = batch_df.filter(F.col("doc_id") % 97 != 0)
@@ -1239,7 +1256,7 @@ def q_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"decon_gate_ckpt_{run_id}"),
+            _run_dir("decon_gate", "ckpt"),
         )
         .start()
     )
@@ -1272,14 +1289,12 @@ def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared.  Integer-exact logit ⇒ no cross-engine or cross-batch float
     hazard anywhere."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
     from fluvio_duck_spark.streaming.neardup import document_stream
 
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"clf_gate_out_{run_id}")
+    out_dir = _run_dir("clf_gate", "out")
 
     def gate_batch(batch_df, _bid) -> None:
         w = F.split(F.col("text"), " ")
@@ -1309,7 +1324,7 @@ def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"clf_gate_ckpt_{run_id}"),
+            _run_dir("clf_gate", "ckpt"),
         )
         .start()
     )
@@ -1356,7 +1371,6 @@ def q_stream_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     content is the firehose bringing': freeze the index nightly, score
     continuously."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
@@ -1373,8 +1387,7 @@ def q_stream_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # the frozen first-owner index
     )
 
-    run_id = uuid.uuid4().hex[:12]
-    out_dir = os.path.join("/tmp", f"novelty_gate_out_{run_id}")
+    out_dir = _run_dir("novelty_gate", "out")
 
     def gate_batch(batch_df, _bid) -> None:
         sh = _exploded_shingles(batch_df, "text", "doc_id", 3, None)
@@ -1403,7 +1416,7 @@ def q_stream_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"novelty_gate_ckpt_{run_id}"),
+            _run_dir("novelty_gate", "ckpt"),
         )
         .start()
     )
@@ -1443,16 +1456,14 @@ def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet-backed bucket table (never driver memory), exactly the shape
     a 100 TB deployment checkpoints."""
     import os
-    import uuid
 
     from pyspark.sql import functions as F
 
     from fluvio_duck_spark.operators.dedup import minhash_portable_buckets
     from fluvio_duck_spark.streaming.neardup import document_stream
 
-    run_id = uuid.uuid4().hex[:12]
-    idx_dir = os.path.join("/tmp", f"ndinc_idx_{run_id}")
-    out_dir = os.path.join("/tmp", f"ndinc_out_{run_id}")
+    idx_dir = _run_dir("ndinc", "idx")
+    out_dir = _run_dir("ndinc", "out")
 
     def gate_batch(batch_df, _bid) -> None:
         bk = minhash_portable_buckets(batch_df).localCheckpoint(eager=True)
@@ -1480,7 +1491,7 @@ def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            os.path.join("/tmp", f"ndinc_ckpt_{run_id}"),
+            _run_dir("ndinc", "ckpt"),
         )
         .start()
     )
