@@ -3479,13 +3479,19 @@ def q_sketch_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
+    # Absent probes are offset past max(c_custkey) — guaranteed disjoint
+    # from real keys at ANY scale factor (a fixed +7e6 literal collided
+    # with real custkeys at sf≥50, silently mislabeling the class).
+    # 1-row broadcast, and the oracle embeds the same scalar subquery.
+    offset = cust.agg((F.max("key") + F.lit(1)).alias("__absent_offset"))
     probes = (
         load(spark, sf_dir, "orders")
         .select(F.col("o_custkey").cast("long").alias("key"))
         .distinct()
         .withColumn("cls", F.lit("present"))
         .unionByName(
-            cust.select((F.col("key") + F.lit(7000000)).alias("key"))
+            cust.crossJoin(F.broadcast(offset))
+            .select((F.col("key") + F.col("__absent_offset")).alias("key"))
             .withColumn("cls", F.lit("absent"))
         )
     )
@@ -3528,7 +3534,9 @@ WITH bloom AS ({bloom_pos}),
 probes AS (
   SELECT DISTINCT CAST(o_custkey AS BIGINT) AS key, 'present' AS cls FROM orders
   UNION ALL
-  SELECT DISTINCT CAST(c_custkey AS BIGINT) + 7000000 AS key, 'absent' AS cls
+  SELECT DISTINCT CAST(c_custkey AS BIGINT)
+         + (SELECT MAX(CAST(c_custkey AS BIGINT)) + 1 FROM customer) AS key,
+         'absent' AS cls
   FROM customer),
 pp AS (
   SELECT key, cls, unnest([{probe_pos('key')}]) AS pos FROM probes),
