@@ -1448,13 +1448,17 @@ def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     topology for continuous ingest: nothing is frozen, the index is the
     stream's own history.
 
-    'Earlier' means lower doc id — the log-offset contract (a Fluvio
-    partition delivers in offset order, so id order IS arrival order) —
-    which makes the per-doc prior-duplicate count independent of how the
-    micro-batches split AND exactly SQL-expressible: the oracle is the
-    batch all-pairs form restricted to b.doc_id < a.doc_id.  State is a
-    parquet-backed bucket table (never driver memory), exactly the shape
-    a 100 TB deployment checkpoints."""
+    'Earlier' means lower doc id — which makes the report exactly
+    SQL-expressible (oracle = batch all-pairs restricted to
+    b.doc_id < a.doc_id) — but the counting is ARRIVAL-ORDER
+    INDEPENDENT: each matched pair is attributed to its higher id at
+    whichever arrival completes it (greatest/least canonicalization),
+    so a lower-id doc landing in a LATER micro-batch still credits the
+    higher-id doc it collides with.  Spark's file stream orders batches
+    by file, not by id, so nothing may assume id-ordered delivery
+    (ADVICE r5; the id-shuffled multi-file layout is a test).  State is
+    a parquet-backed bucket table (never driver memory), exactly the
+    shape a 100 TB deployment checkpoints."""
     import os
 
     from pyspark.sql import functions as F
@@ -1476,13 +1480,20 @@ def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("other"), "band", "bh"
         )
         earlier = prior.unionByName(same_batch)
-        hits = (
+        # Pair canonicalized to (higher id, lower id): counted exactly
+        # once, at whichever arrival completes it — same-batch pairs
+        # appear from both sides and collapse in the distinct; a
+        # cross-batch pair joins only when its second member arrives.
+        pair_hits = (
             bk.join(earlier, ["band", "bh"])
-            .filter(F.col("other") < F.col("doc_id"))
-            .groupBy("doc_id")
-            .agg(F.count_distinct("other").cast("int").alias("n_prior_dups"))
+            .filter(F.col("other") != F.col("doc_id"))
+            .select(
+                F.greatest("doc_id", "other").alias("doc_id"),
+                F.least("doc_id", "other").alias("other"),
+            )
+            .distinct()
         )
-        hits.write.mode("append").parquet(out_dir)
+        pair_hits.write.mode("append").parquet(out_dir)
         same_batch.write.mode("append").parquet(idx_dir)  # index grows
 
     q = (
@@ -1496,10 +1507,16 @@ def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out_schema = "doc_id long, n_prior_dups int"
+    out_schema = "doc_id long, other long"
     if not os.path.isdir(out_dir):
-        return spark.createDataFrame([], out_schema)
-    return spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+        return spark.createDataFrame([], "doc_id long, n_prior_dups int")
+    # distinct before the count: a pair replayed by a micro-batch retry
+    # (the sink is append-only) must not double-count.
+    return (
+        spark.read.schema(out_schema).parquet(out_dir)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("other").cast("int").alias("n_prior_dups"))
+    )
 
 
 def _wire_stream_neardup_incremental_oracle() -> None:

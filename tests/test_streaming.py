@@ -519,11 +519,13 @@ def test_stream_dsir_gate_equals_batch_weights(spark, sf_dir):
 
 def test_neardup_incremental_batch_split_invariance(spark, sf_dir):
     """The incremental gate's per-doc prior-duplicate count must not
-    depend on how the stream splits into micro-batches: 'earlier' is
-    lower id (the log-offset contract), so accumulating the bucket
-    index batch-by-batch — here simulated with 1, 2, and 3 splits —
-    yields identical counts, equal to the all-pairs form restricted to
-    b.doc_id < a.doc_id."""
+    depend on how the stream splits into micro-batches OR on delivery
+    order: each matched pair is canonicalized to (higher id, lower id)
+    and counted at whichever arrival completes it, so contiguous
+    ascending splits, id-interleaved splits, and REVERSED delivery (a
+    lower-id doc arriving after a higher-id one — Spark's file stream
+    orders batches by file, not id; ADVICE r5) all yield the all-pairs
+    counts restricted to b.doc_id < a.doc_id."""
     from pyspark.sql import functions as F
 
     from fluvio_duck_spark.operators.dedup import minhash_portable_buckets
@@ -542,26 +544,48 @@ def test_neardup_incremental_batch_split_invariance(spark, sf_dir):
         .agg(F.count_distinct("other").cast("int").alias("n"))
         .collect()
     }
+    assert len(direct) > 0
 
-    for n_splits in (1, 2, 3):
-        got = {}
+    def run_split(batch_filters):
+        """Mirror gate_batch: accumulate canonicalized pair rows per
+        batch, then the read-back count_distinct aggregate."""
+        pairs = set()
         prior = None
-        # contiguous ascending id ranges: the log-offset delivery order
-        # the operator's contract states (a partition never delivers a
-        # lower offset after a higher one)
-        for b in range(n_splits):
-            lo, hi = b * 200 // n_splits, (b + 1) * 200 // n_splits
-            batch = bk.filter(
-                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
-            )
+        for flt in batch_filters:
+            batch = bk.filter(flt)
             sb = batch.selectExpr("doc_id AS other", "band", "bh")
             earlier = sb if prior is None else prior.unionByName(sb)
-            hits = (
+            hit_rows = (
                 batch.join(earlier, ["band", "bh"])
-                .filter(F.col("other") < F.col("doc_id"))
-                .groupBy("doc_id")
-                .agg(F.count_distinct("other").cast("int").alias("n"))
+                .filter(F.col("other") != F.col("doc_id"))
+                .select(
+                    F.greatest("doc_id", "other").alias("hi"),
+                    F.least("doc_id", "other").alias("lo"),
+                )
+                .distinct()
+                .collect()
             )
-            got.update({(r.doc_id, r.n): None for r in hits.collect()})
+            pairs.update((r.hi, r.lo) for r in hit_rows)
             prior = earlier.localCheckpoint(eager=True)
-        assert got == direct and len(direct) > 0
+        got = {}
+        for hi, _lo in pairs:
+            got[hi] = got.get(hi, 0) + 1
+        return {(d, n): None for d, n in got.items()}
+
+    half = F.col("doc_id") < 100
+    cases = [
+        # single batch
+        [F.lit(True)],
+        # contiguous ascending (the log-offset order)
+        [half, ~half],
+        # REVERSED: high ids arrive first — the old other<doc_id gate
+        # undercounted here
+        [~half, half],
+        # id-interleaved: neither batch is an id range
+        [F.col("doc_id") % 2 == 0, F.col("doc_id") % 2 == 1],
+        # three shuffled slices
+        [F.col("doc_id") % 3 == 2, F.col("doc_id") % 3 == 0,
+         F.col("doc_id") % 3 == 1],
+    ]
+    for batch_filters in cases:
+        assert run_split(batch_filters) == direct
