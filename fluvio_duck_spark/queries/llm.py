@@ -3476,28 +3476,37 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     task) plus a deterministic within-bin shuffle key.  A curriculum
     loader reads bins in order and shuffles within each — this query
     emits exactly that plan: (doc, bin, key).  Two-phase: one
-    3-row threshold aggregate, then a map-only bin/key projection."""
+    3-row threshold aggregate, then a map-only bin/key projection.
+
+    The percentile runs over the QUANTIZED score (floor(q·1e6) ppm, a
+    BIGINT), not the raw double: Spark's percentile() and DuckDB's
+    quantile_cont interpolate with different arithmetic (lo+f·(hi−lo)
+    vs lo·(1−f)+hi·f), which can differ in the last ulp on raw doubles
+    and flip a >= bin comparison for a row sitting exactly at the
+    threshold (ADVICE r5).  Over integers ≤ 1e6 with dyadic fractions
+    (p ∈ {.25,.5,.75} ⇒ f ∈ {0,.25,.5,.75}) every term in BOTH
+    formulations is exact in double, so the thresholds are bit-identical
+    across engines by construction — tie-free, not just tie-unobserved."""
     from fluvio_duck_spark.functions.text import quality_score
 
+    # floor, not round(q, 6): round hits the HALF_UP-vs-multiply tie on
+    # dyadic scores like 0.5203125 (SCALE.md cross-engine trap #1).
     docs = load(spark, sf_dir, "documents").select(
-        "doc_id", quality_score("text").alias("q")
+        "doc_id",
+        F.floor(quality_score("text") * 1000000).cast("long").alias("qppm"),
     )
     thr = docs.agg(
-        F.expr("percentile(q, 0.25)").alias("t1"),
-        F.expr("percentile(q, 0.5)").alias("t2"),
-        F.expr("percentile(q, 0.75)").alias("t3"),
+        F.expr("percentile(qppm, 0.25)").alias("t1"),
+        F.expr("percentile(qppm, 0.5)").alias("t2"),
+        F.expr("percentile(qppm, 0.75)").alias("t3"),
     )
     # higher quality = easier: bin 0 (easiest) = top quartile.
-    # quality surfaces as floor(q·1e6) ppm: round(q, 6) hits the
-    # HALF_UP-vs-multiply tie on dyadic scores like 0.5203125
-    # (SCALE.md cross-engine trap #1); floor of the same double is
-    # tie-free on both engines.
     binned = docs.crossJoin(F.broadcast(thr)).select(
         "doc_id",
-        F.floor(F.col("q") * 1000000).cast("long").alias("quality_ppm"),
-        F.when(F.col("q") >= F.col("t3"), 0)
-        .when(F.col("q") >= F.col("t2"), 1)
-        .when(F.col("q") >= F.col("t1"), 2)
+        F.col("qppm").alias("quality_ppm"),
+        F.when(F.col("qppm") >= F.col("t3"), 0)
+        .when(F.col("qppm") >= F.col("t2"), 1)
+        .when(F.col("qppm") >= F.col("t1"), 2)
         .otherwise(3)
         .cast("int")
         .alias("difficulty_bin"),
@@ -3518,14 +3527,15 @@ WITH t AS (
       / len(string_split(text,' ')) AS mtl
   FROM documents),
 q AS (SELECT doc_id,
-             least(sw * 4.0, 1.0) * 0.5
-               + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.5 AS q
+             CAST(floor((least(sw * 4.0, 1.0) * 0.5
+               + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.5) * 1000000)
+             AS BIGINT) AS qppm
       FROM t),
-thr AS (SELECT quantile_cont(q, 0.25) AS t1, quantile_cont(q, 0.5) AS t2,
-               quantile_cont(q, 0.75) AS t3 FROM q)
-SELECT doc_id, CAST(floor(q * 1000000) AS BIGINT) AS quality_ppm,
-       CAST(CASE WHEN q >= t3 THEN 0 WHEN q >= t2 THEN 1
-                 WHEN q >= t1 THEN 2 ELSE 3 END AS INT) AS difficulty_bin,
+thr AS (SELECT quantile_cont(qppm, 0.25) AS t1, quantile_cont(qppm, 0.5) AS t2,
+               quantile_cont(qppm, 0.75) AS t3 FROM q)
+SELECT doc_id, qppm AS quality_ppm,
+       CAST(CASE WHEN qppm >= t3 THEN 0 WHEN qppm >= t2 THEN 1
+                 WHEN qppm >= t1 THEN 2 ELSE 3 END AS INT) AS difficulty_bin,
        ((doc_id + 1) * {2654435761 + 7 * 98765431}) % 1000003 AS order_key
 FROM q, thr
 """

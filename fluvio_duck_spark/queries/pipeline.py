@@ -3363,17 +3363,25 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row exact-percentile aggregate joined back by broadcast (never a
     rank window over all users); binning and the segment label are then
     map-only.  Monetary accumulates in DECIMAL so the median input and
-    the driver hash are partitioning-independent."""
+    the driver hash are partitioning-independent.
+
+    All three median cuts run over INTEGERS (recency/frequency are
+    integral; monetary is quantized to the exact decimal sum × 1e6, a
+    BIGINT): at p = 0.5 both engines' interpolation arithmetic is exact
+    in double over integers, so the thresholds are bit-identical and
+    the >= comparisons tie-free by construction — Spark percentile()
+    and DuckDB quantile_cont interpolate raw doubles with different
+    formulas that can differ in the last ulp (ADVICE r5)."""
     ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     anchor = ev.agg(F.max(F.to_date("ts")).alias("anchor"))
+    msum = F.sum(F.col("value").cast("decimal(28,6)"))
     facts = (
         ev.groupBy("user_id")
         .agg(
             F.max(F.to_date("ts")).alias("last_day"),
             F.count("*").cast("int").alias("frequency"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
-            .cast("double")
-            .alias("monetary"),
+            msum.cast("double").alias("monetary"),
+            (msum * F.lit(1000000)).cast("long").alias("m_e6"),
         )
         .crossJoin(F.broadcast(anchor))
         .select(
@@ -3381,18 +3389,19 @@ def q_events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff("anchor", "last_day").cast("int").alias("recency_days"),
             "frequency",
             F.round("monetary", 4).alias("monetary"),
+            "m_e6",
         )
     )
     med = facts.agg(
         F.expr("percentile(recency_days, 0.5)").alias("rm"),
         F.expr("percentile(frequency, 0.5)").alias("fm"),
-        F.expr("percentile(monetary, 0.5)").alias("mm"),
+        F.expr("percentile(m_e6, 0.5)").alias("mm"),
     )
     scored = facts.crossJoin(F.broadcast(med)).select(
         "user_id", "recency_days", "frequency", "monetary",
         (F.col("recency_days") <= F.col("rm")).cast("int").alias("r_hi"),
         (F.col("frequency") >= F.col("fm")).cast("int").alias("f_hi"),
-        (F.col("monetary") >= F.col("mm")).cast("int").alias("m_hi"),
+        (F.col("m_e6") >= F.col("mm")).cast("int").alias("m_hi"),
     )
     return scored.select(
         "user_id", "recency_days", "frequency", "monetary",
@@ -3414,16 +3423,18 @@ facts AS (
            AS recency_days,
          CAST(COUNT(*) AS INT) AS frequency,
          round(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 4)
-           AS monetary
+           AS monetary,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+           AS m_e6
   FROM ev GROUP BY user_id),
 med AS (SELECT quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS rm,
                quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS fm,
-               quantile_cont(monetary, 0.5) AS mm
+               quantile_cont(CAST(m_e6 AS DOUBLE), 0.5) AS mm
         FROM facts)
 SELECT user_id, recency_days, frequency, monetary,
        concat(CASE WHEN recency_days <= rm THEN 'R' ELSE 'r' END,
               CASE WHEN frequency >= fm THEN 'F' ELSE 'f' END,
-              CASE WHEN monetary >= mm THEN 'M' ELSE 'm' END) AS segment
+              CASE WHEN m_e6 >= mm THEN 'M' ELSE 'm' END) AS segment
 FROM facts, med
 """
 
