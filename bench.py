@@ -188,6 +188,10 @@ EXTENDED = [
     "dedup_survivorship",
     "sim_topk_filtered",
     "sim_topk_filtered_ivf",
+    # round-6 additions
+    "ts_anomaly_mad",
+    "consume_aggregate_fold_partitioned",
+    "text_compressibility_companion",
 ]
 
 
