@@ -19,6 +19,7 @@ from fluvio_duck_spark.operators.events import (
     cohort_retention,
     funnel_stages,
 )
+from fluvio_duck_spark.operators.dsir import hash_bucket, hash_bucket_sql
 from fluvio_duck_spark.operators.grouped import robust_scale_grouped
 from fluvio_duck_spark.operators.similarity import group_centroids
 from fluvio_duck_spark.queries import QuerySpec
@@ -2173,6 +2174,214 @@ QUERIES.update({
     "sketch_cms_users": QuerySpec(
         q_sketch_cms_users, ORACLE_CMS,
         doc="Count-Min sketch (4x256, portable hashes): mergeable heavy-hitter estimates vs truth",
+    ),
+})
+
+
+#: KMV (k-minimum-values / theta sketch) parameters: hash space M and
+#: sample size K.  M is a prime under the md5-fold's value spread so the
+#: bucket mapping mixes; K=64 → ~12% relative error, reported exactly.
+_KMV_M = 1_048_573
+_KMV_K = 64
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta distinct-count sketch per event type — the mergeable
+    distinct sketch whose ENTIRE state is oracle-replicable (unlike
+    approx_count_distinct's engine-internal HLL, which agg_approx can
+    only bound-check): the sketch is the K smallest portable hash values
+    of the key set, the estimate is (K−1)·M // h_K in pure BIGINT
+    arithmetic, so estimate, error, and the sketch itself hash-match
+    bit-for-bit.
+
+    Scale shape: one distinct shuffle on (type, h), then SALTED
+    two-stage top-K — stage 1 keeps K per (type, h mod 8) so no window
+    task ever sorts more than its salt slice, stage 2 ranks the ≤ 8·K
+    survivors per type (bounded by construction).  Merging two KMV
+    sketches = union the value lists and re-take the K smallest — the
+    same two-stage plan, which is why this is the cross-partition /
+    cross-day mergeable form."""
+    ev = load(spark, sf_dir, "events")
+    h = hash_bucket(
+        F.concat(F.lit("kmv#"), F.col("user_id").cast("string")), _KMV_M
+    )
+    d = ev.select("event_type", h.alias("h")).distinct()
+    w1 = W.partitionBy("event_type", F.pmod(F.col("h"), F.lit(8))).orderBy("h")
+    s1 = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+    )
+    w2 = W.partitionBy("event_type").orderBy("h")
+    s2 = (
+        s1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    kth = s2.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+    )
+    nh = d.groupBy("event_type").agg(F.count("*").alias("n_h"))
+    ex = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    est = F.when(F.col("n_h") < _KMV_K, F.col("n_h")).otherwise(
+        F.expr(f"div({_KMV_K - 1}L * {_KMV_M}L, kth)")
+    )
+    return (
+        ex.join(F.broadcast(nh), "event_type")
+        .join(F.broadcast(kth), "event_type")
+        .withColumn("est_users", est.cast("long"))
+        .select(
+            "event_type",
+            "n_exact",
+            "est_users",
+            F.expr(
+                "div(abs(est_users - n_exact) * 1000000L, n_exact)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def _oracle_kmv_distinct() -> str:
+    h = hash_bucket_sql("('kmv#' || CAST(user_id AS VARCHAR))", _KMV_M)
+    return f"""
+WITH d AS (SELECT DISTINCT event_type, {h} AS h FROM events),
+topk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d QUALIFY rn <= {_KMV_K}),
+kth AS (SELECT event_type, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth
+        FROM topk GROUP BY event_type),
+nh AS (SELECT event_type, COUNT(*) AS n_h FROM d GROUP BY event_type),
+ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+       FROM events GROUP BY event_type),
+rep AS (
+  SELECT ex.event_type, ex.n_exact,
+         CAST(CASE WHEN nh.n_h < {_KMV_K} THEN nh.n_h
+              ELSE (CAST({_KMV_K - 1} AS BIGINT) * {_KMV_M}) // kth.kth
+              END AS BIGINT) AS est_users
+  FROM ex JOIN nh USING (event_type) JOIN kth USING (event_type))
+SELECT event_type, n_exact, est_users,
+       (abs(est_users - n_exact) * CAST(1000000 AS BIGINT)) // n_exact
+         AS err_ppm
+FROM rep
+"""
+
+
+def q_sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set operations over KMV samples: estimate the UNION
+    and INTERSECTION cardinalities of two key sets (click users vs
+    purchase users) from one K-minimum-values sample of the union —
+    union = (K−1)·M // h_K; intersection = (members of the sample in
+    both sets) · union // K.  This is the audience-overlap workload
+    (segment reach/frequency) where exact distinct-intersections need a
+    full co-group; the sketch answers from K values per segment.
+
+    Scale shape: one hash-keyed aggregate folds each user's membership
+    flags (the flags ride the same row, so union+intersection come from
+    ONE sample), then the K smallest via orderBy().limit() —
+    TakeOrderedAndProject per-partition heaps, NO window, no global
+    sort.  Exact companions computed alongside; everything BIGINT."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = hash_bucket(
+        F.concat(F.lit("kmv#"), F.col("user_id").cast("string")), _KMV_M
+    )
+    flags = (
+        ev.select(
+            h.alias("h"),
+            (F.col("event_type") == "click").cast("int").alias("in_a"),
+            (F.col("event_type") == "purchase").cast("int").alias("in_b"),
+        )
+        .groupBy("h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    top = flags.orderBy("h").limit(_KMV_K)
+    sample = top.agg(
+        F.max("h").alias("kth"),
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("c_inter"),
+    )
+    totals = flags.agg(
+        F.count("*").alias("n_h"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_h"),
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("a"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("b"),
+        )
+        .agg(
+            F.count("*").alias("n_union_exact"),
+            F.sum(F.col("a") * F.col("b")).alias("n_inter_exact"),
+        )
+    )
+    est_union = F.when(F.col("n_h") < _KMV_K, F.col("n_h")).otherwise(
+        F.expr(f"div({_KMV_K - 1}L * {_KMV_M}L, kth)")
+    )
+    rep = (
+        ex.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(sample))
+        .withColumn("est_union", est_union.cast("long"))
+    )
+    est_inter = F.when(
+        F.col("n_h") < _KMV_K, F.col("n_inter_h")
+    ).otherwise(F.expr("div(c_inter * est_union, n_kept)"))
+    return rep.select(
+        "n_union_exact",
+        "est_union",
+        "n_inter_exact",
+        est_inter.cast("long").alias("est_inter"),
+        F.col("c_inter").cast("long").alias("c_sample_inter"),
+    )
+
+
+def _oracle_kmv_set_ops() -> str:
+    h = hash_bucket_sql("('kmv#' || CAST(user_id AS VARCHAR))", _KMV_M)
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
+flags AS (
+  SELECT {h} AS h,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_b
+  FROM ev GROUP BY 1),
+top AS (SELECT h, in_a, in_b,
+               row_number() OVER (ORDER BY h) AS rn
+        FROM flags QUALIFY rn <= {_KMV_K}),
+sample AS (SELECT MAX(h) AS kth, COUNT(*) AS n_kept,
+                  SUM(in_a * in_b) AS c_inter FROM top),
+totals AS (SELECT COUNT(*) AS n_h, SUM(in_a * in_b) AS n_inter_h FROM flags),
+ex AS (
+  SELECT COUNT(*) AS n_union_exact, SUM(a * b) AS n_inter_exact FROM (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+    FROM ev GROUP BY user_id)),
+rep AS (
+  SELECT ex.*, totals.*, sample.*,
+         CAST(CASE WHEN totals.n_h < {_KMV_K} THEN totals.n_h
+              ELSE (CAST({_KMV_K - 1} AS BIGINT) * {_KMV_M}) // sample.kth
+              END AS BIGINT) AS est_union
+  FROM ex, totals, sample)
+SELECT CAST(n_union_exact AS BIGINT) AS n_union_exact, est_union,
+       CAST(n_inter_exact AS BIGINT) AS n_inter_exact,
+       CAST(CASE WHEN n_h < {_KMV_K} THEN n_inter_h
+            ELSE (CAST(c_inter AS BIGINT) * est_union) // n_kept
+            END AS BIGINT) AS est_inter,
+       CAST(c_inter AS BIGINT) AS c_sample_inter
+FROM rep
+"""
+
+
+QUERIES.update({
+    "sketch_kmv_distinct": QuerySpec(
+        q_sketch_kmv_distinct, _oracle_kmv_distinct(),
+        doc="KMV/theta distinct sketch per event type: K smallest portable hashes, BIGINT estimator — the whole sketch oracle-replicated",
+    ),
+    "sketch_kmv_set_ops": QuerySpec(
+        q_sketch_kmv_set_ops, _oracle_kmv_set_ops(),
+        doc="theta-sketch union/intersection estimates from one KMV sample of two segments, exact companions alongside",
     ),
 })
 

@@ -593,9 +593,12 @@ def test_mutual_knn_no_new_exchange_beyond_knn(specs, spark, sf_dir):
 
 def test_bloom_join_filter_broadcasts_position_set(specs, spark, sf_dir):
     # the m-bounded position set must reach the probe side as a
-    # broadcast; no nested loop, no Python
+    # broadcast; no Python, no data-sized nested loop.  The allowed
+    # BNLJs are the 1-row absent-offset scalar broadcast (max(key)+1,
+    # the r6 collision fix) — a cross join against one row, not a
+    # quadratic join.
     df = _run(specs, spark, sf_dir, "sketch_bloom_join_filter")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    assert_plan(df, BroadcastNestedLoopJoin=0, CartesianProduct=0,
+    assert_plan(df, BroadcastNestedLoopJoin=2, CartesianProduct=0,
                 ArrowEvalPython=0, BatchEvalPython=0)
