@@ -2374,6 +2374,99 @@ FROM rep
 """
 
 
+def q_rollup_kmv_weekly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup, merge proven LOSSLESS by the oracle: the
+    Spark side builds per-DAY KMV sketches and merges them into weekly
+    estimates (union the ≤ K values per day, re-take the K smallest);
+    the DuckDB oracle computes each week DIRECTLY from raw keys.  The
+    two hash-match because any hash among a week's K smallest is among
+    its own day's K smallest — the mergeability theorem, made a driver
+    assertion.  This is the property HLL rollups (rollup_hll_daily) can
+    only bound-check; the KMV state is ≤ K BIGINTs per day and merges
+    associatively across partitions, days, or datacenters.
+
+    Scale shape: one distinct shuffle on (day, h); per-day top-K salted
+    two-stage; the weekly merge ranks ≤ 7·K rows per week."""
+    ev = load(spark, sf_dir, "events")
+    h = hash_bucket(
+        F.concat(F.lit("kmv#"), F.col("user_id").cast("string")), _KMV_M
+    )
+    d = (
+        ev.select(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+            F.to_date("ts").alias("day"),
+            h.alias("h"),
+        )
+        .distinct()
+    )
+    w1 = W.partitionBy("day", F.pmod(F.col("h"), F.lit(8))).orderBy("h")
+    w2 = W.partitionBy("day").orderBy("h")
+    daily = (
+        d.withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= _KMV_K)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("week", "day", "h")
+    )
+    # merge: K smallest of the union of the week's daily sketches
+    wm = W.partitionBy("week").orderBy("h")
+    merged = (
+        daily.select("week", "h").distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _KMV_K)
+    )
+    sk = merged.groupBy("week").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+        F.count("*").alias("n_kept"),
+    )
+    ex = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.count_distinct("user_id").alias("n_exact"))
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"div({_KMV_K - 1}L * {_KMV_M}L, kth)")
+    )
+    return (
+        ex.join(F.broadcast(sk), "week")
+        .withColumn("est_users", est.cast("long"))
+        .select(
+            "week",
+            "n_exact",
+            "est_users",
+            F.expr(
+                "div(abs(est_users - n_exact) * 1000000L, n_exact)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def _oracle_kmv_weekly() -> str:
+    # DIRECT weekly sketches from raw keys — hash-matching the Spark
+    # side's daily-merge path is the mergeability proof.
+    h = hash_bucket_sql("('kmv#' || CAST(user_id AS VARCHAR))", _KMV_M)
+    return f"""
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, {h} AS h
+  FROM events),
+topk AS (
+  SELECT week, h, row_number() OVER (PARTITION BY week ORDER BY h) AS rn
+  FROM d QUALIFY rn <= {_KMV_K}),
+sk AS (SELECT week, MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+              COUNT(*) AS n_kept FROM topk GROUP BY week),
+ex AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+              COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1),
+rep AS (
+  SELECT ex.week, ex.n_exact,
+         CAST(CASE WHEN sk.n_kept < {_KMV_K} THEN sk.n_kept
+              ELSE (CAST({_KMV_K - 1} AS BIGINT) * {_KMV_M}) // sk.kth
+              END AS BIGINT) AS est_users
+  FROM ex JOIN sk USING (week))
+SELECT week, n_exact, est_users,
+       (abs(est_users - n_exact) * CAST(1000000 AS BIGINT)) // n_exact
+         AS err_ppm
+FROM rep
+"""
+
+
 QUERIES.update({
     "sketch_kmv_distinct": QuerySpec(
         q_sketch_kmv_distinct, _oracle_kmv_distinct(),
@@ -2382,6 +2475,10 @@ QUERIES.update({
     "sketch_kmv_set_ops": QuerySpec(
         q_sketch_kmv_set_ops, _oracle_kmv_set_ops(),
         doc="theta-sketch union/intersection estimates from one KMV sample of two segments, exact companions alongside",
+    ),
+    "rollup_kmv_weekly_users": QuerySpec(
+        q_rollup_kmv_weekly_users, _oracle_kmv_weekly(),
+        doc="daily KMV sketches merged into weekly estimates vs the oracle's direct weekly build — sketch mergeability as a driver assertion",
     ),
 })
 

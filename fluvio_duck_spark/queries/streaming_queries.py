@@ -1532,3 +1532,104 @@ def _wire_stream_neardup_incremental_oracle() -> None:
 
 
 _wire_stream_neardup_incremental_oracle()
+
+
+def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained KMV/theta distinct sketch per event type:
+    each micro-batch's distinct hashes merge into a parquet-backed state
+    of <= K values per type (union + re-top-K, the associative sketch
+    merge — the same operation the batch rollup uses across days), so
+    the state is BOUNDED regardless of stream length, unlike an exact
+    streaming distinct whose state grows with the key space.  Shares the
+    batch oracle: the stream-maintained sketch must equal the one-shot
+    batch sketch bit-for-bit (merge order irrelevant — mergeability is
+    the contract).  Exact companions (n_exact, err_ppm) are audit
+    columns computed batch-side from the same fixture.
+
+    Scale shape per batch: distinct on (type, h), salted two-stage
+    top-K (stage 1 bounds every window task at K per salt slice), <=
+    |types|*K rows rewritten per trigger."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+    from fluvio_duck_spark.queries.pipeline import _KMV_K, _KMV_M
+    from fluvio_duck_spark.sources.tables import load
+
+    state_dir = _run_dir("kmvstream", "state")
+    st_schema = "event_type string, h long"
+
+    def apply_batch(batch_df, _bid) -> None:
+        h = hash_bucket(
+            F.concat(F.lit("kmv#"), F.col("user_id").cast("string")), _KMV_M
+        )
+        cand = batch_df.select("event_type", h.alias("h")).distinct()
+        if os.path.isdir(state_dir):
+            prior = spark.read.schema(st_schema).parquet(state_dir)
+            cand = cand.unionByName(prior).distinct()
+        w1 = W.partitionBy(
+            "event_type", F.pmod(F.col("h"), F.lit(8))
+        ).orderBy("h")
+        w2 = W.partitionBy("event_type").orderBy("h")
+        new_state = (
+            cand.withColumn("rn1", F.row_number().over(w1))
+            .filter(F.col("rn1") <= _KMV_K)
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("event_type", "h")
+            .localCheckpoint(eager=True)  # sever lineage before overwrite
+        )
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        event_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _run_dir("kmvstream", "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    state = spark.read.schema(st_schema).parquet(state_dir)
+    w = W.partitionBy("event_type").orderBy("h")
+    sk = (
+        state.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    ex = load(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    est = F.when(F.col("n_kept") < _KMV_K, F.col("n_kept")).otherwise(
+        F.expr(f"div({_KMV_K - 1}L * {_KMV_M}L, kth)")
+    )
+    return (
+        ex.join(F.broadcast(sk), "event_type")
+        .withColumn("est_users", est.cast("long"))
+        .select(
+            "event_type",
+            "n_exact",
+            "est_users",
+            F.expr(
+                "div(abs(est_users - n_exact) * 1000000L, n_exact)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def _wire_stream_kmv_oracle() -> None:
+    from fluvio_duck_spark.queries.pipeline import _oracle_kmv_distinct
+
+    QUERIES["stream_kmv_distinct"] = QuerySpec(
+        q_stream_kmv_distinct,
+        _oracle_kmv_distinct(),  # shared: stream-merged sketch == batch sketch
+        doc="continuously-maintained KMV distinct sketch (bounded parquet state, associative merge per batch) — shares the batch oracle",
+    )
+
+
+_wire_stream_kmv_oracle()
