@@ -602,3 +602,45 @@ def test_bloom_join_filter_broadcasts_position_set(specs, spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert_plan(df, BroadcastNestedLoopJoin=2, CartesianProduct=0,
                 ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_kmv_distinct_windows_are_salt_bounded(specs, spark, sf_dir):
+    # KMV sketch: one distinct shuffle, then the salted two-stage top-K —
+    # both Window ops are bounded (salt slice / ≤ 8·K survivors); dims
+    # join broadcast, no Python
+    df = _run(specs, spark, sf_dir, "sketch_kmv_distinct")
+    ops = assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0,
+                      BatchEvalPython=0)
+    assert ops["Window"] == 2
+
+
+def test_kmv_set_ops_heap_not_window(specs, spark, sf_dir):
+    # the K smallest of the union come from orderBy().limit() —
+    # per-partition heaps, never a global-sort window
+    df = _run(specs, spark, sf_dir, "sketch_kmv_set_ops")
+    ops = assert_plan(df, Window=0, SortMergeJoin=0, ArrowEvalPython=0)
+    assert ops["TakeOrderedAndProject"] >= 1
+
+
+def test_kmv_weekly_merge_no_python_no_smj(specs, spark, sf_dir):
+    df = _run(specs, spark, sf_dir, "rollup_kmv_weekly_users")
+    assert_plan(df, SortMergeJoin=0, ArrowEvalPython=0, BatchEvalPython=0)
+
+
+def test_compressibility_companion_single_python_pass(specs, spark, sf_dir):
+    # exact proxies are JVM expressions; zlib is ONE Arrow-batched pass
+    # riding the same scan — map-only, no shuffle
+    df = _run(specs, spark, sf_dir, "text_compressibility_companion")
+    assert_plan(df, Exchange=0, ArrowEvalPython=1, BatchEvalPython=0)
+
+
+def test_partitioned_fold_is_partition_keyed(specs, spark, sf_dir):
+    # the -e partitioned=true fold must key its window shuffle by the
+    # Fluvio partition — never the serial fold's SinglePartition funnel
+    from fluvio_duck_spark.plans import executed_plan
+
+    df = _run(specs, spark, sf_dir, "consume_aggregate_fold_partitioned")
+    plan = executed_plan(df)
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(partition" in plan
