@@ -134,6 +134,16 @@ _DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
                     | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
                     | _DRIVER_VERIFIED_R05)
 
+#: Queries REGISTERED this round: ordered after the never-checked
+#: remainder (but before verified ones) so a ~50-name driver sample
+#: closes lifetime coverage of the pre-existing registry FIRST — the 50
+#: r1–r5 stragglers must not be crowded out by brand-new entries.
+_NEW_THIS_ROUND = frozenset({
+    "consume_aggregate_fold_partitioned", "text_compressibility_companion",
+    "sketch_kmv_distinct", "sketch_kmv_set_ops", "rollup_kmv_weekly_users",
+    "stream_kmv_distinct",
+})
+
 
 def all_queries() -> dict[str, QuerySpec]:
     from fluvio_duck_spark.queries import (
@@ -153,7 +163,14 @@ def all_queries() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(module.QUERIES)
-    # Never-driver-verified entries first (see _DRIVER_VERIFIED).
-    ordered = {k: v for k, v in merged.items() if k not in _DRIVER_VERIFIED}
+    # Never-driver-verified entries first (see _DRIVER_VERIFIED), with
+    # this round's brand-new registrations after the older remainder.
+    ordered = {
+        k: v for k, v in merged.items()
+        if k not in _DRIVER_VERIFIED and k not in _NEW_THIS_ROUND
+    }
+    ordered.update(
+        (k, v) for k, v in merged.items() if k in _NEW_THIS_ROUND
+    )
     ordered.update((k, v) for k, v in merged.items() if k in _DRIVER_VERIFIED)
     return ordered
