@@ -19,6 +19,7 @@ from fluvio_duck_spark.operators.events import (
     cohort_retention,
     funnel_stages,
 )
+from fluvio_duck_spark.functions.exact import dmul
 from fluvio_duck_spark.operators.dsir import hash_bucket, hash_bucket_sql
 from fluvio_duck_spark.operators.grouped import robust_scale_grouped
 from fluvio_duck_spark.operators.similarity import group_centroids
@@ -3604,6 +3605,128 @@ QUERIES.update({
     "ivm_delta_agg": QuerySpec(
         q_ivm_delta_agg, ORACLE_IVM_DELTA,
         doc="incremental view maintenance: exact DECIMAL merge/retract + affected-group min recompute ≡ full refresh",
+    ),
+})
+
+
+def q_ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-join algebra
+    Δ(A⋈B) = ΔA⋈B ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, beyond ivm_delta_agg's
+    aggregate-only maintenance: the orders⋈lineitem revenue view is
+    built over base snapshots of BOTH sides (orderkey %7≠3 /
+    linenumber ≠ 4), then one insert batch per side arrives and the
+    view is extended with the three delta joins — each joins an
+    increment against a snapshot, so at 100 TB the maintenance cost is
+    |ΔA|·fanout + |ΔB|·fanout + |ΔA⋈ΔB|, never a rescan of A⋈B.  The
+    per-priority DECIMAL rollup of the maintained view hash-matches
+    the oracle's from-scratch join over the final relations — the
+    refresh-equivalence proof.  The base snapshot is checkpointed once
+    so the three delta joins and the report don't re-derive it."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a_old = o.filter(F.col("o_orderkey") % 7 != 3)
+    da = o.filter(F.col("o_orderkey") % 7 == 3)
+    b_old = li.filter(F.col("l_linenumber") != 4)
+    db = li.filter(F.col("l_linenumber") == 4)
+
+    def j(a, b):
+        return a.join(b, a.o_orderkey == b.l_orderkey).select(
+            "o_orderpriority",
+            dmul(F.col("l_extendedprice"), F.lit(1) - F.col("l_discount"))
+            .alias("rev"),
+        )
+
+    view = j(a_old, b_old).localCheckpoint(eager=True)
+    maintained = (
+        view.unionByName(j(da, b_old))
+        .unionByName(j(a_old, db))
+        .unionByName(j(da, db))
+    )
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+
+
+ORACLE_IVM_DELTA_JOIN = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - l_discount AS DECIMAL(9,4))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+QUERIES.update({
+    "ivm_delta_join": QuerySpec(
+        q_ivm_delta_join, ORACLE_IVM_DELTA_JOIN,
+        doc="delta-join view maintenance: ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB extends the materialized join ≡ full refresh",
+    ),
+})
+
+
+def q_events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of the event log — the measurement that
+    TELLS you what watermark to set: within each Fluvio partition
+    (arrival order = offset order), a record's lateness is how far its
+    event time sits behind the running maximum event time already
+    delivered on that partition.  The report (per event type: rows,
+    late rows, late beyond 1 h / 6 h, max lateness) is exactly the
+    input to choosing `withWatermark` — a 6 h watermark drops the
+    `late_6h` count, keeps state for everything else.  All lateness in
+    integer milliseconds (unix_millis / epoch_ms), exact in both
+    engines.
+
+    Scale shape: ONE window keyed by partition (cardinality = the
+    topic's partition count, which grows with the cluster — each task
+    scans its own partition's arrival sequence once), then a map-only
+    lateness projection and a per-type aggregate."""
+    ev = load(spark, sf_dir, "events")
+    part = (F.col("user_id") % 4).cast("int")
+    w = (
+        W.partitionBy(part)
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    run_max = F.max(F.unix_timestamp(F.col("ts"))).over(w)
+    late_s = F.greatest(
+        run_max - F.unix_timestamp(F.col("ts")), F.lit(0)
+    ).alias("late_s")
+    lat = ev.select("event_type", late_s)
+    return lat.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum((F.col("late_s") > 0).cast("int")).alias("n_late"),
+        F.sum((F.col("late_s") > 3600).cast("int")).alias("n_late_1h"),
+        F.sum((F.col("late_s") > 6 * 3600).cast("int")).alias("n_late_6h"),
+        F.max("late_s").alias("max_late_s"),
+    )
+
+
+ORACLE_OUT_OF_ORDER = """
+WITH lat AS (
+  SELECT event_type,
+         greatest(COALESCE(MAX(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             PARTITION BY user_id % 4 ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - CAST(floor(epoch(ts)) AS BIGINT), 0), 0) AS late_s
+  FROM events)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(SUM(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_1h,
+       CAST(SUM(CASE WHEN late_s > 6 * 3600 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late_6h,
+       CAST(MAX(late_s) AS BIGINT) AS max_late_s
+FROM lat GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "events_out_of_order_audit": QuerySpec(
+        q_events_out_of_order_audit, ORACLE_OUT_OF_ORDER,
+        doc="per-partition arrival-order lateness profile (integer ms) — the watermark-sizing measurement",
     ),
 })
 
