@@ -192,6 +192,12 @@ EXTENDED = [
     "ts_anomaly_mad",
     "consume_aggregate_fold_partitioned",
     "text_compressibility_companion",
+    "sketch_kmv_distinct",
+    "sketch_kmv_set_ops",
+    "rollup_kmv_weekly_users",
+    "stream_kmv_distinct",
+    "ivm_delta_join",
+    "events_out_of_order_audit",
 ]
 
 
