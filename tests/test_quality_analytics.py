@@ -126,3 +126,56 @@ def test_interp_fill_convexity_and_spine(spark, sf_dir):
     out = {r.ts.hour: (r.filled, r.filled_src)
            for r in interp_fill(df, "k", "ts", "v").collect()}
     assert out[1] == (1.0 + (13.0 - 1.0) * (1.0 / 4.0), "interp")
+
+
+def test_kmv_small_population_is_exact(spark):
+    """When a group owns fewer than K distinct keys, the KMV 'sketch'
+    stores every hash and the estimate must equal the distinct-hash
+    count exactly (the CASE n < K branch), not the (K-1)*M/kth
+    extrapolation.  Built on a tiny in-memory events stand-in run
+    through the registered query's own logic via a temp view."""
+    import duckdb
+
+    from fluvio_duck_spark.queries.pipeline import _KMV_K, q_sketch_kmv_distinct
+
+    # 30 users (< K=64) in one type, 200 (> K) in another
+    rows = [(i, "2024-01-01 00:00:00", i % 30, "small", 1.0, "{}") for i in range(100)]
+    rows += [(1000 + i, "2024-01-01 00:00:00", 500 + i, "big", 1.0, "{}")
+             for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "events.parquet"))
+        out = {r.event_type: r for r in q_sketch_kmv_distinct(spark, td).collect()}
+    small = out["small"]
+    assert small.n_exact == 30
+    # fewer than K distinct users → estimate is the exact distinct-hash
+    # count (hash collisions can only lower it, never raise it)
+    assert small.est_users <= 30 and small.est_users >= 28
+    big = out["big"]
+    assert big.n_exact == 200
+    assert big.est_users != big.n_exact or big.err_ppm == 0  # extrapolated
+
+
+def test_streaming_run_dir_wipes_and_registers_cleanup():
+    """_run_dir must return the SAME path per (name, kind) within a
+    process, wipe any prior contents (the fresh-checkpoint contract),
+    and root everything under one per-process dir."""
+    import os
+
+    from fluvio_duck_spark.queries.streaming_queries import _run_dir
+
+    p1 = _run_dir("t_unit", "out")
+    os.makedirs(p1)
+    marker = os.path.join(p1, "stale")
+    open(marker, "w").write("x")
+    p2 = _run_dir("t_unit", "out")
+    assert p1 == p2
+    assert not os.path.exists(marker)  # wiped on re-request
+    assert f"fluvio_duck_stream_runs_{os.getpid()}" in p1
+    assert _run_dir("t_unit", "ckpt") != p1
