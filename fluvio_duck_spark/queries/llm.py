@@ -1161,19 +1161,44 @@ GROUP BY doc_id
 
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile quality gate: keep docs at or above their language's 10th
-    quality percentile.  Scale-correct plan: the threshold is a per-lang
-    exact interpolated percentile (two-phase aggregate) joined back by
-    **broadcast** — NOT a percent_rank window, which would sort an entire
-    language stratum in one task at 100 TB."""
+    quality percentile — the DISCRETE percentile (k-th order statistic,
+    k = ⌈n/10⌉ via integer ceil-division), not an interpolated one:
+    interpolation formulas differ across engines in the last ulp on raw
+    doubles (SCALE.md trap #7), while the order statistic is selected
+    with pure integer count arithmetic over ppm-quantized scores —
+    tie-free by construction on both engines.
+
+    Scale-correct plan: the threshold comes from a (lang, qppm) VALUE
+    HISTOGRAM — one grouped aggregate over the corpus, then a per-lang
+    cumulative window over the histogram (≤ 1e6 ppm values per lang by
+    quantization, never corpus-sized) — joined back by **broadcast**.
+    NOT a percent_rank window, which would sort an entire language
+    stratum in one task at 100 TB."""
+    from pyspark.sql import Window as W
+
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", quality_score("text").alias("quality_score")
     )
-    thr = docs.groupBy("lang").agg(
-        F.expr("percentile(quality_score, 0.1)").alias("thr")
+    q = docs.withColumn(
+        "qppm", F.floor(F.col("quality_score") * 1000000).cast("long")
+    )
+    hist = q.groupBy("lang", "qppm").agg(F.count("*").alias("c"))
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy("qppm")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    n = q.groupBy("lang").agg(F.count("*").alias("n"))
+    thr = (
+        cum.join(F.broadcast(n), "lang")
+        .filter(F.col("cum") >= F.expr("div(n + 9, 10)"))
+        .groupBy("lang")
+        .agg(F.min("qppm").alias("thr"))
     )
     return (
-        docs.join(F.broadcast(thr), "lang")
-        .filter(F.col("quality_score") >= F.col("thr"))
+        q.join(F.broadcast(thr), "lang")
+        .filter(F.col("qppm") >= F.col("thr"))
         .select("doc_id", "lang", "quality_score")
     )
 
@@ -1190,10 +1215,22 @@ q AS (SELECT doc_id, lang,
              least(sw * 4.0, 1.0) * 0.5
                + (1.0 - least(abs(mtl - 5.0) / 5.0, 1.0)) * 0.5 AS quality_score
       FROM t),
-thr AS (SELECT lang, quantile_cont(quality_score, 0.1) AS thr FROM q GROUP BY lang)
+q2 AS (SELECT doc_id, lang, quality_score,
+              CAST(floor(quality_score * 1000000) AS BIGINT) AS qppm
+       FROM q),
+hist AS (SELECT lang, qppm, COUNT(*) AS c FROM q2 GROUP BY lang, qppm),
+cum AS (SELECT lang, qppm,
+               SUM(c) OVER (PARTITION BY lang ORDER BY qppm
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM hist),
+n AS (SELECT lang, COUNT(*) AS n FROM q2 GROUP BY lang),
+thr AS (SELECT lang, MIN(qppm) AS thr
+        FROM cum JOIN n USING (lang)
+        WHERE cum >= (n + 9) // 10 GROUP BY lang)
 SELECT doc_id, lang, quality_score
-FROM q JOIN thr USING (lang)
-WHERE quality_score >= thr
+FROM q2 JOIN thr USING (lang)
+WHERE qppm >= thr
 """
 
 
