@@ -205,6 +205,12 @@ def main() -> None:
     from fluvio_duck_spark.queries import all_queries
     from fluvio_duck_spark.session import get_spark
 
+    # Record the box load at bench start: two rounds of "drift" alarms
+    # (r4, r6) were runs under residual load from a prior test/verify
+    # session, diagnosed only by idle-box re-locks after the fact.  A
+    # loadavg in the record makes a noisy run self-documenting.
+    load1, load5, _ = os.getloadavg()
+
     spark = get_spark("fluvio-duck-spark-bench")
     specs = all_queries()
     bench_dir = prep_bench_data(spark, SF_DIR)
@@ -287,6 +293,7 @@ def main() -> None:
                 "queries_warm": warm,
                 "warm_total_sec": round(sum(warm.values()), 3),
                 "sf": sf_val,
+                "loadavg_at_start": [round(load1, 2), round(load5, 2)],
             }
         )
     )
