@@ -589,3 +589,48 @@ def test_neardup_incremental_batch_split_invariance(spark, sf_dir):
     ]
     for batch_filters in cases:
         assert run_split(batch_filters) == direct
+
+
+def test_kmv_merge_is_batch_split_invariant(spark, sf_dir):
+    """The streaming KMV state (union prior + batch distinct, re-top-K)
+    must equal the one-shot top-K for ANY batch split and ANY delivery
+    order — the associative-merge contract that lets the same sketch
+    roll up across micro-batches, days, or datacenters."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+    from fluvio_duck_spark.queries.pipeline import _KMV_K, _KMV_M
+    from fluvio_duck_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    h = hash_bucket(
+        F.concat(F.lit("kmv#"), F.col("user_id").cast("string")), _KMV_M
+    )
+    d = ev.select("event_type", h.alias("h"), "event_id")
+
+    def topk(df):
+        w = W.partitionBy("event_type").orderBy("h")
+        return (
+            df.select("event_type", "h").distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("event_type", "h")
+        )
+
+    direct = {tuple(r) for r in topk(d).collect()}
+    assert len(direct) > 0
+
+    cases = [
+        [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1],
+        # reversed thirds — high offsets first
+        [F.col("event_id") % 3 == 2, F.col("event_id") % 3 == 0,
+         F.col("event_id") % 3 == 1],
+    ]
+    for filters in cases:
+        state = None
+        for flt in filters:
+            batch = d.filter(flt).select("event_type", "h").distinct()
+            cand = batch if state is None else batch.unionByName(state)
+            state = topk(cand).localCheckpoint(eager=True)
+        assert {tuple(r) for r in state.collect()} == direct
