@@ -101,6 +101,7 @@ def ngram_jaccard_pairs_prefix(
     threshold_den: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_counts: bool = False,
 ) -> DataFrame:
     """EXACT Jaccard-over-shingles pairs ≥ threshold via PREFIX
     FILTERING (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs /
@@ -193,7 +194,7 @@ def ngram_jaccard_pairs_prefix(
     jac = F.col("common").cast("double") / (
         F.col("na") + F.col("nb") - F.col("common")
     )
-    return (
+    surviving = (
         common.join(za, "doc_a")
         .join(zb, "doc_b")
         .filter(
@@ -201,8 +202,14 @@ def ngram_jaccard_pairs_prefix(
             >= F.lit(threshold_num)
             * (F.col("na") + F.col("nb") - F.col("common"))
         )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
+    if keep_counts:
+        # expose the integer evidence (common, na, nb) so downstream
+        # banding/calibration can stay in tie-free integer arithmetic
+        return surviving.select(
+            "doc_a", "doc_b", "common", "na", "nb", jac.alias("jaccard")
+        )
+    return surviving.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
 def ngram_containment_pairs_prefix(

@@ -142,6 +142,7 @@ _NEW_THIS_ROUND = frozenset({
     "consume_aggregate_fold_partitioned", "text_compressibility_companion",
     "sketch_kmv_distinct", "sketch_kmv_set_ops", "rollup_kmv_weekly_users",
     "stream_kmv_distinct", "ivm_delta_join", "events_out_of_order_audit",
+    "dedup_threshold_calibration",
 })
 
 

@@ -3166,6 +3166,71 @@ def q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration — the report a pipeline owner reads
+    BEFORE choosing a near-dup cutoff: ONE pass of the prefix-filtered
+    exact Jaccard machinery at the loosest candidate threshold (1/2),
+    banded into the operating points ([0.5,0.7), [0.7,0.9), [0.9,1.0])
+    with exact pair counts and the ppm-floored jaccard range per band.
+    Band tests are pure integer arithmetic (10·common vs 7·union /
+    9·union), so the banding is tie-free on both engines; the jaccard
+    range is floor-ppm of identical doubles (trap #1).  Plan: the same
+    PPJoin prefix bound as dedup_jaccard_prefix (wider prefix at t=0.5,
+    still candidate-bounded), then a 3-row aggregate."""
+    from fluvio_duck_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    pairs = ngram_jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), k=5,
+        threshold_num=1, threshold_den=2, keep_counts=True,
+    )
+    u = F.col("na") + F.col("nb") - F.col("common")
+    band = (
+        F.when(F.lit(10) * F.col("common") >= F.lit(9) * u, "[0.9,1.0]")
+        .when(F.lit(10) * F.col("common") >= F.lit(7) * u, "[0.7,0.9)")
+        .otherwise("[0.5,0.7)")
+    )
+    jppm = F.floor(F.col("jaccard") * 1000000).cast("long")
+    return (
+        pairs.select(band.alias("band"), jppm.alias("jppm"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jppm").alias("min_jaccard_ppm"),
+            F.max("jppm").alias("max_jaccard_ppm"),
+        )
+    )
+
+
+ORACLE_THRESHOLD_CALIBRATION = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])))) AS s
+  FROM w),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+  FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT c, (sa.n + sb.n - c) AS u,
+         CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 2 * c >= 1 * (sa.n + sb.n - c)),
+banded AS (
+  SELECT CASE WHEN 10 * c >= 9 * u THEN '[0.9,1.0]'
+              WHEN 10 * c >= 7 * u THEN '[0.7,0.9)'
+              ELSE '[0.5,0.7)' END AS band,
+         CAST(floor(jaccard * 1000000) AS BIGINT) AS jppm
+  FROM pairs)
+SELECT band, COUNT(*) AS n_pairs,
+       MIN(jppm) AS min_jaccard_ppm, MAX(jppm) AS max_jaccard_ppm
+FROM banded GROUP BY band
+"""
+
+
 #: the UNBOUNDED exact form — prefix filtering must reproduce it exactly
 ORACLE_JACCARD_PREFIX = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -3662,6 +3727,10 @@ QUERIES.update({
     "dedup_jaccard_prefix": QuerySpec(
         q_jaccard_prefix, ORACLE_JACCARD_PREFIX,
         doc="prefix-filtered EXACT Jaccard pairs (AllPairs/PPJoin bound) — equals the unbounded all-pairs result",
+    ),
+    "dedup_threshold_calibration": QuerySpec(
+        q_dedup_threshold_calibration, ORACLE_THRESHOLD_CALIBRATION,
+        doc="near-dup threshold calibration: one prefix-join pass at t=0.5 banded into the candidate cutoffs, integer-tie-free",
     ),
     "text_bpe_encode": QuerySpec(
         q_bpe_encode, _bpe_encode_oracle(6),
