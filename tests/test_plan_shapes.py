@@ -648,3 +648,10 @@ def test_partitioned_fold_is_partition_keyed(specs, spark, sf_dir):
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
     assert "hashpartitioning(partition" in plan
+
+
+def test_threshold_calibration_no_python_no_cartesian(specs, spark, sf_dir):
+    # one PPJoin prefix pass + 3-row aggregate: all-JVM, candidate-bounded
+    df = _run(specs, spark, sf_dir, "dedup_threshold_calibration")
+    assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
+                CartesianProduct=0, BroadcastNestedLoopJoin=0)
