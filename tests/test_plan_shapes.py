@@ -120,17 +120,19 @@ def test_part_value_share_broadcast_scalar_reuses_exchange(specs, spark, sf_dir)
 
 
 _GLOBAL_WINDOW_WHITELIST = {
-    # Documented tiny-totals / reference-faithful cases: a global window
-    # is acceptable ONLY over a relation whose cardinality is bounded by
-    # construction (sources, partitions, rerank shortlists), or where the
-    # reference itself folds serially.  Everything else must use the
-    # 1-row-aggregate + crossJoin(broadcast(...)) pattern
-    # (operators/ranking.py::quantile_bins is the canonical form).
-    "operators/sampling.py",   # temperature totals over |sources| rows
-    "operators/chunking.py",   # pack prefix over |partitions| rows
-    "operators/ranking.py",    # global_rank prefix over |partitions| rows
-    "transforms.py",           # reference-faithful serial fold (src/consume.rs:687)
-    "queries/llm.py",          # RRF rerank over two k-row shortlists
+    # Documented tiny-totals / reference-faithful cases — file → EXACT
+    # occurrence count, so a NEW global window in an already-whitelisted
+    # file still fails.  A global window is acceptable ONLY over a
+    # relation whose cardinality is bounded by construction (sources,
+    # partitions, rerank shortlists), or where the reference itself
+    # folds serially.  Everything else must use the 1-row-aggregate +
+    # crossJoin(broadcast(...)) pattern (operators/ranking.py::
+    # quantile_bins is the canonical form).
+    "operators/sampling.py": 1,  # temperature totals over |sources| rows
+    "operators/chunking.py": 1,  # pack prefix over |partitions| rows
+    "operators/ranking.py": 1,   # global_rank prefix over |partitions| rows
+    "transforms.py": 1,          # reference-faithful serial fold (src/consume.rs:687)
+    "queries/llm.py": 2,         # RRF rerank over two k-row shortlists
 }
 
 
@@ -141,19 +143,21 @@ def test_no_unwhitelisted_global_windows():
     # rewritten broadcast-scalar or argued into the whitelist above.
     import pathlib
     import re
+    from collections import Counter
 
     root = pathlib.Path(__file__).resolve().parents[1] / "fluvio_duck_spark"
     pat = re.compile(r"(?:Window|W)\.(?:partitionBy\(\)|orderBy\()")
-    offenders = set()
+    offenders: Counter = Counter()
     for py in root.rglob("*.py"):
         rel = py.relative_to(root).as_posix()
         for line in py.read_text().splitlines():
             if pat.search(line) and not line.lstrip().startswith("#"):
-                offenders.add(rel)
-    assert offenders <= _GLOBAL_WINDOW_WHITELIST, (
-        f"unwhitelisted global windows in {offenders - _GLOBAL_WINDOW_WHITELIST}; "
-        "use the 1-row-agg + crossJoin(F.broadcast(...)) pattern or justify "
-        "a whitelist entry (bounded cardinality only)"
+                offenders[rel] += 1
+    assert dict(offenders) == _GLOBAL_WINDOW_WHITELIST, (
+        f"global-window census drift: {dict(offenders)} != whitelist "
+        f"{_GLOBAL_WINDOW_WHITELIST}; use the 1-row-agg + "
+        "crossJoin(F.broadcast(...)) pattern or justify a whitelist entry "
+        "(bounded cardinality only)"
     )
 
 
