@@ -198,6 +198,7 @@ EXTENDED = [
     "stream_kmv_distinct",
     "ivm_delta_join",
     "events_out_of_order_audit",
+    "dedup_threshold_calibration",
 ]
 
 
