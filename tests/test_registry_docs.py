@@ -124,3 +124,27 @@ def test_bench_extended_sidecar_in_sync_with_bench_list():
     )
     qs = all_queries()
     assert sidecar <= set(qs)
+
+
+def test_plan_census_covers_registry():
+    """plan_census.json (scripts/plan_census.py) must cover every
+    registered query: registering a new query without re-running the
+    census would leave the registry-wide anti-pattern audit stale —
+    the census is how a smuggled cartesian join or row-Python pass is
+    caught without a dedicated plan test."""
+    import json
+
+    with open(os.path.join(_REPO, "plan_census.json")) as fh:
+        census = json.load(fh)
+    censused = set(census["census"])
+    registry = set(all_queries())
+    missing = registry - censused
+    assert not missing, (
+        f"plan census stale — {len(missing)} uncensused: {sorted(missing)[:5]}…; "
+        "re-run scripts/plan_census.py and commit plan_census.json"
+    )
+    assert not census["errors"]
+    # the two never-allowed anti-patterns stay absent registry-wide
+    for name, flags in census["flagged"].items():
+        assert "CartesianProduct" not in flags, name
+        assert "BatchEvalPython" not in flags, name
