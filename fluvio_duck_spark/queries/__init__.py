@@ -31,13 +31,13 @@ class QuerySpec:
 #: time-bounded driver run reaches new entries before re-checking known
 #: ones.  REFRESH THIS each round from the new CORRECTNESS_r0N.json.
 _DRIVER_VERIFIED_R02 = frozenset({
-    "above_avg_orders", "agg_conditional_priority", "agg_exact_percentiles",
+    "above_avg_orders",
     "agg_gini_by_type", "agg_promo_ratio", "agg_winsorized_mean",
     "batch_sessionize", "consume_transform_jolt_full", "correlated_small_quantity",
     "dedup_semantic", "join_anti", "join_asof_nearest",
     "join_full_outer", "join_large_orders", "join_left_order_counts",
     "join_rich_idle_customers", "join_semi", "join_topk_shipping",
-    "ngram_corpus_topk", "pack_concat_sequences", "pivot_qty_by_status",
+    "ngram_corpus_topk", "pivot_qty_by_status",
     "rollup_cascade_daily", "rollup_hist_percentiles", "rollup_hll_daily_users",
     "rollup_hourly", "rollup_ohlc_bars", "sample_stratified_quota",
     "sample_temperature_mixture", "sample_weighted_quota", "scalar_array_funcs",
@@ -130,20 +130,47 @@ _DRIVER_VERIFIED_R05 = frozenset({
     "window_locf_fill", "window_trailing_features",
 })
 
+_DRIVER_VERIFIED_R06 = frozenset({
+    'ab_welch_ttest', 'agg_bool_family', 'attrib_first_last_touch',
+    'audit_table_checksum', 'basket_copurchase_lift', 'cdc_roundtrip_identity',
+    'er_fuzzy_join_parts', 'eval_cohens_kappa', 'events_attribution',
+    'events_dau_wau', 'events_journey_patterns', 'events_markov_transitions',
+    'events_pareto_share', 'events_rfm_segments', 'forecast_backtest_mape',
+    'funnel_time_to_convert', 'geo_route_distance', 'graph_kcore',
+    'graph_triangles', 'ivm_delta_agg', 'join_not_in_nullaware',
+    'join_point_in_time', 'merge_upsert_apply', 'pareto_skyline',
+    'privacy_k_anonymity', 'quality_expectations', 'rollup_gapfill_interp',
+    'rollup_hll_sliding_wau', 'scalar_map_funcs', 'scalar_try_funcs',
+    'sessions_journey_patterns', 'sink_compacted_roundtrip', 'sink_partitioned_export',
+    'sketch_bloom_join_filter', 'sketch_cms_users', 'sketch_segment_overlap',
+    'snapshot_diff', 'source_csv_parity', 'source_datasource_parity',
+    'source_jsonl_parity', 'source_mapped_typed', 'source_orc_parity',
+    'source_schema_evolution', 'stats_join_estimate', 'trend_ols_by_type',
+    'ts_anomaly_mad', 'ts_autocorr_hourly', 'window_ewma',
+    'window_rolling_stats', 'window_running_distinct',
+})
+
 _DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
                     | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
-                    | _DRIVER_VERIFIED_R05)
+                    | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06)
+
+#: Queries whose LAST driver receipt is a FAIL even though the oracle was
+#: since reworked (c099ea8 made every oracle safe for pandas-based result
+#: hashing) and is locally green — ordered FIRST in ``all_queries()`` so
+#: the very next driver sample replaces the stale red with a green row.
+#: Remove a name once a post-rework CORRECTNESS row confirms it.
+_REVERIFY = frozenset({
+    "agg_conditional_priority", "agg_exact_percentiles",
+    "pack_concat_sequences",
+})
 
 #: Queries REGISTERED this round: ordered after the never-checked
 #: remainder (but before verified ones) so a ~50-name driver sample
-#: closes lifetime coverage of the pre-existing registry FIRST — the 50
-#: r1–r5 stragglers must not be crowded out by brand-new entries.
-_NEW_THIS_ROUND = frozenset({
-    "consume_aggregate_fold_partitioned", "text_compressibility_companion",
-    "sketch_kmv_distinct", "sketch_kmv_set_ops", "rollup_kmv_weekly_users",
-    "stream_kmv_distinct", "ivm_delta_join", "events_out_of_order_audit",
-    "dedup_threshold_calibration",
-})
+#: closes lifetime coverage of the pre-existing registry FIRST — older
+#: stragglers must not be crowded out by brand-new entries.  (The 9
+#: round-6 additions fell out of this set into the plain never-checked
+#: remainder when CORRECTNESS_r06 landed without sampling them.)
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, QuerySpec]:
@@ -164,12 +191,25 @@ def all_queries() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         merged.update(module.QUERIES)
-    # Never-driver-verified entries first (see _DRIVER_VERIFIED), with
-    # this round's brand-new registrations after the older remainder.
-    ordered = {
-        k: v for k, v in merged.items()
+    if not _NEW_THIS_ROUND.isdisjoint(_DRIVER_VERIFIED):
+        raise ValueError(
+            "_NEW_THIS_ROUND overlaps _DRIVER_VERIFIED: "
+            f"{_NEW_THIS_ROUND & _DRIVER_VERIFIED}"
+        )
+    if not _REVERIFY.isdisjoint(_DRIVER_VERIFIED):
+        raise ValueError(
+            f"_REVERIFY overlaps _DRIVER_VERIFIED: {_REVERIFY & _DRIVER_VERIFIED}"
+        )
+    # Ordering for a time-bounded driver sample: stale-red reverifies
+    # first, then never-driver-verified entries (see _DRIVER_VERIFIED),
+    # with this round's brand-new registrations after the older
+    # remainder, and already-verified names last.
+    ordered = {k: v for k, v in merged.items() if k in _REVERIFY}
+    ordered.update(
+        (k, v) for k, v in merged.items()
         if k not in _DRIVER_VERIFIED and k not in _NEW_THIS_ROUND
-    }
+        and k not in _REVERIFY
+    )
     ordered.update(
         (k, v) for k, v in merged.items() if k in _NEW_THIS_ROUND
     )
