@@ -29,7 +29,31 @@ from fluvio_duck_spark.functions.vectors import cosine, dot, l2_normalize
 
 
 def _query_df(df: DataFrame, query_id: int, id_col: str, vec_col: str) -> DataFrame:
-    return df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qv"))
+    # limit(1): ids are unique by contract, and the explicit limit makes
+    # the broadcast side's 1-row bound provable from the physical plan
+    # (the census BNLJ gate adjudicates on it) while letting the scan
+    # stop at the first match.
+    return (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("__qv"))
+        .coalesce(1)  # satisfies limit's single-partition need, no Exchange
+        .limit(1)
+    )
+
+
+def _check_query_rows(queries: DataFrame, max_query_rows: int) -> None:
+    """Raise if the query set exceeds ``max_query_rows``.  Bounded probe:
+    ``limit(max+1).count()`` stops scanning once the limit is hit, so the
+    guard costs O(max_query_rows) however expensive the upstream plan is
+    — never a second full evaluation of the query side."""
+    probed = queries.limit(max_query_rows + 1).count()
+    if probed > max_query_rows:
+        raise ValueError(
+            f"query side exceeds max_query_rows={max_query_rows}; a "
+            "corpus-sized query set must go through knn_graph_blocked "
+            "(blocked GEMM, neither side materialized), or raise "
+            "max_query_rows explicitly."
+        )
 
 
 def cosine_topk(
@@ -88,10 +112,15 @@ def cosine_topk_batch(
         cn = corpus.select(
             F.col(id_col), l2_normalize(F.col(vec_col)).alias("__cv")
         )
+        _check_query_rows(queries, max_query_rows)
         qn = queries.select(
             F.col(id_col).alias("query_id"),
             l2_normalize(F.col(vec_col)).alias("__qv"),
         )
+        # Never binds (guard above) but makes the broadcast side's row
+        # bound plan-provable; coalesce(1) satisfies the limit's single-
+        # partition requirement without an Exchange (query side is tiny).
+        qn = qn.coalesce(1).limit(max_query_rows)
         scored = (
             cn.crossJoin(F.broadcast(qn))
             .filter(F.col(id_col) != F.col("query_id"))
@@ -132,15 +161,7 @@ def _gemm_scores(
     import pandas as pd
 
     qcols = [id_col, vec_col] + ([label_col] if label_col else [])
-    n_queries = queries.count()
-    if n_queries > max_query_rows:
-        raise ValueError(
-            f"GEMM query side has {n_queries} rows (> max_query_rows="
-            f"{max_query_rows}); the query set is collected to the driver, "
-            "so this shape would OOM at scale. For corpus×corpus top-k use "
-            "knn_graph_blocked (blocked GEMM, neither side materialized), "
-            "or raise max_query_rows explicitly if the driver can hold it."
-        )
+    _check_query_rows(queries, max_query_rows)
     qpd = queries.select(*qcols).toPandas()
     qids = qpd[id_col].to_numpy()
     qlbl = qpd[label_col].to_numpy() if label_col else None
@@ -219,6 +240,8 @@ def ann_lsh_topk(
     q = (
         signed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("__qv"), F.col("__sig").alias("__qsig"))
+        .coalesce(1)
+        .limit(1)  # unique id by contract; plan-provable broadcast bound
     )
     probe_ok = F.col("__sig") == F.col("__qsig")
     for i in range(n_planes):
@@ -256,6 +279,8 @@ def ivf_topk(
     q = (
         df.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("__qv"), F.col(cell_col).alias("__qcell"))
+        .coalesce(1)
+        .limit(1)  # unique id by contract; plan-provable broadcast bound
     )
     return (
         df.crossJoin(F.broadcast(q))
@@ -346,6 +371,12 @@ def embedding_near_dup_pairs(
             )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if not bucketed and max_rows is not None:
+        # Never binds (the probe above already raised past max_rows) but
+        # makes the broadcast side's row bound provable from the plan —
+        # both sides, since the planner picks whichever estimates smaller.
+        a = a.coalesce(1).limit(max_rows)
+        b = b.coalesce(1).limit(max_rows)
     if bucketed:
         planes = _planes(dim, n_planes, seed)
         a = a.withColumn("__sig", lsh_signature(F.col("va"), planes))
@@ -737,7 +768,7 @@ def binary_hamming_topk(
         F.col(vec_col).alias("__qv"),
         F.col("w1").alias("__qw1"),
         F.col("w2").alias("__qw2"),
-    )
+    ).coalesce(1).limit(1)  # unique id; plan-provable broadcast bound
     cand = (
         packed.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != query_id)

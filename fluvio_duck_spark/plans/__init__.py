@@ -70,6 +70,145 @@ def assert_plan(df: DataFrame, **bounds: int) -> Counter:
     return ops
 
 
+def _jchildren(node) -> list:
+    seq = node.children()
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+#: Nodes whose output row count equals (or is bounded by) their single
+#: child's: projections, filters, sorts, exchanges, codegen wrappers…
+_PASS_THROUGH = frozenset({
+    "ProjectExec", "FilterExec", "SortExec", "CoalesceExec",
+    "ShuffleExchangeExec", "BroadcastExchangeExec", "WholeStageCodegenExec",
+    "InputAdapter", "ColumnarToRowExec", "RowToColumnarExec",
+    "AQEShuffleReadExec", "WindowExec", "WindowGroupLimitExec",
+    "DeserializeToObjectExec", "SerializeFromObjectExec", "SubqueryExec",
+    "SubqueryBroadcastExec", "QueryStageExec", "ShuffleQueryStageExec",
+    "BroadcastQueryStageExec", "TableCacheQueryStageExec",
+    "InMemoryTableScanExec",
+})
+
+_JOINS = frozenset({
+    "BroadcastNestedLoopJoinExec", "BroadcastHashJoinExec",
+    "SortMergeJoinExec", "ShuffledHashJoinExec", "CartesianProductExec",
+})
+
+
+def rows_bound(node) -> int | None:
+    """Provable upper bound on a physical node's output row count, or
+    ``None`` when the plan alone can't bound it.  This is the mechanical
+    adjudicator for BroadcastNestedLoopJoin flags (VERDICT r6 #2): the
+    sanctioned pattern — ``crossJoin(F.broadcast(<scalar agg>))`` — shows
+    up as a broadcast subtree bounded at 1 row, while a data-sized
+    nested-loop side has no bound and fails the census gate."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return rows_bound(node.inputPlan())
+    if cls == "ReusedExchangeExec":
+        # Leaf in the tree but carries a reference to the original
+        # exchange subtree — bound is the original's.
+        return rows_bound(node.child())
+    if cls in ("HashAggregateExec", "ObjectHashAggregateExec",
+               "SortAggregateExec"):
+        if node.groupingExpressions().isEmpty():
+            return 1  # scalar aggregate: exactly one row
+        return None
+    if cls == "RangeExec":
+        return int(str(node.numElements()))
+    if cls == "LocalTableScanExec":
+        return node.rows().size()
+    if cls in ("GlobalLimitExec", "CollectLimitExec",
+               "TakeOrderedAndProjectExec"):
+        return int(node.limit())
+    if cls == "LocalLimitExec":
+        child = rows_bound(_jchildren(node)[0])
+        lim = int(node.limit())
+        return lim if child is None else min(lim, child)
+    if cls == "UnionExec":
+        total = 0
+        for c in _jchildren(node):
+            b = rows_bound(c)
+            if b is None:
+                return None
+            total += b
+        return total
+    if cls in _JOINS:
+        bounds = [rows_bound(c) for c in _jchildren(node)]
+        if any(b is None for b in bounds):
+            return None
+        prod = 1
+        for b in bounds:
+            prod *= b
+        return prod
+    if cls in _PASS_THROUGH:
+        kids = _jchildren(node)
+        if len(kids) == 1:
+            return rows_bound(kids[0])
+        if not kids and hasattr(node, "plan"):  # query-stage wrappers
+            return rows_bound(node.plan())
+        return None
+    return None
+
+
+def _is_scalar_explode(node) -> bool:
+    """True when the subtree is a Generate (explode of a computed array,
+    e.g. ``sequence(min_ts, max_ts, 1 hour)``) over a provably-1-row
+    input — the gap-fill spine pattern: the broadcast volume is ONE
+    array, scaling with the value range (hours between min and max),
+    never with table row count."""
+    cls = node.getClass().getSimpleName()
+    if cls == "GenerateExec":
+        return rows_bound(_jchildren(node)[0]) == 1
+    if cls == "ReusedExchangeExec":
+        return _is_scalar_explode(node.child())
+    if cls in _PASS_THROUGH:
+        kids = _jchildren(node)
+        if len(kids) == 1:
+            return _is_scalar_explode(kids[0])
+    return False
+
+
+def bnlj_audit(df: DataFrame, max_rows: int = 262_144) -> list[dict]:
+    """One entry per BroadcastNestedLoopJoin anywhere in the plan
+    (subquery plans included): the build side, the provable row bound of
+    the broadcast subtree, and ``ok`` = bounded at ≤ ``max_rows`` rows
+    (or the scalar-explode spine shape).  An un-``ok`` entry means a
+    data-sized nested-loop join smuggled in."""
+    out: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.inputPlan())
+            return
+        if cls == "BroadcastNestedLoopJoinExec":
+            side = str(node.buildSide())
+            kids = _jchildren(node)
+            build = kids[1] if side == "BuildRight" else kids[0]
+            bound = rows_bound(build)
+            if bound is None and _is_scalar_explode(build):
+                bound = "scalar_explode"
+            out.append({
+                "build_side": side,
+                "broadcast_bound": bound,
+                "ok": bound == "scalar_explode"
+                or (bound is not None and bound <= max_rows),
+            })
+        for c in _jchildren(node):
+            walk(c)
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            sub = subs.apply(i)
+            key = sub.id()
+            if key not in seen:
+                seen.add(key)
+                walk(sub)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def join_cardinality_audit(left, right, lkey: str, rkey: str, label: str):
     """Optimizer-statistics audit: the textbook equi-join cardinality
     estimate |A|·|B| / max(ndv_A, ndv_B) next to the ACTUAL join count —

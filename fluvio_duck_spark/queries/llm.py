@@ -1415,7 +1415,12 @@ def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     from fluvio_duck_spark.functions.vectors import cosine
 
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("__qv"))
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("__qv"))
+        .coalesce(1)
+        .limit(1)  # unique id by contract; plan-provable broadcast bound
+    )
     return (
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != 0)

@@ -549,7 +549,7 @@ def q_sample_time_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds = spark.createDataFrame(
         [(i, f"2024-01-{8 + 7 * (i - 1):02d}") for i in (1, 2, 3)],
         "fold int, test_start string",
-    ).select(
+    ).limit(3).select(  # literal 3-row dim; limit = plan-provable bound
         "fold",
         F.col("test_start").cast("timestamp").alias("t0"),
         (F.col("test_start").cast("timestamp") + F.expr("INTERVAL 7 DAYS")).alias("t1"),
@@ -3204,10 +3204,15 @@ def q_sketch_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap for ANY segment pair costs one sketch union, never a rescan
     of the corpus; that's the trade this operator packages."""
     ev = load(spark, sf_dir, "events")
+    # limit(1024) = the operator's segment-count contract, made
+    # plan-provable for the census BNLJ gate: pairwise inclusion-
+    # exclusion is O(segments²), so past ~1k segments this is the wrong
+    # operator shape regardless (use a bucketed pair join); the fixture
+    # has 5 event types, the limit never binds.
     sk = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.count_distinct("user_id").alias("n"),
-    )
+    ).limit(1024)
     a, b = sk.alias("a"), sk.alias("b")
     pairs = a.join(b, F.col("a.event_type") < F.col("b.event_type")).select(
         F.col("a.event_type").alias("type_a"),

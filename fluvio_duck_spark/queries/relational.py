@@ -854,7 +854,7 @@ def q_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p25", 0.0, 25.0), ("p50", 25.0, 50.0), ("p75", 50.0, 125.0),
          ("rest", 125.0, 1e6)],
         "band string, lo double, hi double",
-    )
+    ).limit(4)  # literal 4-row dim; limit makes the bound plan-provable
     return (
         range_band_join(ev, bands, "value")
         .groupBy("band")

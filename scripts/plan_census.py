@@ -34,7 +34,7 @@ PY_OPS = ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas",
 
 
 def main() -> None:
-    from fluvio_duck_spark.plans import plan_ops
+    from fluvio_duck_spark.plans import bnlj_audit, plan_ops
     from fluvio_duck_spark.queries import all_queries
     from fluvio_duck_spark.session import get_spark
 
@@ -56,6 +56,11 @@ def main() -> None:
             "py_arrow": sum(ops.get(o, 0) for o in PY_OPS),
             "flags": {o: ops[o] for o in FLAG_OPS if ops.get(o, 0) > 0},
         }
+        if row["flags"].get("BroadcastNestedLoopJoin"):
+            # Mechanical adjudication (VERDICT r6 #2): every BNLJ's
+            # broadcast subtree must carry a provable small row bound
+            # (scalar aggregate → 1, explicit limit, literal table).
+            row["bnlj_audit"] = bnlj_audit(df)
         census[name] = row
 
     flagged = {n: r["flags"] for n, r in census.items() if r["flags"]}
@@ -74,9 +79,15 @@ def main() -> None:
     print(f"censused {len(census)} queries, {len(errors)} errors")
     print(f"flagged ({len(flagged)}):")
     for n, f in sorted(flagged.items()):
-        print(f"  {n}: {f}")
+        audit = census[n].get("bnlj_audit", [])
+        bad = [a for a in audit if not a["ok"]]
+        note = f"  UNPROVEN x{len(bad)}" if bad else ""
+        print(f"  {n}: {f}{note}")
     total_py = sum(r["py_arrow"] for r in census.values())
     print(f"arrow-python passes across registry: {total_py}")
+    unproven = {n for n, r in census.items()
+                if any(not a["ok"] for a in r.get("bnlj_audit", []))}
+    print(f"BNLJ unproven-bound queries ({len(unproven)}): {sorted(unproven)}")
 
 
 if __name__ == "__main__":
