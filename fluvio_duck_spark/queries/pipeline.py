@@ -3680,8 +3680,9 @@ def q_events_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     late rows, late beyond 1 h / 6 h, max lateness) is exactly the
     input to choosing `withWatermark` — a 6 h watermark drops the
     `late_6h` count, keeps state for everything else.  All lateness in
-    integer milliseconds (unix_millis / epoch_ms), exact in both
-    engines.
+    integer whole SECONDS (unix_timestamp ⇔ floor(epoch(ts))), exact in
+    both engines — unix_millis rejects the fixture's TIMESTAMP_NTZ ts,
+    and second resolution is ample for watermark sizing.
 
     Scale shape: ONE window keyed by partition (cardinality = the
     topic's partition count, which grows with the cluster — each task

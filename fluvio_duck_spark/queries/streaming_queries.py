@@ -47,7 +47,14 @@ def _run_dir(name: str, kind: str) -> str:
     the fresh-checkpoint contract: a reused checkpoint would mark the
     source files committed and deliver ZERO batches on a re-run.  The
     returned report DataFrames stay lazy scans over the current run's
-    dir — nothing is collected to the driver."""
+    dir — nothing is collected to the driver.
+
+    SINGLE-INVOCATION CONTRACT (ADVICE r6): the path is deterministic
+    per (name, kind) within a process, so two CONCURRENT invocations of
+    the same streaming query in one process (e.g. parallel test workers
+    sharing a session) would clobber each other's live checkpoint/sink.
+    The bench/verify/driver harnesses are all sequential; a future
+    parallel harness must add a per-call suffix here."""
     import atexit
     import os
     import shutil

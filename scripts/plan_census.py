@@ -55,6 +55,13 @@ def main() -> None:
             "bhj": ops.get("BroadcastHashJoin", 0),
             "py_arrow": sum(ops.get(o, 0) for o in PY_OPS),
             "flags": {o: ops[o] for o in FLAG_OPS if ops.get(o, 0) > 0},
+            # Result-schema receipt for the driver-hashability gate
+            # (VERDICT r6 #7): the r02 agg_exact_percentiles red was the
+            # driver's pandas canonicalizer crashing on a list-typed
+            # result column — record every query's output types so CI
+            # can reject non-atomic columns before a driver round does.
+            "result_schema": {f.name: f.dataType.simpleString()
+                              for f in df.schema.fields},
         }
         if row["flags"].get("BroadcastNestedLoopJoin"):
             # Mechanical adjudication (VERDICT r6 #2): every BNLJ's

@@ -177,3 +177,37 @@ def test_plan_census_bnlj_bounds_are_proven():
         "bound the broadcast side (scalar agg, explicit limit, literal "
         "dim) or use an equi/broadcast-hash join instead"
     )
+
+
+def test_result_schemas_are_driver_hashable():
+    """Every registered query's result schema must round-trip the
+    driver's pandas canonicalization (sort_values over object columns +
+    value hashing).  List/struct/map cells arrive as numpy arrays /
+    dicts — unhashable, unsortable — and crash the HARNESS, recording a
+    FAIL even when values are correct (that was agg_exact_percentiles'
+    r02 red).  Atomic types only; schemas come from plan_census.json so
+    this stays a fast static check over all 309 registered queries."""
+    import json
+
+    atomic = re.compile(
+        r"^(tinyint|smallint|int|bigint|float|double|decimal\(\d+,\d+\)|"
+        r"string|boolean|date|timestamp(_ntz)?|binary)$"
+    )
+    with open(os.path.join(_REPO, "plan_census.json")) as fh:
+        census = json.load(fh)
+    bad = {}
+    for name, row in census["census"].items():
+        schema = row.get("result_schema")
+        assert schema is not None, (
+            f"{name}: no result_schema in census — re-run "
+            "scripts/plan_census.py"
+        )
+        complex_cols = {c: t for c, t in schema.items()
+                        if not atomic.match(t)}
+        if complex_cols:
+            bad[name] = complex_cols
+    assert not bad, (
+        f"non-atomic result columns would crash the driver's pandas "
+        f"canonicalizer: {bad} — reshape (explode / to_json / stringify) "
+        "before returning"
+    )
