@@ -170,7 +170,10 @@ _REVERIFY = frozenset({
 #: stragglers must not be crowded out by brand-new entries.  (The 9
 #: round-6 additions fell out of this set into the plain never-checked
 #: remainder when CORRECTNESS_r06 landed without sampling them.)
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "consume_pp_tail", "consume_pp_partition_head", "consume_pp_budget",
+    "source_pp_offsets_parity",
+})
 
 
 def all_queries() -> dict[str, QuerySpec]:

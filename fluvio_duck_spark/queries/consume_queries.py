@@ -502,3 +502,134 @@ QUERIES: dict[str, QuerySpec] = {
         doc="aggregate over metadata scan (reference README.md:73-83)",
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# Per-partition offset semantics (reference src/partition.rs:107-134): each
+# partition log owns its own dense 0..LEO_p-1 sequence.  The queries below
+# drive BOTH front ends over the genuinely multi-fragment fixture
+# (sources/pplog.py) — builder with per_partition_offsets=True, and the
+# DataSource's log_dir mode (one InputPartition per partition directory,
+# per-partition footer-statistics LEO).
+# ---------------------------------------------------------------------------
+
+#: DuckDB derivation twin of sources.pplog.per_partition_log.
+_PP_CTE = """
+pp AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1
+           AS "offset",
+         ts AS "timestamp",
+         CAST(user_id % 4 AS INTEGER) AS "partition",
+         props AS "value",
+         COUNT(*) OVER (PARTITION BY user_id % 4) AS leo
+  FROM events
+)
+"""
+
+
+def _pp_consume(args: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from fluvio_duck_spark.sources.pplog import per_partition_log
+
+        return fluvio_consume(
+            spark, args, sf_dir=sf_dir,
+            source=per_partition_log(spark, sf_dir),
+            per_partition_offsets=True,
+        )
+
+    return run
+
+
+def _q_source_pp_offsets_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSource front end over the partition-per-directory log
+    (``.option("log_dir", ...)``): tail and LEO anchor against each
+    partition's OWN log end, resolved at plan time from that
+    partition's parquet footer statistics — the per-replica leo read of
+    reference src/partition.rs:131.  Two legs: ``-A -T 3`` (per-
+    partition tail; max_offset+1 surfaces each partition's LEO) and a
+    pinned ``-p 1 -H 10 --rows 25`` (head window budgeted within the
+    one partition)."""
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+
+    register_fluvio_source(spark)
+    log_dir = write_pp_log_dir(spark, sf_dir)
+
+    def leg(tag, args):
+        df = (
+            spark.read.format("fluvio")
+            .option("log_dir", log_dir)
+            .option("args", args)
+            .load()
+        )
+        return df.groupBy("partition").agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            (F.max("offset") + 1).alias("leo"),
+        ).select(F.lit(tag).alias("leg"), "*")
+
+    return leg("pp_tail", "-A -T 3 --rows 1000000").unionAll(
+        leg("pp_pinned_head", "-p 1 -H 10 --rows 25")
+    )
+
+
+QUERIES.update({
+    # F1/L2 over per-partition offsets: tail anchors at EACH partition's
+    # log end (builder front end, per_partition_offsets=True)
+    "consume_pp_tail": QuerySpec(
+        _pp_consume("events -A -T 3 --rows 1000000"),
+        """
+        WITH """ + _PP_CTE + """
+        SELECT "offset", "timestamp", "value" FROM pp
+        WHERE "offset" >= leo - 3
+        """,
+        doc="per-partition tail: -A -T 3 yields the last 3 records of EACH "
+            "partition log (reference src/partition.rs:107-134 offset model)",
+    ),
+    # F1/F2 over per-partition offsets: pinned partition head window
+    "consume_pp_partition_head": QuerySpec(
+        _pp_consume("events -p 2 -H 5 --end 12 --rows 1000000"),
+        """
+        WITH """ + _PP_CTE + """
+        SELECT "offset", "timestamp", "value" FROM pp
+        WHERE "partition" = 2 AND "offset" BETWEEN 5 AND 12
+        """,
+        doc="pinned partition over its own offset sequence: -p 2 -H 5 --end 12",
+    ),
+    # L1 over per-partition offsets: --rows budgets each partition's
+    # stream independently (deterministic form of the CLI's merged stop;
+    # documented deviation in sources/consume.py::_pp_row_budget)
+    "consume_pp_budget": QuerySpec(
+        _pp_consume("events -A -B --rows 7"),
+        """
+        WITH """ + _PP_CTE + """
+        SELECT "offset", "timestamp", "value" FROM pp
+        WHERE "offset" < 7
+        """,
+        doc="per-partition --rows budget: first 7 records of each partition log",
+    ),
+    # S1b/S3 over per-partition offsets: DataSource log_dir mode with
+    # per-partition footer-statistics LEO
+    "source_pp_offsets_parity": QuerySpec(
+        _q_source_pp_offsets_parity,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT 'pp_tail' AS leg, "partition", CAST(COUNT(*) AS BIGINT) AS n,
+               MIN("offset") AS min_offset, MAX("offset") AS max_offset,
+               MAX("offset") + 1 AS leo
+        FROM pp WHERE "offset" >= leo - 3 GROUP BY 2
+        UNION ALL
+        SELECT 'pp_pinned_head' AS leg, "partition",
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MIN("offset") AS min_offset, MAX("offset") AS max_offset,
+               MAX("offset") + 1 AS leo
+        FROM (SELECT * FROM pp
+              WHERE "partition" = 1 AND "offset" >= 10
+              ORDER BY "offset" LIMIT 25)
+        GROUP BY 2
+        """,
+        doc="DataSource log_dir mode: per-partition tail + pinned head, LEO "
+            "from each partition's own footer statistics",
+    ),
+})

@@ -103,6 +103,51 @@ def record_log(
     )
 
 
+def _with_pp_offset_bounds(log: DataFrame, opts: ConsumeOptions) -> DataFrame:
+    """Per-partition offset algebra (reference src/partition.rs:107-134:
+    every partition log owns a dense 0..LEO_p-1 sequence, and offset
+    positions anchor against THAT partition's LEO, never a global
+    counter).  Tail/end resolve via a per-partition LEO aggregate
+    broadcast-joined back on the partition key — n_partitions rows, one
+    metadata-sized shuffle.  ``--rows`` budgets each partition's stream
+    independently (deterministic; the CLI's "stop after N merged
+    records" depends on arrival interleaving, which a deterministic
+    engine cannot honor — documented deviation)."""
+    from pyspark.sql import Window
+
+    start = opts.calculate_start()
+    if start.kind in ("head", "start"):
+        log = log.filter(F.col("offset") >= start.n)
+    elif start.kind in ("tail", "end"):
+        lower = 0 if start.kind == "end" else start.n
+        leo_p = log.groupBy("partition").agg(
+            (F.coalesce(F.max("offset"), F.lit(-1)) + 1).alias("__leo")
+        )
+        log = (
+            log.join(F.broadcast(leo_p), "partition")
+            .filter(F.col("offset") >= F.col("__leo") - F.lit(lower))
+            .drop("__leo")
+        )
+    if opts.end is not None:
+        log = log.filter(F.col("offset") <= opts.end)
+    return log
+
+
+def _pp_row_budget(log: DataFrame, rows: int) -> DataFrame:
+    """Per-partition ``--rows`` budget: the first ``rows`` records of
+    each partition's stream (applied AFTER the transform chain, like the
+    global fallback — a filtering transform changes what "first n"
+    matches)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partition").orderBy("offset")
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= rows)
+        .drop("__rn")
+    )
+
+
 def _with_offset_bounds(log: DataFrame, opts: ConsumeOptions) -> DataFrame:
     """Apply the offset algebra as pure predicates on ``offset``."""
     start = opts.calculate_start()
@@ -127,6 +172,7 @@ def fluvio_consume(
     opts: str | list[str] | ConsumeOptions,
     sf_dir: str = DEFAULT_SF_DIR,
     source: DataFrame | None = None,
+    per_partition_offsets: bool = False,
 ) -> DataFrame:
     """``fluvio_consume('<topic> <flags>')`` → DataFrame.
 
@@ -136,6 +182,15 @@ def fluvio_consume(
     log (columns ``offset, timestamp, partition, value``) in place of the
     parquet stand-in — the seam a real Fluvio connector or a readStream
     source plugs into (see fluvio_duck_spark.streaming).
+
+    ``per_partition_offsets=True`` switches the offset algebra to the
+    reference's actual storage model (each partition log owns its own
+    dense 0..LEO_p-1 sequence — src/partition.rs:107-134): tail/end
+    anchor against each partition's OWN log end and ``--rows`` budgets
+    each partition independently.  Pair with
+    ``sources.pplog.per_partition_log`` (or any ``source=`` whose
+    offsets are per-partition dense); the default global algebra stays
+    the single-sequence stand-in's semantics.
     """
     if isinstance(opts, (str, list)):
         opts = parse_consume_opts(opts)
@@ -156,6 +211,13 @@ def fluvio_consume(
     # 645-673) → DataFrame transforms applied before the row budget, like
     # the SPU applies them before records reach the scan.
     chain = load_transform_chain(opts)
+
+    if per_partition_offsets:
+        log = _with_pp_offset_bounds(log, opts)
+        log = apply_transform_chain(log, chain)
+        if opts.rows is not None:
+            log = _pp_row_budget(log, opts.rows)
+        return log.select(projection(opts.columns))
 
     # Row budget (--rows, reference src/consume.rs:75-93). Two plans:
     #  (a) offset-range predicate — when the selection is the dense whole

@@ -101,9 +101,18 @@ class FluvioDataSource(DataSource):
 class FluvioReader(DataSourceReader):
     def __init__(self, options):
         self.topic = options.get("topic", "events")
+        # log_dir mode: the path IS the topic — a directory of
+        # per-partition parquet logs (``partition=<k>/part-*.parquet``,
+        # each fragment carrying its own dense offset sequence), the
+        # reference's actual storage model (src/partition.rs:107-134).
+        # All offset algebra then anchors per partition.
+        self.log_dir = options.get("log_dir")
         self.sf_dir = options.get("sf_dir")
-        if not self.sf_dir:
-            raise ValueError("fluvio datasource requires .option('sf_dir', ...)")
+        if not self.sf_dir and not self.log_dir:
+            raise ValueError(
+                "fluvio datasource requires .option('sf_dir', ...) or "
+                ".option('log_dir', ...)"
+            )
         args = options.get("args", "-B")
         self.opts = parse_consume_opts(f"{self.topic} {args}".split())
         # LOCAL top-n: a pinned single partition is the whole selection,
@@ -203,15 +212,118 @@ class FluvioReader(DataSourceReader):
                 hi = budget_hi if hi is None else min(hi, budget_hi)
         return lo, hi
 
+    # -- log_dir (per-partition offset) planning ---------------------------
+    def _pp_partition_dirs(self) -> dict[int, str]:
+        """partition id → fragment directory of a per-partition log."""
+        import glob
+        import os
+        import re
+
+        out: dict[int, str] = {}
+        for d in sorted(glob.glob(os.path.join(self.log_dir, "partition=*"))):
+            m = re.search(r"partition=(\d+)$", d)
+            if m:
+                out[int(m.group(1))] = d
+        if not out:
+            raise ValueError(
+                f"log_dir {self.log_dir!r} has no partition=<k> directories"
+            )
+        return out
+
+    def _pp_footer_leo(self, part_dir: str) -> int:
+        """One partition's LEO from ITS fragments' footer statistics —
+        the per-replica leo read of reference src/partition.rs:131."""
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        leo = -1
+        for frag in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+            pf = pq.ParquetFile(frag)
+            idx = pf.schema_arrow.get_field_index("offset")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is not None and st.max is not None:
+                    leo = max(leo, int(st.max))
+        return leo + 1
+
+    def _pp_partitions(self):
+        """One InputPartition per partition directory, each with a
+        window resolved against that partition's OWN log end (offsets
+        are dense per partition, so every bound is arithmetic — no data
+        scan at plan time)."""
+        dirs = self._pp_partition_dirs()
+        if not self.opts.all_partitions:
+            pid = int(self.opts.partition)
+            if pid not in dirs:
+                # unknown partition → empty scan (the stand-in's
+                # unknown-topic convention; Spark requires ≥1 partition)
+                p = _FluvioPartition(pid, 0, None)
+                p.empty = True
+                return [p]
+            dirs = {pid: dirs[pid]}
+        start = self.opts.calculate_start()
+        out = []
+        for pid, d in sorted(dirs.items()):
+            lo = 0
+            if start.kind in ("head", "start"):
+                lo = start.n
+            elif start.kind in ("tail", "end"):
+                leo = self._pp_footer_leo(d)
+                lo = leo if start.kind == "end" else max(leo - start.n, 0)
+            hi = self.opts.end
+            if self.opts.rows is not None:
+                # dense per-partition offsets: each partition's budget
+                # is arithmetic (matches the builder's per-partition
+                # --rows semantics, sources/consume.py::_pp_row_budget)
+                budget_hi = lo + self.opts.rows - 1
+                hi = budget_hi if hi is None else min(hi, budget_hi)
+            p = _FluvioPartition(pid, lo, hi, None)
+            p.part_dir = d
+            out.append(p)
+        return out
+
     def partitions(self):
         # reference semantics: partition 0 unless -A/--all-partitions
         # (options.py:155-156; the reference parses -p but pins 0 —
         # we honor the parsed value, SURVEY §1.4.2 fix)
+        if self.log_dir:
+            return self._pp_partitions()
         lo, hi = self._resolve_window()
         budget = self.opts.rows if self.local_budget else None
         if not self.opts.all_partitions:
             return [_FluvioPartition(int(self.opts.partition), lo, hi, budget)]
         return [_FluvioPartition(p, lo, hi, budget) for p in range(_N_PARTITIONS)]
+
+    def _read_pp(self, partition: "_FluvioPartition"):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            partition.part_dir, columns=["offset", "timestamp", "value"]
+        )
+        mask = pc.greater_equal(tbl["offset"], partition.lo)
+        if partition.hi is not None:
+            mask = pc.and_(mask, pc.less_equal(tbl["offset"], partition.hi))
+        tbl = tbl.filter(mask)
+        ts = tbl["timestamp"]
+        if pa.types.is_integer(ts.type):
+            ts = pc.cast(pc.divide(ts, 1000), pa.timestamp("us"))
+        else:
+            ts = pc.cast(ts, pa.timestamp("us"))
+        out = pa.table(
+            {
+                "offset": pc.cast(tbl["offset"], pa.int64()),
+                "timestamp": ts,
+                "partition": pa.array(
+                    [partition.pid] * tbl.num_rows, pa.int32()
+                ),
+                "value": tbl["value"],
+            }
+        )
+        yield from out.to_batches(max_chunksize=8192)
 
     def read(self, partition: _FluvioPartition):
         import os
@@ -220,6 +332,11 @@ class FluvioReader(DataSourceReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        if getattr(partition, "empty", False):
+            return
+        if getattr(partition, "part_dir", None) is not None:
+            yield from self._read_pp(partition)
+            return
         tbl = pq.read_table(
             os.path.join(self.sf_dir, "events.parquet"),
             columns=["event_id", "ts", "user_id", "props", "event_type"],

@@ -1,0 +1,107 @@
+"""Per-partition offset semantics (reference src/partition.rs:107-134):
+the multi-fragment fixture where every partition log owns its own dense
+offset sequence, consumed through BOTH front ends."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.sources.consume import fluvio_consume
+from fluvio_duck_spark.sources.datasource import register_fluvio_source
+from fluvio_duck_spark.sources.pplog import per_partition_log, write_pp_log_dir
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pp_source(spark):
+    return per_partition_log(spark, SF_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def log_dir(spark):
+    return write_pp_log_dir(spark, SF_DIR)
+
+
+def _ds(spark, log_dir, args):
+    register_fluvio_source(spark)
+    return (
+        spark.read.format("fluvio")
+        .option("log_dir", log_dir)
+        .option("args", args)
+        .load()
+    )
+
+
+def test_offsets_are_dense_per_partition(pp_source):
+    # each partition log is 0..n_p-1 — the defining property
+    stats = (
+        pp_source.groupBy("partition")
+        .agg(F.count("*").alias("n"), F.min("offset").alias("lo"),
+             F.max("offset").alias("hi"))
+        .collect()
+    )
+    assert len(stats) == 4
+    for r in stats:
+        assert r.lo == 0 and r.hi == r.n - 1
+
+
+def test_builder_tail_anchors_per_partition(spark, pp_source):
+    df = fluvio_consume(
+        spark, "events -A -T 3 --rows 1000000", sf_dir=SF_DIR,
+        source=pp_source, per_partition_offsets=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 12  # 3 per partition, 4 partitions
+    leo = {r["partition"]: r["n"] for r in
+           pp_source.groupBy("partition").agg(F.count("*").alias("n")).collect()}
+    # default projection drops partition; recover via the source join
+    tails = sorted(r.offset for r in rows)
+    expected = sorted(o for n in leo.values() for o in range(n - 3, n))
+    assert tails == expected
+
+
+def test_datasource_parity_with_builder(spark, pp_source, log_dir):
+    for args in ("-A -T 3 --rows 1000000", "-p 2 -H 5 --end 12 --rows 99999",
+                 "-A -B --rows 7"):
+        b = fluvio_consume(
+            spark, f"events {args}", sf_dir=SF_DIR,
+            source=pp_source, per_partition_offsets=True,
+        ).select("offset", "value")
+        d = _ds(spark, log_dir, args).select("offset", "value")
+        assert sorted(map(tuple, b.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_budget_is_per_partition(spark, log_dir):
+    df = _ds(spark, log_dir, "-A -B --rows 7")
+    per = {r["partition"]: r["n"] for r in
+           df.groupBy("partition").agg(F.count("*").alias("n")).collect()}
+    assert per == {0: 7, 1: 7, 2: 7, 3: 7}
+    # and the 7 are each partition's FIRST 7 (offsets 0..6)
+    assert df.agg(F.max("offset")).first()[0] == 6
+
+
+def test_tail_beyond_log_clamps_to_beginning(spark, log_dir):
+    df = _ds(spark, log_dir, "-A -T 99999 --rows 1000000")
+    n_all = _ds(spark, log_dir, "-A -B --rows 1000000").count()
+    assert df.count() == n_all
+
+
+def test_pinned_missing_partition_is_empty(spark, log_dir):
+    assert _ds(spark, log_dir, "-p 9 -B").count() == 0
+
+
+def test_footer_leo_matches_data(spark, log_dir):
+    from fluvio_duck_spark.options import parse_consume_opts
+    from fluvio_duck_spark.sources.datasource import FluvioReader
+
+    reader = FluvioReader({"log_dir": log_dir, "args": "-A -B"})
+    dirs = reader._pp_partition_dirs()
+    counts = {
+        r["partition"]: r["n"]
+        for r in _ds(spark, log_dir, "-A -B --rows 1000000")
+        .groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    for pid, d in dirs.items():
+        assert reader._pp_footer_leo(d) == counts[pid]
