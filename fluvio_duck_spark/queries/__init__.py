@@ -172,7 +172,7 @@ _REVERIFY = frozenset({
 #: remainder when CORRECTNESS_r06 landed without sampling them.)
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "consume_pp_tail", "consume_pp_partition_head", "consume_pp_budget",
-    "source_pp_offsets_parity",
+    "source_pp_offsets_parity", "stream_pp_datasource_parity",
 })
 
 

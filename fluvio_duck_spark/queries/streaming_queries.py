@@ -1640,3 +1640,68 @@ def _wire_stream_kmv_oracle() -> None:
 
 
 _wire_stream_kmv_oracle()
+
+
+def q_stream_pp_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-partition offset model through the STREAMING seam
+    (CONNECTOR.md §4): ``readStream.format("fluvio").option("log_dir",
+    ...)`` checkpoints one cursor per partition log (``{"0": off0,
+    ...}``), each micro-batch advances every partition by ≤
+    max_rows_per_batch of ITS OWN offsets (120 rows → the sf0.001
+    fixture's largest partition alone needs 3 batches), and the drain
+    must reproduce the batch truth per partition — n, offset span, and
+    LEO all anchored in each partition's private sequence.  The strict
+    streaming twin of ``source_pp_offsets_parity``: a reader sharing one
+    global cursor across partitions fails this immediately."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+
+    register_fluvio_source(spark)
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    s = (
+        spark.readStream.format("fluvio")
+        .option("log_dir", log_dir)
+        .option("max_rows_per_batch", "120")
+        .load()
+    )
+    agg = s.groupBy("partition").agg(
+        F.count("*").alias("n"),
+        F.min("offset").alias("min_offset"),
+        F.max("offset").alias("max_offset"),
+        (F.max("offset") + 1).alias("leo"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("__pp_stream_parity")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("__pp_stream_parity")
+
+
+ORACLE_STREAM_PP_DATASOURCE = """
+WITH pp AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1
+           AS "offset",
+         CAST(user_id % 4 AS INTEGER) AS "partition"
+  FROM events
+)
+SELECT "partition", COUNT(*) AS n, MIN("offset") AS min_offset,
+       MAX("offset") AS max_offset, MAX("offset") + 1 AS leo
+FROM pp GROUP BY 1
+"""
+
+
+QUERIES.update({
+    "stream_pp_datasource_parity": QuerySpec(
+        q_stream_pp_datasource_parity, ORACLE_STREAM_PP_DATASOURCE,
+        doc="streaming per-partition offset cursors (log_dir mode): one checkpoint "
+            "position per partition log, drained to each partition's own LEO",
+    ),
+})

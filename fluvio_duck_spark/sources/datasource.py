@@ -388,18 +388,110 @@ class FluvioSimpleStreamReader:
     committed range exactly (deterministic log → exactly-once on
     restart).  ``Trigger.AvailableNow`` drains to LEO and stops — the
     bounded/unbounded parity the batch surface proves with ST1.
+
+    ``.option("log_dir", ...)`` switches to the per-partition offset
+    model (reference src/partition.rs:107-134, same layout as the batch
+    log_dir mode): the stream position is one cursor PER partition log
+    (``{"0": off0, "1": off1, ...}``), each micro-batch advances every
+    partition by up to ``max_rows_per_batch`` of ITS OWN offsets, and
+    replay ranges are per-partition — exactly how a connector over N
+    independent partition streams checkpoints.
     """
 
     def __init__(self, options):
         self.topic = options.get("topic", "events")
+        self.log_dir = options.get("log_dir")
         self.sf_dir = options.get("sf_dir")
-        if not self.sf_dir:
-            raise ValueError("fluvio datasource requires .option('sf_dir', ...)")
+        if not self.sf_dir and not self.log_dir:
+            raise ValueError(
+                "fluvio datasource requires .option('sf_dir', ...) or "
+                ".option('log_dir', ...)"
+            )
         self.batch_rows = int(options.get("max_rows_per_batch", "5000"))
 
     # -- offset bookkeeping ------------------------------------------------
     def initialOffset(self) -> dict:
+        if self.log_dir:
+            return {str(pid): 0 for pid in sorted(self._pp_dirs())}
         return {"offset": 0}
+
+    # -- per-partition (log_dir) mode --------------------------------------
+    def _pp_dirs(self) -> dict[int, str]:
+        import glob
+        import os
+        import re
+
+        out: dict[int, str] = {}
+        for d in sorted(glob.glob(os.path.join(self.log_dir, "partition=*"))):
+            m = re.search(r"partition=(\d+)$", d)
+            if m:
+                out[int(m.group(1))] = d
+        if not out:
+            raise ValueError(
+                f"log_dir {self.log_dir!r} has no partition=<k> directories"
+            )
+        return out
+
+    def _pp_leo(self, part_dir: str) -> int:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        leo = -1
+        for frag in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+            pf = pq.ParquetFile(frag)
+            idx = pf.schema_arrow.get_field_index("offset")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is not None and st.max is not None:
+                    leo = max(leo, int(st.max))
+        return leo + 1
+
+    def _pp_rows(self, pid: int, part_dir: str, lo: int, hi: int):
+        """Rows of one partition log in ``[lo, hi)`` of ITS offsets."""
+        import datetime as dt
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(part_dir, columns=["offset", "timestamp", "value"])
+        mask = pc.and_(
+            pc.greater_equal(tbl["offset"], lo), pc.less(tbl["offset"], hi)
+        )
+        tbl = tbl.filter(mask).sort_by("offset")
+        for off, ts, val in zip(
+            tbl["offset"].to_pylist(),
+            tbl["timestamp"].to_pylist(),
+            tbl["value"].to_pylist(),
+        ):
+            if isinstance(ts, int):
+                ts = dt.datetime.fromtimestamp(ts / 1e9, dt.timezone.utc)
+            yield (int(off), ts, pid, val)
+
+    def _pp_read(self, start: dict):
+        dirs = self._pp_dirs()
+        rows: list = []
+        end: dict = {}
+        for pid, d in sorted(dirs.items()):
+            lo = int(start.get(str(pid), 0))
+            hi = min(lo + self.batch_rows, self._pp_leo(d))
+            if hi > lo:
+                rows.extend(self._pp_rows(pid, d, lo, hi))
+                end[str(pid)] = hi
+            else:
+                end[str(pid)] = lo
+        return iter(rows), end
+
+    def _pp_read_between(self, start: dict, end: dict):
+        dirs = self._pp_dirs()
+        rows: list = []
+        for pid, d in sorted(dirs.items()):
+            lo = int(start.get(str(pid), 0))
+            hi = int(end.get(str(pid), lo))
+            if hi > lo:
+                rows.extend(self._pp_rows(pid, d, lo, hi))
+        return rows
 
     def _leo(self) -> int:
         import os
@@ -446,6 +538,8 @@ class FluvioSimpleStreamReader:
 
     # -- micro-batch protocol ---------------------------------------------
     def read(self, start: dict):
+        if self.log_dir:
+            return self._pp_read(start)
         lo = int(start["offset"])
         hi = min(lo + self.batch_rows, self._leo())
         if hi <= lo:
@@ -456,6 +550,8 @@ class FluvioSimpleStreamReader:
         return iter(list(self._rows(lo, hi))), {"offset": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        if self.log_dir:
+            return self._pp_read_between(start, end)
         return list(self._rows(int(start["offset"]), int(end["offset"])))
 
     def commit(self, end: dict) -> None:

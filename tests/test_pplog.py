@@ -105,3 +105,46 @@ def test_footer_leo_matches_data(spark, log_dir):
     }
     for pid, d in dirs.items():
         assert reader._pp_footer_leo(d) == counts[pid]
+
+
+def test_stream_pp_cursors_and_replay(spark, log_dir):
+    """The streaming reader's per-partition cursor protocol directly:
+    micro-batches advance each partition's own offset, and
+    readBetweenOffsets replays any committed range exactly (restart ≡
+    first run — the exactly-once contract of CONNECTOR.md §4)."""
+    from fluvio_duck_spark.sources.datasource import FluvioSimpleStreamReader
+
+    r = FluvioSimpleStreamReader(
+        {"log_dir": log_dir, "max_rows_per_batch": "100"}
+    )
+    start = r.initialOffset()
+    assert set(start) == {"0", "1", "2", "3"} and set(start.values()) == {0}
+    seen = []
+    pos = start
+    for _ in range(20):
+        it, nxt = r.read(pos)
+        batch = list(it)
+        if nxt == pos:
+            break
+        # each partition advanced by at most the batch budget
+        for pid in nxt:
+            assert 0 <= int(nxt[pid]) - int(pos[pid]) <= 100
+        seen.extend(batch)
+        pos = nxt
+    # drained: totals match each partition's log
+    from collections import Counter
+
+    per = Counter(row[2] for row in seen)
+    assert per == {0: 273, 1: 232, 2: 289, 3: 206}
+    # offsets within each partition are its full dense range
+    for pid, n in per.items():
+        offs = sorted(row[0] for row in seen if row[2] == pid)
+        assert offs == list(range(n))
+    # replay of a committed middle range is bit-identical
+    a = {"0": 50, "1": 0, "2": 100, "3": 10}
+    b = {"0": 150, "1": 100, "2": 200, "3": 110}
+    replay1 = r.readBetweenOffsets(a, b)
+    replay2 = FluvioSimpleStreamReader(
+        {"log_dir": log_dir, "max_rows_per_batch": "7"}
+    ).readBetweenOffsets(a, b)
+    assert replay1 == replay2 and len(replay1) == 400
