@@ -199,6 +199,12 @@ EXTENDED = [
     "ivm_delta_join",
     "events_out_of_order_audit",
     "dedup_threshold_calibration",
+    # round-7 additions (per-partition offset model, all three seams)
+    "consume_pp_tail",
+    "consume_pp_partition_head",
+    "consume_pp_budget",
+    "source_pp_offsets_parity",
+    "stream_pp_datasource_parity",
 ]
 
 

@@ -1647,23 +1647,34 @@ def q_stream_pp_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     (CONNECTOR.md §4): ``readStream.format("fluvio").option("log_dir",
     ...)`` checkpoints one cursor per partition log (``{"0": off0,
     ...}``), each micro-batch advances every partition by ≤
-    max_rows_per_batch of ITS OWN offsets (120 rows → the sf0.001
-    fixture's largest partition alone needs 3 batches), and the drain
-    must reproduce the batch truth per partition — n, offset span, and
-    LEO all anchored in each partition's private sequence.  The strict
+    max_rows_per_batch of ITS OWN offsets, and the drain must reproduce
+    the batch truth per partition — n, offset span, and LEO all
+    anchored in each partition's private sequence.  The strict
     streaming twin of ``source_pp_offsets_parity``: a reader sharing one
-    global cursor across partitions fails this immediately."""
+    global cursor across partitions fails this immediately.
+
+    The batch budget is sized from the largest partition's
+    footer-statistics LEO so the drain is ~4 micro-batches at EVERY
+    scale factor — the multi-batch cursor protocol is exercised without
+    the micro-batch count (and its fixed per-trigger overhead) growing
+    linearly with the log."""
     from pyspark.sql import functions as F
 
-    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.datasource import (
+        FluvioSimpleStreamReader,
+        register_fluvio_source,
+    )
     from fluvio_duck_spark.sources.pplog import write_pp_log_dir
 
     register_fluvio_source(spark)
     log_dir = write_pp_log_dir(spark, sf_dir)
+    probe = FluvioSimpleStreamReader({"log_dir": log_dir})
+    max_leo = max(probe._pp_leo(d) for d in probe._pp_dirs().values())
+    batch = max(50, -(-max_leo // 4))  # ceil; ≥2 batches at sf0.001
     s = (
         spark.readStream.format("fluvio")
         .option("log_dir", log_dir)
-        .option("max_rows_per_batch", "120")
+        .option("max_rows_per_batch", str(batch))
         .load()
     )
     agg = s.groupBy("partition").agg(

@@ -71,9 +71,16 @@ def write_pp_log_dir(
     re-derives only when ``events.parquet`` changes (mtime-keyed
     marker), so repeated driver/bench runs reuse the same bounded
     scratch dir."""
+    import hashlib
+
     src = os.path.join(sf_dir, "events.parquet")
     mtime = f"{os.path.getmtime(src):.0f}|{n_partitions}"
-    base = os.path.basename(sf_dir.rstrip("/"))
+    # key by ABSOLUTE source path: distinct fixtures sharing a basename
+    # (/root/testdata/sf0.1 vs the bench cache's sf0.1) must not thrash
+    # one scratch dir back and forth
+    abs_src = os.path.abspath(sf_dir.rstrip("/"))
+    base = (os.path.basename(abs_src) + "-"
+            + hashlib.md5(abs_src.encode()).hexdigest()[:8])
     root = os.path.join(tempfile.gettempdir(), "fluvio_duck_pplog", base)
     marker = os.path.join(root, "_READY")
     if os.path.exists(marker) and open(marker).read() == mtime:
