@@ -205,6 +205,11 @@ EXTENDED = [
     "consume_pp_budget",
     "source_pp_offsets_parity",
     "stream_pp_datasource_parity",
+    "pp_partitions_leo",
+    "consume_pp_transform_tail",
+    "stream_pp_windows",
+    "eval_pass_at_k",
+    "eval_brier_decomposition",
 ]
 
 

@@ -173,6 +173,8 @@ _REVERIFY = frozenset({
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "consume_pp_tail", "consume_pp_partition_head", "consume_pp_budget",
     "source_pp_offsets_parity", "stream_pp_datasource_parity",
+    "pp_partitions_leo", "consume_pp_transform_tail", "stream_pp_windows",
+    "eval_pass_at_k", "eval_brier_decomposition",
 })
 
 

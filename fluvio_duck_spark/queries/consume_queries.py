@@ -574,6 +574,48 @@ def _q_source_pp_offsets_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pp_partitions_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 over the per-partition log layout: ``fluvio_partitions(log_dir=
+    ...)`` lists the log's own ``partition=<k>`` directories with each
+    partition's LEO read from ITS fragments' parquet footer statistics —
+    the per-replica admin read of reference src/partition.rs:131 against
+    the genuinely multi-fragment fixture.  Footer-only metadata; because
+    every partition log is dense 0..LEO_p-1, the oracle's per-partition
+    COUNT(*) equals the footer max(offset)+1 — any cross-partition
+    offset bleed breaks the equality."""
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    return fluvio_partitions(spark, sf_dir, log_dir=log_dir)
+
+
+def _q_pp_transform_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 × per-partition offsets: the ordered SmartModule chain runs
+    AFTER the per-partition tail bound resolves (the SPU applies modules
+    to the records the offset window selected — reference
+    src/consume.rs:645-673 over src/partition.rs:107-134).  Tail-40 of
+    EACH partition log → sql-filter (k ≥ 50) → jolt shift (k→kk) → two
+    typed mappings.  A global-LEO tail or a filter-before-tail ordering
+    both change the row multiset."""
+    from fluvio_duck_spark.sources.pplog import per_partition_log
+
+    argv = [
+        "events", "-A", "-T", "40", "--rows", "1000000",
+        "--transform",
+        '{"uses":"sql-filter","with":'
+        '{"where":"cast(get_json_object(value, \'$.k\') as int) >= 50"}}',
+        "--transform",
+        '{"uses":"infinyon/jolt@0.1.0","with":'
+        '{"spec":[{"operation":"shift","spec":{"k":"kk"}}]}}',
+        "-c", "kk:i=kk", "-c", "kkd:d=kk",
+    ]
+    return fluvio_consume(
+        spark, argv, sf_dir=sf_dir,
+        source=per_partition_log(spark, sf_dir),
+        per_partition_offsets=True,
+    )
+
+
 QUERIES.update({
     # F1/L2 over per-partition offsets: tail anchors at EACH partition's
     # log end (builder front end, per_partition_offsets=True)
@@ -631,5 +673,34 @@ QUERIES.update({
         """,
         doc="DataSource log_dir mode: per-partition tail + pinned head, LEO "
             "from each partition's own footer statistics",
+    ),
+    # S3 over the per-partition log layout: footer-statistics LEO per
+    # partition directory (admin-RPC analogue, metadata-only)
+    "pp_partitions_leo": QuerySpec(
+        _q_pp_partitions_leo,
+        """
+        SELECT 'events' AS topic, CAST(user_id % 4 AS VARCHAR) AS "partition",
+               CAST(COUNT(*) AS BIGINT) AS "LEO"
+        FROM events GROUP BY 2
+        """,
+        doc="fluvio_partitions(log_dir=...): per-partition LEO from each "
+            "log's own parquet footer statistics (reference "
+            "src/partition.rs:131 per-replica read)",
+    ),
+    # ST5 × per-partition offsets: ordered transform chain downstream of
+    # the per-partition tail bound
+    "consume_pp_transform_tail": QuerySpec(
+        _q_pp_transform_tail,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT CAST(json_extract_string("value", '$.k') AS INTEGER) AS kk,
+               CAST(json_extract_string("value", '$.k') AS DOUBLE) AS kkd
+        FROM pp
+        WHERE "offset" >= leo - 40
+          AND CAST(json_extract_string("value", '$.k') AS INTEGER) >= 50
+        """,
+        doc="transform chain over per-partition tails: -A -T 40 resolves "
+            "per partition log, THEN sql-filter -> jolt shift -> typed "
+            "mappings (bounds-before-chain ordering)",
     ),
 })

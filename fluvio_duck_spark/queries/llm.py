@@ -2717,6 +2717,121 @@ FROM r GROUP BY 1
 """
 
 
+def q_eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score in-engine:
+    Brier = reliability − resolution + uncertainty, over a discrete
+    probability forecast (11 categories f = (vec_id % 11)/10 against
+    outcome o = [label = 0]) — the forecast-quality audit a classifier
+    gate ships with its calibration table.
+
+    Exactness contract: all counts are BIGINT; every category/row term
+    is quantized via round(x·1e12)→BIGINT (operators/pca.py contract)
+    BEFORE the cross-group sum, so no double summation order leaks in;
+    ō, ō_k and the final divisions are single correctly-rounded ops on
+    identical inputs.  ``identity_ok`` re-derives Brier from the three
+    components and checks them against the directly-summed per-row
+    Brier within the quantization tolerance — a cross-engine proof the
+    decomposition balances.
+
+    At 100 TB: one row-level pass (partial count/sum map-side) into an
+    11-row category table plus a 1-row total — two metadata-sized
+    broadcasts, no data-sized shuffle beyond the category groupBy."""
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("vec_id") % 11).alias("cat"),
+        ((F.col("vec_id") % 11).cast("double") / F.lit(10.0)).alias("f"),
+        (F.col("label") == 0).cast("long").alias("o"),
+    )
+    tot = base.agg(
+        F.count("*").alias("n_total"),
+        F.sum("o").alias("o_total"),
+        F.sum(
+            F.round((F.col("f") - F.col("o")) * (F.col("f") - F.col("o"))
+                    * F.lit(1e12), 0).cast("long")
+        ).alias("brier_fx"),
+    )
+    cat = base.groupBy("cat", "f").agg(
+        F.count("*").alias("n_k"), F.sum("o").alias("c_k")
+    )
+    ok = F.col("c_k").cast("double") / F.col("n_k").cast("double")
+    obar = F.col("o_total").cast("double") / F.col("n_total").cast("double")
+    comp = cat.crossJoin(F.broadcast(tot)).select(
+        F.round(F.col("n_k").cast("double") * (F.col("f") - ok) * (F.col("f") - ok)
+                * F.lit(1e12), 0).cast("long").alias("rel_fx"),
+        F.round(F.col("n_k").cast("double") * (ok - obar) * (ok - obar)
+                * F.lit(1e12), 0).cast("long").alias("res_fx"),
+        "n_total", "o_total", "brier_fx",
+    )
+    agg = comp.groupBy("n_total", "o_total", "brier_fx").agg(
+        F.sum("rel_fx").alias("srel"), F.sum("res_fx").alias("sres")
+    )
+    den = F.col("n_total") * F.lit(1e12)
+    obar2 = F.col("o_total").cast("double") / F.col("n_total").cast("double")
+    brier = F.col("brier_fx").cast("double") / den
+    rel = F.col("srel").cast("double") / den
+    res = F.col("sres").cast("double") / den
+    unc = obar2 * (F.lit(1.0) - obar2)
+    return agg.select(
+        F.col("n_total").alias("n"),
+        F.round(brier, 6).alias("brier"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        (F.abs(brier - (rel - res + unc)) < F.lit(1e-9)).alias("identity_ok"),
+    )
+
+
+ORACLE_BRIER = """
+WITH base AS (
+  SELECT vec_id % 11 AS cat,
+         CAST(vec_id % 11 AS DOUBLE) / 10.0 AS f,
+         CASE WHEN label = 0 THEN 1 ELSE 0 END AS o
+  FROM embeddings),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(o) AS BIGINT) AS o_total,
+         CAST(SUM(CAST(round((f - o) * (f - o) * 1e12) AS BIGINT)) AS BIGINT)
+           AS brier_fx
+  FROM base),
+cat AS (
+  SELECT cat, f, CAST(COUNT(*) AS BIGINT) AS n_k,
+         CAST(SUM(o) AS BIGINT) AS c_k
+  FROM base GROUP BY 1, 2),
+comp AS (
+  SELECT CAST(round(CAST(n_k AS DOUBLE)
+                    * (f - CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                    * (f - CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE))
+                    * 1e12) AS BIGINT) AS rel_fx,
+         CAST(round(CAST(n_k AS DOUBLE)
+                    * (CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                       - CAST(o_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                    * (CAST(c_k AS DOUBLE) / CAST(n_k AS DOUBLE)
+                       - CAST(o_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                    * 1e12) AS BIGINT) AS res_fx,
+         n_total, o_total, brier_fx
+  FROM cat, tot),
+agg AS (
+  SELECT n_total, o_total, brier_fx,
+         CAST(SUM(rel_fx) AS BIGINT) AS srel,
+         CAST(SUM(res_fx) AS BIGINT) AS sres
+  FROM comp GROUP BY 1, 2, 3)
+SELECT n_total AS n,
+       round(CAST(brier_fx AS DOUBLE) / (n_total * 1e12), 6) AS brier,
+       round(CAST(srel AS DOUBLE) / (n_total * 1e12), 6) AS reliability,
+       round(CAST(sres AS DOUBLE) / (n_total * 1e12), 6) AS resolution,
+       round((CAST(o_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * (1.0 - CAST(o_total AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+         AS uncertainty,
+       abs(CAST(brier_fx AS DOUBLE) / (n_total * 1e12)
+           - (CAST(srel AS DOUBLE) / (n_total * 1e12)
+              - CAST(sres AS DOUBLE) / (n_total * 1e12)
+              + (CAST(o_total AS DOUBLE) / CAST(n_total AS DOUBLE))
+                * (1.0 - CAST(o_total AS DOUBLE) / CAST(n_total AS DOUBLE))))
+         < 1e-9 AS identity_ok
+FROM agg
+"""
+
+
 QUERIES.update({
     "eval_auc": QuerySpec(
         q_eval_auc, ORACLE_EVAL_AUC,
@@ -2725,6 +2840,11 @@ QUERIES.update({
     "eval_calibration": QuerySpec(
         q_eval_calibration, ORACLE_EVAL_CALIBRATION,
         doc="reliability diagram: exact score deciles x positive rate",
+    ),
+    "eval_brier_decomposition": QuerySpec(
+        q_eval_brier_decomposition, ORACLE_BRIER,
+        doc="Murphy decomposition of the Brier score (reliability - resolution "
+            "+ uncertainty) with a cross-engine balance proof, fixed-point exact",
     ),
 })
 

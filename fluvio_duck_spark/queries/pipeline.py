@@ -3313,6 +3313,100 @@ FROM c
 """
 
 
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k in-engine — the unbiased HumanEval estimator (Chen et al.
+    2021): per problem with n trials and c successes,
+    pass@k = 1 − ∏_{j=0}^{k−1} (n−c−j)/(n−j) (exactly 1 when n−c < k),
+    macro-averaged over problems for k ∈ {1, 5, 10}.  Trials are the
+    events table keyed by problem = user_id % 20, success = payload
+    k ≥ 70 — deterministic, so the estimator is exactly replicable.
+
+    Cross-engine determinism: the per-problem product is UNROLLED as a
+    left-to-right chain of double divisions (identical parse tree both
+    engines → identical IEEE sequence), and the macro mean goes through
+    round(p·1e12)→BIGINT fixed-point sums (operators/pca.py contract) —
+    a double AVG would be summation-order-dependent.
+
+    At 100 TB of eval trials this is ONE shuffle on the problem key
+    (partial count/sum map-side) and a problems-sized in-row formula —
+    no per-k rescan: all three k's fold in one aggregate."""
+    ev = load(spark, sf_dir, "events")
+    pc = ev.groupBy((F.col("user_id") % 20).alias("problem")).agg(
+        F.count("*").alias("n"),
+        F.sum(
+            (F.get_json_object("props", "$.k").cast("int") >= 70).cast("long")
+        ).alias("c"),
+    )
+
+    def fx(k: int):
+        prod = F.lit(1.0)
+        for j in range(k):
+            prod = prod * (
+                (F.col("n") - F.col("c") - F.lit(j)).cast("double")
+                / (F.col("n") - F.lit(j)).cast("double")
+            )
+        p = F.when(F.col("n") - F.col("c") < F.lit(k), F.lit(1.0)).otherwise(
+            F.lit(1.0) - prod
+        )
+        return F.when(
+            F.col("n") >= F.lit(k),
+            F.round(p * F.lit(1e12), 0).cast("long"),
+        )
+
+    per = pc.select(fx(1).alias("f1"), fx(5).alias("f5"), fx(10).alias("f10"))
+    a = per.agg(
+        F.count("f1").alias("c1"), F.sum("f1").alias("s1"),
+        F.count("f5").alias("c5"), F.sum("f5").alias("s5"),
+        F.count("f10").alias("c10"), F.sum("f10").alias("s10"),
+    )
+    return a.select(
+        F.expr(
+            "stack(3, 1, c1, s1, 5, c5, s5, 10, c10, s10)"
+            " as (k, n_problems, sfx)"
+        )
+    ).select(
+        "k",
+        "n_problems",
+        (F.col("sfx").cast("double")
+         / (F.col("n_problems") * F.lit(1e12))).alias("pass_at_k"),
+    )
+
+
+def _pass_term(k: int) -> str:
+    terms = " * ".join(
+        f"(CAST(n - c - {j} AS DOUBLE) / CAST(n - {j} AS DOUBLE))"
+        for j in range(k)
+    )
+    return (
+        f"CASE WHEN n >= {k} THEN CAST(round("
+        f"(CASE WHEN n - c < {k} THEN 1.0 ELSE 1.0 - ({terms}) END)"
+        f" * 1e12) AS BIGINT) END"
+    )
+
+
+ORACLE_PASS_AT_K = f"""
+WITH pc AS (
+  SELECT user_id % 20 AS problem, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+                            >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+per AS (
+  SELECT {_pass_term(1)} AS f1, {_pass_term(5)} AS f5,
+         {_pass_term(10)} AS f10
+  FROM pc),
+a AS (
+  SELECT COUNT(f1) AS c1, SUM(f1) AS s1, COUNT(f5) AS c5, SUM(f5) AS s5,
+         COUNT(f10) AS c10, SUM(f10) AS s10
+  FROM per)
+SELECT 1 AS k, c1 AS n_problems, CAST(s1 AS DOUBLE) / (c1 * 1e12) AS pass_at_k
+FROM a
+UNION ALL
+SELECT 5, c5, CAST(s5 AS DOUBLE) / (c5 * 1e12) FROM a
+UNION ALL
+SELECT 10, c10, CAST(s10 AS DOUBLE) / (c10 * 1e12) FROM a
+"""
+
+
 QUERIES.update({
     "attrib_first_last_touch": QuerySpec(
         q_attrib_first_last_touch, ORACLE_ATTRIB,
@@ -3325,6 +3419,11 @@ QUERIES.update({
     "eval_cohens_kappa": QuerySpec(
         q_eval_cohens_kappa, ORACLE_COHENS_KAPPA,
         doc="Cohen's kappa inter-rater agreement from one exact confusion-count pass",
+    ),
+    "eval_pass_at_k": QuerySpec(
+        q_eval_pass_at_k, ORACLE_PASS_AT_K,
+        doc="pass@k (unbiased HumanEval estimator) macro-averaged for k=1/5/10 "
+            "from one trial-count pass — unrolled double product + fixed-point mean",
     ),
 })
 

@@ -1709,10 +1709,79 @@ FROM pp GROUP BY 1
 """
 
 
+def q_stream_pp_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 × the per-partition offset model: event-time tumbling windows
+    with a watermark over the log_dir stream — records arrive through
+    one offset cursor PER partition log (multi-batch drain), and the
+    windowed aggregate keyed by (window, partition) must equal the batch
+    truth per partition.  The event-time result is cursor-slicing
+    invariant (windows key on the data's timestamps, not on micro-batch
+    boundaries); a reader that dropped or re-delivered any partition's
+    range under the per-partition cursors shifts a window count."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sources.datasource import (
+        FluvioSimpleStreamReader,
+        register_fluvio_source,
+    )
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+
+    register_fluvio_source(spark)
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    probe = FluvioSimpleStreamReader({"log_dir": log_dir})
+    max_leo = max(probe._pp_leo(d) for d in probe._pp_dirs().values())
+    batch = max(50, -(-max_leo // 4))  # ~4 micro-batches at every sf
+    s = (
+        spark.readStream.format("fluvio")
+        .option("log_dir", log_dir)
+        .option("max_rows_per_batch", str(batch))
+        .load()
+    )
+    agg = (
+        s.withWatermark("timestamp", "12 hours")
+        .groupBy(F.window("timestamp", "6 hours"), "partition")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("partition"),
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.col("n"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("__pp_stream_windows")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table("__pp_stream_windows")
+
+
+ORACLE_STREAM_PP_WINDOWS = """
+SELECT CAST(user_id % 4 AS INTEGER) AS "partition",
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT))
+         AS TIMESTAMP) AS window_start,
+       CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT))
+         AS TIMESTAMP) AS window_end,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 QUERIES.update({
     "stream_pp_datasource_parity": QuerySpec(
         q_stream_pp_datasource_parity, ORACLE_STREAM_PP_DATASOURCE,
         doc="streaming per-partition offset cursors (log_dir mode): one checkpoint "
             "position per partition log, drained to each partition's own LEO",
+    ),
+    "stream_pp_windows": QuerySpec(
+        q_stream_pp_windows, ORACLE_STREAM_PP_WINDOWS,
+        doc="event-time tumbling windows + watermark over the per-partition "
+            "cursor stream: (window, partition) counts equal the batch truth "
+            "under any micro-batch slicing",
     ),
 })

@@ -215,38 +215,16 @@ class FluvioReader(DataSourceReader):
     # -- log_dir (per-partition offset) planning ---------------------------
     def _pp_partition_dirs(self) -> dict[int, str]:
         """partition id → fragment directory of a per-partition log."""
-        import glob
-        import os
-        import re
+        from fluvio_duck_spark.sources.pplog import pp_partition_dirs
 
-        out: dict[int, str] = {}
-        for d in sorted(glob.glob(os.path.join(self.log_dir, "partition=*"))):
-            m = re.search(r"partition=(\d+)$", d)
-            if m:
-                out[int(m.group(1))] = d
-        if not out:
-            raise ValueError(
-                f"log_dir {self.log_dir!r} has no partition=<k> directories"
-            )
-        return out
+        return pp_partition_dirs(self.log_dir)
 
     def _pp_footer_leo(self, part_dir: str) -> int:
         """One partition's LEO from ITS fragments' footer statistics —
         the per-replica leo read of reference src/partition.rs:131."""
-        import glob
-        import os
+        from fluvio_duck_spark.sources.pplog import pp_footer_leo
 
-        import pyarrow.parquet as pq
-
-        leo = -1
-        for frag in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
-            pf = pq.ParquetFile(frag)
-            idx = pf.schema_arrow.get_field_index("offset")
-            for rg in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(rg).column(idx).statistics
-                if st is not None and st.max is not None:
-                    leo = max(leo, int(st.max))
-        return leo + 1
+        return pp_footer_leo(part_dir)
 
     def _pp_partitions(self):
         """One InputPartition per partition directory, each with a
@@ -417,36 +395,14 @@ class FluvioSimpleStreamReader:
 
     # -- per-partition (log_dir) mode --------------------------------------
     def _pp_dirs(self) -> dict[int, str]:
-        import glob
-        import os
-        import re
+        from fluvio_duck_spark.sources.pplog import pp_partition_dirs
 
-        out: dict[int, str] = {}
-        for d in sorted(glob.glob(os.path.join(self.log_dir, "partition=*"))):
-            m = re.search(r"partition=(\d+)$", d)
-            if m:
-                out[int(m.group(1))] = d
-        if not out:
-            raise ValueError(
-                f"log_dir {self.log_dir!r} has no partition=<k> directories"
-            )
-        return out
+        return pp_partition_dirs(self.log_dir)
 
     def _pp_leo(self, part_dir: str) -> int:
-        import glob
-        import os
+        from fluvio_duck_spark.sources.pplog import pp_footer_leo
 
-        import pyarrow.parquet as pq
-
-        leo = -1
-        for frag in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
-            pf = pq.ParquetFile(frag)
-            idx = pf.schema_arrow.get_field_index("offset")
-            for rg in range(pf.metadata.num_row_groups):
-                st = pf.metadata.row_group(rg).column(idx).statistics
-                if st is not None and st.max is not None:
-                    leo = max(leo, int(st.max))
-        return leo + 1
+        return pp_footer_leo(part_dir)
 
     def _pp_rows(self, pid: int, part_dir: str, lo: int, hi: int):
         """Rows of one partition log in ``[lo, hi)`` of ITS offsets."""

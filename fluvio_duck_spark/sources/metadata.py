@@ -30,9 +30,29 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events(spark, sf_dir)
 
 
-def fluvio_topics(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def fluvio_topics(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    log_dir: str | None = None,
+    topic: str = "events",
+) -> DataFrame:
     """Schema ``(name VARCHAR, partitions INTEGER)`` — reference
-    src/topic.rs:52-53."""
+    src/topic.rs:52-53.
+
+    ``log_dir`` switches to the per-partition log layout
+    (sources/pplog.py): the listing comes from the log's own
+    ``partition=<k>`` directories — the admin-RPC analogue over a real
+    partition log snapshot.  Driver-side and n_partitions-bounded, like
+    the reference's admin connect (src/topic.rs:55-59)."""
+    if log_dir is not None:
+        from fluvio_duck_spark.sources.pplog import pp_partition_dirs
+
+        n = len(pp_partition_dirs(log_dir))
+        schema = T.StructType([
+            T.StructField("name", T.StringType(), False),
+            T.StructField("partitions", T.IntegerType(), False),
+        ])
+        return spark.createDataFrame([(topic, n)], schema)
     return (
         _events(spark, sf_dir)
         .select(
@@ -44,10 +64,41 @@ def fluvio_topics(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFram
     )
 
 
-def fluvio_partitions(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def fluvio_partitions(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    log_dir: str | None = None,
+    topic: str = "events",
+) -> DataFrame:
     """Schema ``(topic VARCHAR, partition VARCHAR, LEO)`` — reference
     src/partition.rs:52-54.  LEO is LONG here (the reference narrows to
-    u32/int32, src/partition.rs:131 — SURVEY §1.4 widening applies)."""
+    u32/int32, src/partition.rs:131 — SURVEY §1.4 widening applies).
+
+    ``log_dir`` switches to the per-partition log layout
+    (sources/pplog.py): each partition's LEO comes from ITS OWN
+    fragments' parquet footer statistics — the per-replica
+    ``partition.status.leader.leo`` read of reference
+    src/partition.rs:131, against the reference's actual storage model
+    (one independent offset sequence per partition).  Footer-only:
+    no row group is decoded, and the result is n_partitions rows built
+    driver-side — a metadata RPC, not a data scan, exactly like the
+    reference's admin call."""
+    if log_dir is not None:
+        from fluvio_duck_spark.sources.pplog import (
+            pp_footer_leo,
+            pp_partition_dirs,
+        )
+
+        rows = [
+            (topic, str(pid), pp_footer_leo(d))
+            for pid, d in sorted(pp_partition_dirs(log_dir).items())
+        ]
+        schema = T.StructType([
+            T.StructField("topic", T.StringType(), False),
+            T.StructField("partition", T.StringType(), False),
+            T.StructField("LEO", T.LongType(), False),
+        ])
+        return spark.createDataFrame(rows, schema)
     return (
         _events(spark, sf_dir)
         .select(

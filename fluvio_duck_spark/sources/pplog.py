@@ -98,6 +98,46 @@ def write_pp_log_dir(
     return root
 
 
+def pp_partition_dirs(log_dir: str) -> dict[int, str]:
+    """partition id → fragment directory of a per-partition log
+    (``partition=<k>/`` layout, :func:`write_pp_log_dir`).  Shared by the
+    DataSource batch/stream planners and the metadata scan — one
+    definition of "what partitions does this log have"."""
+    import glob
+    import re
+
+    out: dict[int, str] = {}
+    for d in sorted(glob.glob(os.path.join(log_dir, "partition=*"))):
+        m = re.search(r"partition=(\d+)$", d)
+        if m:
+            out[int(m.group(1))] = d
+    if not out:
+        raise ValueError(
+            f"log_dir {log_dir!r} has no partition=<k> directories"
+        )
+    return out
+
+
+def pp_footer_leo(part_dir: str) -> int:
+    """One partition log's LEO from its fragments' parquet footer
+    statistics — the per-replica leo read of reference
+    src/partition.rs:131.  Metadata-only: footers are parsed, no row
+    group is decoded."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    leo = -1
+    for frag in sorted(glob.glob(os.path.join(part_dir, "*.parquet"))):
+        pf = pq.ParquetFile(frag)
+        idx = pf.schema_arrow.get_field_index("offset")
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(idx).statistics
+            if st is not None and st.max is not None:
+                leo = max(leo, int(st.max))
+    return leo + 1
+
+
 #: DuckDB twin of ``per_partition_log`` — keep the two derivations in
 #: lockstep; every pp-log oracle builds on this CTE.
 ORACLE_PP_LOG = """

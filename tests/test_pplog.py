@@ -148,3 +148,57 @@ def test_stream_pp_cursors_and_replay(spark, log_dir):
         {"log_dir": log_dir, "max_rows_per_batch": "7"}
     ).readBetweenOffsets(a, b)
     assert replay1 == replay2 and len(replay1) == 400
+
+
+def test_metadata_log_dir_leo(spark, pp_source, log_dir):
+    """fluvio_partitions(log_dir=...): the admin-RPC analogue lists the
+    log's own partition dirs with footer-statistics LEO — equal to each
+    partition's row count (dense 0..LEO_p-1 logs)."""
+    from fluvio_duck_spark.sources.metadata import (
+        fluvio_partitions,
+        fluvio_topics,
+    )
+
+    parts = fluvio_partitions(spark, SF_DIR, log_dir=log_dir)
+    assert parts.columns == ["topic", "partition", "LEO"]
+    got = {r["partition"]: r["LEO"] for r in parts.collect()}
+    truth = {
+        str(r["partition"]): r["n"]
+        for r in pp_source.groupBy("partition")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert got == truth
+    assert {r["topic"] for r in parts.collect()} == {"events"}
+
+    topics = fluvio_topics(spark, SF_DIR, log_dir=log_dir).collect()
+    assert [(t["name"], t["partitions"]) for t in topics] == [("events", 4)]
+
+
+def test_transform_chain_after_pp_bounds(spark, pp_source):
+    """Chain ordering over pp offsets: the tail bound selects each
+    partition's last 40 records FIRST, then the filter drops k<50 —
+    filter-before-tail would refill the tail with earlier matches."""
+    df = fluvio_consume(
+        spark,
+        [
+            "events", "-A", "-T", "40", "--rows", "1000000",
+            "--transform",
+            '{"uses":"sql-filter","with":'
+            '{"where":"cast(get_json_object(value, \'$.k\') as int) >= 50"}}',
+            "-c", "kk:i=k",
+        ],
+        sf_dir=SF_DIR, source=pp_source, per_partition_offsets=True,
+    )
+    got = sorted(r["kk"] for r in df.collect())
+    # truth computed independently: per-partition tail-40, then filter
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("partition").orderBy(F.col("offset").desc())
+    truth = (
+        pp_source.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 40)
+        .select(F.get_json_object("value", "$.k").cast("int").alias("kk"))
+        .filter(F.col("kk") >= 50)
+    )
+    assert got == sorted(r["kk"] for r in truth.collect())
+    assert len(got) < 160  # the filter really ran (tail alone is 160)
