@@ -210,6 +210,8 @@ EXTENDED = [
     "stream_pp_windows",
     "eval_pass_at_k",
     "eval_brier_decomposition",
+    "consume_sql_pp",
+    "stream_pp_consume_opts",
 ]
 
 

@@ -616,6 +616,32 @@ def _q_pp_transform_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_consume_sql_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL-text surface retargeted at a per-partition
+    log: ONE statement joins a ``fluvio_consume`` scan with the
+    ``fluvio_partitions()`` metadata function, both bound through
+    ``log_dir`` (consume via the DataSource's per-partition planning,
+    partitions via footer-statistics LEO).  The result cross-checks the
+    two LEO sources — scan-derived max(offset)+1 must equal the footer
+    metadata LEO for every partition, the invariant a live connector's
+    admin API must preserve (reference src/partition.rs:131)."""
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    return consume_sql(
+        spark,
+        """
+        SELECT /*+ BROADCAST(p) */ c.partition, COUNT(*) AS n,
+               MAX(c.offset) + 1 AS leo_scan, MAX(p.LEO) AS leo_meta
+        FROM fluvio_consume('events -A -B --rows 1000000') c
+        JOIN fluvio_partitions() p ON c.partition = CAST(p.partition AS INT)
+        GROUP BY c.partition
+        """,
+        sf_dir=sf_dir, log_dir=log_dir,
+    )
+
+
 QUERIES.update({
     # F1/L2 over per-partition offsets: tail anchors at EACH partition's
     # log end (builder front end, per_partition_offsets=True)
@@ -686,6 +712,21 @@ QUERIES.update({
         doc="fluvio_partitions(log_dir=...): per-partition LEO from each "
             "log's own parquet footer statistics (reference "
             "src/partition.rs:131 per-replica read)",
+    ),
+    # §2.12 × per-partition offsets: the SQL-text surface bound to a
+    # per-partition log — scan LEO cross-checked against footer LEO
+    "consume_sql_pp": QuerySpec(
+        _q_consume_sql_pp,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT "partition", CAST(COUNT(*) AS BIGINT) AS n,
+               MAX("offset") + 1 AS leo_scan,
+               CAST(COUNT(*) AS BIGINT) AS leo_meta
+        FROM pp GROUP BY 1
+        """,
+        doc="SQL-text surface over the per-partition log: fluvio_consume + "
+            "fluvio_partitions() bound to log_dir in one statement; "
+            "scan-derived LEO == footer-metadata LEO per partition",
     ),
     # ST5 × per-partition offsets: ordered transform chain downstream of
     # the per-partition tail bound

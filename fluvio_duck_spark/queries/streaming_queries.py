@@ -1785,3 +1785,63 @@ QUERIES.update({
             "under any micro-batch slicing",
     ),
 })
+
+
+def q_stream_pp_consume_opts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTION-STRING streaming front end over the per-partition
+    cursor stream: ``fluvio_consume_stream('<topic> <flags>',
+    source=readStream log_dir)`` — partition pinning, offset-range
+    positioning, and typed ``-c`` mapping all apply to a stream whose
+    offsets are each partition's OWN sequence.  ``-p 2 --start 5 --end
+    60`` must select partition 2's offsets 5..60 (56 records of ITS
+    log), not a global slice — the last front-end × partition-model
+    cell: builder, DataSource, SQL text, and now the streaming option
+    string all share one offset algebra."""
+    from fluvio_duck_spark.sources.datasource import (
+        FluvioSimpleStreamReader,
+        register_fluvio_source,
+    )
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+
+    register_fluvio_source(spark)
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    # budget scaled to the log so the drain is ~4 micro-batches at every
+    # sf (fixed budgets make trigger count grow linearly with the log)
+    probe = FluvioSimpleStreamReader({"log_dir": log_dir})
+    max_leo = max(probe._pp_leo(d) for d in probe._pp_dirs().values())
+    batch = max(40, -(-max_leo // 4))
+    s = (
+        spark.readStream.format("fluvio")
+        .option("log_dir", log_dir)
+        .option("max_rows_per_batch", str(batch))
+        .load()
+    )
+    out = fluvio_consume_stream(
+        spark, "events -p 2 --start 5 --end 60 -c kk:i=k -c kd:d=k",
+        sf_dir=sf_dir, source=s,
+    )
+    return run_stream_to_table(out, spark)
+
+
+ORACLE_STREAM_PP_CONSUME = """
+WITH pp AS (
+  SELECT ROW_NUMBER() OVER (PARTITION BY user_id % 4 ORDER BY event_id) - 1
+           AS "offset",
+         CAST(user_id % 4 AS INTEGER) AS "partition",
+         props AS "value"
+  FROM events
+)
+SELECT CAST(json_extract_string("value", '$.k') AS INTEGER) AS kk,
+       CAST(json_extract_string("value", '$.k') AS DOUBLE) AS kd
+FROM pp WHERE "partition" = 2 AND "offset" BETWEEN 5 AND 60
+"""
+
+
+QUERIES.update({
+    "stream_pp_consume_opts": QuerySpec(
+        q_stream_pp_consume_opts, ORACLE_STREAM_PP_CONSUME,
+        doc="option-string streaming front end over the per-partition cursor "
+            "stream: -p/--start/--end/-c apply to each partition's own offset "
+            "sequence (fourth front end sharing the one offset algebra)",
+    ),
+})

@@ -51,22 +51,50 @@ _META_RE = re.compile(r"fluvio_(topics|partitions)\s*\(\s*\)", re.IGNORECASE)
 
 
 def consume_sql(
-    spark: SparkSession, sql: str, sf_dir: str = DEFAULT_SF_DIR
+    spark: SparkSession,
+    sql: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    log_dir: str | None = None,
 ) -> DataFrame:
     """Run one SQL statement that may reference ``fluvio_consume('<opts>')``,
     ``fluvio_topics()``, and ``fluvio_partitions()`` as inline table
-    functions, exactly like the reference's DuckDB surface."""
+    functions, exactly like the reference's DuckDB surface.
+
+    ``log_dir`` retargets every bound table function at a per-partition
+    log (sources/pplog.py layout): ``fluvio_consume`` binds through the
+    DataSource's log_dir mode (one InputPartition per partition
+    directory, offsets anchored per partition — reference
+    src/partition.rs:107-134) and the metadata functions list that log's
+    partitions with footer-statistics LEO.  The statement text is
+    unchanged — the same SQL a user runs against the stand-in runs
+    against a real log snapshot."""
     params: dict[str, DataFrame] = {}
 
     def _bind_consume(m: re.Match) -> str:
         name = f"__fc{len(params)}"
-        params[name] = fluvio_consume(spark, m.group(1), sf_dir=sf_dir)
+        if log_dir is not None:
+            from fluvio_duck_spark.sources.datasource import (
+                register_fluvio_source,
+            )
+
+            register_fluvio_source(spark)
+            opts = m.group(1)
+            # strip the leading topic token: the log dir IS the topic
+            args = opts.split(None, 1)[1] if " " in opts.strip() else ""
+            params[name] = (
+                spark.read.format("fluvio")
+                .option("log_dir", log_dir)
+                .option("args", args)
+                .load()
+            )
+        else:
+            params[name] = fluvio_consume(spark, m.group(1), sf_dir=sf_dir)
         return "{" + name + "}"
 
     def _bind_meta(m: re.Match) -> str:
         name = f"__fm{len(params)}"
         builder = fluvio_topics if m.group(1).lower() == "topics" else fluvio_partitions
-        params[name] = builder(spark, sf_dir)
+        params[name] = builder(spark, sf_dir, log_dir=log_dir)
         return "{" + name + "}"
 
     # Escape literal braces FIRST: once any param binds, the whole

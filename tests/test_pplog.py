@@ -202,3 +202,42 @@ def test_transform_chain_after_pp_bounds(spark, pp_source):
     )
     assert got == sorted(r["kk"] for r in truth.collect())
     assert len(got) < 160  # the filter really ran (tail alone is 160)
+
+
+def test_consume_sql_log_dir_binding(spark, log_dir):
+    """consume_sql(log_dir=...): the SQL-text surface binds
+    fluvio_consume through the DataSource's per-partition planning and
+    fluvio_partitions() through footer LEO — same statement text as the
+    stand-in session."""
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    row = consume_sql(
+        spark,
+        "SELECT count(*) AS n, max(offset) AS mx "
+        "FROM fluvio_consume('events -p 1 -B --rows 1000000')",
+        log_dir=log_dir,
+    ).first()
+    assert (row["n"], row["mx"]) == (232, 231)  # partition 1's OWN log
+    leo = consume_sql(
+        spark, "SELECT sum(LEO) AS s FROM fluvio_partitions()",
+        log_dir=log_dir,
+    ).first()
+    assert leo["s"] == 1000
+
+
+def test_pp_algebra_reduces_to_global_with_one_partition(spark):
+    """With n_partitions=1 the per-partition algebra must degenerate to
+    the global single-sequence algebra exactly — tail/head/end/budget
+    all anchor the same way when there is only one log."""
+    src = per_partition_log(spark, SF_DIR, n_partitions=1).cache()
+    for args in (
+        "events -A -T 5 --rows 1000000",
+        "events -A -H 3 --end 9 --rows 1000000",
+        "events -A -B --rows 4",
+    ):
+        a = fluvio_consume(
+            spark, args, sf_dir=SF_DIR, source=src,
+            per_partition_offsets=True,
+        )
+        b = fluvio_consume(spark, args, sf_dir=SF_DIR, source=src)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
