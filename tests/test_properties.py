@@ -421,3 +421,95 @@ def test_skyline_property_no_dominated_survivor_no_missing_point(spark, pts):
 
     expect = Counter((c, g) for _i, c, g in rows if not dominated((c, g)))
     assert Counter(got) == expect
+
+
+@pytest.fixture(scope="module")
+def tiny_pp_log(request):
+    """A 4-partition per-partition-offset log with UNEQUAL lengths
+    (partition p holds 10+3p records, each with its own dense 0..len-1
+    sequence) — the shape where per-partition and global anchoring
+    disagree on almost every input."""
+    spark = request.getfixturevalue("spark")
+    from pyspark.sql import functions as F
+
+    rows = [
+        (o, 1_700_000_000 + 100 * p + o, p, '{"k": %d}' % (10 * p + o))
+        for p in range(4)
+        for o in range(10 + 3 * p)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows, "offset long, ts long, partition int, value string"
+        )
+        .select(
+            "offset",
+            F.timestamp_seconds("ts").alias("timestamp"),
+            "partition",
+            "value",
+        )
+        .cache()
+    )
+    df.count()
+    return df
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    pos=st.sampled_from(["-B", "-H", "-T", "--start", "none"]),
+    n=st.integers(min_value=0, max_value=25),
+    end=st.one_of(st.none(), st.integers(min_value=0, max_value=25)),
+    rows=st.one_of(st.none(), st.integers(min_value=0, max_value=25)),
+)
+def test_pp_consume_matches_python_model(spark, tiny_pp_log, pos, n, end, rows):
+    """per_partition_offsets=True vs the pure-Python per-partition model:
+    every position/end/rows combination anchors against EACH partition's
+    own length (reference src/partition.rs:107-134) — position filter →
+    inclusive end → first `rows` of each partition in offset order."""
+    from fluvio_duck_spark.options import ConsumeOptError
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    argv = ["events", "-A"]
+    if pos == "-B":
+        argv += ["-B"]
+    elif pos in ("-H", "-T", "--start"):
+        argv += [pos, str(n)]
+    if end is not None:
+        argv += ["--end", str(end)]
+    if rows is not None:
+        argv += ["--rows", str(rows)]
+
+    lens = {p: 10 + 3 * p for p in range(4)}
+    model = []
+    for p, length in lens.items():
+        if pos == "-B":
+            seq = list(range(length))
+        elif pos in ("-H", "--start"):
+            seq = [o for o in range(length) if o >= n]
+        elif pos == "-T":
+            seq = [o for o in range(length) if o >= max(length - n, 0)]
+        else:  # default Offset::end → empty per partition in bounded mode
+            seq = []
+        if end is not None:
+            seq = [o for o in seq if o <= end]
+        if rows is not None:
+            seq = seq[:rows]
+        model.extend((p, o) for o in seq)
+
+    crossing = pos == "--start" and end is not None and end < n
+    if crossing:
+        with pytest.raises(ConsumeOptError):
+            fluvio_consume(
+                spark, argv, source=tiny_pp_log, per_partition_offsets=True
+            )
+        return
+    got = sorted(
+        (r.partition, r.offset)
+        for r in fluvio_consume(
+            spark, argv, source=tiny_pp_log, per_partition_offsets=True
+        )
+        .join(tiny_pp_log.select("offset", "timestamp", "partition"),
+              ["offset", "timestamp"])
+        .select("partition", "offset")
+        .collect()
+    )
+    assert got == sorted(model), (argv, got[:6], sorted(model)[:6])
