@@ -212,6 +212,7 @@ EXTENDED = [
     "eval_brier_decomposition",
     "consume_sql_pp",
     "stream_pp_consume_opts",
+    "mm_audio_energy_segments",
 ]
 
 

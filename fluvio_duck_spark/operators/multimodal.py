@@ -229,6 +229,87 @@ def extract_features_portable(
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
+def audio_energy_segments(
+    df: DataFrame,
+    window_bytes: int = 16,
+    threshold_per_byte: int = 96,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    energy_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over the binary
+    audio convention — the AUDIO analogue of :func:`sample_frames`
+    (video) and :func:`resize_content` (image).
+
+    The payload is read as fixed ``window_bytes`` frames; a frame is
+    "voiced" when its energy clears ``window_bytes * threshold_per_byte``
+    and consecutive voiced frames merge into segments (classic
+    energy-VAD, computed per row so segmentation never crosses a
+    partition).  ``energy_fn`` is the real-decoder seam: a production
+    kernel decodes PCM and sums squared samples per frame
+    (torchaudio/ffmpeg are absent here — STUB); the default byte-sum
+    kernel is ENGINE-REPRODUCIBLE over the utf-8 fixture bytes, so the
+    whole pipeline — Arrow batching, framing, thresholding, the
+    gaps-and-islands merge — is oracle-checked end to end
+    (ascii(substr(text, ...)) per byte on the SQL side).
+
+    Arrow-batched ``mapInPandas``; output is one row per segment with
+    byte-offset bounds and an exact BIGINT energy sum.  At 100 TB this
+    is a map-only pass — fan-out is bounded by payload length and no
+    state leaves the task."""
+    thr = window_bytes * threshold_per_byte
+    schema = (
+        f"{id_col} long, seg_no int, start_byte long, end_byte long, "
+        "n_windows long, energy long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, seg_nos, starts, ends, nwins, energies = [], [], [], [], [], []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                if c is None:
+                    continue
+                data = bytes(c)
+                seg_no = 0
+                seg_start = seg_end = -1
+                seg_energy = 0
+                for w in range(len(data) // window_bytes):
+                    frame = data[w * window_bytes:(w + 1) * window_bytes]
+                    e = energy_fn(frame) if energy_fn else sum(frame)
+                    if e >= thr:
+                        if seg_start < 0:
+                            seg_start, seg_energy = w, 0
+                        seg_end, seg_energy = w, seg_energy + e
+                        continue
+                    if seg_start >= 0:
+                        seg_no += 1
+                        ids.append(i); seg_nos.append(seg_no)
+                        starts.append(seg_start * window_bytes)
+                        ends.append((seg_end + 1) * window_bytes)
+                        nwins.append(seg_end - seg_start + 1)
+                        energies.append(seg_energy)
+                        seg_start = -1
+                if seg_start >= 0:
+                    seg_no += 1
+                    ids.append(i); seg_nos.append(seg_no)
+                    starts.append(seg_start * window_bytes)
+                    ends.append((seg_end + 1) * window_bytes)
+                    nwins.append(seg_end - seg_start + 1)
+                    energies.append(seg_energy)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "seg_no": pd.Series(seg_nos, dtype="int32"),
+                    "start_byte": pd.Series(starts, dtype="int64"),
+                    "end_byte": pd.Series(ends, dtype="int64"),
+                    "n_windows": pd.Series(nwins, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
 def decode_image(*args, **kwargs):
     """Real image decode requires PIL/opencv — not in this container."""
     raise NotImplementedError(

@@ -313,3 +313,59 @@ QUERIES.update({
         doc="portable-twin feature extraction: md5-fold ppm kernel in mapInPandas, every value oracle-checked",
     ),
 })
+
+
+def q_mm_audio_energy_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO seam of the multimodal family: energy-threshold VAD
+    segmentation over the binary content convention (16-byte frames,
+    voiced when frame energy ≥ 16·96, consecutive voiced frames merged
+    per row — operators/multimodal.py::audio_energy_segments).  The
+    default byte-sum energy kernel is engine-reproducible over the
+    utf-8 fixture bytes, so the oracle replays the ENTIRE pipeline —
+    framing, thresholding, and the gaps-and-islands merge — per byte in
+    SQL; a real PCM decoder swaps in via ``energy_fn`` without touching
+    the plumbing (torchaudio/ffmpeg absent — documented STUB seam)."""
+    from fluvio_duck_spark.operators.multimodal import audio_energy_segments
+
+    d = attach_binary_content(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    return audio_energy_segments(d)
+
+
+#: The per-byte SQL replay: windows of 16 bytes, energy = sum of byte
+#: values (ascii(substr(..)) — fixture text is pure ASCII, so code
+#: point == utf-8 byte), voiced ≥ 16·96, islands by win - row_number.
+ORACLE_MM_AUDIO_SEGMENTS = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(0, (length(text) // 16) * 16)) AS p
+  FROM documents WHERE text IS NOT NULL),
+wins AS (
+  SELECT doc_id, p // 16 AS win,
+         CAST(SUM(ascii(substr(text, CAST(p + 1 AS INTEGER), 1))) AS BIGINT)
+           AS energy
+  FROM pos GROUP BY 1, 2),
+voiced AS (
+  SELECT doc_id, win, energy,
+         win - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+  FROM wins WHERE energy >= 16 * 96)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY MIN(win))
+            AS INTEGER) AS seg_no,
+       MIN(win) * 16 AS start_byte,
+       (MAX(win) + 1) * 16 AS end_byte,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(energy) AS BIGINT) AS energy
+FROM voiced GROUP BY doc_id, grp
+"""
+
+
+QUERIES.update({
+    "mm_audio_energy_segments": QuerySpec(
+        q_mm_audio_energy_segments, ORACLE_MM_AUDIO_SEGMENTS,
+        doc="audio energy-VAD segmentation (16-byte frames, threshold merge) "
+            "through the Arrow-batched kernel seam — framing + islands merge "
+            "oracle-replayed per byte",
+    ),
+})

@@ -559,3 +559,46 @@ def test_extract_features_portable_matches_pure_python(spark, sf_dir):
             )
         assert got[did] == expect == portable_decode_kernel(b, 16)
         assert all(0 <= v < 1_000_000 for v in expect)
+
+
+def test_audio_energy_segments_hand_example(spark):
+    """Hand-checked VAD: payload built from 16-byte frames of known
+    energy — loud('x'*16 = 1920) / quiet(' '*16 = 512) — must merge
+    exactly the consecutive loud frames, with byte-exact bounds and
+    energy sums, and drop the partial tail frame."""
+    from fluvio_duck_spark.operators.multimodal import audio_energy_segments
+
+    loud = b"x" * 16     # 120*16 = 1920 >= 1536
+    quiet = b" " * 16    # 32*16 = 512 < 1536
+    payload = loud + loud + quiet + loud + quiet + quiet + loud + b"zz"
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(quiet * 3)), (3, None)],
+        "doc_id long, content binary",
+    )
+    got = sorted(
+        (r.doc_id, r.seg_no, r.start_byte, r.end_byte, r.n_windows, r.energy)
+        for r in audio_energy_segments(df).collect()
+    )
+    assert got == [
+        (1, 1, 0, 32, 2, 3840),   # frames 0-1 merged
+        (1, 2, 48, 64, 1, 1920),  # frame 3
+        (1, 3, 96, 112, 1, 1920),  # frame 6; trailing 'zz' partial dropped
+    ]
+
+
+def test_audio_energy_custom_kernel_seam(spark):
+    """energy_fn is the real-decoder seam: a squared-sample kernel flips
+    which frames clear the threshold without touching the plumbing."""
+    from fluvio_duck_spark.operators.multimodal import audio_energy_segments
+
+    payload = (b"\x00" * 16) + (b"\x0c" * 16)  # byte-sum: 0 and 192, both quiet
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, content binary"
+    )
+    # byte-sum kernel: nothing voiced
+    assert audio_energy_segments(df).count() == 0
+    # squared kernel: 16*144 = 2304 >= 1536 — second frame is voiced
+    rows = audio_energy_segments(
+        df, energy_fn=lambda fr: sum(b * b for b in fr)
+    ).collect()
+    assert [(r.start_byte, r.end_byte, r.energy) for r in rows] == [(16, 32, 2304)]
