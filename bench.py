@@ -213,6 +213,7 @@ EXTENDED = [
     "consume_sql_pp",
     "stream_pp_consume_opts",
     "mm_audio_energy_segments",
+    "sink_wds_roundtrip",
 ]
 
 

@@ -176,6 +176,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "pp_partitions_leo", "consume_pp_transform_tail", "stream_pp_windows",
     "eval_pass_at_k", "eval_brier_decomposition", "consume_sql_pp",
     "stream_pp_consume_opts", "mm_audio_energy_segments",
+    "sink_wds_roundtrip",
 })
 
 

@@ -1276,10 +1276,61 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def q_sink_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard export as a driver row (`sinks.write_wds_shards`
+    → `read_wds_shards`): documents are packed into 8 tar shards (the
+    artifact LLM training loaders stream), read back whole-archive
+    through binaryFile + an Arrow-batched tar parse, and audited per
+    shard — doc count, payload bytes, and a portable per-doc content
+    checksum fold.  The oracle computes the same audit DIRECTLY from
+    the documents table, so a hash match proves the tar round-trip is
+    content-lossless (no member dropped, no byte mangled, no doc in the
+    wrong shard).  Tars are unsplittable by design: the shard is the
+    parallelism unit, exactly how training loaders consume them."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+    from fluvio_duck_spark.sinks import read_wds_shards, write_wds_shards
+
+    docs = load(spark, sf_dir, "documents")
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_sink_wds",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_wds_shards(docs, work, n_shards=8)
+    back = read_wds_shards(spark, work)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(hash_bucket(F.col("text"), 1_000_000)).alias("checksum"),
+    )
+
+
+def _oracle_sink_wds() -> str:
+    from fluvio_duck_spark.operators.dsir import hash_bucket_sql
+
+    hb = hash_bucket_sql("text", 1_000_000)
+    return f"""
+SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(SUM({hb}) AS BIGINT) AS checksum
+FROM documents WHERE text IS NOT NULL GROUP BY 1
+"""
+
+
 QUERIES.update({
     "window_rolling_stats": QuerySpec(
         q_window_rolling_stats, ORACLE_ROLLING,
         doc="rolling 20-event mean/std/z per user — online anomaly normalization",
+    ),
+    "sink_wds_roundtrip": QuerySpec(
+        q_sink_wds_roundtrip, _oracle_sink_wds(),
+        doc="WebDataset tar-shard export round-trip: pack -> binaryFile + tar "
+            "parse read-back -> per-shard content-checksum audit == direct table audit",
     ),
     "sink_partitioned_export": QuerySpec(
         q_sink_partitioned_export, ORACLE_SINK_PARTITIONED,

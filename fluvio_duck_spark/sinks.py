@@ -142,3 +142,100 @@ def compact_files(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return n_files
+
+
+def write_wds_shards(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """WebDataset-style shard export: documents grouped into
+    ``shard-%05d.tar`` archives, one member ``<id>.txt`` per document —
+    the on-disk artifact LLM training loaders (webdataset/tarreader)
+    stream.  K1 extension: the reference's COPY surface emits parquet;
+    a training pipeline's last hop is usually tar shards.
+
+    Layout contract: shard = id % n_shards, members ordered by id
+    (``sortWithinPartitions`` + hash-repartition on the shard key puts
+    every shard wholly inside one task, so each archive is written
+    sequentially by exactly one writer — no cross-task interleaving).
+    Tar metadata is pinned (mtime=0, uid/gid=0, mode 644) so re-exports
+    are byte-identical.  At scale ``out_dir`` must be shared storage
+    (each executor writes its own shards; local[...] shares /tmp).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    data = (
+        df.select(id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
+        .withColumn("__shard", F.pmod(F.col(id_col), F.lit(n_shards)).cast("int"))
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", id_col)
+    )
+
+    def write_partition(rows) -> None:
+        import io
+        import tarfile
+
+        tars = {}
+        for r in rows:
+            sh = r["__shard"]
+            tf = tars.get(sh)
+            if tf is None:
+                tf = tarfile.open(
+                    os.path.join(out_dir, f"shard-{sh:05d}.tar"), "w"
+                )
+                tars[sh] = tf
+            payload = r[text_col].encode("utf-8")
+            info = tarfile.TarInfo(name=f"{r[id_col]}.txt")
+            info.size = len(payload)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(payload))
+        for tf in tars.values():
+            tf.close()
+
+    data.foreachPartition(write_partition)
+    return out_dir
+
+
+def read_wds_shards(spark, out_dir: str) -> DataFrame:
+    """Scan WebDataset shards back into rows: ``binaryFile`` reads each
+    archive whole (tars are not splittable — the shard IS the
+    parallelism unit, exactly how training loaders shard work), and an
+    Arrow-batched pass parses members.  Columns: shard, doc_id,
+    n_bytes, text."""
+    import os
+
+    files = spark.read.format("binaryFile").load(
+        os.path.join(out_dir, "*.tar")
+    )
+    schema = "shard int, doc_id long, n_bytes long, text string"
+
+    def run(batches):
+        import io
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"shard": [], "doc_id": [], "n_bytes": [], "text": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                sh = int(re.search(r"shard-(\d+)\.tar$", path).group(1))
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        data = tf.extractfile(m).read()
+                        out["shard"].append(sh)
+                        out["doc_id"].append(int(m.name[:-4]))
+                        out["n_bytes"].append(len(data))
+                        out["text"].append(data.decode("utf-8"))
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(run, schema=schema)
