@@ -38,7 +38,7 @@ _DRIVER_VERIFIED_R02 = frozenset({
     "join_full_outer", "join_large_orders", "join_left_order_counts",
     "join_rich_idle_customers", "join_semi", "join_topk_shipping",
     "ngram_corpus_topk", "pivot_qty_by_status",
-    "rollup_cascade_daily", "rollup_hist_percentiles", "rollup_hll_daily_users",
+    "rollup_cascade_daily", "rollup_hist_percentiles",
     "rollup_hourly", "rollup_ohlc_bars", "sample_stratified_quota",
     "sample_temperature_mixture", "sample_weighted_quota", "scalar_array_funcs",
     "scalar_case_buckets", "scalar_date_funcs", "scalar_math_funcs",
@@ -51,7 +51,7 @@ _DRIVER_VERIFIED_R02 = frozenset({
 })
 
 _DRIVER_VERIFIED_R01 = frozenset({
-    "agg_approx", "agg_cube", "agg_distinct",
+    "agg_cube", "agg_distinct",
     "agg_filtered_revenue", "agg_grouping_sets", "agg_market_share",
     "agg_part_value_share", "agg_pricing_summary", "agg_rollup",
     "agg_salted_hotkey", "agg_supplier_cnt", "consume_beginning_rows",
@@ -77,10 +77,10 @@ _DRIVER_VERIFIED_R03 = frozenset({
     "dedup_prefix_blocks", "dedup_segments", "dedup_simhash",
     "dedup_substring_spans", "grouped_minmax_scale", "pack_token_budget",
     "sample_split_assign", "sample_training_order", "sample_upsample_repeat",
-    "sim_ann_lsh", "sim_embedding_near_dups", "sim_ivf_topk",
+    "sim_embedding_near_dups", "sim_ivf_topk",
     "sim_ivf_topk_batch", "sim_ivf_trained", "sim_knn_graph",
     "sim_label_noise", "sim_matryoshka_energy", "sim_mmr_rerank",
-    "sim_near_dups_blocked", "sim_near_dups_bucketed", "sim_normalize_embeddings",
+    "sim_near_dups_blocked", "sim_normalize_embeddings",
     "sim_pq_rerank", "sim_random_projection", "sim_scalar_quantize",
     "sim_topk_batch", "sim_topk_batch_exact", "sim_topk_bruteforce",
     "text_bigram_logprob", "text_bm25_search", "text_char_entropy",
@@ -150,18 +150,33 @@ _DRIVER_VERIFIED_R06 = frozenset({
     'window_rolling_stats', 'window_running_distinct',
 })
 
+_DRIVER_VERIFIED_R07 = frozenset({
+    'agg_conditional_priority', 'agg_exact_percentiles', 'consume_aggregate_fold_partitioned',
+    'consume_pp_budget', 'consume_pp_partition_head', 'consume_pp_tail',
+    'consume_pp_transform_tail', 'consume_sql_pp', 'dedup_threshold_calibration',
+    'eval_brier_decomposition', 'eval_pass_at_k', 'events_out_of_order_audit',
+    'ivm_delta_join', 'mm_audio_energy_segments', 'pack_concat_sequences',
+    'pp_partitions_leo', 'rollup_kmv_weekly_users', 'sink_wds_roundtrip',
+    'sketch_kmv_distinct', 'sketch_kmv_set_ops', 'source_pp_offsets_parity',
+    'stream_kmv_distinct', 'stream_pp_consume_opts', 'stream_pp_datasource_parity',
+    'stream_pp_windows', 'text_compressibility_companion',
+})
+
 _DRIVER_VERIFIED = (_DRIVER_VERIFIED_R01 | _DRIVER_VERIFIED_R02
                     | _DRIVER_VERIFIED_R03 | _DRIVER_VERIFIED_R04
-                    | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06)
+                    | _DRIVER_VERIFIED_R05 | _DRIVER_VERIFIED_R06
+                    | _DRIVER_VERIFIED_R07)
 
-#: Queries whose LAST driver receipt is a FAIL even though the oracle was
-#: since reworked (c099ea8 made every oracle safe for pandas-based result
-#: hashing) and is locally green — ordered FIRST in ``all_queries()`` so
-#: the very next driver sample replaces the stale red with a green row.
-#: Remove a name once a post-rework CORRECTNESS row confirms it.
+#: Queries whose LAST driver receipt predates their oracle pairing (they
+#: were sampled in r1–r3 while still rows-only, so their latest driver row
+#: reads ``err: "no_oracle"`` even though each now has an oracle and is
+#: locally hash-green at sf0.01) — ordered FIRST in ``all_queries()`` so
+#: the very next driver sample replaces the stale receipt with a real
+#: rows+schema+hash row.  Remove a name once a post-pairing CORRECTNESS
+#: row confirms it (r7 verdict "Next round" #2).
 _REVERIFY = frozenset({
-    "agg_conditional_priority", "agg_exact_percentiles",
-    "pack_concat_sequences",
+    "agg_approx", "rollup_hll_daily_users",
+    "sim_ann_lsh", "sim_near_dups_bucketed",
 })
 
 #: Queries REGISTERED this round: ordered after the never-checked
@@ -170,14 +185,7 @@ _REVERIFY = frozenset({
 #: stragglers must not be crowded out by brand-new entries.  (The 9
 #: round-6 additions fell out of this set into the plain never-checked
 #: remainder when CORRECTNESS_r06 landed without sampling them.)
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "consume_pp_tail", "consume_pp_partition_head", "consume_pp_budget",
-    "source_pp_offsets_parity", "stream_pp_datasource_parity",
-    "pp_partitions_leo", "consume_pp_transform_tail", "stream_pp_windows",
-    "eval_pass_at_k", "eval_brier_decomposition", "consume_sql_pp",
-    "stream_pp_consume_opts", "mm_audio_energy_segments",
-    "sink_wds_roundtrip",
-})
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, QuerySpec]:
