@@ -600,11 +600,12 @@ QUERIES.update({
 
 def q_stream_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The topic as a Spark 4 Python STREAMING DataSource
-    (``spark.readStream.format("fluvio")``): native offset-cursor
-    micro-batches (300 rows each → the sf0.001 log alone needs 4
-    batches), drained to the log end and compared per-partition against
-    the batch truth — the continuous-mode (-d) twin of
-    ``source_datasource_parity``."""
+    (``spark.readStream.format("fluvio")``): the full
+    DataSourceStreamReader protocol — driver-side offset cursors, the
+    drain planned as 300-offset executor-side range reads (the sf0.001
+    log alone needs 4 tasks) — drained to the log end and compared
+    per-partition against the batch truth, the continuous-mode (-d)
+    twin of ``source_datasource_parity``."""
     from pyspark.sql import functions as F
 
     from fluvio_duck_spark.sources.datasource import register_fluvio_source
@@ -1653,24 +1654,24 @@ def q_stream_pp_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     streaming twin of ``source_pp_offsets_parity``: a reader sharing one
     global cursor across partitions fails this immediately.
 
-    The batch budget is sized from the largest partition's
-    footer-statistics LEO so the drain is ~4 micro-batches at EVERY
-    scale factor — the multi-batch cursor protocol is exercised without
-    the micro-batch count (and its fixed per-trigger overhead) growing
-    linearly with the log."""
+    The task granule is sized from the largest partition's
+    footer-statistics LEO so the drain is ~4 executor tasks per
+    partition at EVERY scale factor (``max_rows_per_batch`` splits each
+    cursor window into granule-sized executor-side range reads — the
+    full DataSourceStreamReader protocol, no driver funnel)."""
     from pyspark.sql import functions as F
 
-    from fluvio_duck_spark.sources.datasource import (
-        FluvioSimpleStreamReader,
-        register_fluvio_source,
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import (
+        pp_footer_leo,
+        pp_partition_dirs,
+        write_pp_log_dir,
     )
-    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
 
     register_fluvio_source(spark)
     log_dir = write_pp_log_dir(spark, sf_dir)
-    probe = FluvioSimpleStreamReader({"log_dir": log_dir})
-    max_leo = max(probe._pp_leo(d) for d in probe._pp_dirs().values())
-    batch = max(50, -(-max_leo // 4))  # ceil; ≥2 batches at sf0.001
+    max_leo = max(pp_footer_leo(d) for d in pp_partition_dirs(log_dir).values())
+    batch = max(50, -(-max_leo // 4))  # ceil; ≥2 tasks/partition at sf0.001
     s = (
         spark.readStream.format("fluvio")
         .option("log_dir", log_dir)
@@ -1712,25 +1713,26 @@ FROM pp GROUP BY 1
 def q_stream_pp_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST6 × the per-partition offset model: event-time tumbling windows
     with a watermark over the log_dir stream — records arrive through
-    one offset cursor PER partition log (multi-batch drain), and the
-    windowed aggregate keyed by (window, partition) must equal the batch
-    truth per partition.  The event-time result is cursor-slicing
-    invariant (windows key on the data's timestamps, not on micro-batch
-    boundaries); a reader that dropped or re-delivered any partition's
-    range under the per-partition cursors shifts a window count."""
+    one offset cursor PER partition log, fetched as granule-sized
+    executor-side range reads, and the windowed aggregate keyed by
+    (window, partition) must equal the batch truth per partition.  The
+    event-time result is cursor/task-slicing invariant (windows key on
+    the data's timestamps, not on fetch boundaries); a reader that
+    dropped or re-delivered any partition's range under the
+    per-partition cursors shifts a window count."""
     from pyspark.sql import functions as F
 
-    from fluvio_duck_spark.sources.datasource import (
-        FluvioSimpleStreamReader,
-        register_fluvio_source,
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import (
+        pp_footer_leo,
+        pp_partition_dirs,
+        write_pp_log_dir,
     )
-    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
 
     register_fluvio_source(spark)
     log_dir = write_pp_log_dir(spark, sf_dir)
-    probe = FluvioSimpleStreamReader({"log_dir": log_dir})
-    max_leo = max(probe._pp_leo(d) for d in probe._pp_dirs().values())
-    batch = max(50, -(-max_leo // 4))  # ~4 micro-batches at every sf
+    max_leo = max(pp_footer_leo(d) for d in pp_partition_dirs(log_dir).values())
+    batch = max(50, -(-max_leo // 4))  # ~4 executor tasks/partition at every sf
     s = (
         spark.readStream.format("fluvio")
         .option("log_dir", log_dir)
@@ -1797,18 +1799,19 @@ def q_stream_pp_consume_opts(spark: SparkSession, sf_dir: str) -> DataFrame:
     log), not a global slice — the last front-end × partition-model
     cell: builder, DataSource, SQL text, and now the streaming option
     string all share one offset algebra."""
-    from fluvio_duck_spark.sources.datasource import (
-        FluvioSimpleStreamReader,
-        register_fluvio_source,
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import (
+        pp_footer_leo,
+        pp_partition_dirs,
+        write_pp_log_dir,
     )
-    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
 
     register_fluvio_source(spark)
     log_dir = write_pp_log_dir(spark, sf_dir)
-    # budget scaled to the log so the drain is ~4 micro-batches at every
-    # sf (fixed budgets make trigger count grow linearly with the log)
-    probe = FluvioSimpleStreamReader({"log_dir": log_dir})
-    max_leo = max(probe._pp_leo(d) for d in probe._pp_dirs().values())
+    # granule scaled to the log so the drain is ~4 executor tasks per
+    # partition at every sf (a fixed granule makes task count grow
+    # linearly with the log)
+    max_leo = max(pp_footer_leo(d) for d in pp_partition_dirs(log_dir).values())
     batch = max(40, -(-max_leo // 4))
     s = (
         spark.readStream.format("fluvio")

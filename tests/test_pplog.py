@@ -107,29 +107,41 @@ def test_footer_leo_matches_data(spark, log_dir):
         assert reader._pp_footer_leo(d) == counts[pid]
 
 
-def test_stream_pp_cursors_and_replay(spark, log_dir):
-    """The streaming reader's per-partition cursor protocol directly:
-    micro-batches advance each partition's own offset, and
-    readBetweenOffsets replays any committed range exactly (restart ≡
-    first run — the exactly-once contract of CONNECTOR.md §4)."""
-    from fluvio_duck_spark.sources.datasource import FluvioSimpleStreamReader
+def _fetch_range(reader, start: dict, end: dict) -> list[tuple]:
+    """Plan + read one committed [start, end) range through the full
+    stream-reader protocol (partitions() then executor-side read())."""
+    return [
+        tuple(d.values())
+        for p in reader.partitions(start, end)
+        for b in reader.read(p)
+        for d in b.to_pylist()
+    ]
 
-    r = FluvioSimpleStreamReader(
-        {"log_dir": log_dir, "max_rows_per_batch": "100"}
+
+def test_stream_pp_cursors_and_replay(spark, log_dir):
+    """The full streaming reader's per-partition cursor protocol
+    directly: throttled triggers advance each partition's own offset,
+    and re-planning a committed range replays it exactly (restart ≡
+    first run — the exactly-once contract of CONNECTOR.md §4)."""
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    r = FluvioStreamReader(
+        {"log_dir": log_dir, "max_rows_per_batch": "100",
+         "throttle_rows_per_trigger": "100"}
     )
     start = r.initialOffset()
     assert set(start) == {"0", "1", "2", "3"} and set(start.values()) == {0}
     seen = []
     pos = start
     for _ in range(20):
-        it, nxt = r.read(pos)
-        batch = list(it)
+        nxt = r.latestOffset()
         if nxt == pos:
             break
-        # each partition advanced by at most the batch budget
+        # each partition advanced by at most the per-trigger throttle
         for pid in nxt:
             assert 0 <= int(nxt[pid]) - int(pos[pid]) <= 100
-        seen.extend(batch)
+        seen.extend(_fetch_range(r, pos, nxt))
+        r.commit(nxt)
         pos = nxt
     # drained: totals match each partition's log
     from collections import Counter
@@ -140,13 +152,15 @@ def test_stream_pp_cursors_and_replay(spark, log_dir):
     for pid, n in per.items():
         offs = sorted(row[0] for row in seen if row[2] == pid)
         assert offs == list(range(n))
-    # replay of a committed middle range is bit-identical
+    # replay of a committed middle range is bit-identical, and invariant
+    # to the task granule it is re-planned with
     a = {"0": 50, "1": 0, "2": 100, "3": 10}
     b = {"0": 150, "1": 100, "2": 200, "3": 110}
-    replay1 = r.readBetweenOffsets(a, b)
-    replay2 = FluvioSimpleStreamReader(
-        {"log_dir": log_dir, "max_rows_per_batch": "7"}
-    ).readBetweenOffsets(a, b)
+    replay1 = _fetch_range(r, a, b)
+    replay2 = _fetch_range(
+        FluvioStreamReader({"log_dir": log_dir, "max_rows_per_batch": "7"}),
+        a, b,
+    )
     assert replay1 == replay2 and len(replay1) == 400
 
 

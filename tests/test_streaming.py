@@ -383,31 +383,56 @@ def test_stream_cdc_restart_resumes_and_converges(spark, sf_dir, tmp_path):
     assert got == exp
 
 
-def test_datasource_stream_multi_chunk_and_replay(spark, sf_dir):
-    """The streaming DataSource must advance its offset cursor across
-    multiple chunks (not stall or repeat), and readBetweenOffsets must
-    replay a committed range byte-for-byte (restart determinism)."""
-    from fluvio_duck_spark.sources.datasource import FluvioSimpleStreamReader
-
-    r = FluvioSimpleStreamReader(
-        {"topic": "events", "sf_dir": sf_dir, "max_rows_per_batch": "400"}
-    )
+def _drain_stream_reader(r, max_triggers=50):
+    """Drive the full DataSourceStreamReader protocol the way Spark
+    does: latestOffset per trigger, partitions(start, end) planning,
+    read() per planned task.  Returns (rows, trigger_count)."""
     cur = r.initialOffset()
-    seen, chunks = [], 0
-    while True:
-        it, nxt = r.read(cur)
-        rows = list(it)
-        if nxt == cur:
-            assert rows == []
+    seen, triggers = [], 0
+    for _ in range(max_triggers):
+        end = r.latestOffset()
+        if end == cur:
             break
-        chunks += 1
+        triggers += 1
+        parts = r.partitions(cur, end)
+        rows = [
+            tuple(d.values())
+            for p in parts
+            for b in r.read(p)
+            for d in b.to_pylist()
+        ]
+        # re-planning the same committed [start, end) range must replay
+        # bit-identically (restart determinism / exactly-once)
+        replay = [
+            tuple(d.values())
+            for p in r.partitions(cur, end)
+            for b in r.read(p)
+            for d in b.to_pylist()
+        ]
+        assert replay == rows
         seen.extend(rows)
-        # replay of the same [start, end) must be identical
-        assert list(r.readBetweenOffsets(cur, nxt)) == rows
-        cur = nxt
-    assert chunks >= 3
-    offs = [row[0] for row in seen]
-    assert offs == sorted(offs) and len(set(offs)) == len(offs)
+        r.commit(end)
+        cur = end
+    return seen, triggers
+
+
+def test_datasource_stream_multi_chunk_and_replay(spark, sf_dir):
+    """The full streaming DataSource must plan each micro-batch as
+    granule-sized executor range reads, advance its offset cursor
+    across throttled triggers (not stall or repeat), and re-reading a
+    committed range must replay byte-for-byte (restart determinism)."""
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    r = FluvioStreamReader(
+        {"topic": "events", "sf_dir": sf_dir, "max_rows_per_batch": "150",
+         "throttle_rows_per_trigger": "400"}
+    )
+    seen, triggers = _drain_stream_reader(r)
+    assert triggers >= 3  # throttle forces a multi-trigger drain
+    # the granule splits each trigger window into multiple tasks
+    assert len(r.partitions({"offset": 0}, {"offset": 400})) == 3
+    offs = sorted(row[0] for row in seen)
+    assert len(set(offs)) == len(offs)
     # drained everything exactly once
     from fluvio_duck_spark.sources.consume import read_events
     assert len(offs) == read_events(spark, sf_dir).count()
