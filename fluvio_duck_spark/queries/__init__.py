@@ -185,13 +185,18 @@ _REVERIFY = frozenset({
 #: stragglers must not be crowded out by brand-new entries.  (The 9
 #: round-6 additions fell out of this set into the plain never-checked
 #: remainder when CORRECTNESS_r06 landed without sampling them.)
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "loopback_pp_tail", "loopback_partitions_leo",
+    "loopback_stream_parity", "loopback_transform_tail",
+    "consume_sql_pp_mapped",
+})
 
 
 def all_queries() -> dict[str, QuerySpec]:
     from fluvio_duck_spark.queries import (
         consume_queries,
         llm,
+        loopback_queries,
         multimodal_queries,
         pipeline,
         quality,
@@ -201,7 +206,7 @@ def all_queries() -> dict[str, QuerySpec]:
 
     merged: dict[str, QuerySpec] = {}
     for module in (consume_queries, relational, llm, streaming_queries,
-                   multimodal_queries, pipeline, quality):
+                   multimodal_queries, pipeline, quality, loopback_queries):
         overlap = merged.keys() & module.QUERIES.keys()
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")

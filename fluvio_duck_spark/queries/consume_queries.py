@@ -642,6 +642,29 @@ def _q_consume_sql_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_consume_sql_pp_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 × per-partition offsets × ST5/P4: the SQL-text surface with
+    typed ``-c`` mappings bound to a log_dir session.  The statement is
+    byte-identical to what a stand-in session runs; the binder routes
+    the mapped scan through the builder pipeline over a DataSource
+    source so the projection still applies (ADVICE r7: a raw DataSource
+    bind silently returned the unmapped 4-column schema).  Offsets are
+    partition 2's OWN sequence — both the mapping AND the per-partition
+    offset algebra must survive the SQL front end."""
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    return consume_sql(
+        spark,
+        """
+        SELECT kk, kd FROM
+          fluvio_consume('events -p 2 --start 5 --end 60 -c kk:i=k -c kd:d=k')
+        """,
+        sf_dir=sf_dir, log_dir=log_dir,
+    )
+
+
 QUERIES.update({
     # F1/L2 over per-partition offsets: tail anchors at EACH partition's
     # log end (builder front end, per_partition_offsets=True)
@@ -727,6 +750,20 @@ QUERIES.update({
         doc="SQL-text surface over the per-partition log: fluvio_consume + "
             "fluvio_partitions() bound to log_dir in one statement; "
             "scan-derived LEO == footer-metadata LEO per partition",
+    ),
+    # §2.12 × per-partition offsets × typed mappings: the SQL text is
+    # transport-invariant INCLUDING -c projections (ADVICE r7 fix)
+    "consume_sql_pp_mapped": QuerySpec(
+        _q_consume_sql_pp_mapped,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT CAST(json_extract_string("value", '$.k') AS INTEGER) AS kk,
+               CAST(json_extract_string("value", '$.k') AS DOUBLE) AS kd
+        FROM pp WHERE "partition" = 2 AND "offset" BETWEEN 5 AND 60
+        """,
+        doc="SQL front end over a per-partition log WITH typed -c mappings: "
+            "the statement text is transport-invariant — mapping and "
+            "per-partition offset algebra both survive the log_dir bind",
     ),
     # ST5 × per-partition offsets: ordered transform chain downstream of
     # the per-partition tail bound

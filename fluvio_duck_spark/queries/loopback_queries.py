@@ -1,0 +1,208 @@
+"""CONNECTOR.md parity gate, EXECUTED — the same queries over the second
+transport.
+
+Round 7 wrote the connector contract (CONNECTOR.md): which seams a
+cluster-backed transport replaces, and the acceptance gate — the
+existing oracle-paired queries re-run with only the transport swapped.
+Until now that gate had never been executed against anything but local
+parquet (VERDICT r7 "Next round" #1).  These queries run it: each one
+starts the loopback record server (sources/loopback.py) over the
+per-partition log fixture, consumes it through ``.option("server",
+addr)`` / ``fluvio_partitions(server=...)`` / ``source=``-swap, and is
+checked against the SAME DuckDB oracles as its local-transport twin —
+so the driver receipt directly certifies "transport swapped, hashes
+unchanged".
+
+Parity steps covered (CONNECTOR.md §"Parity test plan"):
+
+* step 2 (offset surface)  → loopback_pp_tail
+* step 3 (metadata)        → loopback_partitions_leo
+* step 4 (streaming drain) → loopback_stream_parity
+  (kill-and-restart replay is tests/test_loopback.py — checkpointed
+  restart over the same server, exactly-once counts)
+* step 5 (transform chain) → loopback_transform_tail
+
+Scale posture (step 6): the reader's shape is the claim — partition
+discovery + LEO are ONE metadata RPC at plan time, each executor task
+sends its offset window TO the server and receives only that range
+(sources/datasource.py::_read_pp), and results are materialized with
+``localCheckpoint`` so the returned DataFrame outlives the server.  The
+server itself is a test double for the SPU; its cost is not the
+measurement.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fluvio_duck_spark.queries import QuerySpec
+from fluvio_duck_spark.queries.consume_queries import _PP_CTE
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+@contextlib.contextmanager
+def _server(spark: SparkSession, sf_dir: str):
+    """Per-partition log fixture served over the loopback protocol; the
+    caller must materialize results before the context closes."""
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.loopback import RecordServer
+    from fluvio_duck_spark.sources.pplog import write_pp_log_dir
+
+    register_fluvio_source(spark)
+    srv = RecordServer(write_pp_log_dir(spark, sf_dir)).start()
+    try:
+        yield srv.address
+    finally:
+        srv.stop()
+
+
+def _q_loopback_pp_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTOR.md parity step 2 (offset surface): ``-A -T 3`` through
+    the loopback server — partition discovery and per-partition LEO
+    arrive over the metadata RPC, each tail window is fetched
+    executor-side as a bounded range, and the result must hash-match
+    consume_pp_tail's oracle (the local-transport twin).  A connector
+    that anchored -T against a global counter, or fetched whole logs
+    and filtered client-side, diverges here."""
+    with _server(spark, sf_dir) as addr:
+        df = (
+            spark.read.format("fluvio")
+            .option("server", addr)
+            .option("args", "-A -T 3 --rows 1000000")
+            .load()
+            .select("offset", "timestamp", "value")
+        )
+        return df.localCheckpoint(eager=True)
+
+
+def _q_loopback_partitions_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTOR.md parity step 3 (metadata): ``fluvio_partitions(
+    server=...)`` — the per-partition LEOs travel over an actual RPC
+    (the ``all::<PartitionSpec>()`` analogue, reference
+    src/partition.rs:107-134) and must equal the local footer-derived
+    truth for every partition."""
+    from fluvio_duck_spark.sources.metadata import fluvio_partitions
+
+    with _server(spark, sf_dir) as addr:
+        # createDataFrame over RPC-fetched rows: already driver-local,
+        # no server dependency after return
+        return fluvio_partitions(spark, server=addr)
+
+
+def _q_loopback_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTOR.md parity step 4 (streaming): the full
+    DataSourceStreamReader over the server transport — per-partition
+    cursors advance against RPC-probed LEOs, every fetch is an
+    executor-side windowed range read from the server, and the drain
+    must reproduce the batch truth per partition (shares
+    stream_pp_datasource_parity's oracle)."""
+    with _server(spark, sf_dir) as addr:
+        s = (
+            spark.readStream.format("fluvio")
+            .option("server", addr)
+            .option("max_rows_per_batch", "2000")
+            .load()
+        )
+        agg = s.groupBy("partition").agg(
+            F.count("*").alias("n"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+            (F.max("offset") + 1).alias("leo"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("__loopback_stream_parity")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table("__loopback_stream_parity")
+
+
+def _q_loopback_transform_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTOR.md parity step 5 (transform chain): the option-string
+    builder front end with its ordered SmartModule chain (sql-filter →
+    jolt shift → typed mappings) applied to a SOURCE read over the
+    server transport (``source=``-swap, per-partition offsets).  The
+    chain runs engine-side in both transports and must hash-match
+    consume_pp_transform_tail's oracle — transforms are above the seam
+    and may not change when the transport does."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    with _server(spark, sf_dir) as addr:
+        src = (
+            spark.read.format("fluvio")
+            .option("server", addr)
+            .option("args", "-A -B --rows 1000000")
+            .load()
+        )
+        argv = [
+            "events", "-A", "-T", "40", "--rows", "1000000",
+            "--transform",
+            '{"uses":"sql-filter","with":'
+            '{"where":"cast(get_json_object(value, \'$.k\') as int) >= 50"}}',
+            "--transform",
+            '{"uses":"infinyon/jolt@0.1.0","with":'
+            '{"spec":[{"operation":"shift","spec":{"k":"kk"}}]}}',
+            "-c", "kk:i=kk", "-c", "kkd:d=kk",
+        ]
+        out = fluvio_consume(
+            spark, argv, sf_dir=sf_dir, source=src,
+            per_partition_offsets=True,
+        )
+        return out.localCheckpoint(eager=True)
+
+
+QUERIES.update({
+    "loopback_pp_tail": QuerySpec(
+        _q_loopback_pp_tail,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT "offset", "timestamp", "value" FROM pp
+        WHERE "offset" >= leo - 3
+        """,
+        doc="CONNECTOR.md step 2 executed: per-partition tail over the "
+            "loopback record server — metadata RPC at plan time, "
+            "executor-side windowed fetch, hash-identical to the local "
+            "transport",
+    ),
+    "loopback_partitions_leo": QuerySpec(
+        _q_loopback_partitions_leo,
+        """
+        SELECT 'events' AS topic, CAST(user_id % 4 AS VARCHAR) AS "partition",
+               CAST(COUNT(*) AS BIGINT) AS "LEO"
+        FROM events GROUP BY 2
+        """,
+        doc="CONNECTOR.md step 3 executed: fluvio_partitions over the "
+            "server's offset RPC — per-partition LEO parity",
+    ),
+    "loopback_stream_parity": QuerySpec(
+        _q_loopback_stream_parity,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT "partition", COUNT(*) AS n, MIN("offset") AS min_offset,
+               MAX("offset") AS max_offset, MAX("offset") + 1 AS leo
+        FROM pp GROUP BY 1
+        """,
+        doc="CONNECTOR.md step 4 executed: streaming drain over the server "
+            "transport, per-partition cursors + executor-side range fetches",
+    ),
+    "loopback_transform_tail": QuerySpec(
+        _q_loopback_transform_tail,
+        """
+        WITH """ + _PP_CTE + """
+        SELECT CAST(json_extract_string("value", '$.k') AS INTEGER) AS kk,
+               CAST(json_extract_string("value", '$.k') AS DOUBLE) AS kkd
+        FROM pp
+        WHERE "offset" >= leo - 40
+          AND CAST(json_extract_string("value", '$.k') AS INTEGER) >= 50
+        """,
+        doc="CONNECTOR.md step 5 executed: ordered transform chain over a "
+            "server-transport source — transforms live above the seam",
+    ),
+})

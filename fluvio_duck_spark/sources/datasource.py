@@ -146,11 +146,16 @@ class FluvioReader(DataSourceReader):
         # reference's actual storage model (src/partition.rs:107-134).
         # All offset algebra then anchors per partition.
         self.log_dir = options.get("log_dir")
+        # server mode: the SAME per-partition offset model consumed over
+        # the loopback record-server protocol (sources/loopback.py) —
+        # CONNECTOR.md's second transport.  Plan-time metadata RPC for
+        # partition discovery + LEO, executor-side windowed fetch.
+        self.server = options.get("server")
         self.sf_dir = options.get("sf_dir")
-        if not self.sf_dir and not self.log_dir:
+        if not self.sf_dir and not self.log_dir and not self.server:
             raise ValueError(
-                "fluvio datasource requires .option('sf_dir', ...) or "
-                ".option('log_dir', ...)"
+                "fluvio datasource requires .option('sf_dir', ...), "
+                ".option('log_dir', ...), or .option('server', ...)"
             )
         args = options.get("args", "-B")
         self.opts = parse_consume_opts(f"{self.topic} {args}".split())
@@ -265,39 +270,55 @@ class FluvioReader(DataSourceReader):
 
         return pp_footer_leo(part_dir)
 
+    def _pp_window(self, leo: int) -> tuple[int, int | None]:
+        """One partition's [lo, hi] window from ITS OWN log end —
+        pure arithmetic (offsets are dense per partition), shared by
+        the local log_dir and loopback server transports."""
+        start = self.opts.calculate_start()
+        lo = 0
+        if start.kind in ("head", "start"):
+            lo = start.n
+        elif start.kind in ("tail", "end"):
+            lo = leo if start.kind == "end" else max(leo - start.n, 0)
+        hi = self.opts.end
+        if self.opts.rows is not None:
+            # dense per-partition offsets: each partition's budget
+            # is arithmetic (matches the builder's per-partition
+            # --rows semantics, sources/consume.py::_pp_row_budget)
+            budget_hi = lo + self.opts.rows - 1
+            hi = budget_hi if hi is None else min(hi, budget_hi)
+        return lo, hi
+
     def _pp_partitions(self):
-        """One InputPartition per partition directory, each with a
-        window resolved against that partition's OWN log end (offsets
-        are dense per partition, so every bound is arithmetic — no data
-        scan at plan time)."""
-        dirs = self._pp_partition_dirs()
+        """One InputPartition per partition log, each with a window
+        resolved against that partition's OWN log end (no data scan at
+        plan time).  LEO comes from footer statistics (log_dir mode) or
+        the record server's metadata RPC (server mode) — the only
+        difference between the two transports at plan time."""
+        if self.server:
+            from fluvio_duck_spark.sources.loopback import server_parts
+
+            leos = server_parts(self.server)
+            fetch = {pid: None for pid in leos}
+        else:
+            dirs = self._pp_partition_dirs()
+            leos = {pid: self._pp_footer_leo(d) for pid, d in dirs.items()}
+            fetch = dirs
         if not self.opts.all_partitions:
             pid = int(self.opts.partition)
-            if pid not in dirs:
+            if pid not in leos:
                 # unknown partition → empty scan (the stand-in's
                 # unknown-topic convention; Spark requires ≥1 partition)
                 p = _FluvioPartition(pid, 0, None)
                 p.empty = True
                 return [p]
-            dirs = {pid: dirs[pid]}
-        start = self.opts.calculate_start()
+            leos = {pid: leos[pid]}
         out = []
-        for pid, d in sorted(dirs.items()):
-            lo = 0
-            if start.kind in ("head", "start"):
-                lo = start.n
-            elif start.kind in ("tail", "end"):
-                leo = self._pp_footer_leo(d)
-                lo = leo if start.kind == "end" else max(leo - start.n, 0)
-            hi = self.opts.end
-            if self.opts.rows is not None:
-                # dense per-partition offsets: each partition's budget
-                # is arithmetic (matches the builder's per-partition
-                # --rows semantics, sources/consume.py::_pp_row_budget)
-                budget_hi = lo + self.opts.rows - 1
-                hi = budget_hi if hi is None else min(hi, budget_hi)
+        for pid in sorted(leos):
+            lo, hi = self._pp_window(leos[pid])
             p = _FluvioPartition(pid, lo, hi, None)
-            p.part_dir = d
+            p.part_dir = fetch.get(pid)
+            p.server = self.server
             out.append(p)
         return out
 
@@ -305,7 +326,7 @@ class FluvioReader(DataSourceReader):
         # reference semantics: partition 0 unless -A/--all-partitions
         # (options.py:155-156; the reference parses -p but pins 0 —
         # we honor the parsed value, SURVEY §1.4.2 fix)
-        if self.log_dir:
+        if self.log_dir or self.server:
             return self._pp_partitions()
         lo, hi = self._resolve_window()
         budget = self.opts.rows if self.local_budget else None
@@ -317,10 +338,17 @@ class FluvioReader(DataSourceReader):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        tbl = _read_pp_window(
-            partition.part_dir, partition.lo,
-            None if partition.hi is None else partition.hi + 1,
-        )
+        hi_excl = None if partition.hi is None else partition.hi + 1
+        if partition.part_dir is None and getattr(partition, "server", None):
+            # loopback transport: the window travels to the server —
+            # the executor-side bounded range read of CONNECTOR.md §1
+            from fluvio_duck_spark.sources.loopback import server_fetch
+
+            tbl = server_fetch(
+                partition.server, partition.pid, partition.lo, hi_excl
+            )
+        else:
+            tbl = _read_pp_window(partition.part_dir, partition.lo, hi_excl)
         out = pa.table(
             {
                 "offset": pc.cast(tbl["offset"], pa.int64()),
@@ -342,7 +370,8 @@ class FluvioReader(DataSourceReader):
 
         if getattr(partition, "empty", False):
             return
-        if getattr(partition, "part_dir", None) is not None:
+        if (getattr(partition, "part_dir", None) is not None
+                or getattr(partition, "server", None)):
             yield from self._read_pp(partition)
             return
         # offset window + sub-topic predicate pushed into the parquet
@@ -388,11 +417,13 @@ class _FluvioStreamPartition(InputPartition):
     ``[lo, hi)`` window of ONE partition log's own offsets (pp modes)
     or of the global stand-in sequence (sf_dir mode)."""
 
-    def __init__(self, pid: int, lo: int, hi: int, part_dir: str | None = None):
+    def __init__(self, pid: int, lo: int, hi: int, part_dir: str | None = None,
+                 server: str | None = None):
         self.pid = pid
         self.lo = lo
         self.hi = hi  # exclusive
         self.part_dir = part_dir
+        self.server = server
 
 
 class FluvioStreamReader(DataSourceStreamReader):
@@ -439,11 +470,12 @@ class FluvioStreamReader(DataSourceStreamReader):
     def __init__(self, options):
         self.topic = options.get("topic", "events")
         self.log_dir = options.get("log_dir")
+        self.server = options.get("server")  # loopback transport (CONNECTOR.md)
         self.sf_dir = options.get("sf_dir")
-        if not self.sf_dir and not self.log_dir:
+        if not self.sf_dir and not self.log_dir and not self.server:
             raise ValueError(
-                "fluvio datasource requires .option('sf_dir', ...) or "
-                ".option('log_dir', ...)"
+                "fluvio datasource requires .option('sf_dir', ...), "
+                ".option('log_dir', ...), or .option('server', ...)"
             )
         self.granule = int(options.get("max_rows_per_batch", "5000"))
         throttle = options.get("throttle_rows_per_trigger")
@@ -457,8 +489,16 @@ class FluvioStreamReader(DataSourceStreamReader):
         return pp_partition_dirs(self.log_dir)
 
     def _leo_map(self) -> dict[str, int]:
-        """Current log-end offset per cursor key — footer statistics
-        only, re-probed every trigger so appends are picked up."""
+        """Current log-end offset per cursor key — metadata only
+        (footer statistics or the server's offset RPC), re-probed every
+        trigger so appends are picked up."""
+        if self.server:
+            from fluvio_duck_spark.sources.loopback import server_parts
+
+            return {
+                str(pid): leo
+                for pid, leo in sorted(server_parts(self.server).items())
+            }
         if self.log_dir:
             from fluvio_duck_spark.sources.pplog import pp_footer_leo
 
@@ -479,8 +519,8 @@ class FluvioStreamReader(DataSourceStreamReader):
         return {"offset": leo + 1}
 
     def initialOffset(self) -> dict:
-        if self.log_dir:
-            return {str(pid): 0 for pid in sorted(self._pp_dirs())}
+        if self.server or self.log_dir:
+            return {k: 0 for k in self._leo_map()}
         return {"offset": 0}
 
     def latestOffset(self) -> dict:
@@ -498,15 +538,21 @@ class FluvioStreamReader(DataSourceStreamReader):
     # -- micro-batch planning + executor-side fetch -------------------------
     def partitions(self, start: dict, end: dict):
         out: list[_FluvioStreamPartition] = []
-        if self.log_dir:
-            dirs = self._pp_dirs()
-            for pid, d in sorted(dirs.items()):
+        if self.log_dir or self.server:
+            if self.server:
+                from fluvio_duck_spark.sources.loopback import server_parts
+
+                fetch = {pid: None for pid in server_parts(self.server)}
+            else:
+                fetch = self._pp_dirs()
+            for pid, d in sorted(fetch.items()):
                 lo = int(start.get(str(pid), 0))
                 hi = int(end.get(str(pid), lo))
                 for c in range(lo, hi, self.granule):
                     out.append(
                         _FluvioStreamPartition(
-                            pid, c, min(c + self.granule, hi), part_dir=d
+                            pid, c, min(c + self.granule, hi),
+                            part_dir=d, server=self.server,
                         )
                     )
             return out
@@ -522,8 +568,17 @@ class FluvioStreamReader(DataSourceStreamReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        if partition.part_dir is not None:
-            tbl = _read_pp_window(partition.part_dir, partition.lo, partition.hi)
+        if partition.part_dir is not None or partition.server:
+            if partition.part_dir is None:
+                from fluvio_duck_spark.sources.loopback import server_fetch
+
+                tbl = server_fetch(
+                    partition.server, partition.pid, partition.lo, partition.hi
+                )
+            else:
+                tbl = _read_pp_window(
+                    partition.part_dir, partition.lo, partition.hi
+                )
             out = pa.table(
                 {
                     "offset": pc.cast(tbl["offset"], pa.int64()),

@@ -1,0 +1,160 @@
+"""Loopback record server — the second transport for CONNECTOR.md's
+parity gate.
+
+Every query in this repo runs against a parquet stand-in read directly
+from the local filesystem.  CONNECTOR.md specifies how a real
+cluster-backed connector replaces that transport, but the contract had
+only ever been *written*, never executed against a second transport
+(VERDICT r7 "Next round" #1).  This module is that second transport: an
+in-process socket server that owns the partition logs and speaks a
+minimal SPU-shaped protocol, plus the client helpers the DataSource
+uses to consume it.  Nothing above the seam changes — the parity
+queries run the SAME option strings with ``.option("server", addr)``
+swapped in and must produce identical hashes.
+
+The protocol mirrors the two calls the reference makes per scan:
+
+* **metadata** (plan time, driver side): ``{"op": "parts"}`` →
+  ``{pid: leo}`` — the admin/offset API analogue
+  (``all::<PartitionSpec>()`` + ``partition.status.leader.leo``,
+  reference src/partition.rs:107-134).
+* **record fetch** (execute time, EXECUTOR side): ``{"op": "fetch",
+  "pid": k, "lo": a, "hi": b}`` → an Arrow IPC stream of that
+  partition's records with offsets in ``[a, b)`` — the bounded range
+  read of ``stream_with_config(start_offset, config)`` (reference
+  src/consume.rs:189-193).  The server must be handed the window: a
+  connector that fetches all and filters client-side fails
+  CONNECTOR.md's step-6 scale posture by construction.
+
+Wire format: one JSON request line, then an 8-byte big-endian length
+prefix and the payload (JSON for metadata, Arrow IPC for fetch).  The
+server is a stand-in for the SPU — its own storage is the pp log dir
+parquet (row-group-pruned via the same ``_read_pp_window`` the local
+transport uses); what the parity gate exercises is the READER's shape:
+plan-time metadata RPC, executor-side windowed fetch, no driver funnel.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import socket
+import socketserver
+import struct
+import threading
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("record server closed mid-response")
+        buf += chunk
+    return buf
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:
+        line = self.rfile.readline()
+        if not line:
+            return
+        req = json.loads(line)
+        srv = self.server  # type: ignore[assignment]
+        if req["op"] == "parts":
+            payload = json.dumps(srv.parts_leo()).encode()
+        elif req["op"] == "fetch":
+            payload = srv.fetch_ipc(
+                int(req["pid"]), int(req["lo"]),
+                None if req.get("hi") is None else int(req["hi"]),
+            )
+        else:
+            payload = json.dumps({"error": f"unknown op {req['op']!r}"}).encode()
+        self.wfile.write(struct.pack(">Q", len(payload)))
+        self.wfile.write(payload)
+
+
+class RecordServer(socketserver.ThreadingTCPServer):
+    """Serves a per-partition log directory (``partition=<k>/`` layout,
+    sources/pplog.py) over the loopback protocol.  Threaded: one
+    connection per request, so N executor tasks fetch concurrently —
+    the stand-in for N SPU connections."""
+
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, log_dir: str):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.log_dir = log_dir
+        self._thread: threading.Thread | None = None
+
+    @property
+    def address(self) -> str:
+        host, port = self.server_address
+        return f"{host}:{port}"
+
+    def parts_leo(self) -> dict[str, int]:
+        from fluvio_duck_spark.sources.pplog import (
+            pp_footer_leo,
+            pp_partition_dirs,
+        )
+
+        return {
+            str(pid): pp_footer_leo(d)
+            for pid, d in sorted(pp_partition_dirs(self.log_dir).items())
+        }
+
+    def fetch_ipc(self, pid: int, lo: int, hi: int | None) -> bytes:
+        import pyarrow as pa
+
+        from fluvio_duck_spark.sources.datasource import _read_pp_window
+        from fluvio_duck_spark.sources.pplog import pp_partition_dirs
+
+        dirs = pp_partition_dirs(self.log_dir)
+        if pid not in dirs:
+            tbl = pa.table(
+                {"offset": pa.array([], pa.int64()),
+                 "timestamp": pa.array([], pa.timestamp("us")),
+                 "value": pa.array([], pa.string())}
+            )
+        else:
+            tbl = _read_pp_window(dirs[pid], lo, hi)
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, tbl.schema) as w:
+            w.write_table(tbl)
+        return sink.getvalue()
+
+    def start(self) -> "RecordServer":
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        self.server_close()
+
+
+# -- client side (used driver-side for metadata, EXECUTOR-side for fetch) --
+
+def _request(addr: str, req: dict) -> bytes:
+    host, port = addr.rsplit(":", 1)
+    with socket.create_connection((host, int(port)), timeout=60) as sock:
+        sock.sendall(json.dumps(req).encode() + b"\n")
+        (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
+        return _recv_exact(sock, n)
+
+
+def server_parts(addr: str) -> dict[int, int]:
+    """partition id → LEO, from the server's metadata endpoint — the
+    plan-time offset/admin RPC of the connector contract."""
+    return {int(k): int(v) for k, v in json.loads(_request(addr, {"op": "parts"})).items()}
+
+
+def server_fetch(addr: str, pid: int, lo: int, hi: int | None):
+    """One partition's records with offsets in ``[lo, hi)``, as an Arrow
+    table — the executor-side bounded range read."""
+    import pyarrow as pa
+
+    payload = _request(addr, {"op": "fetch", "pid": pid, "lo": lo, "hi": hi})
+    with pa.ipc.open_stream(payload) as r:
+        return r.read_all()

@@ -35,6 +35,7 @@ def fluvio_topics(
     sf_dir: str = DEFAULT_SF_DIR,
     log_dir: str | None = None,
     topic: str = "events",
+    server: str | None = None,
 ) -> DataFrame:
     """Schema ``(name VARCHAR, partitions INTEGER)`` — reference
     src/topic.rs:52-53.
@@ -43,11 +44,18 @@ def fluvio_topics(
     (sources/pplog.py): the listing comes from the log's own
     ``partition=<k>`` directories — the admin-RPC analogue over a real
     partition log snapshot.  Driver-side and n_partitions-bounded, like
-    the reference's admin connect (src/topic.rs:55-59)."""
-    if log_dir is not None:
-        from fluvio_duck_spark.sources.pplog import pp_partition_dirs
+    the reference's admin connect (src/topic.rs:55-59).  ``server``
+    asks the loopback record server instead (sources/loopback.py) —
+    an actual RPC, the second transport of CONNECTOR.md's parity gate."""
+    if log_dir is not None or server is not None:
+        if server is not None:
+            from fluvio_duck_spark.sources.loopback import server_parts
 
-        n = len(pp_partition_dirs(log_dir))
+            n = len(server_parts(server))
+        else:
+            from fluvio_duck_spark.sources.pplog import pp_partition_dirs
+
+            n = len(pp_partition_dirs(log_dir))
         schema = T.StructType([
             T.StructField("name", T.StringType(), False),
             T.StructField("partitions", T.IntegerType(), False),
@@ -69,6 +77,7 @@ def fluvio_partitions(
     sf_dir: str = DEFAULT_SF_DIR,
     log_dir: str | None = None,
     topic: str = "events",
+    server: str | None = None,
 ) -> DataFrame:
     """Schema ``(topic VARCHAR, partition VARCHAR, LEO)`` — reference
     src/partition.rs:52-54.  LEO is LONG here (the reference narrows to
@@ -82,17 +91,25 @@ def fluvio_partitions(
     (one independent offset sequence per partition).  Footer-only:
     no row group is decoded, and the result is n_partitions rows built
     driver-side — a metadata RPC, not a data scan, exactly like the
-    reference's admin call."""
-    if log_dir is not None:
-        from fluvio_duck_spark.sources.pplog import (
-            pp_footer_leo,
-            pp_partition_dirs,
-        )
+    reference's admin call.  ``server`` asks the loopback record server
+    (sources/loopback.py) — the per-partition LEOs travel over an
+    actual RPC, the second transport of CONNECTOR.md's parity gate."""
+    if log_dir is not None or server is not None:
+        if server is not None:
+            from fluvio_duck_spark.sources.loopback import server_parts
 
-        rows = [
-            (topic, str(pid), pp_footer_leo(d))
-            for pid, d in sorted(pp_partition_dirs(log_dir).items())
-        ]
+            leos = sorted(server_parts(server).items())
+        else:
+            from fluvio_duck_spark.sources.pplog import (
+                pp_footer_leo,
+                pp_partition_dirs,
+            )
+
+            leos = [
+                (pid, pp_footer_leo(d))
+                for pid, d in sorted(pp_partition_dirs(log_dir).items())
+            ]
+        rows = [(topic, str(pid), leo) for pid, leo in leos]
         schema = T.StructType([
             T.StructField("topic", T.StringType(), False),
             T.StructField("partition", T.StringType(), False),

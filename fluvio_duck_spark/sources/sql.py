@@ -73,20 +73,47 @@ def consume_sql(
     def _bind_consume(m: re.Match) -> str:
         name = f"__fc{len(params)}"
         if log_dir is not None:
+            from fluvio_duck_spark.options import parse_consume_opts
             from fluvio_duck_spark.sources.datasource import (
                 register_fluvio_source,
             )
 
             register_fluvio_source(spark)
-            opts = m.group(1)
+            opts_str = m.group(1)
+            parsed = parse_consume_opts(opts_str)
             # strip the leading topic token: the log dir IS the topic
-            args = opts.split(None, 1)[1] if " " in opts.strip() else ""
-            params[name] = (
-                spark.read.format("fluvio")
-                .option("log_dir", log_dir)
-                .option("args", args)
-                .load()
-            )
+            args = (opts_str.split(None, 1)[1]
+                    if " " in opts_str.strip() else "")
+            if (parsed.columns or parsed.transform
+                    or parsed.transforms_file or parsed.has_smartmodule):
+                # transform chains / typed -c mappings live ABOVE the
+                # transport seam: bind the raw per-partition log through
+                # the DataSource, then let the builder apply the full
+                # pipeline (offset algebra anchored per partition) —
+                # otherwise a statement like
+                # fluvio_consume('events -A -B -c kk:i=k') would
+                # silently return the raw 4-column schema in log_dir
+                # sessions while being mapped in stand-in sessions.
+                raw = (
+                    spark.read.format("fluvio")
+                    .option("log_dir", log_dir)
+                    .option("args", "-A -B")
+                    .load()
+                )
+                params[name] = fluvio_consume(
+                    spark, parsed, sf_dir=sf_dir, source=raw,
+                    per_partition_offsets=True,
+                )
+            else:
+                # plain scan: pure DataSource bind — offset algebra
+                # resolves at plan time against footer LEO (the scale
+                # path; connector record schema, as the pp oracles pin)
+                params[name] = (
+                    spark.read.format("fluvio")
+                    .option("log_dir", log_dir)
+                    .option("args", args)
+                    .load()
+                )
         else:
             params[name] = fluvio_consume(spark, m.group(1), sf_dir=sf_dir)
         return "{" + name + "}"

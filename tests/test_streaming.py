@@ -659,3 +659,69 @@ def test_kmv_merge_is_batch_split_invariant(spark, sf_dir):
             cand = batch if state is None else batch.unionByName(state)
             state = topk(cand).localCheckpoint(eager=True)
         assert {tuple(r) for r in state.collect()} == direct
+
+
+def test_continuous_mode_follows_growing_log(spark, sf_dir, tmp_path):
+    """The reference's -d continuous mode is "keep waiting for new
+    records" (src/consume.rs:675, SURVEY §1.4.5): latestOffset re-probes
+    each partition log's footer LEO every trigger, so a fragment
+    appended to a partition directory BETWEEN micro-batches must be
+    picked up — cursors advance past the old LEO and the final drain
+    equals batch truth of the final log."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import (
+        pp_footer_leo,
+        pp_partition_dirs,
+        write_pp_log_dir,
+    )
+
+    # private copy — the shared pp scratch must not grow for other tests
+    log_dir = str(tmp_path / "growing_log")
+    shutil.copytree(write_pp_log_dir(spark, sf_dir), log_dir)
+    for m in glob.glob(log_dir + "/_READY"):
+        import os
+        os.remove(m)
+    part1 = pp_partition_dirs(log_dir)[1]
+    old_leo = pp_footer_leo(part1)
+
+    register_fluvio_source(spark)
+    q = (
+        spark.readStream.format("fluvio")
+        .option("log_dir", log_dir)
+        .option("max_rows_per_batch", "100")
+        .load()
+        .writeStream.format("memory").queryName("growing")
+        .outputMode("append").trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table("growing").count() == 1000  # initial log drained
+
+        # the log grows while the stream is live: 50 new records with
+        # partition 1's next dense offsets
+        new = pa.table({
+            "offset": pa.array(range(old_leo, old_leo + 50), pa.int64()),
+            "timestamp": pa.array([1_700_000_000_000_000 + i for i in range(50)],
+                                  pa.timestamp("us")),
+            "value": pa.array(['{"k": %d}' % (i % 100) for i in range(50)]),
+        })
+        pq.write_table(new, part1 + "/append-0.parquet")
+
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    out = spark.table("growing")
+    assert out.count() == 1050
+    got = out.filter(F.col("partition") == 1).agg(F.max("offset")).first()[0]
+    assert got == old_leo + 49  # cursor advanced past the old LEO
+    # exactly-once: no offset delivered twice within any partition
+    assert out.select("partition", "offset").distinct().count() == 1050
