@@ -263,39 +263,49 @@ def audio_energy_segments(
         "n_windows long, energy long"
     )
 
+    def _frame_energies(data: bytes):
+        """Per-frame energies as int64 — numpy frame sums for the
+        default byte-sum kernel, the Python loop only when a custom
+        ``energy_fn`` (the real-decoder seam) is plugged in."""
+        import numpy as np
+
+        n = len(data) // window_bytes
+        if energy_fn is None:
+            arr = np.frombuffer(data, dtype=np.uint8)[: n * window_bytes]
+            return arr.reshape(n, window_bytes).sum(axis=1, dtype=np.int64)
+        return np.array(
+            [energy_fn(data[w * window_bytes:(w + 1) * window_bytes])
+             for w in range(n)],
+            dtype=np.int64,
+        )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             ids, seg_nos, starts, ends, nwins, energies = [], [], [], [], [], []
             for i, c in zip(pdf[id_col], pdf[content_col]):
                 if c is None:
                     continue
-                data = bytes(c)
-                seg_no = 0
-                seg_start = seg_end = -1
-                seg_energy = 0
-                for w in range(len(data) // window_bytes):
-                    frame = data[w * window_bytes:(w + 1) * window_bytes]
-                    e = energy_fn(frame) if energy_fn else sum(frame)
-                    if e >= thr:
-                        if seg_start < 0:
-                            seg_start, seg_energy = w, 0
-                        seg_end, seg_energy = w, seg_energy + e
-                        continue
-                    if seg_start >= 0:
-                        seg_no += 1
-                        ids.append(i); seg_nos.append(seg_no)
-                        starts.append(seg_start * window_bytes)
-                        ends.append((seg_end + 1) * window_bytes)
-                        nwins.append(seg_end - seg_start + 1)
-                        energies.append(seg_energy)
-                        seg_start = -1
-                if seg_start >= 0:
-                    seg_no += 1
-                    ids.append(i); seg_nos.append(seg_no)
-                    starts.append(seg_start * window_bytes)
-                    ends.append((seg_end + 1) * window_bytes)
-                    nwins.append(seg_end - seg_start + 1)
-                    energies.append(seg_energy)
+                e = _frame_energies(bytes(c))
+                if len(e) == 0:
+                    continue
+                v = e >= thr
+                # vectorized gaps-and-islands: a segment is a maximal
+                # run of voiced frames
+                run_start = np.flatnonzero(
+                    v & ~np.concatenate(([False], v[:-1]))
+                )
+                run_end = np.flatnonzero(
+                    v & ~np.concatenate((v[1:], [False]))
+                )
+                cs = np.concatenate(([0], np.cumsum(e, dtype=np.int64)))
+                for j in range(len(run_start)):
+                    ids.append(i); seg_nos.append(j + 1)
+                    starts.append(int(run_start[j]) * window_bytes)
+                    ends.append((int(run_end[j]) + 1) * window_bytes)
+                    nwins.append(int(run_end[j] - run_start[j]) + 1)
+                    energies.append(int(cs[run_end[j] + 1] - cs[run_start[j]]))
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids, dtype="int64"),

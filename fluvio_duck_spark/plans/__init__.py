@@ -133,13 +133,30 @@ def rows_bound(node) -> int | None:
             total += b
         return total
     if cls in _JOINS:
-        bounds = [rows_bound(c) for c in _jchildren(node)]
-        if any(b is None for b in bounds):
+        kids = _jchildren(node)
+        bounds = [rows_bound(c) for c in kids]
+        if len(bounds) != 2:
             return None
-        prod = 1
-        for b in bounds:
-            prod *= b
-        return prod
+        left, right = bounds
+        jt = str(node.joinType()) if hasattr(node, "joinType") else "Inner"
+        # semi/anti/existence preserve only left rows — right bound not
+        # needed, and never multiplied
+        if jt in ("LeftSemi", "LeftAnti") or jt.startswith("ExistenceJoin"):
+            return left
+        if left is None or right is None:
+            return None
+        prod = left * right
+        # outer joins also emit unmatched preserved-side rows: the
+        # product alone is NOT an upper bound (a left-outer BNLJ with a
+        # provably-0-row build side still emits every left row —
+        # ADVICE r7)
+        if jt == "LeftOuter":
+            return prod + left
+        if jt == "RightOuter":
+            return prod + right
+        if jt == "FullOuter":
+            return prod + left + right
+        return prod  # Inner / Cross
     if cls in _PASS_THROUGH:
         kids = _jchildren(node)
         if len(kids) == 1:

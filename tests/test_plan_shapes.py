@@ -659,3 +659,32 @@ def test_threshold_calibration_no_python_no_cartesian(specs, spark, sf_dir):
     df = _run(specs, spark, sf_dir, "dedup_threshold_calibration")
     assert_plan(df, ArrowEvalPython=0, BatchEvalPython=0,
                 CartesianProduct=0, BroadcastNestedLoopJoin=0)
+
+
+def test_rows_bound_outer_join_not_product(spark):
+    """ADVICE r7: product-of-children is not an upper bound for outer
+    joins — a left-outer BNLJ over a 0-row bounded build side still
+    emits every preserved-side row, so the bound must include the
+    preserved side (or be None when it is unbounded)."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.plans import rows_bound
+
+    left = spark.range(10).toDF("k")
+    # build side provably bounded: scalar aggregate (1 row), filtered
+    # empty at runtime — the bound must still cover left's 10 rows
+    build = spark.range(100).agg(F.count("*").alias("n")).filter("n < 0")
+    j = left.join(F.broadcast(build), F.lit(True), "left_outer")
+    plan = j._jdf.queryExecution().executedPlan()
+    b = rows_bound(plan)
+    # left is a Range (10) joined left-outer with a 1-row-bounded build:
+    # sound bound = 10*1 + 10, and the actual 10 output rows are <= it
+    assert b is not None and b >= 10
+    assert j.count() == 10 <= b
+
+    # semi/anti joins bound at the left side even when the right is
+    # unbounded
+    right = spark.range(5).toDF("k")  # RangeExec: bounded
+    semi = left.join(right.filter("k >= 0"), "k", "left_semi")
+    sb = rows_bound(semi._jdf.queryExecution().executedPlan())
+    assert sb is None or sb <= 50  # never the unconstrained product path

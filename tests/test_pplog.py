@@ -255,3 +255,47 @@ def test_pp_algebra_reduces_to_global_with_one_partition(spark):
         )
         b = fluvio_consume(spark, args, sf_dir=SF_DIR, source=src)
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_integer_timestamp_unit_shared_by_batch_and_stream(spark, tmp_path):
+    """ADVICE r7: the batch and streaming readers must agree on the
+    unit of an INTEGER timestamp column in a pp log.  The one rule
+    (datasource._ts_to_us): int64 = NANOSECONDS since the epoch, for
+    every front end — a connector-produced int64-epoch log must not
+    read 10^6 apart between batch and stream."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvio_duck_spark.sources.datasource import (
+        FluvioReader,
+        FluvioStreamReader,
+    )
+
+    d = tmp_path / "intts" / "partition=0"
+    d.mkdir(parents=True)
+    ns = 1_700_000_000_123_456_789  # 2023-11-14T22:13:20.123456789Z
+    pq.write_table(
+        pa.table({
+            "offset": pa.array([0, 1], pa.int64()),
+            "timestamp": pa.array([ns, ns + 10**9], pa.int64()),
+            "value": pa.array(["a", "b"]),
+        }),
+        str(d / "part-0.parquet"),
+    )
+    log_dir = str(tmp_path / "intts")
+
+    batch = FluvioReader({"log_dir": log_dir, "args": "-A -B"})
+    (bp,) = batch.partitions()
+    batch_rows = [r for b in batch.read(bp) for r in b.to_pylist()]
+
+    stream = FluvioStreamReader({"log_dir": log_dir})
+    parts = stream.partitions(stream.initialOffset(), stream.latestOffset())
+    stream_rows = [r for p in parts for b in stream.read(p) for r in b.to_pylist()]
+
+    want = dt.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert [r["timestamp"] for r in batch_rows] == [
+        r["timestamp"] for r in stream_rows
+    ]
+    assert batch_rows[0]["timestamp"].replace(tzinfo=None) == want
