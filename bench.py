@@ -214,6 +214,15 @@ EXTENDED = [
     "stream_pp_consume_opts",
     "mm_audio_energy_segments",
     "sink_wds_roundtrip",
+    # round-8 additions (loopback transport + full stream reader +
+    # production bloom)
+    "loopback_pp_tail",
+    "loopback_partitions_leo",
+    "loopback_stream_parity",
+    "loopback_transform_tail",
+    "consume_sql_pp_mapped",
+    "sketch_bloom_xxhash_fp",
+    "sink_wds_multimodal_roundtrip",
 ]
 
 

@@ -188,7 +188,8 @@ _REVERIFY = frozenset({
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "loopback_pp_tail", "loopback_partitions_leo",
     "loopback_stream_parity", "loopback_transform_tail",
-    "consume_sql_pp_mapped",
+    "consume_sql_pp_mapped", "sketch_bloom_xxhash_fp",
+    "sink_wds_multimodal_roundtrip",
 })
 
 

@@ -1322,6 +1322,82 @@ FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 
+def q_sink_wds_multimodal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset MULTIMODAL samples (VERDICT r7 #8): each sample ships
+    three same-basename members — ``<id>.json`` (typed-metadata
+    sidecar), ``<id>.img`` (binary media member, the
+    operators/multimodal.py convention; fixture bytes are the reversed
+    text since the testdata ships no real media), ``<id>.txt`` — packed
+    by `sinks.write_wds_shards`, read back whole-archive and
+    reassembled per basename by `read_wds_shards`.  The audit folds a
+    content checksum over EVERY member class per shard: text hash,
+    media-bytes hash (decoded back and compared against the oracle's
+    reverse(text) derivation — any byte mangled in the binary member
+    shifts it), the metadata sidecar's summed n_chars (extracted from
+    the JSON that actually round-tripped), and a missing-member count
+    the oracle pins at zero.  Proves the sample-grouping contract, not
+    just member survival."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+    from fluvio_duck_spark.sinks import read_wds_shards, write_wds_shards
+
+    docs = load(spark, sf_dir, "documents")
+    mm = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "text",
+        F.encode(F.reverse(F.col("text")), "utf-8").alias("content"),
+        F.struct(
+            F.lit("utf8").alias("format"),
+            F.length("text").cast("int").alias("n_chars"),
+        ).alias("meta"),
+    )
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_sink_wds_mm",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_wds_shards(
+        mm, work, n_shards=8,
+        content_col="content", content_ext="img", meta_col="meta",
+    )
+    back = read_wds_shards(spark, work)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_samples"),
+        F.sum(hash_bucket(F.col("text"), 1_000_000)).alias("checksum_text"),
+        F.sum(
+            hash_bucket(F.decode(F.col("content"), "utf-8"), 1_000_000)
+        ).alias("checksum_media"),
+        F.sum(
+            F.get_json_object(F.col("meta"), "$.n_chars").cast("long")
+        ).alias("meta_chars"),
+        F.sum(
+            F.when(
+                F.col("content").isNull() | F.col("meta").isNull()
+                | F.col("text").isNull(),
+                1,
+            ).otherwise(0)
+        ).alias("n_missing_members"),
+    )
+
+
+def _oracle_sink_wds_mm() -> str:
+    from fluvio_duck_spark.operators.dsir import hash_bucket_sql
+
+    hb_text = hash_bucket_sql("text", 1_000_000)
+    hb_media = hash_bucket_sql("reverse(text)", 1_000_000)
+    return f"""
+SELECT CAST(doc_id % 8 AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM({hb_text}) AS BIGINT) AS checksum_text,
+       CAST(SUM({hb_media}) AS BIGINT) AS checksum_media,
+       CAST(SUM(length(text)) AS BIGINT) AS meta_chars,
+       CAST(0 AS BIGINT) AS n_missing_members
+FROM documents WHERE text IS NOT NULL GROUP BY 1
+"""
+
+
 QUERIES.update({
     "window_rolling_stats": QuerySpec(
         q_window_rolling_stats, ORACLE_ROLLING,
@@ -1331,6 +1407,12 @@ QUERIES.update({
         q_sink_wds_roundtrip, _oracle_sink_wds(),
         doc="WebDataset tar-shard export round-trip: pack -> binaryFile + tar "
             "parse read-back -> per-shard content-checksum audit == direct table audit",
+    ),
+    "sink_wds_multimodal_roundtrip": QuerySpec(
+        q_sink_wds_multimodal_roundtrip, _oracle_sink_wds_mm(),
+        doc="WebDataset multimodal samples: json sidecar + binary media + txt "
+            "members per basename, reassembled on read — per-member-class "
+            "checksum audit in-oracle, zero missing members",
     ),
     "sink_partitioned_export": QuerySpec(
         q_sink_partitioned_export, ORACLE_SINK_PARTITIONED,
@@ -4157,5 +4239,117 @@ QUERIES.update({
     "sketch_bloom_join_filter": QuerySpec(
         q_sketch_bloom_join_filter, _oracle_bloom_join_filter(),
         doc="portable Bloom join pre-filter: md5-fold positions, broadcast bit-set, exact FP accounting — the sketch itself oracle-replicated",
+    ),
+})
+
+
+def q_sketch_bloom_xxhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-grade Bloom filter path (VERDICT r7 #5): xxhash64
+    double-hashing (Kirsch–Mitzenmacher: ``pos_i = h1 + i·h2 mod m``
+    with h2 forced odd so the stride is coprime to the power-of-two m)
+    and ``m = next_pow2(1.44·k·n)`` sizing — the independence the
+    portable md5 ascii-fold gives up (its probe positions correlate and
+    its FP runs ~2× ideal; sketch_bloom_join_filter's honesty note).
+
+    Both hashes are ``F.xxhash64`` — JVM-side, whole-stage-codegen, no
+    Python anywhere; the filter is still the broadcast distinct
+    position set (≤ k·n rows) and the probe is still map-only explode
+    + broadcast join + per-key agg, so the topology is byte-identical
+    to the portable twin at 100 TB.
+
+    DuckDB has no xxhash64, so the twin pattern applies in reverse:
+    the md5 query stays the bit-replicated oracle row, and THIS query
+    oracle-checks the measurable INVARIANTS — present probes are all
+    accepted (a bloom never false-negatives: the oracle knows the
+    exact class size), and the measured absent-class FP COUNT lands
+    within 3σ of its ideal ``(1−e^(−kn/m))^k`` Poisson expectation —
+    a bound that tightens toward 1.0× as the expected count grows (at
+    sf0.1's ~100 expected FPs it admits ≤1.3×, where the md5 fold's
+    ~2× correlation drift fails) while staying honest at sf0.001's
+    sub-1 expectation.  The gate runs Spark-side against exact integer
+    counts; the oracle contributes the class sizes and the TRUE
+    literals a correct filter must reproduce."""
+    import math
+
+    K = 5
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("key")
+    ).distinct()
+    # n drives the m sizing; one count() of an already-tiny distinct dim
+    # (the GEMM-probe precedent for bounded plan-time driver actions)
+    n = cust.count()
+    m = 1 << max(4, math.ceil(math.log2(1.44 * K * n)))
+    ideal_fp = (1.0 - math.exp(-K * n / m)) ** K
+    # Poisson 3σ acceptance on the FP COUNT: mean + 3·sqrt(mean) + 1
+    fp_budget = int(ideal_fp * n + 3.0 * math.sqrt(ideal_fp * n) + 1.0)
+
+    def positions(keycol):
+        h1 = F.pmod(F.xxhash64(keycol), F.lit(m))
+        # odd stride → coprime with the power-of-two m: all k probe
+        # positions distinct per key
+        h2 = F.pmod(F.xxhash64(keycol, F.lit("#d2")), F.lit(m))
+        h2 = h2 - F.pmod(h2, F.lit(2)) + F.lit(1)
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(K)]
+
+    bloom = (
+        cust.select(F.explode(F.array(*positions(F.col("key")))).alias("pos"))
+        .distinct()
+    )
+    offset = cust.agg((F.max("key") + F.lit(1)).alias("__absent_offset"))
+    probes = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").cast("long").alias("key"))
+        .distinct()
+        .withColumn("cls", F.lit("present"))
+        .unionByName(
+            cust.crossJoin(F.broadcast(offset))
+            .select((F.col("key") + F.col("__absent_offset")).alias("key"))
+            .withColumn("cls", F.lit("absent"))
+        )
+    )
+    exploded = probes.select(
+        "key", "cls", F.explode(F.array(*positions(F.col("key")))).alias("pos")
+    )
+    accepted = (
+        exploded.join(F.broadcast(bloom), "pos")
+        .groupBy("key", "cls")
+        .agg(F.count("*").alias("nhit"))
+        .filter(F.col("nhit") == K)
+        .select("key", "cls")
+    )
+    tagged = probes.join(
+        accepted.withColumn("acc", F.lit(1)), ["key", "cls"], "left"
+    )
+
+    def cls_sum(cls, col):
+        return F.sum(F.when(F.col("cls") == cls, col).otherwise(F.lit(0)))
+
+    # single scalar aggregate — no join between the two class rows
+    return tagged.agg(
+        cls_sum("present", F.lit(1)).cast("int").alias("n_present_probes"),
+        (cls_sum("present", F.coalesce(F.col("acc"), F.lit(0)))
+         == cls_sum("present", F.lit(1))).alias("present_all_accepted"),
+        cls_sum("absent", F.lit(1)).cast("int").alias("n_absent_probes"),
+        (cls_sum("absent", F.coalesce(F.col("acc"), F.lit(0)))
+         <= F.lit(fp_budget)).alias("fp_within_ideal_3sigma"),
+    )
+
+
+QUERIES.update({
+    "sketch_bloom_xxhash_fp": QuerySpec(
+        q_sketch_bloom_xxhash_fp,
+        """
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS INT) AS n_present_probes,
+               TRUE AS present_all_accepted,
+               (SELECT CAST(COUNT(DISTINCT c_custkey) AS INT) FROM customer)
+                 AS n_absent_probes,
+               TRUE AS fp_within_ideal_3sigma
+        FROM orders
+        """,
+        doc="production bloom path: xxhash64 double-hashing + 1.44kn "
+            "sizing — oracle gates no-false-negatives and measured FP "
+            "within 3 sigma of the ideal (1-e^(-kn/m))^k Poisson "
+            "expectation (tightens toward 1x as fill grows; the md5 "
+            "twin's ~2x correlation drift fails it at scale)",
     ),
 })

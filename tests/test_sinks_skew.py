@@ -429,3 +429,66 @@ def test_wds_shards_roundtrip_and_determinism(spark, tmp_path):
         h1 = hashlib.md5(open(os.path.join(out1, fname), "rb").read()).hexdigest()
         h2 = hashlib.md5(open(os.path.join(out2, fname), "rb").read()).hexdigest()
         assert h1 == h2, fname
+
+
+def test_wds_multimodal_members_and_stale_shard_clearing(spark, tmp_path):
+    """Multimodal samples (VERDICT r7 #8): json sidecar + binary media +
+    txt members share one basename, are written consecutively per
+    sample, reassemble into one row on read, and re-exports are
+    byte-identical.  Re-exporting with FEWER shards into the same dir
+    must remove the stale archives (ADVICE r7: read_wds_shards globs
+    shard-*.tar, so leftovers would resurface as live data)."""
+    import hashlib
+    import json
+    import os
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.sinks import read_wds_shards, write_wds_shards
+
+    rows = [(i, f"doc-{i}-" + "y" * (i % 5)) for i in range(17)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id", "text",
+        F.encode(F.reverse("text"), "utf-8").alias("content"),
+        F.struct(F.lit("utf8").alias("format"),
+                 F.length("text").cast("int").alias("n_chars")).alias("meta"),
+    )
+    out = str(tmp_path / "wds_mm")
+    write_wds_shards(df, out, n_shards=4, content_col="content",
+                     content_ext="img", meta_col="meta")
+
+    # per-sample member grouping: json, img, txt — consecutive, same basename
+    with tarfile.open(os.path.join(out, "shard-00001.tar")) as tf:
+        names = [m.name for m in tf.getmembers()]
+    assert len(names) % 3 == 0
+    for j in range(0, len(names), 3):
+        trio = names[j:j + 3]
+        bases = {n.rsplit(".", 1)[0] for n in trio}
+        assert len(bases) == 1, trio
+        assert [n.rsplit(".", 1)[1] for n in trio] == ["json", "img", "txt"]
+
+    # read-back reassembles one row per sample, every member intact
+    back = read_wds_shards(spark, out).collect()
+    assert len(back) == 17
+    for r in back:
+        text = dict(rows)[r.doc_id]
+        assert r.text == text
+        assert bytes(r.content).decode() == text[::-1]
+        meta = json.loads(r.meta)
+        assert meta == {"format": "utf8", "n_chars": len(text)}
+
+    # byte-identical re-export with multimodal members
+    out2 = str(tmp_path / "wds_mm2")
+    write_wds_shards(df, out2, n_shards=4, content_col="content",
+                     content_ext="img", meta_col="meta")
+    for fname in sorted(os.listdir(out)):
+        h1 = hashlib.md5(open(os.path.join(out, fname), "rb").read()).hexdigest()
+        h2 = hashlib.md5(open(os.path.join(out2, fname), "rb").read()).hexdigest()
+        assert h1 == h2, fname
+
+    # stale-shard clearing: re-export with 2 shards into the SAME dir
+    write_wds_shards(df, out, n_shards=2, content_col="content",
+                     content_ext="img", meta_col="meta")
+    assert sorted(os.listdir(out)) == ["shard-00000.tar", "shard-00001.tar"]
+    assert read_wds_shards(spark, out).count() == 17  # no resurrected rows
