@@ -223,6 +223,7 @@ EXTENDED = [
     "consume_sql_pp_mapped",
     "sketch_bloom_xxhash_fp",
     "sink_wds_multimodal_roundtrip",
+    "loopback_filter_pushdown",
 ]
 
 

@@ -189,7 +189,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "loopback_pp_tail", "loopback_partitions_leo",
     "loopback_stream_parity", "loopback_transform_tail",
     "consume_sql_pp_mapped", "sketch_bloom_xxhash_fp",
-    "sink_wds_multimodal_roundtrip",
+    "sink_wds_multimodal_roundtrip", "loopback_filter_pushdown",
 })
 
 

@@ -100,11 +100,18 @@ def _q_loopback_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side windowed range read from the server, and the drain
     must reproduce the batch truth per partition (shares
     stream_pp_datasource_parity's oracle)."""
+    from fluvio_duck_spark.sources.loopback import server_parts
+
     with _server(spark, sf_dir) as addr:
+        # granule scaled to the largest partition's RPC-probed LEO so
+        # the drain is ~4 fetches per partition at every sf (a fixed
+        # granule makes the RPC count grow linearly with the log —
+        # same sizing rule as the stream_pp_* family)
+        max_leo = max(server_parts(addr).values())
         s = (
             spark.readStream.format("fluvio")
             .option("server", addr)
-            .option("max_rows_per_batch", "2000")
+            .option("max_rows_per_batch", str(max(500, -(-max_leo // 4))))
             .load()
         )
         agg = s.groupBy("partition").agg(
@@ -113,14 +120,20 @@ def _q_loopback_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("offset").alias("max_offset"),
             (F.max("offset") + 1).alias("leo"),
         )
+        # drain via processAllAvailable (the stream_pp_* pattern): the
+        # Python source's availableNow fallback pays a ~7 s termination
+        # lag on its first use per session — same drain-to-LEO
+        # semantics without it
         q = (
             agg.writeStream.format("memory")
             .queryName("__loopback_stream_parity")
             .outputMode("complete")
-            .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
         return spark.table("__loopback_stream_parity")
 
 
@@ -158,7 +171,89 @@ def _q_loopback_transform_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
 
 
+def _q_loopback_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECTOR.md §5's MAY clause, executed: the filter-kind
+    SmartModule pushed to the record server vs run engine-side — the
+    two legs must be bit-identical (the one §5 requirement).  The
+    ``where`` clause is translated by ``loopback.translate_sql_filter``
+    (clauses outside the translatable subset return None and MUST stay
+    engine-side); the server applies the filter inside each
+    offset-windowed fetch, AFTER the per-partition tail bound resolves
+    — the same bounds-before-chain ordering the engine enforces
+    (consume_pp_transform_tail), so a pushdown that filtered before
+    the tail would shift the row multiset and fail the hash."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.loopback import translate_sql_filter
+
+    where = "cast(get_json_object(value, '$.k') as int) >= 50"
+    flt = translate_sql_filter(where)
+    assert flt is not None  # the query exists to exercise the pushdown
+
+    def agg(df, leg):
+        kk = F.get_json_object("value", "$.k").cast("long")
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(kk).alias("sum_kk"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        ).select(F.lit(leg).alias("leg"), "*")
+
+    import json
+
+    with _server(spark, sf_dir) as addr:
+        args = "-A -T 40 --rows 1000000"
+        pushed = (
+            spark.read.format("fluvio")
+            .option("server", addr).option("args", args)
+            .option("filter", json.dumps(flt))
+            .load()
+            .select("offset", "value")
+        )
+        engine = fluvio_consume(
+            spark,
+            ["events"] + args.split() + [
+                "--transform",
+                json.dumps({"uses": "sql-filter", "with": {"where": where}}),
+            ],
+            sf_dir=sf_dir,
+            source=(
+                spark.read.format("fluvio")
+                .option("server", addr)
+                # the raw whole log: -B alone carries the reference
+                # CLI's default row budget, which would truncate the
+                # source underneath the tail anchor
+                .option("args", "-A -B --rows 1000000").load()
+            ),
+            per_partition_offsets=True,
+        ).select("offset", "value")
+        out = agg(pushed, "pushed").unionAll(agg(engine, "engine"))
+        return out.localCheckpoint(eager=True)
+
+
 QUERIES.update({
+    "loopback_filter_pushdown": QuerySpec(
+        _q_loopback_filter_pushdown,
+        """
+        WITH """ + _PP_CTE + """,
+        tail AS (
+          SELECT "offset", "value",
+                 CAST(json_extract_string("value", '$.k') AS INTEGER) AS kk
+          FROM pp WHERE "offset" >= leo - 40
+        ),
+        f AS (SELECT * FROM tail WHERE kk >= 50),
+        a AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(kk) AS BIGINT) AS sum_kk,
+                 MIN("offset") AS min_offset, MAX("offset") AS max_offset
+          FROM f)
+        SELECT 'pushed' AS leg, * FROM a
+        UNION ALL
+        SELECT 'engine' AS leg, * FROM a
+        """,
+        doc="CONNECTOR.md §5 MAY clause executed: filter SmartModule pushed "
+            "to the record server == engine-side chain, bit-identical, "
+            "bounds-before-chain ordering preserved",
+    ),
     "loopback_pp_tail": QuerySpec(
         _q_loopback_pp_tail,
         """

@@ -151,6 +151,17 @@ class FluvioReader(DataSourceReader):
         # CONNECTOR.md's second transport.  Plan-time metadata RPC for
         # partition discovery + LEO, executor-side windowed fetch.
         self.server = options.get("server")
+        # server-side SmartModule filter pushdown (CONNECTOR.md §5 MAY
+        # clause): a translated filter DSL (loopback.translate_sql_filter)
+        # shipped with every fetch so the server drops records before
+        # they cross the wire.  Results must be bit-identical to the
+        # engine-side chain — loopback_filter_pushdown pins it.
+        push = options.get("filter")
+        if push is not None and not self.server:
+            raise ValueError(".option('filter', ...) requires server mode")
+        import json as _json
+
+        self.push_filter = _json.loads(push) if push is not None else None
         self.sf_dir = options.get("sf_dir")
         if not self.sf_dir and not self.log_dir and not self.server:
             raise ValueError(
@@ -159,6 +170,20 @@ class FluvioReader(DataSourceReader):
             )
         args = options.get("args", "-B")
         self.opts = parse_consume_opts(f"{self.topic} {args}".split())
+        # The DataSource is the RAW connector scan (record schema
+        # offset/timestamp/partition/value); transform chains and typed
+        # -c mappings live ABOVE the transport seam.  Reject them loudly
+        # instead of silently returning the unmapped schema (the ADVICE
+        # r7 silent-divergence class): run the pipeline via
+        # fluvio_consume(spark, opts, source=<this scan>) — exactly what
+        # sources/sql.py does for mapped statements in log_dir sessions.
+        if (self.opts.columns or self.opts.transform
+                or self.opts.transforms_file or self.opts.has_smartmodule):
+            raise ValueError(
+                "the fluvio DataSource reads the raw record log; "
+                "--transform/--smartmodule/-c apply engine-side — bind "
+                "through fluvio_consume(spark, opts, source=<this scan>)"
+            )
         # LOCAL top-n: a pinned single partition is the whole selection,
         # so the --rows budget applies within the one reader task.
         self.local_budget = (
@@ -319,6 +344,7 @@ class FluvioReader(DataSourceReader):
             p = _FluvioPartition(pid, lo, hi, None)
             p.part_dir = fetch.get(pid)
             p.server = self.server
+            p.push_filter = self.push_filter
             out.append(p)
         return out
 
@@ -345,7 +371,8 @@ class FluvioReader(DataSourceReader):
             from fluvio_duck_spark.sources.loopback import server_fetch
 
             tbl = server_fetch(
-                partition.server, partition.pid, partition.lo, hi_excl
+                partition.server, partition.pid, partition.lo, hi_excl,
+                flt=getattr(partition, "push_filter", None),
             )
         else:
             tbl = _read_pp_window(partition.part_dir, partition.lo, hi_excl)
@@ -481,6 +508,16 @@ class FluvioStreamReader(DataSourceStreamReader):
         throttle = options.get("throttle_rows_per_trigger")
         self.throttle = int(throttle) if throttle is not None else None
         self._cur: dict | None = None  # throttle bookkeeping (driver-side)
+        # server-side SmartModule filter pushdown (CONNECTOR.md §5 MAY
+        # clause), symmetric with the batch reader: offsets still
+        # advance over the UNfiltered log (cursors are storage
+        # positions; the filter drops records, not offsets)
+        push = options.get("filter")
+        if push is not None and not self.server:
+            raise ValueError(".option('filter', ...) requires server mode")
+        import json as _json
+
+        self.push_filter = _json.loads(push) if push is not None else None
 
     # -- offset management (driver-side, metadata-only) --------------------
     def _pp_dirs(self) -> dict[int, str]:
@@ -549,12 +586,12 @@ class FluvioStreamReader(DataSourceStreamReader):
                 lo = int(start.get(str(pid), 0))
                 hi = int(end.get(str(pid), lo))
                 for c in range(lo, hi, self.granule):
-                    out.append(
-                        _FluvioStreamPartition(
-                            pid, c, min(c + self.granule, hi),
-                            part_dir=d, server=self.server,
-                        )
+                    p = _FluvioStreamPartition(
+                        pid, c, min(c + self.granule, hi),
+                        part_dir=d, server=self.server,
                     )
+                    p.push_filter = self.push_filter
+                    out.append(p)
             return out
         lo, hi = int(start["offset"]), int(end["offset"])
         for c in range(lo, hi, self.granule):
@@ -573,7 +610,9 @@ class FluvioStreamReader(DataSourceStreamReader):
                 from fluvio_duck_spark.sources.loopback import server_fetch
 
                 tbl = server_fetch(
-                    partition.server, partition.pid, partition.lo, partition.hi
+                    partition.server, partition.pid, partition.lo,
+                    partition.hi,
+                    flt=getattr(partition, "push_filter", None),
                 )
             else:
                 tbl = _read_pp_window(

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import io
 import json
+import re
 import socket
 import socketserver
 import struct
@@ -67,6 +68,7 @@ class _Handler(socketserver.StreamRequestHandler):
             payload = srv.fetch_ipc(
                 int(req["pid"]), int(req["lo"]),
                 None if req.get("hi") is None else int(req["hi"]),
+                req.get("filter"),
             )
         else:
             payload = json.dumps({"error": f"unknown op {req['op']!r}"}).encode()
@@ -104,7 +106,8 @@ class RecordServer(socketserver.ThreadingTCPServer):
             for pid, d in sorted(pp_partition_dirs(self.log_dir).items())
         }
 
-    def fetch_ipc(self, pid: int, lo: int, hi: int | None) -> bytes:
+    def fetch_ipc(self, pid: int, lo: int, hi: int | None,
+                  flt: dict | None = None) -> bytes:
         import pyarrow as pa
 
         from fluvio_duck_spark.sources.datasource import _read_pp_window
@@ -119,6 +122,8 @@ class RecordServer(socketserver.ThreadingTCPServer):
             )
         else:
             tbl = _read_pp_window(dirs[pid], lo, hi)
+        if flt is not None:
+            tbl = _apply_server_filter(tbl, flt)
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, tbl.schema) as w:
             w.write_table(tbl)
@@ -132,6 +137,72 @@ class RecordServer(socketserver.ThreadingTCPServer):
     def stop(self) -> None:
         self.shutdown()
         self.server_close()
+
+
+# -- server-side SmartModule filter (CONNECTOR.md §5 MAY clause) ----------
+
+#: The translatable subset of the engine's sql-filter kind: one
+#: comparison of a JSON-path extraction cast to a numeric type against a
+#: literal.  Anything else stays engine-side (translate returns None).
+_FILTER_RE = re.compile(
+    r"^\s*cast\s*\(\s*get_json_object\s*\(\s*value\s*,\s*"
+    r"'(\$\.[\w.]+)'\s*\)\s+as\s+(int|bigint|double)\s*\)\s*"
+    r"(>=|<=|==|=|!=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$",
+    re.IGNORECASE,
+)
+
+_OPS = {
+    ">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, "<": lambda a, b: a < b,
+    "=": lambda a, b: a == b, "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+}
+
+
+def translate_sql_filter(where: str) -> dict | None:
+    """Translate an engine-side sql-filter ``where`` clause into the
+    record server's filter DSL — or None when the clause falls outside
+    the translatable subset (the caller MUST then keep the filter
+    engine-side; a partial translation would change results, the one
+    thing CONNECTOR.md §5 forbids).  This is the connector analogue of
+    shipping the filter SmartModule to the SPU (reference
+    src/consume.rs:713-741): the pushed form must be bit-identical to
+    the engine-side chain, which the loopback_filter_pushdown parity
+    query pins."""
+    m = _FILTER_RE.match(where)
+    if not m:
+        return None
+    path, typ, op, lit = m.groups()
+    typ = typ.lower()
+    cast = "double" if typ == "double" else "int"
+    value = float(lit) if cast == "double" else int(float(lit))
+    return {"path": path, "cast": cast, "op": op, "value": value}
+
+
+def _apply_server_filter(tbl, flt: dict):
+    """Evaluate the filter DSL over one fetched window, record by
+    record — the server IS the SPU stand-in, so this is deliberately a
+    plain interpreter: JSON-extract the path, cast (extraction failure
+    or non-numeric → record dropped, matching the engine's NULL-cast
+    semantics), compare against the literal."""
+    import pyarrow as pa
+
+    key = flt["path"][2:]  # "$.k" -> "k" (top-level paths only)
+    op = _OPS[flt["op"]]
+    want = flt["value"]
+    to_num = float if flt["cast"] == "double" else int
+    keep = []
+    for v in tbl["value"].to_pylist():
+        ok = False
+        if v is not None:
+            try:
+                got = json.loads(v).get(key)
+                if got is not None:
+                    ok = op(to_num(got), want)
+            except (ValueError, TypeError, AttributeError):
+                ok = False
+        keep.append(ok)
+    return tbl.filter(pa.array(keep))
 
 
 # -- client side (used driver-side for metadata, EXECUTOR-side for fetch) --
@@ -150,11 +221,17 @@ def server_parts(addr: str) -> dict[int, int]:
     return {int(k): int(v) for k, v in json.loads(_request(addr, {"op": "parts"})).items()}
 
 
-def server_fetch(addr: str, pid: int, lo: int, hi: int | None):
+def server_fetch(addr: str, pid: int, lo: int, hi: int | None,
+                 flt: dict | None = None):
     """One partition's records with offsets in ``[lo, hi)``, as an Arrow
-    table — the executor-side bounded range read."""
+    table — the executor-side bounded range read.  ``flt`` optionally
+    pushes a translated SmartModule filter to the server (the §5 MAY
+    clause); the server applies it before the bytes cross the wire."""
     import pyarrow as pa
 
-    payload = _request(addr, {"op": "fetch", "pid": pid, "lo": lo, "hi": hi})
+    req = {"op": "fetch", "pid": pid, "lo": lo, "hi": hi}
+    if flt is not None:
+        req["filter"] = flt
+    payload = _request(addr, req)
     with pa.ipc.open_stream(payload) as r:
         return r.read_all()

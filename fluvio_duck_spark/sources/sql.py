@@ -94,10 +94,14 @@ def consume_sql(
                 # fluvio_consume('events -A -B -c kk:i=k') would
                 # silently return the raw 4-column schema in log_dir
                 # sessions while being mapped in stand-in sessions.
+                # the raw whole log: -B alone carries the reference
+                # CLI's default --rows 1000 budget (per partition in
+                # log_dir mode), which would truncate the source
+                # underneath the statement's own offset algebra
                 raw = (
                     spark.read.format("fluvio")
                     .option("log_dir", log_dir)
-                    .option("args", "-A -B")
+                    .option("args", "-A -B --rows 1000000000")
                     .load()
                 )
                 params[name] = fluvio_consume(

@@ -122,3 +122,35 @@ def test_stream_kill_and_restart_exactly_once(spark, server, tmp_path):
         for r in out.groupBy("partition").agg(F.max("offset").alias("mx")).collect()
     }
     assert got == {pid: leo - 1 for pid, leo in server_parts(server.address).items()}
+
+
+def test_filter_pushdown_translate_and_server_semantics(spark, server, log_dir):
+    """CONNECTOR.md §5: the translatable sql-filter subset pushes to the
+    server and matches the engine-side filter exactly; untranslatable
+    clauses return None (and MUST stay engine-side)."""
+    from fluvio_duck_spark.sources.loopback import (
+        server_fetch,
+        translate_sql_filter,
+    )
+
+    flt = translate_sql_filter(
+        "cast(get_json_object(value, '$.k') as int) >= 50"
+    )
+    assert flt == {"path": "$.k", "cast": "int", "op": ">=", "value": 50}
+    # untranslatable shapes fall back engine-side
+    for bad in ("value like '%x%'",
+                "cast(get_json_object(value, '$.k') as int) + 1 >= 50",
+                "get_json_object(value, '$.k') is not null"):
+        assert translate_sql_filter(bad) is None
+
+    import json
+
+    raw = server_fetch(server.address, 2, 0, 100)
+    pushed = server_fetch(server.address, 2, 0, 100, flt=flt)
+    want = [
+        (o, v) for o, v in zip(raw["offset"].to_pylist(),
+                               raw["value"].to_pylist())
+        if json.loads(v).get("k") is not None and int(json.loads(v)["k"]) >= 50
+    ]
+    got = list(zip(pushed["offset"].to_pylist(), pushed["value"].to_pylist()))
+    assert got == want and 0 < len(got) < raw.num_rows

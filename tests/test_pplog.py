@@ -299,3 +299,42 @@ def test_integer_timestamp_unit_shared_by_batch_and_stream(spark, tmp_path):
         r["timestamp"] for r in stream_rows
     ]
     assert batch_rows[0]["timestamp"].replace(tzinfo=None) == want
+
+
+def test_consume_sql_log_dir_mapped_tail_not_truncated(spark, pp_source, log_dir):
+    """A mapped statement with a tail anchor through the SQL×log_dir
+    bind must see the WHOLE per-partition log: the raw DataSource
+    source underneath the builder re-bind must not carry the reference
+    CLI's default --rows 1000 budget (which would silently truncate
+    every partition to its first 1000 offsets and shift the tails)."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.sql import consume_sql
+
+    stmt = ("SELECT kk FROM fluvio_consume("
+            "'events -A -T 40 --rows 1000000 -c kk:i=k')")
+    via_sql = sorted(
+        r.kk for r in consume_sql(spark, stmt, sf_dir=SF_DIR,
+                                  log_dir=log_dir).collect()
+    )
+    via_builder = sorted(
+        r.kk for r in fluvio_consume(
+            spark, "events -A -T 40 --rows 1000000 -c kk:i=k",
+            sf_dir=SF_DIR, source=pp_source, per_partition_offsets=True,
+        ).collect()
+    )
+    assert via_sql == via_builder and len(via_sql) == 160
+
+
+def test_datasource_rejects_engine_side_args(spark, log_dir):
+    """The DataSource is the raw connector scan: -c mappings and
+    transform chains must be rejected loudly (they were silently
+    ignored before — the ADVICE r7 divergence class), with the error
+    pointing at the builder re-bind."""
+    import pytest as _pytest
+
+    from fluvio_duck_spark.sources.datasource import FluvioReader
+
+    for args in ("-A -B -c kk:i=k",
+                 "-A -B --smartmodule sql-filter"):
+        with _pytest.raises(Exception, match="engine-side"):
+            FluvioReader({"log_dir": log_dir, "args": args})
