@@ -154,3 +154,41 @@ def test_filter_pushdown_translate_and_server_semantics(spark, server, log_dir):
     ]
     got = list(zip(pushed["offset"].to_pylist(), pushed["value"].to_pylist()))
     assert got == want and 0 < len(got) < raw.num_rows
+
+
+def test_server_follows_growing_log(spark, sf_dir, tmp_path):
+    """The server's metadata RPC re-reads footer LEO per call, so a
+    fragment appended to a served partition log is visible to the next
+    PARTS probe and fetchable — the continuous-mode contract holds over
+    the second transport too."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = str(tmp_path / "grow_served")
+    shutil.copytree(write_pp_log_dir(spark, sf_dir), log_dir)
+    srv = RecordServer(log_dir).start()
+    try:
+        before = server_parts(srv.address)
+        leo = before[1]
+        pq.write_table(
+            pa.table({
+                "offset": pa.array(range(leo, leo + 20), pa.int64()),
+                "timestamp": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(20)],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array(['{"k": 1}'] * 20),
+            }),
+            log_dir + "/partition=1/append-0.parquet",
+        )
+        after = server_parts(srv.address)
+        assert after[1] == leo + 20
+        assert {p: v for p, v in after.items() if p != 1} == {
+            p: v for p, v in before.items() if p != 1
+        }
+        fetched = server_fetch(srv.address, 1, leo, None)
+        assert fetched["offset"].to_pylist() == list(range(leo, leo + 20))
+    finally:
+        srv.stop()
