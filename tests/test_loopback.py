@@ -190,5 +190,18 @@ def test_server_follows_growing_log(spark, sf_dir, tmp_path):
         }
         fetched = server_fetch(srv.address, 1, leo, None)
         assert fetched["offset"].to_pylist() == list(range(leo, leo + 20))
+        # the metadata functions see the same RPC truth
+        from fluvio_duck_spark.sources.metadata import (
+            fluvio_partitions,
+            fluvio_topics,
+        )
+
+        t = fluvio_topics(spark, server=srv.address).collect()
+        assert [(r["name"], r["partitions"]) for r in t] == [("events", 4)]
+        p1 = {
+            r["partition"]: r["LEO"]
+            for r in fluvio_partitions(spark, server=srv.address).collect()
+        }
+        assert p1["1"] == leo + 20
     finally:
         srv.stop()
