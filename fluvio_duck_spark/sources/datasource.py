@@ -504,6 +504,17 @@ class FluvioStreamReader(DataSourceStreamReader):
                 "fluvio datasource requires .option('sf_dir', ...), "
                 ".option('log_dir', ...), or .option('server', ...)"
             )
+        if options.get("args") is not None:
+            # the batch reader's option string has no streaming meaning
+            # (offset positioning = the checkpoint cursor; budgets =
+            # throttle/granule) — reject instead of silently ignoring:
+            # the pipeline surface is fluvio_consume_stream(source=...)
+            raise ValueError(
+                "the fluvio STREAMING reader takes no 'args' option; "
+                "apply option strings via fluvio_consume_stream(spark, "
+                "opts, source=<this stream>) and rate limits via "
+                "max_rows_per_batch/throttle_rows_per_trigger"
+            )
         self.granule = int(options.get("max_rows_per_batch", "5000"))
         throttle = options.get("throttle_rows_per_trigger")
         self.throttle = int(throttle) if throttle is not None else None
@@ -565,10 +576,13 @@ class FluvioStreamReader(DataSourceStreamReader):
         if self.throttle is None:
             return leo
         if self._cur is None:
-            self._cur = self.initialOffset()
+            self._cur = {k: 0 for k in leo}
+        # iterate over leo's keys, not _cur's: a partition that appears
+        # mid-stream (a new partition dir) starts from 0 instead of
+        # being silently never consumed
         self._cur = {
-            k: min(leo.get(k, cur), cur + self.throttle)
-            for k, cur in self._cur.items()
+            k: min(lk, self._cur.get(k, 0) + self.throttle)
+            for k, lk in leo.items()
         }
         return dict(self._cur)
 

@@ -168,7 +168,14 @@ def translate_sql_filter(where: str) -> dict | None:
     shipping the filter SmartModule to the SPU (reference
     src/consume.rs:713-741): the pushed form must be bit-identical to
     the engine-side chain, which the loopback_filter_pushdown parity
-    query pins."""
+    query pins.
+
+    Parity scope note: for a record whose extracted value is MALFORMED
+    for the cast (e.g. ``"12.5"`` under an int cast), the server drops
+    it while Spark's ANSI cast would raise engine-side — the pushed
+    form is bit-identical on data the engine-side chain can itself
+    evaluate, which is the only data a parity comparison can exist
+    for."""
     m = _FILTER_RE.match(where)
     if not m:
         return None

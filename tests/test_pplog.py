@@ -338,3 +338,60 @@ def test_datasource_rejects_engine_side_args(spark, log_dir):
                  "-A -B --smartmodule sql-filter"):
         with _pytest.raises(Exception, match="engine-side"):
             FluvioReader({"log_dir": log_dir, "args": args})
+
+
+def test_stream_reader_rejects_args_option(log_dir):
+    """The streaming reader must reject an 'args' option loudly (offset
+    positioning lives in the checkpoint cursor; pipelines bind via
+    fluvio_consume_stream) — not silently ignore it."""
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    with pytest.raises(ValueError, match="no 'args' option"):
+        FluvioStreamReader({"log_dir": log_dir, "args": "-H 50"})
+
+
+def test_throttled_stream_picks_up_new_partition(spark, log_dir, tmp_path):
+    """A partition directory that appears mid-stream must enter the
+    throttled cursor map and be consumed from offset 0 — not silently
+    never advance."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    ld = str(tmp_path / "grow_parts")
+    shutil.copytree(log_dir, ld)
+    r = FluvioStreamReader(
+        {"log_dir": ld, "max_rows_per_batch": "100",
+         "throttle_rows_per_trigger": "100"}
+    )
+    pos = r.initialOffset()
+    assert set(pos) == {"0", "1", "2", "3"}
+    nxt = r.latestOffset()
+    seen = _fetch_range(r, pos, nxt)
+    pos = nxt
+
+    # a 5th partition appears while the stream is live
+    import os
+    os.makedirs(ld + "/partition=4")
+    pq.write_table(
+        pa.table({
+            "offset": pa.array(range(30), pa.int64()),
+            "timestamp": pa.array(
+                [1_700_000_000_000_000 + i for i in range(30)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(['{"k": 2}'] * 30),
+        }),
+        ld + "/partition=4/part-0.parquet",
+    )
+    for _ in range(20):
+        nxt = r.latestOffset()
+        if nxt == pos:
+            break
+        seen.extend(_fetch_range(r, pos, nxt))
+        pos = nxt
+    p4 = sorted(row[0] for row in seen if row[2] == 4)
+    assert p4 == list(range(30))  # consumed from 0, exactly once
