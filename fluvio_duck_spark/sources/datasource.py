@@ -189,6 +189,27 @@ class FluvioReader(DataSourceReader):
         self.local_budget = (
             self.opts.rows is not None and not self.opts.all_partitions
         )
+        # Batch task granule: each partition's offset window is split
+        # into ≤max_rows_per_task chunks so scan parallelism exceeds
+        # n_partitions (at 100 TB one partition log is far bigger than
+        # one task).  Unbounded windows pin to plan-time LEO first —
+        # which also gives batch reads snapshot isolation on a growing
+        # log.  Local top-n (pinned partition + --rows) stays one task
+        # by construction.
+        self.task_rows = int(options.get("max_rows_per_task", str(1 << 20)))
+
+    def _split(self, pid: int, lo: int, hi: int,
+               part_dir: str | None) -> "list[_FluvioPartition]":
+        """Granule-sized [clo, chi]-inclusive chunks of one partition's
+        resolved window (empty when hi < lo)."""
+        out = []
+        for c in range(lo, hi + 1, self.task_rows):
+            p = _FluvioPartition(pid, c, min(c + self.task_rows - 1, hi))
+            p.part_dir = part_dir
+            p.server = self.server
+            p.push_filter = getattr(self, "push_filter", None)
+            out.append(p)
+        return out
 
     # -- plan-time offset resolution --------------------------------------
     def _selection_offsets(self):
@@ -341,10 +362,12 @@ class FluvioReader(DataSourceReader):
         out = []
         for pid in sorted(leos):
             lo, hi = self._pp_window(leos[pid])
-            p = _FluvioPartition(pid, lo, hi, None)
-            p.part_dir = fetch.get(pid)
-            p.server = self.server
-            p.push_filter = self.push_filter
+            # unbounded → plan-time snapshot at this partition's LEO
+            hi_eff = leos[pid] - 1 if hi is None else min(hi, leos[pid] - 1)
+            out.extend(self._split(pid, lo, hi_eff, fetch.get(pid)))
+        if not out:  # empty windows everywhere; Spark needs ≥1 partition
+            p = _FluvioPartition(-1, 0, None)
+            p.empty = True
             out.append(p)
         return out
 
@@ -357,8 +380,17 @@ class FluvioReader(DataSourceReader):
         lo, hi = self._resolve_window()
         budget = self.opts.rows if self.local_budget else None
         if not self.opts.all_partitions:
+            # local top-n needs the whole pinned selection in ONE task
             return [_FluvioPartition(int(self.opts.partition), lo, hi, budget)]
-        return [_FluvioPartition(p, lo, hi, budget) for p in range(_N_PARTITIONS)]
+        hi_eff = self._footer_leo() - 1 if hi is None else hi
+        out = []
+        for p in range(_N_PARTITIONS):
+            out.extend(self._split(p, lo, hi_eff, None))
+        if not out:
+            p = _FluvioPartition(-1, 0, None)
+            p.empty = True
+            out.append(p)
+        return out
 
     def _read_pp(self, partition: "_FluvioPartition"):
         import pyarrow as pa

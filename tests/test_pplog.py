@@ -395,3 +395,53 @@ def test_throttled_stream_picks_up_new_partition(spark, log_dir, tmp_path):
         pos = nxt
     p4 = sorted(row[0] for row in seen if row[2] == 4)
     assert p4 == list(range(30))  # consumed from 0, exactly once
+
+
+def test_batch_reader_chunks_partition_windows(spark, log_dir):
+    """Batch scan parallelism must exceed n_partitions: each partition's
+    resolved offset window splits into max_rows_per_task chunks (at
+    100 TB one partition log is far bigger than one task), and the
+    chunked read equals the unchunked read exactly.  Pinned-partition
+    local top-n stays one task by construction."""
+    from fluvio_duck_spark.sources.datasource import FluvioReader
+
+    leos = {0: 273, 1: 232, 2: 289, 3: 206}
+
+    def read_all(reader):
+        return sorted(
+            tuple(d.values())
+            for p in reader.partitions()
+            for b in reader.read(p)
+            for d in b.to_pylist()
+        )
+
+    big = FluvioReader({"log_dir": log_dir, "args": "-A -B --rows 1000000"})
+    small = FluvioReader({"log_dir": log_dir, "args": "-A -B --rows 1000000",
+                          "max_rows_per_task": "100"})
+    nparts = len(small.partitions())
+    assert nparts == sum(-(-leo // 100) for leo in leos.values())  # 11
+    assert len(big.partitions()) == 4
+    assert read_all(small) == read_all(big)
+
+    # chunk windows tile each partition's [0, LEO-1] exactly
+    spans = {}
+    for p in small.partitions():
+        spans.setdefault(p.pid, []).append((p.lo, p.hi))
+    for pid, leo in leos.items():
+        tiles = sorted(spans[pid])
+        assert tiles[0][0] == 0 and tiles[-1][1] == leo - 1
+        assert all(b[0] == a[1] + 1 for a, b in zip(tiles, tiles[1:]))
+
+    # pp mode: a pinned --rows is ARITHMETIC (dense offsets → exact
+    # window), so it chunks like any window and still reads exactly 7
+    pinned = FluvioReader({"log_dir": log_dir, "args": "-p 2 -B --rows 7",
+                           "max_rows_per_task": "3"})
+    assert len(pinned.partitions()) == 3
+    assert [d["offset"] for p in pinned.partitions()
+            for b in pinned.read(p) for d in b.to_pylist()] == list(range(7))
+
+    # sf_dir mode: a pinned --rows is a LOCAL TOP-N over a sparse
+    # selection — must stay one task regardless of the granule
+    sparse = FluvioReader({"sf_dir": SF_DIR, "args": "-p 2 -B --rows 7",
+                           "max_rows_per_task": "3"})
+    assert len(sparse.partitions()) == 1
