@@ -70,6 +70,19 @@ class _Handler(socketserver.StreamRequestHandler):
                 None if req.get("hi") is None else int(req["hi"]),
                 req.get("filter"),
             )
+        elif req["op"] == "produce":
+            # read from rfile (buffered): part of the payload may
+            # already sit behind the readline()
+            want = int(req["payload_bytes"])
+            body = b""
+            while len(body) < want:
+                chunk = self.rfile.read(want - len(body))
+                if not chunk:
+                    raise ConnectionError("producer closed mid-payload")
+                body += chunk
+            payload = json.dumps(
+                srv.produce_ipc(int(req["pid"]), body)
+            ).encode()
         else:
             payload = json.dumps({"error": f"unknown op {req['op']!r}"}).encode()
         self.wfile.write(struct.pack(">Q", len(payload)))
@@ -89,6 +102,7 @@ class RecordServer(socketserver.ThreadingTCPServer):
         super().__init__(("127.0.0.1", 0), _Handler)
         self.log_dir = log_dir
         self._thread: threading.Thread | None = None
+        self._append_lock = threading.Lock()  # offset assignment is serial
 
     @property
     def address(self) -> str:
@@ -128,6 +142,40 @@ class RecordServer(socketserver.ThreadingTCPServer):
         with pa.ipc.new_stream(sink, tbl.schema) as w:
             w.write_table(tbl)
         return sink.getvalue()
+
+    def produce_ipc(self, pid: int, ipc: bytes) -> dict:
+        """Append records to one partition log — CONNECTOR.md's parity
+        step 1 (fixture load into a real topic) made executable: the
+        payload is an Arrow IPC stream of ``(timestamp, value)`` rows in
+        arrival order; the SERVER assigns the next dense offsets of that
+        partition's own sequence (the broker owns offsets — a producer
+        never picks them) and persists a new immutable fragment.  Offset
+        assignment is serialized per server (the per-partition leader's
+        append lock)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        with pa.ipc.open_stream(ipc) as r:
+            tbl = r.read_all()
+        with self._append_lock:
+            part_dir = os.path.join(self.log_dir, f"partition={pid}")
+            os.makedirs(part_dir, exist_ok=True)
+            from fluvio_duck_spark.sources.pplog import pp_footer_leo
+
+            base = pp_footer_leo(part_dir)
+            out = pa.table({
+                "offset": pa.array(
+                    range(base, base + tbl.num_rows), pa.int64()
+                ),
+                "timestamp": tbl["timestamp"].cast(pa.timestamp("us")),
+                "value": tbl["value"].cast(pa.string()),
+            })
+            pq.write_table(
+                out, os.path.join(part_dir, f"produced-{base:012d}.parquet")
+            )
+        return {"base_offset": base, "n": tbl.num_rows}
 
     def start(self) -> "RecordServer":
         self._thread = threading.Thread(target=self.serve_forever, daemon=True)
@@ -220,6 +268,28 @@ def _request(addr: str, req: dict) -> bytes:
         sock.sendall(json.dumps(req).encode() + b"\n")
         (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
         return _recv_exact(sock, n)
+
+
+def server_produce(addr: str, pid: int, table) -> dict:
+    """Produce ``(timestamp, value)`` rows to one partition in arrival
+    order; the server assigns the next dense offsets and returns
+    ``{"base_offset": ..., "n": ...}`` — the producer half of the
+    reference lifecycle (CONNECTOR.md parity step 1)."""
+    import pyarrow as pa
+
+    sink = io.BytesIO()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    body = sink.getvalue()
+    host, port = addr.rsplit(":", 1)
+    with socket.create_connection((host, int(port)), timeout=60) as sock:
+        sock.sendall(
+            json.dumps(
+                {"op": "produce", "pid": pid, "payload_bytes": len(body)}
+            ).encode() + b"\n" + body
+        )
+        (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
+        return json.loads(_recv_exact(sock, n))
 
 
 def server_parts(addr: str) -> dict[int, int]:

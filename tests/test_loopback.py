@@ -205,3 +205,61 @@ def test_server_follows_growing_log(spark, sf_dir, tmp_path):
         assert p1["1"] == leo + 20
     finally:
         srv.stop()
+
+
+def test_produce_then_consume_full_lifecycle(spark, tmp_path):
+    """CONNECTOR.md parity step 1, executed: produce the events fixture
+    into an EMPTY served topic (per-partition arrival order = event_id
+    order, props as value, ts as record timestamp; the SERVER assigns
+    dense offsets), then consume it back through the connector surface
+    — the result must equal the stand-in derivation exactly.  Closes
+    the produce half of the reference lifecycle in-sandbox."""
+    import os
+
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.consume import read_events
+    from fluvio_duck_spark.sources.loopback import server_produce
+    from fluvio_duck_spark.sources.pplog import per_partition_log
+
+    topic_dir = str(tmp_path / "produced_topic")
+    for pid in range(4):
+        os.makedirs(f"{topic_dir}/partition={pid}")
+    srv = RecordServer(topic_dir).start()
+    try:
+        assert server_parts(srv.address) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+        rows = (
+            read_events(spark, SF_DIR)
+            .selectExpr("event_id", "ts", "user_id % 4 AS pid", "props")
+            .orderBy("event_id")
+            .collect()
+        )
+        per = {}
+        for r in rows:
+            per.setdefault(r.pid, []).append((r.ts, r.props))
+        for pid, recs in sorted(per.items()):
+            # two batches per partition: the second append must continue
+            # the dense sequence where the first ended
+            half = len(recs) // 2
+            for batch in (recs[:half], recs[half:]):
+                tbl = pa.table({
+                    "timestamp": pa.array([t for t, _ in batch],
+                                          pa.timestamp("us")),
+                    "value": pa.array([v for _, v in batch]),
+                })
+                server_produce(srv.address, pid, tbl)
+        assert server_parts(srv.address) == {0: 273, 1: 232, 2: 289, 3: 206}
+
+        register_fluvio_source(spark)
+        consumed = (
+            spark.read.format("fluvio")
+            .option("server", srv.address)
+            .option("args", "-A -B --rows 1000000")
+            .load()
+        )
+        got = sorted(map(tuple, consumed.collect()))
+        want = sorted(map(tuple, per_partition_log(spark, SF_DIR).collect()))
+        assert got == want  # offsets, timestamps, partitions, values — all
+    finally:
+        srv.stop()
