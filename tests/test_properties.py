@@ -513,3 +513,104 @@ def test_pp_consume_matches_python_model(spark, tiny_pp_log, pos, n, end, rows):
         .collect()
     )
     assert got == sorted(model), (argv, got[:6], sorted(model)[:6])
+
+
+@pytest.fixture(scope="module")
+def tiny_pp_dir(tmp_path_factory):
+    """On-disk per-partition log (partition=<k>/ layout) with lengths
+    10/13/16/19, multiple fragments per partition — pure pyarrow, no
+    Spark: the DataSource readers are drivable without a session."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("tiny_pp_dir")
+    for p in range(4):
+        d = root / f"partition={p}"
+        d.mkdir()
+        length = 10 + 3 * p
+        cut = length // 2
+        for tag, lo, hi in (("a", 0, cut), ("b", cut, length)):
+            pq.write_table(
+                pa.table({
+                    "offset": pa.array(range(lo, hi), pa.int64()),
+                    "timestamp": pa.array(
+                        [1_700_000_000_000_000 + o for o in range(lo, hi)],
+                        pa.timestamp("us"),
+                    ),
+                    "value": pa.array(['{"k": %d}' % o for o in range(lo, hi)]),
+                }),
+                str(d / f"part-{tag}.parquet"),
+            )
+    return str(root)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    pos=st.sampled_from(["-B", "-H", "-T", "--start", "none"]),
+    n=st.integers(min_value=0, max_value=25),
+    end=st.one_of(st.none(), st.integers(min_value=0, max_value=25)),
+    rows=st.one_of(st.none(), st.integers(min_value=0, max_value=25)),
+    pin=st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    granule=st.sampled_from([1, 3, 7, 1 << 20]),
+)
+def test_datasource_pp_matches_python_model(
+    tiny_pp_dir, pos, n, end, rows, pin, granule
+):
+    """The log_dir DataSource (plan-time window algebra + granule-sized
+    task chunking) vs the pure-Python per-partition model, driven
+    WITHOUT Spark: for every position/end/rows/pin/granule combination
+    the union of chunk reads equals the model, chunks never overlap,
+    and the task split never changes results.  Pins the round-8
+    chunking path against the same semantics the builder property test
+    pins (reference src/partition.rs:107-134)."""
+    from fluvio_duck_spark.options import ConsumeOptError
+    from fluvio_duck_spark.sources.datasource import FluvioReader
+
+    argv = ["-A"] if pin is None else ["-p", str(pin)]
+    if pos == "-B":
+        argv += ["-B"]
+    elif pos in ("-H", "-T", "--start"):
+        argv += [pos, str(n)]
+    if end is not None:
+        argv += ["--end", str(end)]
+    if rows is not None:
+        argv += ["--rows", str(rows)]
+
+    crossing = pos == "--start" and end is not None and end < n
+    if crossing:
+        with pytest.raises(ConsumeOptError):
+            FluvioReader({"log_dir": tiny_pp_dir, "args": " ".join(argv)})
+        return
+
+    reader = FluvioReader({
+        "log_dir": tiny_pp_dir, "args": " ".join(argv),
+        "max_rows_per_task": str(granule),
+    })
+
+    lens = {p: 10 + 3 * p for p in range(4)}
+    pids = lens if pin is None else ({pin: lens[pin]} if pin in lens else {})
+    budget = rows if rows is not None else 1000  # parser default
+    model = []
+    for p, length in pids.items():
+        if pos == "-B":
+            seq = list(range(length))
+        elif pos in ("-H", "--start"):
+            seq = [o for o in range(length) if o >= n]
+        elif pos == "-T":
+            seq = [o for o in range(length) if o >= max(length - n, 0)]
+        else:  # default Offset::end → empty over a static log
+            seq = []
+        if end is not None:
+            seq = [o for o in seq if o <= end]
+        seq = seq[:budget]  # pp budget = dense window arithmetic
+        model.extend((p, o) for o in seq)
+
+    parts = reader.partitions()
+    got = [
+        (d["partition"], d["offset"])
+        for p in parts
+        for b in reader.read(p)
+        for d in b.to_pylist()
+    ]
+    assert len(got) == len(set(got))  # chunks never overlap
+    assert sorted(got) == sorted(model), (argv, granule)
