@@ -614,3 +614,65 @@ def test_datasource_pp_matches_python_model(
     ]
     assert len(got) == len(set(got))  # chunks never overlap
     assert sorted(got) == sorted(model), (argv, granule)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    start=st.dictionaries(
+        st.sampled_from(["0", "1", "2", "3"]),
+        st.integers(min_value=0, max_value=30),
+        min_size=0, max_size=4,
+    ),
+    advance=st.dictionaries(
+        st.sampled_from(["0", "1", "2", "3"]),
+        st.integers(min_value=0, max_value=30),
+        min_size=4, max_size=4,
+    ),
+    granule=st.sampled_from([1, 2, 5, 1 << 20]),
+)
+def test_stream_partitions_tile_any_cursor_range(
+    tiny_pp_dir, start, advance, granule
+):
+    """The full stream reader's micro-batch planner: for ANY committed
+    [start, end) cursor pair and any task granule, the planned chunks
+    tile each partition's range exactly (no gap, no overlap) and the
+    union of executor reads equals the range's records — the replay
+    determinism CONNECTOR.md §4 requires, as a property over random
+    cursor positions."""
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    r = FluvioStreamReader(
+        {"log_dir": tiny_pp_dir, "max_rows_per_batch": str(granule)}
+    )
+    lens = {p: 10 + 3 * p for p in range(4)}
+    end = {
+        k: min(start.get(k, 0) + advance[k], lens[int(k)])
+        for k in ("0", "1", "2", "3")
+    }
+    # clamp start at end (Spark never plans start > end)
+    lo_map = {k: min(start.get(k, 0), end[k]) for k in end}
+
+    parts = r.partitions(lo_map, end)
+    got = [
+        (d["partition"], d["offset"])
+        for p in parts
+        for b in r.read(p)
+        for d in b.to_pylist()
+    ]
+    model = [
+        (int(k), o)
+        for k in end
+        for o in range(lo_map[k], end[k])
+        if o < lens[int(k)]
+    ]
+    assert len(got) == len(set(got))  # no chunk overlap
+    assert sorted(got) == sorted(model)
+    # chunk windows tile [lo, end) exactly per partition
+    spans: dict[int, list] = {}
+    for p in parts:
+        spans.setdefault(p.pid, []).append((p.lo, p.hi))
+    for pid, tiles in spans.items():
+        tiles.sort()
+        k = str(pid)
+        assert tiles[0][0] == lo_map[k] and tiles[-1][1] == end[k]
+        assert all(b[0] == a[1] for a, b in zip(tiles, tiles[1:]))
