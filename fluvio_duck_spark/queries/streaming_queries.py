@@ -790,8 +790,22 @@ def q_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     state: dict[str, pd.DataFrame] = {}
 
+    # A 2-D frontier is expected O(log n) under random order but is not
+    # bounded by construction; cap the per-batch collect so a degenerate
+    # (fully-sorted, anti-correlated) input fails loudly instead of
+    # hauling a table-sized frontier to the driver (VERDICT r8 wrong #4).
+    cap = 100_000
+
     def apply_batch(batch_df, _batch_id) -> None:
-        local = skyline2d(batch_df, "p_retailprice", "p_size").toPandas()
+        local = (
+            skyline2d(batch_df, "p_retailprice", "p_size")
+            .limit(cap + 1).toPandas()
+        )
+        if len(local) > cap:
+            raise RuntimeError(
+                f"stream_skyline: per-batch frontier exceeded {cap} rows — "
+                "refusing an unbounded driver collect"
+            )
         if "f" in state and not state["f"].empty:
             local = pd.concat([state["f"], local], ignore_index=True)
         state["f"] = _sweep(local, "p_retailprice", "p_size")

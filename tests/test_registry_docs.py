@@ -50,12 +50,25 @@ def test_queries_md_matches_registry():
     )
 
 
-def test_driver_verified_is_subset_of_registry():
-    from fluvio_duck_spark.queries import _DRIVER_VERIFIED
+def test_receipt_rotation_partitions_registry():
+    """The latest-receipt sets plus _NEW_THIS_ROUND must exactly cover the
+    registry: registering a query without adding it to _NEW_THIS_ROUND
+    would let it hide at an arbitrary rotation position, and a renamed or
+    deleted query would leave a stray receipt name behind."""
+    from fluvio_duck_spark.queries import _NEW_THIS_ROUND, _RECEIPT_ROUNDS
 
-    qs = all_queries()
-    stray = _DRIVER_VERIFIED - set(qs)
-    assert not stray, f"_DRIVER_VERIFIED names not in registry: {sorted(stray)}"
+    qs = set(all_queries())
+    receipted: set[str] = set()
+    for s in _RECEIPT_ROUNDS:
+        assert receipted.isdisjoint(s), sorted(receipted & s)
+        receipted |= s
+    stray = receipted - qs
+    assert not stray, f"receipt names not in registry: {sorted(stray)}"
+    unaccounted = qs - receipted - _NEW_THIS_ROUND
+    assert not unaccounted, (
+        f"registered but neither receipted nor in _NEW_THIS_ROUND: "
+        f"{sorted(unaccounted)} — add new registrations to _NEW_THIS_ROUND"
+    )
 
 
 def test_no_duplicate_query_registrations_in_source():
