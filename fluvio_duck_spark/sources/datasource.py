@@ -162,6 +162,18 @@ class FluvioReader(DataSourceReader):
         import json as _json
 
         self.push_filter = _json.loads(push) if push is not None else None
+        # server-side transform-CHAIN pushdown (r9): a whole translated
+        # chain (loopback.translate_transform_chain — filter + jolt
+        # links) shipped with every fetch, the connector analogue of the
+        # SPU executing the chain before bytes cross the network
+        # (reference src/consume.rs:650-673).  loopback_transform_pushdown
+        # pins pushed == engine bit-identical.
+        push_chain = options.get("chain")
+        if push_chain is not None and not self.server:
+            raise ValueError(".option('chain', ...) requires server mode")
+        self.push_chain = (
+            _json.loads(push_chain) if push_chain is not None else None
+        )
         self.sf_dir = options.get("sf_dir")
         if not self.sf_dir and not self.log_dir and not self.server:
             raise ValueError(
@@ -197,6 +209,13 @@ class FluvioReader(DataSourceReader):
         # log.  Local top-n (pinned partition + --rows) stays one task
         # by construction.
         self.task_rows = int(options.get("max_rows_per_task", str(1 << 20)))
+        if self.task_rows < 1:
+            # a zero/negative granule would make _split's range() step
+            # invalid at plan time with no hint which option caused it —
+            # reject loudly like every other option (ADVICE r8)
+            raise ValueError(
+                f"max_rows_per_task must be >= 1, got {self.task_rows}"
+            )
 
     def _split(self, pid: int, lo: int, hi: int,
                part_dir: str | None) -> "list[_FluvioPartition]":
@@ -208,6 +227,7 @@ class FluvioReader(DataSourceReader):
             p.part_dir = part_dir
             p.server = self.server
             p.push_filter = getattr(self, "push_filter", None)
+            p.push_chain = getattr(self, "push_chain", None)
             out.append(p)
         return out
 
@@ -405,6 +425,7 @@ class FluvioReader(DataSourceReader):
             tbl = server_fetch(
                 partition.server, partition.pid, partition.lo, hi_excl,
                 flt=getattr(partition, "push_filter", None),
+                chain=getattr(partition, "push_chain", None),
             )
         else:
             tbl = _read_pp_window(partition.part_dir, partition.lo, hi_excl)
@@ -523,7 +544,12 @@ class FluvioStreamReader(DataSourceStreamReader):
     granule-sized tasks.)  ``throttle_rows_per_trigger`` DOES cap the
     per-trigger cursor advance — for processing-time triggers and
     cursor-protocol tests only; documented availableNow-unsafe for the
-    same snapshot reason.
+    same snapshot reason.  Restart-safe: the driver-memory cursor
+    re-learns the committed position from the first planned range
+    (``partitions``' start IS the checkpoint offset) and floors later
+    plans at it, so a kill/restart never re-plans already-delivered
+    ranges — at worst one empty regressed batch lands in the offset log
+    before the cursor catches up (ADVICE r8).
     """
 
     def __init__(self, options):
@@ -548,9 +574,27 @@ class FluvioStreamReader(DataSourceStreamReader):
                 "max_rows_per_batch/throttle_rows_per_trigger"
             )
         self.granule = int(options.get("max_rows_per_batch", "5000"))
+        if self.granule < 1:
+            raise ValueError(
+                f"max_rows_per_batch must be >= 1, got {self.granule}"
+            )
         throttle = options.get("throttle_rows_per_trigger")
         self.throttle = int(throttle) if throttle is not None else None
+        if self.throttle is not None and self.throttle < 1:
+            raise ValueError(
+                f"throttle_rows_per_trigger must be >= 1, got {self.throttle}"
+            )
         self._cur: dict | None = None  # throttle bookkeeping (driver-side)
+        # Restart safety for the throttle cursor (ADVICE r8 medium): _cur
+        # lives only in driver memory, so after a checkpointed restart the
+        # first latestOffset() would restart from 0 — BELOW the committed
+        # start — and Spark records that regressed end in its offset log.
+        # partitions(start, end) is where the committed position becomes
+        # visible (start IS the checkpoint offset): re-learn _cur there,
+        # and when a regressed end has already been logged (start > end),
+        # floor every later plan at the true position so ranges delivered
+        # before the kill are never re-planned (exactly-once preserved).
+        self._floor: dict[str, int] = {}
         # server-side SmartModule filter pushdown (CONNECTOR.md §5 MAY
         # clause), symmetric with the batch reader: offsets still
         # advance over the UNfiltered log (cursors are storage
@@ -561,6 +605,12 @@ class FluvioStreamReader(DataSourceStreamReader):
         import json as _json
 
         self.push_filter = _json.loads(push) if push is not None else None
+        push_chain = options.get("chain")
+        if push_chain is not None and not self.server:
+            raise ValueError(".option('chain', ...) requires server mode")
+        self.push_chain = (
+            _json.loads(push_chain) if push_chain is not None else None
+        )
 
     # -- offset management (driver-side, metadata-only) --------------------
     def _pp_dirs(self) -> dict[int, str]:
@@ -613,13 +663,32 @@ class FluvioStreamReader(DataSourceStreamReader):
         # mid-stream (a new partition dir) starts from 0 instead of
         # being silently never consumed
         self._cur = {
-            k: min(lk, self._cur.get(k, 0) + self.throttle)
+            k: min(lk, max(self._cur.get(k, 0), self._floor.get(k, 0))
+                   + self.throttle)
             for k, lk in leo.items()
         }
         return dict(self._cur)
 
     # -- micro-batch planning + executor-side fetch -------------------------
+    def _learn_position(self, start: dict, end: dict) -> None:
+        """Clamp the throttle cursor to the planned range (see __init__:
+        the range's start is the committed checkpoint offset, which a
+        fresh reader instance otherwise doesn't know)."""
+        if self.throttle is None:
+            return
+        if self._cur is None:
+            self._cur = {}
+        for k, s in start.items():
+            s, e = int(s), int(end.get(k, int(s)))
+            self._cur[k] = max(self._cur.get(k, 0), s, e)
+            if s > e:
+                # a regressed end is already in Spark's offset log (it was
+                # returned by latestOffset before this call); the NEXT
+                # batch will start from it — floor it at the true position
+                self._floor[k] = max(self._floor.get(k, 0), s)
+
     def partitions(self, start: dict, end: dict):
+        self._learn_position(start, end)
         out: list[_FluvioStreamPartition] = []
         if self.log_dir or self.server:
             if self.server:
@@ -629,7 +698,10 @@ class FluvioStreamReader(DataSourceStreamReader):
             else:
                 fetch = self._pp_dirs()
             for pid, d in sorted(fetch.items()):
-                lo = int(start.get(str(pid), 0))
+                lo = max(
+                    int(start.get(str(pid), 0)),
+                    self._floor.get(str(pid), 0),
+                )
                 hi = int(end.get(str(pid), lo))
                 for c in range(lo, hi, self.granule):
                     p = _FluvioStreamPartition(
@@ -637,9 +709,11 @@ class FluvioStreamReader(DataSourceStreamReader):
                         part_dir=d, server=self.server,
                     )
                     p.push_filter = self.push_filter
+                    p.push_chain = self.push_chain
                     out.append(p)
             return out
-        lo, hi = int(start["offset"]), int(end["offset"])
+        lo = max(int(start["offset"]), self._floor.get("offset", 0))
+        hi = int(end["offset"])
         for c in range(lo, hi, self.granule):
             out.append(_FluvioStreamPartition(-1, c, min(c + self.granule, hi)))
         return out
@@ -659,6 +733,7 @@ class FluvioStreamReader(DataSourceStreamReader):
                     partition.server, partition.pid, partition.lo,
                     partition.hi,
                     flt=getattr(partition, "push_filter", None),
+                    chain=getattr(partition, "push_chain", None),
                 )
             else:
                 tbl = _read_pp_window(

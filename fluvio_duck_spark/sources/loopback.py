@@ -60,31 +60,42 @@ class _Handler(socketserver.StreamRequestHandler):
         line = self.rfile.readline()
         if not line:
             return
-        req = json.loads(line)
-        srv = self.server  # type: ignore[assignment]
-        if req["op"] == "parts":
-            payload = json.dumps(srv.parts_leo()).encode()
-        elif req["op"] == "fetch":
-            payload = srv.fetch_ipc(
-                int(req["pid"]), int(req["lo"]),
-                None if req.get("hi") is None else int(req["hi"]),
-                req.get("filter"),
-            )
-        elif req["op"] == "produce":
-            # read from rfile (buffered): part of the payload may
-            # already sit behind the readline()
-            want = int(req["payload_bytes"])
-            body = b""
-            while len(body) < want:
-                chunk = self.rfile.read(want - len(body))
-                if not chunk:
-                    raise ConnectionError("producer closed mid-payload")
-                body += chunk
+        # any server-side failure (malformed request JSON, bad filter
+        # DSL, cast error in produce) must still produce a FRAMED reply:
+        # an abruptly-closed connection surfaces client-side as an opaque
+        # ConnectionError with the real cause lost in the server log
+        # (ADVICE r8).  Errors travel as {"error": ...} JSON; clients
+        # check for it before decoding (see _check_error).
+        try:
+            req = json.loads(line)
+            srv = self.server  # type: ignore[assignment]
+            if req["op"] == "parts":
+                payload = json.dumps(srv.parts_leo()).encode()
+            elif req["op"] == "fetch":
+                payload = srv.fetch_ipc(
+                    int(req["pid"]), int(req["lo"]),
+                    None if req.get("hi") is None else int(req["hi"]),
+                    req.get("filter"), req.get("chain"),
+                )
+            elif req["op"] == "produce":
+                # read from rfile (buffered): part of the payload may
+                # already sit behind the readline()
+                want = int(req["payload_bytes"])
+                body = b""
+                while len(body) < want:
+                    chunk = self.rfile.read(want - len(body))
+                    if not chunk:
+                        raise ConnectionError("producer closed mid-payload")
+                    body += chunk
+                payload = json.dumps(
+                    srv.produce_ipc(int(req["pid"]), body)
+                ).encode()
+            else:
+                raise ValueError(f"unknown op {req['op']!r}")
+        except Exception as exc:  # noqa: BLE001 — every error is framed
             payload = json.dumps(
-                srv.produce_ipc(int(req["pid"]), body)
+                {"error": f"{type(exc).__name__}: {exc}"}
             ).encode()
-        else:
-            payload = json.dumps({"error": f"unknown op {req['op']!r}"}).encode()
         self.wfile.write(struct.pack(">Q", len(payload)))
         self.wfile.write(payload)
 
@@ -121,7 +132,8 @@ class RecordServer(socketserver.ThreadingTCPServer):
         }
 
     def fetch_ipc(self, pid: int, lo: int, hi: int | None,
-                  flt: dict | None = None) -> bytes:
+                  flt: dict | None = None,
+                  chain: list[dict] | None = None) -> bytes:
         import pyarrow as pa
 
         from fluvio_duck_spark.sources.datasource import _read_pp_window
@@ -138,6 +150,10 @@ class RecordServer(socketserver.ThreadingTCPServer):
             tbl = _read_pp_window(dirs[pid], lo, hi)
         if flt is not None:
             tbl = _apply_server_filter(tbl, flt)
+        if chain is not None:
+            # bounds-before-chain: the [lo, hi) window is already
+            # resolved; the chain transforms only what the window kept
+            tbl = _apply_server_chain(tbl, chain)
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, tbl.schema) as w:
             w.write_table(tbl)
@@ -172,9 +188,14 @@ class RecordServer(socketserver.ThreadingTCPServer):
                 "timestamp": tbl["timestamp"].cast(pa.timestamp("us")),
                 "value": tbl["value"].cast(pa.string()),
             })
-            pq.write_table(
-                out, os.path.join(part_dir, f"produced-{base:012d}.parquet")
-            )
+            # write-then-rename so the fragment appears ATOMICALLY: a
+            # concurrent fetch/parts glob (other handler threads don't
+            # hold _append_lock) must never see a half-written footer
+            # (ADVICE r8)
+            final = os.path.join(part_dir, f"produced-{base:012d}.parquet")
+            tmp = final + ".inprogress"
+            pq.write_table(out, tmp)
+            os.rename(tmp, final)
         return {"base_offset": base, "n": tbl.num_rows}
 
     def start(self) -> "RecordServer":
@@ -218,56 +239,294 @@ def translate_sql_filter(where: str) -> dict | None:
     the engine-side chain, which the loopback_filter_pushdown parity
     query pins.
 
-    Parity scope note: for a record whose extracted value is MALFORMED
-    for the cast (e.g. ``"12.5"`` under an int cast), the server drops
-    it while Spark's ANSI cast would raise engine-side — the pushed
-    form is bit-identical on data the engine-side chain can itself
-    evaluate, which is the only data a parity comparison can exist
-    for."""
+    Cast parity (ADVICE r8): the engine side runs under Spark-4 ANSI
+    mode, so ``cast`` THROWS on a value malformed for the target type
+    ('12.5' or '12.0' under an int cast, 'true' under either) — it never
+    silently drops.  The server interpreter mirrors that exactly: a
+    malformed extraction RAISES, and the framed error reply fails the
+    pushed leg the same way the engine leg fails (both-fail is the
+    bit-identical outcome; a server that dropped the record would
+    return a DIFFERENT answer than the engine).  Missing key / JSON
+    null → NULL → dropped, both sides.  An int-cast comparison against
+    a FRACTIONAL literal is not translated (None): the engine compares
+    int-vs-50.5 exactly, which the DSL's int-typed literal can't
+    carry."""
     m = _FILTER_RE.match(where)
     if not m:
         return None
     path, typ, op, lit = m.groups()
     typ = typ.lower()
     cast = "double" if typ == "double" else "int"
-    value = float(lit) if cast == "double" else int(float(lit))
+    if cast == "int":
+        if "." in lit:
+            return None  # int(float('50.5')) would truncate the predicate
+        value = int(lit)
+    else:
+        value = float(lit)
     return {"path": path, "cast": cast, "op": op, "value": value}
+
+
+def _num_text(x) -> str:
+    """Render a parsed JSON number the way Spark's get_json_object does:
+    integer lexemes as integers, float lexemes via Java
+    ``Double.toString`` — decimal notation in [1e-3, 1e7), scientific
+    ``d.dddEn`` outside it (so ``12.50`` → '12.5', ``1e3`` → '1000.0',
+    ``1e7`` → '1.0E7').  Python's shortest-roundtrip repr and Java 17's
+    algorithm agree on the digits for ordinary values; pathological
+    doubles where they differ are outside the pushdown's parity scope."""
+    if isinstance(x, int):
+        return str(x)
+    ax = abs(x)
+    if ax == 0.0:
+        return "-0.0" if str(x)[0] == "-" else "0.0"
+    if 1e-3 <= ax < 1e7:
+        r = repr(x)
+        return r if "." in r else r + ".0"
+    from decimal import Decimal
+
+    d = Decimal(repr(x))
+    digits = "".join(map(str, d.as_tuple().digits)).rstrip("0") or "0"
+    mant = digits[0] + "." + (digits[1:] or "0")
+    sign = "-" if x < 0 else ""
+    return f"{sign}{mant}E{d.adjusted()}"
+
+
+def _extract_like_get_json_object(value_text: str | None,
+                                  dot_path: str) -> str | None:
+    """Mirror Spark's ``get_json_object(value, '$.' + dot_path)``: the
+    STRING extraction of the matched node — numbers re-rendered the way
+    Jackson/Spark writes them back (see _num_text; verified
+    byte-identical against the engine in
+    tests/test_loopback.py::test_chain_semantics_match_engine_jolt),
+    unquoted content for strings, ``true``/``false`` for booleans,
+    compact JSON for objects/arrays, None for a missing path / JSON
+    null / unparseable payload."""
+    if value_text is None:
+        return None
+    try:
+        obj = json.loads(value_text)
+    except ValueError:
+        return None
+    for part in dot_path.split("."):
+        if not isinstance(obj, dict):
+            return None
+        obj = obj.get(part)
+    if obj is None:
+        return None
+    if isinstance(obj, bool):
+        return "true" if obj else "false"
+    if isinstance(obj, str):
+        return obj
+    if isinstance(obj, (int, float)):
+        return _num_text(obj)
+    # nested object/array: compact re-serialization (ints inside survive
+    # as ints; float rendering follows _num_text via json.dumps repr)
+    return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+
+
+def _cast_like_spark(got: str | None, cast: str):
+    """Mirror Spark's ANSI cast of get_json_object's STRING extraction:
+    integral-only for int (a fractional, boolean, or non-numeric
+    extraction THROWS engine-side, so it throws here too — see
+    translate_sql_filter's cast-parity note), numeric strings for
+    double.  Returns the number, or raises ValueError exactly where the
+    engine's cast would."""
+    try:
+        # int() rejects '12.5'/'12.0'/'true' like UTF8String.toIntExact
+        return int(got) if cast == "int" else float(got)
+    except (ValueError, TypeError):
+        raise ValueError(f"CAST_INVALID_INPUT: {got!r} as {cast}") from None
 
 
 def _apply_server_filter(tbl, flt: dict):
     """Evaluate the filter DSL over one fetched window, record by
     record — the server IS the SPU stand-in, so this is deliberately a
-    plain interpreter: JSON-extract the path, cast (extraction failure
-    or non-numeric → record dropped, matching the engine's NULL-cast
-    semantics), compare against the literal."""
+    plain interpreter: JSON-extract the path, cast with Spark's ANSI
+    semantics (missing key / JSON null / non-object → NULL → dropped;
+    a value MALFORMED for the cast raises, failing the fetch the same
+    way the engine leg fails), compare against the literal."""
     import pyarrow as pa
 
-    key = flt["path"][2:]  # "$.k" -> "k" (top-level paths only)
+    path = flt["path"][2:]  # "$.a.b" -> "a.b"
     op = _OPS[flt["op"]]
     want = flt["value"]
-    to_num = float if flt["cast"] == "double" else int
+    cast = flt["cast"]
     keep = []
     for v in tbl["value"].to_pylist():
-        ok = False
-        if v is not None:
-            try:
-                got = json.loads(v).get(key)
-                if got is not None:
-                    ok = op(to_num(got), want)
-            except (ValueError, TypeError, AttributeError):
-                ok = False
-        keep.append(ok)
+        got = _extract_like_get_json_object(v, path)
+        keep.append(got is not None and op(_cast_like_spark(got, cast), want))
     return tbl.filter(pa.array(keep))
 
 
+# -- server-side SmartModule transform chain (CONNECTOR.md §5, r9) --------
+
+def translate_transform_chain(transforms) -> list[dict] | None:
+    """Translate an ORDERED engine-side SmartModule chain into the record
+    server's chain DSL — or None when ANY link falls outside the
+    translatable subset (the whole chain then stays engine-side; pushing
+    a prefix would reorder effects across the wire, the one thing
+    CONNECTOR.md §5 forbids).  This is the connector analogue of shipping
+    the full transform chain to the SPU so it executes before bytes
+    cross the network (reference src/consume.rs:650-673) — the
+    reference examples' entire real workload is exactly one such jolt
+    shift (examples/short.yaml:1-29).
+
+    Translatable links:
+
+    * ``sql-filter`` — via :func:`translate_sql_filter` (same subset,
+      same ANSI-cast parity).
+    * ``infinyon/jolt@…`` with ``shift`` (nested input-path tree, string
+      leaves naming output keys) and/or ``default`` (top-level fills) —
+      the literal subset the engine interprets (transforms.py).
+
+    Parity scope: shift input paths must name SCALAR leaves (the
+    fixture's real shape); a path landing on a nested object
+    re-serializes with number lexemes as strings server-side.  The
+    loopback_transform_pushdown parity query pins pushed == engine
+    bit-identical on the data.
+
+    ``transforms`` accepts raw ``{"uses": ..., "with": {...}}`` dicts or
+    TransformSpec objects."""
+    ops: list[dict] = []
+    for t in transforms:
+        uses = t["uses"] if isinstance(t, dict) else t.uses
+        params = (t.get("with", {}) or {}) if isinstance(t, dict) else t.params
+        if uses == "sql-filter":
+            flt = translate_sql_filter(params.get("where", ""))
+            if flt is None:
+                return None
+            ops.append({"kind": "filter", **flt})
+        elif uses.startswith("infinyon/jolt@"):
+            from fluvio_duck_spark.transforms import (
+                TransformError,
+                _jolt_leaves,
+            )
+
+            spec = params.get("spec")
+            if isinstance(spec, str):
+                try:
+                    spec = json.loads(spec)
+                except ValueError:
+                    return None
+            if not isinstance(spec, list):
+                return None
+            for op in spec:
+                kind = op.get("operation")
+                if kind == "shift":
+                    try:
+                        pairs = _jolt_leaves(op.get("spec", {}))
+                    except TransformError:
+                        return None
+                    ops.append({"kind": "shift",
+                                "pairs": [list(p) for p in pairs]})
+                elif kind == "default":
+                    ops.append({
+                        "kind": "default",
+                        "fields": [
+                            [key, json.dumps(default)]
+                            for key, default in op.get("spec", {}).items()
+                        ],
+                    })
+                else:
+                    return None
+        else:
+            return None
+    return ops
+
+
+def _to_json_like_spark(fields: list[tuple[str, str | None]]) -> str:
+    """Mirror ``to_json(struct(...))`` over string fields: compact,
+    field order preserved, NULL fields OMITTED (Spark's default
+    ignoreNullFields) — an all-null row renders as ``{}``."""
+    return "{" + ",".join(
+        json.dumps(name, ensure_ascii=False) + ":"
+        + json.dumps(text, ensure_ascii=False)
+        for name, text in fields if text is not None
+    ) + "}"
+
+
+def _apply_server_chain(tbl, chain: list[dict]):
+    """Apply the translated chain ops IN ORDER over one fetched window —
+    the stand-in for the SPU executing the shipped SmartModule chain
+    before records cross the wire.  Each op mirrors the engine's
+    DataFrame interpretation of the same spec (transforms.py):
+
+    * ``filter`` — :func:`_apply_server_filter` (ANSI-cast parity);
+    * ``shift``  — value := to_json(struct(get_json_object(value, in)
+      AS out, ...)) per the spec's (input path, output key) pairs;
+    * ``default`` — value := to_json(struct(coalesce(extraction,
+      json-encoded default) AS key, ...)) over the spec's top-level
+      keys.
+
+    Ordering matters and is pinned by the parity query: a filter that
+    references a key a later shift renames would drop everything if the
+    server reordered the chain."""
+    import pyarrow as pa
+
+    for op in chain:
+        if op["kind"] == "filter":
+            tbl = _apply_server_filter(tbl, op)
+        elif op["kind"] == "shift":
+            pairs = [(inp, out) for inp, out in op["pairs"]]
+            new = [
+                _to_json_like_spark(
+                    [(out, _extract_like_get_json_object(v, inp))
+                     for inp, out in pairs]
+                )
+                for v in tbl["value"].to_pylist()
+            ]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "value",
+                pa.array(new, pa.string()),
+            )
+        elif op["kind"] == "default":
+            fields = [(key, dflt) for key, dflt in op["fields"]]
+            new = [
+                _to_json_like_spark(
+                    [(key,
+                      got if (got := _extract_like_get_json_object(v, key))
+                      is not None else dflt)
+                     for key, dflt in fields]
+                )
+                for v in tbl["value"].to_pylist()
+            ]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "value",
+                pa.array(new, pa.string()),
+            )
+        else:
+            raise ValueError(f"unknown chain op kind {op.get('kind')!r}")
+    return tbl
+
+
 # -- client side (used driver-side for metadata, EXECUTOR-side for fetch) --
+
+class RecordServerError(RuntimeError):
+    """The server replied with a framed error — the actual server-side
+    failure, not an opaque transport error (ADVICE r8)."""
+
+
+def _check_error(payload: bytes) -> bytes:
+    """Detect a framed {"error": ...} reply.  Arrow IPC never begins
+    with '{' (streams start with a length/continuation word), and the
+    JSON metadata replies are dicts whose keys are partition ids or
+    produce fields, so the probe is unambiguous."""
+    if payload[:1] == b"{":
+        try:
+            obj = json.loads(payload)
+        except ValueError:
+            return payload
+        if isinstance(obj, dict) and "error" in obj:
+            raise RecordServerError(obj["error"])
+    return payload
+
 
 def _request(addr: str, req: dict) -> bytes:
     host, port = addr.rsplit(":", 1)
     with socket.create_connection((host, int(port)), timeout=60) as sock:
         sock.sendall(json.dumps(req).encode() + b"\n")
         (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
-        return _recv_exact(sock, n)
+        return _check_error(_recv_exact(sock, n))
 
 
 def server_produce(addr: str, pid: int, table) -> dict:
@@ -289,7 +548,7 @@ def server_produce(addr: str, pid: int, table) -> dict:
             ).encode() + b"\n" + body
         )
         (n,) = struct.unpack(">Q", _recv_exact(sock, 8))
-        return json.loads(_recv_exact(sock, n))
+        return json.loads(_check_error(_recv_exact(sock, n)))
 
 
 def server_parts(addr: str) -> dict[int, int]:
@@ -299,16 +558,21 @@ def server_parts(addr: str) -> dict[int, int]:
 
 
 def server_fetch(addr: str, pid: int, lo: int, hi: int | None,
-                 flt: dict | None = None):
+                 flt: dict | None = None,
+                 chain: list[dict] | None = None):
     """One partition's records with offsets in ``[lo, hi)``, as an Arrow
     table — the executor-side bounded range read.  ``flt`` optionally
-    pushes a translated SmartModule filter to the server (the §5 MAY
-    clause); the server applies it before the bytes cross the wire."""
+    pushes a translated SmartModule filter to the server; ``chain``
+    pushes a whole translated transform chain (filter/jolt links, the
+    §5 MAY clause) — the server applies them before the bytes cross
+    the wire."""
     import pyarrow as pa
 
     req = {"op": "fetch", "pid": pid, "lo": lo, "hi": hi}
     if flt is not None:
         req["filter"] = flt
+    if chain is not None:
+        req["chain"] = chain
     payload = _request(addr, req)
     with pa.ipc.open_stream(payload) as r:
         return r.read_all()

@@ -87,8 +87,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # <table>.parquet may be a DIRECTORY of part files (the bench
+        # cache / gen_sf1 layout) — same both-layouts rule every reader
+        # in the repo follows
+        path = f"{SF_DIR}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     queries = entry_mod.queries()

@@ -263,3 +263,243 @@ def test_produce_then_consume_full_lifecycle(spark, tmp_path):
         assert got == want  # offsets, timestamps, partitions, values — all
     finally:
         srv.stop()
+
+
+def test_server_framed_errors_and_cast_parity(server):
+    """ADVICE r8: server-side failures travel as FRAMED error replies
+    (RecordServerError with the real cause), never an opaque
+    ConnectionError/ArrowInvalid; and the pushed filter mirrors Spark's
+    ANSI cast — a value malformed for the cast RAISES (both legs fail
+    identically), it is never silently dropped or truncated."""
+    import json
+
+    import pyarrow as pa
+    import pytest
+
+    from fluvio_duck_spark.sources.loopback import (
+        RecordServerError,
+        _apply_server_filter,
+        _request,
+        server_fetch,
+        translate_sql_filter,
+    )
+
+    # unknown op → framed error, surfaced with the server's message
+    with pytest.raises(RecordServerError, match="unknown op"):
+        _request(server.address, {"op": "nope"})
+    # malformed filter DSL inside a fetch → framed error, not a closed
+    # socket feeding JSON into pa.ipc.open_stream
+    with pytest.raises(RecordServerError):
+        server_fetch(server.address, 0, 0, 5, flt={"path": "$.k", "cast": "int",
+                                                   "op": "@@", "value": 1})
+    # int-cast comparison against a fractional literal is NOT translated:
+    # int(float('49.5')) would silently change the predicate
+    assert translate_sql_filter(
+        "cast(get_json_object(value, '$.k') as int) >= 49.5"
+    ) is None
+    # ...but a double cast carries it fine
+    flt_d = translate_sql_filter(
+        "cast(get_json_object(value, '$.k') as double) >= 49.5"
+    )
+    assert flt_d == {"path": "$.k", "cast": "double", "op": ">=", "value": 49.5}
+
+    # ANSI cast parity on a synthetic window: fractional / boolean / bad
+    # string values under an int cast RAISE exactly where the engine's
+    # cast(get_json_object(...) as int) throws; missing key drops.
+    def tbl(*values):
+        return pa.table({
+            "offset": pa.array(range(len(values)), pa.int64()),
+            "timestamp": pa.array([0] * len(values), pa.timestamp("us")),
+            "value": pa.array(list(values), pa.string()),
+        })
+
+    flt_i = {"path": "$.k", "cast": "int", "op": ">=", "value": 5}
+    ok = _apply_server_filter(
+        tbl('{"k": 12}', '{"k": "7"}', '{"k": 3}', '{"other": 1}', None,
+            'not json'),
+        flt_i,
+    )
+    assert ok["offset"].to_pylist() == [0, 1]
+    for bad in ('{"k": 12.5}', '{"k": 12.0}', '{"k": true}', '{"k": "12.5"}',
+                '{"k": "abc"}', '{"k": [1]}'):
+        with pytest.raises(ValueError, match="CAST_INVALID_INPUT"):
+            _apply_server_filter(tbl(bad), flt_i)
+    # double cast accepts numerics (incl. fractional), throws on booleans
+    flt_dd = {"path": "$.k", "cast": "double", "op": ">", "value": 10.0}
+    got = _apply_server_filter(tbl('{"k": 12.5}', '{"k": 9}', '{"k": "11"}'),
+                               flt_dd)
+    assert got["offset"].to_pylist() == [0, 2]
+    with pytest.raises(ValueError, match="CAST_INVALID_INPUT"):
+        _apply_server_filter(tbl('{"k": false}'), flt_dd)
+
+
+def test_concurrent_producers_dense_gapless(tmp_path):
+    """r8 verdict "Next round" #5: N threads producing concurrently to
+    the SAME partition must come out with dense, gapless server-assigned
+    offsets and every payload surviving exactly once — the _append_lock
+    serialization plus atomic fragment rename, observed from outside."""
+    import json
+    import threading
+
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import (
+        RecordServer,
+        server_fetch,
+        server_parts,
+        server_produce,
+    )
+
+    srv = RecordServer(str(tmp_path / "log")).start()
+    try:
+        n_threads, per_thread, rows = 8, 5, 7
+        results, errors = [], []
+
+        def produce(tid: int) -> None:
+            try:
+                for b in range(per_thread):
+                    t = pa.table({
+                        "timestamp": pa.array([0] * rows, pa.timestamp("us")),
+                        "value": pa.array(
+                            [json.dumps({"tid": tid, "batch": b, "i": i})
+                             for i in range(rows)]
+                        ),
+                    })
+                    results.append(server_produce(srv.address, 0, t))
+            except Exception as exc:  # noqa: BLE001 — surfaced below
+                errors.append(exc)
+
+        threads = [threading.Thread(target=produce, args=(t,))
+                   for t in range(n_threads)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        total = n_threads * per_thread * rows
+        # every ack names a distinct, aligned base; bases tile [0, total)
+        bases = sorted(r["base_offset"] for r in results)
+        assert bases == list(range(0, total, rows))
+        assert all(r["n"] == rows for r in results)
+        assert server_parts(srv.address) == {0: total}
+        # the log itself: dense offsets, every (tid, batch, i) exactly once
+        tbl = server_fetch(srv.address, 0, 0, None)
+        assert tbl["offset"].to_pylist() == list(range(total))
+        payloads = [json.loads(v) for v in tbl["value"].to_pylist()]
+        keys = {(p["tid"], p["batch"], p["i"]) for p in payloads}
+        assert len(keys) == total
+        # each produce call's rows landed contiguously in arrival order
+        by_off = dict(zip(tbl["offset"].to_pylist(), payloads))
+        for r in results:
+            got = [by_off[o] for o in
+                   range(r["base_offset"], r["base_offset"] + r["n"])]
+            assert [g["i"] for g in got] == list(range(rows))
+            assert len({(g["tid"], g["batch"]) for g in got}) == 1
+    finally:
+        srv.stop()
+
+
+def test_chain_semantics_match_engine_jolt(spark, log_dir):
+    """The server chain interpreter must be BYTE-identical to the
+    engine's jolt interpretation (transforms.py) — including
+    get_json_object's number re-rendering (12.50 -> '12.5', 1e3 ->
+    '1000.0', 1e7 -> '1.0E7'), to_json's null-field omission, unicode,
+    and embedded quotes.  Known out-of-scope: doubles where Java 17's
+    non-shortest Double.toString diverges from shortest-roundtrip
+    (e.g. 1e23 -> '9.999999999999999E22')."""
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import (
+        _apply_server_chain,
+        translate_transform_chain,
+    )
+    from fluvio_duck_spark.transforms import jolt_transform
+
+    values = [
+        '{"k": 57, "route": "a", "ms": 12}', '{"k": "hello world"}',
+        '{"k": 12.50}', '{"k": -3}', '{"route": "b"}', '{"k": null}',
+        '{"k": true}', '{"k": false}', '{"k": {"nested": 1}}',
+        '{"k": [1, 2.5, "x"]}', "not json", None, '{"k": "üñîçødé ✓"}',
+        '{"k": 1e3}', '{"k": 0.001}', '{"k": -12.25}', '{"k": 10000000.0}',
+        '{"k": 1e-4}', '{"k": 123456789012345}', '{"k": ""}', '{"k": 0}',
+        '{"k": "with \\"quotes\\" and \\\\slash"}',
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["offset", "value"]
+    )
+    specs = [
+        [{"operation": "shift", "spec": {"k": "kk", "route": "r"}}],
+        [{"operation": "default", "spec": {"k": 99, "tag": "x"}}],
+        [{"operation": "shift", "spec": {"k": "kk"}},
+         {"operation": "default", "spec": {"kk": 0, "extra": "e"}}],
+    ]
+    for spec in specs:
+        engine = {
+            r["offset"]: r["value"]
+            for r in jolt_transform(df, {"spec": spec}).collect()
+        }
+        chain = translate_transform_chain(
+            [{"uses": "infinyon/jolt@0.1.0", "with": {"spec": spec}}]
+        )
+        assert chain is not None
+        tbl = pa.table({
+            "offset": pa.array(range(len(values)), pa.int64()),
+            "timestamp": pa.array([0] * len(values), pa.timestamp("us")),
+            "value": pa.array(values, pa.string()),
+        })
+        out = _apply_server_chain(tbl, chain)
+        server = dict(zip(out["offset"].to_pylist(),
+                          out["value"].to_pylist()))
+        assert server == engine, spec
+
+
+def test_translate_transform_chain_scope(spark):
+    """All-or-nothing translation: one untranslatable link keeps the
+    WHOLE chain engine-side (a pushed prefix would reorder effects
+    across the wire)."""
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    jolt = {"uses": "infinyon/jolt@0.1.0",
+            "with": {"spec": [{"operation": "shift", "spec": {"k": "kk"}}]}}
+    flt = {"uses": "sql-filter",
+           "with": {"where":
+                    "cast(get_json_object(value, '$.k') as int) >= 50"}}
+    got = translate_transform_chain([flt, jolt])
+    assert [op["kind"] for op in got] == ["filter", "shift"]
+    # untranslatable links poison the whole chain
+    for bad in (
+        {"uses": "sql-map", "with": {"value": "upper(value)"}},
+        {"uses": "sql-filter", "with": {"where": "value like '%x%'"}},
+        {"uses": "infinyon/jolt@0.1.0",
+         "with": {"spec": [{"operation": "remove", "spec": {"k": ""}}]}},
+        {"uses": "my-registered-module", "with": {}},
+    ):
+        assert translate_transform_chain([flt, bad, jolt]) is None, bad
+    # a non-leaf jolt spec value (unsupported leaf type) is refused too
+    assert translate_transform_chain(
+        [{"uses": "infinyon/jolt@0.1.0",
+          "with": {"spec": [{"operation": "shift", "spec": {"k": 3}}]}}]
+    ) is None
+
+
+def test_chain_pushdown_reduces_wire_bytes(server):
+    """CONNECTOR.md §6 scale posture for the pushed chain: the whole
+    point of SPU-side execution is fewer bytes on the wire.  Measure
+    the fetch payload with and without the pushed chain over the same
+    window — the filtered+shifted stream must be strictly smaller."""
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    chain = translate_transform_chain([
+        {"uses": "sql-filter",
+         "with": {"where":
+                  "cast(get_json_object(value, '$.k') as int) >= 50"}},
+        {"uses": "infinyon/jolt@0.1.0",
+         "with": {"spec": [{"operation": "shift", "spec": {"k": "kk"}}]}},
+    ])
+    raw = len(server.fetch_ipc(0, 0, 200))
+    pushed = len(server.fetch_ipc(0, 0, 200, None, chain))
+    assert pushed < raw, (pushed, raw)
+    # the reduction is substantive, not rounding: the shifted record
+    # keeps one short key of the original payload and the filter drops
+    # roughly half the records
+    assert pushed < 0.6 * raw, (pushed, raw)

@@ -445,3 +445,86 @@ def test_batch_reader_chunks_partition_windows(spark, log_dir):
     sparse = FluvioReader({"sf_dir": SF_DIR, "args": "-p 2 -B --rows 7",
                            "max_rows_per_task": "3"})
     assert len(sparse.partitions()) == 1
+
+
+def test_stream_throttle_restart_never_replans_delivered(spark, log_dir):
+    """ADVICE r8 (medium): the throttle cursor lives only in driver
+    memory, so a FRESH reader instance (= checkpointed restart) returns
+    a first latestOffset() BELOW the committed start, and Spark logs
+    that regressed end.  The reader must re-learn the true position
+    from the planned range (partitions' start IS the checkpoint) and
+    floor later plans at it: across the kill, every offset is delivered
+    exactly once — the regression never re-plans pre-kill ranges."""
+    from collections import Counter
+
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    opts = {"log_dir": log_dir, "max_rows_per_batch": "100",
+            "throttle_rows_per_trigger": "100"}
+    r1 = FluvioStreamReader(dict(opts))
+    pos = r1.initialOffset()
+    delivered = []
+    for _ in range(2):  # two committed triggers, then the kill
+        nxt = r1.latestOffset()
+        delivered.extend(_fetch_range(r1, pos, nxt))
+        r1.commit(nxt)
+        pos = nxt
+    committed = pos
+    assert all(int(v) > 0 for v in committed.values())
+
+    # restart: new instance; all batches committed, so Spark calls
+    # latestOffset FIRST — the regressed result lands in its offset log
+    r2 = FluvioStreamReader(dict(opts))
+    regressed = r2.latestOffset()
+    assert any(int(regressed[k]) < int(committed[k]) for k in committed)
+    # Spark plans (committed → regressed): nothing may be delivered, and
+    # the reader learns the true position from the range's start
+    assert _fetch_range(r2, committed, regressed) == []
+    # subsequent triggers: Spark's start is the regressed logged end —
+    # the floor must keep every planned offset at/above the committed one
+    pos = regressed
+    for _ in range(40):
+        nxt = r2.latestOffset()
+        if nxt == pos:
+            break
+        batch = _fetch_range(r2, pos, nxt)
+        for row in batch:
+            assert row[0] >= int(committed[str(row[2])]), (
+                f"offset {row[0]} of partition {row[2]} re-planned below "
+                f"committed {committed[str(row[2])]}"
+            )
+        delivered.extend(batch)
+        r2.commit(nxt)
+        pos = nxt
+
+    # exactly-once across the kill: dense per-partition ranges, no dup/loss
+    per = Counter(row[2] for row in delivered)
+    assert per == {0: 273, 1: 232, 2: 289, 3: 206}
+    for pid, n in per.items():
+        offs = sorted(row[0] for row in delivered if row[2] == pid)
+        assert offs == list(range(n))
+
+
+def test_stream_reader_rejects_nonpositive_granules(log_dir):
+    """ADVICE r8: a zero/negative granule or throttle must fail loudly
+    at option-parse time, not as an opaque range() error at plan time."""
+    import pytest
+
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    with pytest.raises(ValueError, match="max_rows_per_batch"):
+        FluvioStreamReader({"log_dir": log_dir, "max_rows_per_batch": "0"})
+    with pytest.raises(ValueError, match="throttle_rows_per_trigger"):
+        FluvioStreamReader(
+            {"log_dir": log_dir, "throttle_rows_per_trigger": "-3"}
+        )
+
+
+def test_batch_reader_rejects_nonpositive_task_granule(log_dir):
+    import pytest
+
+    from fluvio_duck_spark.sources.datasource import FluvioReader
+
+    with pytest.raises(ValueError, match="max_rows_per_task"):
+        FluvioReader({"log_dir": log_dir, "args": "-A -B --rows 10",
+                      "max_rows_per_task": "0"})

@@ -725,3 +725,74 @@ def test_continuous_mode_follows_growing_log(spark, sf_dir, tmp_path):
     assert got == old_leo + 49  # cursor advanced past the old LEO
     # exactly-once: no offset delivered twice within any partition
     assert out.select("partition", "offset").distinct().count() == 1050
+
+
+def test_stream_kill_and_restart_exactly_once_log_dir(spark, sf_dir, tmp_path):
+    """r8 verdict "Next round" #4: stop a live ``format("fluvio")``
+    stream mid-drain over the LOG_DIR transport and restart from the
+    checkpoint dir — the union of both runs' sink output must equal
+    batch truth exactly once (the claim the reader docstring makes;
+    the server-transport twin is tests/test_loopback.py).  The restart
+    keeps the THROTTLE on, exercising the driver-memory cursor
+    re-learn + floor across a real checkpoint recovery (ADVICE r8
+    medium) — a regressed latestOffset after restart must never
+    re-plan delivered ranges."""
+    import time
+
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.pplog import (
+        pp_footer_leo,
+        pp_partition_dirs,
+        write_pp_log_dir,
+    )
+
+    log_dir = write_pp_log_dir(spark, sf_dir)
+    truth = {
+        pid: pp_footer_leo(d) for pid, d in pp_partition_dirs(log_dir).items()
+    }
+    register_fluvio_source(spark)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return (
+            spark.readStream.format("fluvio")
+            .option("log_dir", log_dir)
+            .option("max_rows_per_batch", "100")
+            .option("throttle_rows_per_trigger", "50")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            # slow trigger so the kill lands after a committed batch but
+            # long before the throttled drain reaches LEO
+            .trigger(processingTime="300 milliseconds").start()
+        )
+
+    q1 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q1.recentProgress):
+            break
+        time.sleep(0.05)
+    q1.stop()
+    q1.awaitTermination()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0, "first run committed nothing — can't exercise restart"
+    total = sum(truth.values())
+    assert n1 < total, "first run drained everything — kill came too late"
+
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    q2.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    assert out.count() == total  # no loss, no duplication
+    assert out.select("partition", "offset").distinct().count() == total
+    got = {
+        r["partition"]: r["mx"]
+        for r in out.groupBy("partition")
+        .agg(F.max("offset").alias("mx")).collect()
+    }
+    assert got == {pid: leo - 1 for pid, leo in truth.items()}
