@@ -528,3 +528,67 @@ def test_batch_reader_rejects_nonpositive_task_granule(log_dir):
     with pytest.raises(ValueError, match="max_rows_per_task"):
         FluvioReader({"log_dir": log_dir, "args": "-A -B --rows 10",
                       "max_rows_per_task": "0"})
+
+
+def test_skewed_partition_drain_chunks_to_granule(tmp_path):
+    """r8 verdict "Next round" #6: the granule-chunking claim under SKEW
+    ("scan parallelism at the cluster's even when one trigger drains a
+    large backlog").  One partition is 100× the others; a single
+    trigger's plan must split each partition's window into exactly
+    ceil(span / granule) tasks, every task must carry ≤ granule rows,
+    and the drained union must be each partition's dense log — the hot
+    partition cannot serialize into one giant task."""
+    import math
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    sizes = {0: 5000, 1: 50, 2: 50}
+    log_dir = str(tmp_path / "skewlog")
+    for pid, n in sizes.items():
+        d = os.path.join(log_dir, f"partition={pid}")
+        os.makedirs(d)
+        pq.write_table(
+            pa.table({
+                "offset": pa.array(range(n), pa.int64()),
+                "timestamp": pa.array([1_000_000 * i for i in range(n)],
+                                      pa.timestamp("us")),
+                "value": pa.array([f'{{"k": {i % 100}}}' for i in range(n)]),
+            }),
+            os.path.join(d, "part-00000.parquet"),
+        )
+
+    granule = 500
+    r = FluvioStreamReader(
+        {"log_dir": log_dir, "max_rows_per_batch": str(granule)}
+    )
+    start = r.initialOffset()
+    end = r.latestOffset()  # unthrottled: the whole backlog in ONE trigger
+    assert end == {str(p): n for p, n in sizes.items()}
+    parts = r.partitions(start, end)
+    per_pid: dict[int, list] = {}
+    for p in parts:
+        per_pid.setdefault(p.pid, []).append(p)
+    # task count per partition = ceil(span / granule): 10 + 1 + 1
+    assert {pid: len(ps) for pid, ps in per_pid.items()} == {
+        pid: math.ceil(n / granule) for pid, n in sizes.items()
+    }
+    # balanced: every task's window spans ≤ granule rows, and the hot
+    # partition's tasks are all exactly granule-sized (no straggler task
+    # carrying the whole backlog)
+    for pid, ps in per_pid.items():
+        spans = sorted(p.hi - p.lo for p in ps)
+        assert max(spans) <= granule
+        if sizes[pid] > granule:
+            assert spans == [granule] * len(ps)
+    # the drain itself: per-partition dense ranges, row counts = spans
+    for pid, ps in per_pid.items():
+        rows = []
+        for p in ps:
+            got = [d["offset"] for b in r.read(p) for d in b.to_pylist()]
+            assert len(got) <= granule
+            rows.extend(got)
+        assert sorted(rows) == list(range(sizes[pid]))
