@@ -503,3 +503,63 @@ def test_chain_pushdown_reduces_wire_bytes(server):
     # keeps one short key of the original payload and the filter drops
     # roughly half the records
     assert pushed < 0.6 * raw, (pushed, raw)
+
+
+def test_stream_chain_pushdown_matches_batch_engine(spark, server, log_dir):
+    """The STREAMING reader ships the same translated chain with every
+    windowed fetch: a drained ``format("fluvio")`` stream with
+    .option('chain', ...) must equal the batch engine-side chain over
+    the full log — the SPU stand-in transforms records before they
+    cross the wire in BOTH execution modes."""
+    import json
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    transforms = [
+        {"uses": "sql-filter",
+         "with": {"where":
+                  "cast(get_json_object(value, '$.k') as int) >= 50"}},
+        {"uses": "infinyon/jolt@0.1.0",
+         "with": {"spec": [{"operation": "shift", "spec": {"k": "kk"}}]}},
+    ]
+    chain = translate_transform_chain(transforms)
+    register_fluvio_source(spark)
+    q = (
+        spark.readStream.format("fluvio")
+        .option("server", server.address)
+        .option("max_rows_per_batch", "100")
+        .option("chain", json.dumps(chain))
+        .load()
+        .writeStream.format("memory").queryName("__stream_chain")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # the engine leg's default schema has no partition column; compare
+    # the (offset, value) MULTISET (offsets are per-partition sequences,
+    # so duplicates across partitions are counted, not collapsed)
+    streamed = sorted(
+        (r["offset"], r["value"])
+        for r in spark.table("__stream_chain").collect()
+    )
+    engine = fluvio_consume(
+        spark,
+        ["events", "-A", "-B", "--rows", "1000000",
+         "--transform", json.dumps(transforms[0]),
+         "--transform", json.dumps(transforms[1])],
+        sf_dir=SF_DIR,
+        source=(
+            spark.read.format("fluvio")
+            .option("log_dir", log_dir)
+            .option("args", "-A -B --rows 1000000").load()
+        ),
+        per_partition_offsets=True,
+    )
+    truth = sorted(
+        (r["offset"], r["value"])
+        for r in engine.select("offset", "value").collect()
+    )
+    assert streamed == truth and len(streamed) > 0
