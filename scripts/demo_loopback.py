@@ -12,6 +12,8 @@ option.
     3. typed -c mapped view + SQL aggregate over both sources
     4. streaming drain to LEO over both (full DataSourceStreamReader)
     5. filter SmartModule: engine-side chain vs pushed to the server
+    6. whole ordered transform chain (filter → jolt shift) pushed to the
+       server: bit-identical records, measured wire-byte reduction
 
 Usage: python scripts/demo_loopback.py [sf_dir]
 """
@@ -39,6 +41,7 @@ def main() -> None:
     from fluvio_duck_spark.sources.loopback import (
         RecordServer,
         translate_sql_filter,
+        translate_transform_chain,
     )
     from fluvio_duck_spark.sources.metadata import fluvio_partitions
     from fluvio_duck_spark.sources.pplog import write_pp_log_dir
@@ -123,6 +126,39 @@ def main() -> None:
         assert rows(engine) == rows(pushed)
         print(f"5. filter SmartModule ({len(rows(pushed))} records): "
               "engine-side == pushed to server\n")
+
+        # 6. the WHOLE ordered chain (filter → jolt shift) pushed to the
+        #    server — the reference's SPU-side transform execution
+        #    (src/consume.rs:650-673), records rewritten before the
+        #    bytes cross the wire
+        transforms = [
+            {"uses": "sql-filter", "with": {"where": where}},
+            {"uses": "infinyon/jolt@0.1.0",
+             "with": {"spec": [{"operation": "shift",
+                                "spec": {"k": "kk"}}]}},
+        ]
+        chain = translate_transform_chain(transforms)
+        engine = fluvio_consume(
+            spark,
+            ["events", "-A", "-T", "40", "--rows", "1000000",
+             "--transform", json.dumps(transforms[0]),
+             "--transform", json.dumps(transforms[1])],
+            sf_dir=SF_DIR, source=served(big), per_partition_offsets=True,
+        ).select("offset", "value")
+        pushed = (spark.read.format("fluvio")
+                  .option("server", srv.address)
+                  .option("args", "-A -T 40 --rows 1000000")
+                  .option("chain", json.dumps(chain))
+                  .load().select("offset", "value"))
+        pushed.show(3, truncate=False)
+        assert rows(engine) == rows(pushed)
+        raw_b = sum(len(srv.fetch_ipc(p, 0, None)) for p in range(4))
+        push_b = sum(len(srv.fetch_ipc(p, 0, None, None, chain))
+                     for p in range(4))
+        print(f"6. transform CHAIN ({len(rows(pushed))} records): "
+              "engine-side == pushed to server, value text bit-identical; "
+              f"whole-log wire bytes {raw_b} -> {push_b} "
+              f"({push_b / raw_b:.2f}x)\n")
         print("transport swap verified: every step byte-identical")
     finally:
         srv.stop()
