@@ -385,6 +385,13 @@ def translate_transform_chain(transforms) -> list[dict] | None:
     loopback_transform_pushdown parity query pins pushed == engine
     bit-identical on the data.
 
+    * ``sql-map`` with one of the mirror-safe rewrites — ``upper(value)``
+      / ``lower(value)`` (Unicode full case mapping, identical between
+      the JVM and Python on real text) or
+      ``get_json_object(value, '$.path')`` (the shared extraction
+      mirror).  Any other expression is arbitrary SQL and stays
+      engine-side.
+
     ``transforms`` accepts raw ``{"uses": ..., "with": {...}}`` dicts or
     TransformSpec objects."""
     ops: list[dict] = []
@@ -396,6 +403,11 @@ def translate_transform_chain(transforms) -> list[dict] | None:
             if flt is None:
                 return None
             ops.append({"kind": "filter", **flt})
+        elif uses == "sql-map":
+            mp = _translate_sql_map(params.get("value", ""))
+            if mp is None:
+                return None
+            ops.append(mp)
         elif uses.startswith("infinyon/jolt@"):
             from fluvio_duck_spark.transforms import (
                 TransformError,
@@ -434,6 +446,28 @@ def translate_transform_chain(transforms) -> list[dict] | None:
     return ops
 
 
+_MAP_CASE_RE = re.compile(r"^\s*(upper|lower)\s*\(\s*value\s*\)\s*$",
+                          re.IGNORECASE)
+_MAP_JSON_RE = re.compile(
+    r"^\s*get_json_object\s*\(\s*value\s*,\s*'(\$\.[\w.]+)'\s*\)\s*$",
+    re.IGNORECASE,
+)
+
+
+def _translate_sql_map(expr: str) -> dict | None:
+    """The translatable subset of the map kind's ``-e value=<expr>``:
+    whole-payload case mapping or a JSON-path extraction (the engine
+    runs ``F.expr(expr).cast("string")`` — both forms already yield
+    strings, so the cast is an identity)."""
+    m = _MAP_CASE_RE.match(expr)
+    if m:
+        return {"kind": "map", "fn": m.group(1).lower()}
+    m = _MAP_JSON_RE.match(expr)
+    if m:
+        return {"kind": "map", "fn": "json_path", "path": m.group(1)}
+    return None
+
+
 def _to_json_like_spark(fields: list[tuple[str, str | None]]) -> str:
     """Mirror ``to_json(struct(...))`` over string fields: compact,
     field order preserved, NULL fields OMITTED (Spark's default
@@ -466,6 +500,22 @@ def _apply_server_chain(tbl, chain: list[dict]):
     for op in chain:
         if op["kind"] == "filter":
             tbl = _apply_server_filter(tbl, op)
+        elif op["kind"] == "map":
+            fn = op["fn"]
+            vals = tbl["value"].to_pylist()
+            if fn == "upper":
+                new = [v.upper() if v is not None else None for v in vals]
+            elif fn == "lower":
+                new = [v.lower() if v is not None else None for v in vals]
+            elif fn == "json_path":
+                path = op["path"][2:]
+                new = [_extract_like_get_json_object(v, path) for v in vals]
+            else:
+                raise ValueError(f"unknown map fn {fn!r}")
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "value",
+                pa.array(new, pa.string()),
+            )
         elif op["kind"] == "shift":
             pairs = [(inp, out) for inp, out in op["pairs"]]
             new = [

@@ -466,9 +466,18 @@ def test_translate_transform_chain_scope(spark):
                     "cast(get_json_object(value, '$.k') as int) >= 50"}}
     got = translate_transform_chain([flt, jolt])
     assert [op["kind"] for op in got] == ["filter", "shift"]
+    # the mirror-safe sql-map subset translates too
+    got = translate_transform_chain(
+        [{"uses": "sql-map", "with": {"value": "upper(value)"}},
+         {"uses": "sql-map",
+          "with": {"value": "get_json_object(value, '$.k')"}}]
+    )
+    assert got == [{"kind": "map", "fn": "upper"},
+                   {"kind": "map", "fn": "json_path", "path": "$.k"}]
     # untranslatable links poison the whole chain
     for bad in (
-        {"uses": "sql-map", "with": {"value": "upper(value)"}},
+        {"uses": "sql-map", "with": {"value": "concat(value, 'x')"}},
+        {"uses": "sql-map", "with": {"value": "upper(substr(value, 1))"}},
         {"uses": "sql-filter", "with": {"where": "value like '%x%'"}},
         {"uses": "infinyon/jolt@0.1.0",
          "with": {"spec": [{"operation": "remove", "spec": {"k": ""}}]}},
@@ -563,3 +572,62 @@ def test_stream_chain_pushdown_matches_batch_engine(spark, server, log_dir):
         for r in engine.select("offset", "value").collect()
     )
     assert streamed == truth and len(streamed) > 0
+
+
+def test_map_pushdown_matches_engine_sql_map(spark, server, log_dir):
+    """The translatable sql-map subset (upper/lower/json-path rewrites)
+    pushed to the server must equal the engine's
+    ``F.expr(expr).cast("string")`` byte-for-byte — including NULL
+    propagation, unicode case mapping (ß→SS, ligatures), and the
+    get_json_object extraction mirror."""
+    import json
+
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import (
+        _apply_server_chain,
+        translate_transform_chain,
+    )
+    from fluvio_duck_spark.transforms import sql_map_transform
+
+    values = [
+        '{"k": 57, "route": "a"}', '{"k": "Straße ﬁne ǅungla"}',
+        '{"k": 12.50}', '{"route": "b"}', "not json", None,
+        '{"k": true}', '{"k": {"n": 1}}', "PLAIN text ß", "ÅÉÎØÜ mixed",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["offset", "value"]
+    )
+    for expr in ("upper(value)", "lower(value)",
+                 "get_json_object(value, '$.k')"):
+        engine = {
+            r["offset"]: r["value"]
+            for r in sql_map_transform(df, {"value": expr}).collect()
+        }
+        chain = translate_transform_chain(
+            [{"uses": "sql-map", "with": {"value": expr}}]
+        )
+        assert chain is not None, expr
+        tbl = pa.table({
+            "offset": pa.array(range(len(values)), pa.int64()),
+            "timestamp": pa.array([0] * len(values), pa.timestamp("us")),
+            "value": pa.array(values, pa.string()),
+        })
+        out = _apply_server_chain(tbl, chain)
+        server_vals = dict(zip(out["offset"].to_pylist(),
+                               out["value"].to_pylist()))
+        assert server_vals == engine, expr
+
+    # end-to-end over the wire: map composes with filter in one chain
+    chain = translate_transform_chain([
+        {"uses": "sql-filter",
+         "with": {"where":
+                  "cast(get_json_object(value, '$.k') as int) >= 50"}},
+        {"uses": "sql-map",
+         "with": {"value": "get_json_object(value, '$.k')"}},
+    ])
+    from fluvio_duck_spark.sources.loopback import server_fetch
+
+    got = server_fetch(server.address, 1, 0, 50, chain=chain)
+    assert 0 < got.num_rows < 50
+    assert all(int(v) >= 50 for v in got["value"].to_pylist())
