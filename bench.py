@@ -227,6 +227,46 @@ EXTENDED = [
 ]
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def cpu_calibration() -> dict:
+    """~5 s host-capability probe, recorded in the headline JSON.
+
+    Round 9 found that loadavg alone cannot explain cross-round drift:
+    an idle box (loadavg 0.09) still ran parallel-heavy queries 2-6x
+    slower than the round-8 record because the host's 32 vCPUs
+    delivered only ~10 cores of sustained throughput (overcommit that
+    shows up neither in loadavg nor in /proc/stat steal — the guest
+    sees 95% user time while each tick retires fewer instructions).
+    Locked per-query tables are only comparable between runs whose
+    calibration matches, so every bench now self-documents it:
+
+    * ``st_sec``          — single-thread fixed-work loop time
+    * ``effective_cores`` — 32-way scaled throughput / single-thread
+    """
+    import multiprocessing as mp
+
+    n = 5_000_000
+    t0 = time.perf_counter()
+    _burn(n)
+    st = time.perf_counter() - t0
+    procs = os.cpu_count() or 1
+    with mp.Pool(procs) as pool:
+        t0 = time.perf_counter()
+        pool.map(_burn, [n] * procs)
+        par = time.perf_counter() - t0
+    return {
+        "st_sec": round(st, 3),
+        "effective_cores": round(procs * st / par, 1),
+        "vcpus": procs,
+    }
+
+
 def main() -> None:
     from fluvio_duck_spark.queries import all_queries
     from fluvio_duck_spark.session import get_spark
@@ -236,6 +276,7 @@ def main() -> None:
     # session, diagnosed only by idle-box re-locks after the fact.  A
     # loadavg in the record makes a noisy run self-documenting.
     load1, load5, _ = os.getloadavg()
+    calib = cpu_calibration()
 
     spark = get_spark("fluvio-duck-spark-bench")
     specs = all_queries()
@@ -285,6 +326,11 @@ def main() -> None:
         fn(spark, bench_dir).write.format("noop").mode("overwrite").save()
         extended[name] = round(time.perf_counter() - t0, 3)
 
+    # second probe AFTER the measured work: a noisy-neighbor host can
+    # change capability mid-run, and a start/end pair brackets the
+    # conditions the timings above were taken under
+    calib_end = cpu_calibration()
+
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     try:
         sf_val: float | str = float(sf)
@@ -320,6 +366,8 @@ def main() -> None:
                 "warm_total_sec": round(sum(warm.values()), 3),
                 "sf": sf_val,
                 "loadavg_at_start": [round(load1, 2), round(load5, 2)],
+                "cpu_calib": calib,
+                "cpu_calib_end": calib_end,
             }
         )
     )
