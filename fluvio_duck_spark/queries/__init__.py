@@ -193,6 +193,7 @@ _RECEIPT_ROUNDS: tuple[frozenset[str], ...] = (
 #: ordering — the very next ~50-name driver sample must cover them before
 #: refreshing old receipts (every new operator needs a first receipt).
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "loopback_aggregate_pushdown",
     "loopback_transform_pushdown",
 })
 

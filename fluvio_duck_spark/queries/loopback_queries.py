@@ -289,7 +289,100 @@ def _q_loopback_transform_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
         return pushed.unionAll(engine).localCheckpoint(eager=True)
 
 
+def _q_loopback_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAST SmartModule kind crossing the executed connector seam:
+    the aggregate fold, pushed server-side behind an ordered sql-filter
+    (r8 verdict left it optional — "may stay engine-side" — but the
+    per-partition form IS pushable, because the reference's actual
+    per-SPU semantics fold each partition log independently,
+    src/consume.rs:687-695, and the engine's bounds-before-chain rule
+    makes the planned window the fold's exact scope).  Two load-bearing
+    plan constraints, both loudly enforced in the reader: the batch plan
+    pins ONE task per partition when a fold is pushed (a granule chunk
+    boundary would reseed the accumulator mid-log), and the STREAM
+    reader refuses the push outright (each micro-batch would reseed).
+    The pushed leg must equal the engine leg bit-identically per row
+    including the rewritten running-sum text; records whose payload
+    fails Spark's try_cast-to-long are skipped by the sum on BOTH sides
+    (pinned separately in test_fold_cast_matches_try_cast_long)."""
+    import json
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    transforms = [
+        {"uses": "sql-filter",
+         "with": {"where":
+                  "cast(get_json_object(value, '$.k') as int) >= 50"}},
+        {"uses": "sum-aggregate",
+         "with": {"field": "k", "partitioned": "true"}},
+    ]
+    chain = translate_transform_chain(transforms)
+    assert chain is not None  # the query exists to exercise the pushdown
+
+    with _server(spark, sf_dir) as addr:
+        args = "-A -T 40 --rows 1000000"
+        pushed = (
+            spark.read.format("fluvio")
+            .option("server", addr).option("args", args)
+            .option("chain", json.dumps(chain))
+            .load()
+            # offsets repeat across partitions, but each partition's
+            # running sum renders a distinct value text, so the
+            # (offset, value) multiset still pins every per-partition
+            # accumulator (the default projection drops `partition`)
+            .select(F.lit("pushed").alias("leg"), "offset", "value")
+        )
+        engine = fluvio_consume(
+            spark,
+            ["events"] + args.split() + [
+                "--transform", json.dumps(transforms[0]),
+                "--transform", json.dumps(transforms[1]),
+            ],
+            sf_dir=sf_dir,
+            source=(
+                spark.read.format("fluvio")
+                .option("server", addr)
+                .option("args", "-A -B --rows 1000000").load()
+            ),
+            per_partition_offsets=True,
+        ).select(F.lit("engine").alias("leg"), "offset", "value")
+        return pushed.unionAll(engine).localCheckpoint(eager=True)
+
+
 QUERIES.update({
+    "loopback_aggregate_pushdown": QuerySpec(
+        _q_loopback_aggregate_pushdown,
+        """
+        WITH """ + _PP_CTE + """,
+        tail AS (
+          SELECT "partition", "offset", "value" FROM pp
+          WHERE "offset" >= leo - 40
+        ),
+        f AS (
+          SELECT "partition", "offset",
+                 CAST(json_extract_string("value", '$.k') AS BIGINT) AS k
+          FROM tail
+          WHERE CAST(json_extract_string("value", '$.k') AS INTEGER) >= 50
+        ),
+        r AS (
+          SELECT "offset",
+                 CAST(SUM(k) OVER (PARTITION BY "partition"
+                      ORDER BY "offset"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS VARCHAR) AS "value"
+          FROM f
+        )
+        SELECT 'pushed' AS leg, * FROM r
+        UNION ALL
+        SELECT 'engine' AS leg, * FROM r
+        """,
+        doc="r9: the aggregate-kind SmartModule (per-partition fold) pushed "
+            "to the record server behind an ordered filter == engine-side "
+            "chain, bit-identical per row including the running-sum text; "
+            "the plan pins one task per partition so no chunk boundary can "
+            "reseed the accumulator",
+    ),
     "loopback_transform_pushdown": QuerySpec(
         _q_loopback_transform_pushdown,
         """

@@ -216,6 +216,17 @@ class FluvioReader(DataSourceReader):
             raise ValueError(
                 f"max_rows_per_task must be >= 1, got {self.task_rows}"
             )
+        if self.push_chain and any(
+            op.get("kind") == "fold" for op in self.push_chain
+        ):
+            # a pushed aggregate fold is prefix-stateful WITHIN the
+            # partition window: granule chunks would reseed the
+            # accumulator per task and diverge from the engine leg, so
+            # the plan pins one task per partition — the same serialism
+            # the engine's Window.partitionBy("partition") imposes (and
+            # the reference's per-SPU WASM fold: one sequential pass per
+            # partition log, src/consume.rs:687-695).
+            self.task_rows = 1 << 62
 
     def _split(self, pid: int, lo: int, hi: int,
                part_dir: str | None) -> "list[_FluvioPartition]":
@@ -611,6 +622,19 @@ class FluvioStreamReader(DataSourceStreamReader):
         self.push_chain = (
             _json.loads(push_chain) if push_chain is not None else None
         )
+        if self.push_chain and any(
+            op.get("kind") == "fold" for op in self.push_chain
+        ):
+            # a pushed fold is prefix-stateful: every micro-batch (and
+            # every granule chunk within one) would reseed the
+            # accumulator, silently diverging from the batch engine leg.
+            # The streaming fold lives engine-side with real state
+            # (streaming/stateful.py::aggregate_fold_stream).
+            raise ValueError(
+                "the aggregate fold cannot be pushed to a stream: each "
+                "micro-batch fetch would reseed the accumulator; run it "
+                "engine-side via streaming.stateful.aggregate_fold_stream"
+            )
 
     # -- offset management (driver-side, metadata-only) --------------------
     def _pp_dirs(self) -> dict[int, str]:

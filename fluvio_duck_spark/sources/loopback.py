@@ -391,9 +391,22 @@ def translate_transform_chain(transforms) -> list[dict] | None:
       ``get_json_object(value, '$.path')`` (the shared extraction
       mirror).  Any other expression is arbitrary SQL and stays
       engine-side.
+    * ``sum-aggregate`` with ``partitioned=true`` — the aggregate kind's
+      per-partition fold (the reference's ACTUAL per-SPU semantics under
+      ``-A``: each SPU folds its own log independently,
+      src/consume.rs:687-695).  The fold is prefix-stateful WITHIN a
+      partition window, so the batch reader pins one task per partition
+      when this link is pushed (datasource.py) and the STREAM reader
+      refuses to push it (micro-batches would reseed the accumulator).
+      The GLOBAL (non-partitioned) fold orders across partition logs —
+      no single server-side fetch sees that ordering, so it is never
+      translated (None → engine-side, where a single ordered window
+      computes it).
 
     ``transforms`` accepts raw ``{"uses": ..., "with": {...}}`` dicts or
-    TransformSpec objects."""
+    TransformSpec objects (the latter carry ``aggregate_initial`` from
+    the ``--aggregate-initial`` front end; dicts may use an
+    ``"aggregate_initial"`` key)."""
     ops: list[dict] = []
     for t in transforms:
         uses = t["uses"] if isinstance(t, dict) else t.uses
@@ -408,6 +421,18 @@ def translate_transform_chain(transforms) -> list[dict] | None:
             if mp is None:
                 return None
             ops.append(mp)
+        elif uses == "sum-aggregate":
+            partitioned = str(params.get("partitioned", "")).lower() in (
+                "true", "1", "yes")
+            if not partitioned:
+                # the global fold orders across partition logs; no
+                # per-partition fetch can see that ordering — engine-side
+                return None
+            init = (t.get("aggregate_initial") if isinstance(t, dict)
+                    else t.aggregate_initial)
+            ops.append({"kind": "fold",
+                        "field": params.get("field", "k"),
+                        "init": int(init or "0")})
         elif uses.startswith("infinyon/jolt@"):
             from fluvio_duck_spark.transforms import (
                 TransformError,
@@ -468,6 +493,28 @@ def _translate_sql_map(expr: str) -> dict | None:
     return None
 
 
+def _try_cast_long(got: str | None) -> int | None:
+    """Mirror Spark's ``try_cast(<string> AS long)`` (the aggregate
+    kind's payload read, transforms.py:160): trim characters <= U+0020
+    from both ends, then an optional single sign and >= 1 ASCII digits,
+    in int64 range — anything else (fractional '12.5', '1e3', 'true',
+    Unicode digits, embedded sign/space, overflow) is NULL.  Verified
+    against the engine in test_fold_cast_matches_try_cast_long."""
+    if got is None:
+        return None
+    i, j = 0, len(got)
+    while i < j and got[i] <= " ":
+        i += 1
+    while j > i and got[j - 1] <= " ":
+        j -= 1
+    s = got[i:j]
+    body = s[1:] if s[:1] in ("+", "-") else s
+    if not body or any(c < "0" or c > "9" for c in body):
+        return None
+    v = int(s)
+    return v if -(1 << 63) <= v < (1 << 63) else None
+
+
 def _to_json_like_spark(fields: list[tuple[str, str | None]]) -> str:
     """Mirror ``to_json(struct(...))`` over string fields: compact,
     field order preserved, NULL fields OMITTED (Spark's default
@@ -490,7 +537,9 @@ def _apply_server_chain(tbl, chain: list[dict]):
       AS out, ...)) per the spec's (input path, output key) pairs;
     * ``default`` — value := to_json(struct(coalesce(extraction,
       json-encoded default) AS key, ...)) over the spec's top-level
-      keys.
+      keys;
+    * ``fold`` — the aggregate kind's per-partition running sum
+      (see the op's inline note).
 
     Ordering matters and is pinned by the parity query: a filter that
     references a key a later shift renames would drop everything if the
@@ -525,6 +574,28 @@ def _apply_server_chain(tbl, chain: list[dict]):
                 )
                 for v in tbl["value"].to_pylist()
             ]
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "value",
+                pa.array(new, pa.string()),
+            )
+        elif op["kind"] == "fold":
+            # the aggregate kind's per-partition running sum (engine:
+            # init + SUM(try_cast(extract AS long)) OVER the offset-
+            # ordered window, transforms.py:135-162): invalid/missing
+            # payloads are skipped (sum ignores NULL); until the first
+            # valid payload the sum is NULL, so init + NULL renders the
+            # record's value as NULL — both sides.  The fetched window
+            # IS the fold scope (bounds-before-chain), which is why the
+            # reader plans one task per partition when this op is pushed.
+            path = op["field"]
+            init = op["init"]
+            total: int | None = None
+            new = []
+            for v in tbl["value"].to_pylist():
+                k = _try_cast_long(_extract_like_get_json_object(v, path))
+                if k is not None:
+                    total = (total or 0) + k
+                new.append(None if total is None else str(init + total))
             tbl = tbl.set_column(
                 tbl.schema.get_field_index("value"), "value",
                 pa.array(new, pa.string()),

@@ -631,3 +631,120 @@ def test_map_pushdown_matches_engine_sql_map(spark, server, log_dir):
     got = server_fetch(server.address, 1, 0, 50, chain=chain)
     assert 0 < got.num_rows < 50
     assert all(int(v) >= 50 for v in got["value"].to_pylist())
+
+
+def test_fold_cast_matches_try_cast_long(spark):
+    """The pushed fold's payload read must mirror the engine's
+    ``try_cast(get_json_object(...) AS long)`` exactly (transforms.py:160)
+    across the cast's edge cases: whitespace trim (chars <= U+0020 only),
+    single sign, ASCII-digits-only (fractional/exponent/boolean/Unicode
+    digits -> NULL, skipped by the sum), int64 range.  Engine leg = the
+    registered sum-aggregate transform over a DataFrame; server leg = the
+    chain interpreter over the same rows as one fetched window."""
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import _apply_server_chain
+    from fluvio_duck_spark.transforms import aggregate_sum_transform
+
+    payloads = [
+        '{"k": 12}', '{"k": "12"}', '{"k": " 12 "}', '{"k": "+12"}',
+        '{"k": "\\t-3\\n"}', '{"k": 12.5}', '{"k": "12.5"}', '{"k": "1e3"}',
+        '{"k": true}', '{"k": null}', '{}', 'not json',
+        '{"k": "9223372036854775807"}',   # skipped: the SUM would overflow
+        '{"k": "92233720368547758080"}',  # out of int64 -> NULL -> skipped
+        '{"k": "\\u0660\\u0661"}', '{"k": ""}', '{"k": "- 12"}',
+        '{"k": "0012"}', '{"k": "-0"}', None,
+    ]
+    # leading-invalid prefix: until the first valid payload the running
+    # sum is NULL and the rewritten value must be NULL on both sides
+    payloads = ['{"k": "nope"}'] + payloads
+    # drop the int64-max row: a later valid value would overflow the
+    # accumulator, which neither side defines (out of parity scope)
+    payloads = [p for p in payloads if p != '{"k": "9223372036854775807"}']
+
+    rows = [(i, 0, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "offset long, partition int, value string")
+    engine = [
+        r.value
+        for r in aggregate_sum_transform(
+            df, {"field": "k", "partitioned": "true"}, "7"
+        ).orderBy("offset").collect()
+    ]
+
+    tbl = pa.table({
+        "offset": pa.array(range(len(payloads)), pa.int64()),
+        "timestamp": pa.array([0] * len(payloads), pa.timestamp("us")),
+        "value": pa.array(payloads, pa.string()),
+    })
+    folded = _apply_server_chain(
+        tbl, [{"kind": "fold", "field": "k", "init": 7}]
+    )
+    assert folded["value"].to_pylist() == engine
+
+
+def test_fold_pushdown_plans_one_task_per_partition(server):
+    """A pushed fold is prefix-stateful within the partition window, so
+    the batch plan must pin ONE task per partition — even when an
+    explicit max_rows_per_task would otherwise chunk the window (a chunk
+    boundary would reseed the accumulator mid-log)."""
+    import json
+
+    from fluvio_duck_spark.sources.datasource import FluvioReader
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    chain = translate_transform_chain(
+        [{"uses": "sum-aggregate",
+          "with": {"field": "k", "partitioned": "true"}}]
+    )
+    assert chain == [{"kind": "fold", "field": "k", "init": 0}]
+    base = {"server": server.address, "args": "-A -B --rows 1000000",
+            "max_rows_per_task": "10"}
+    chunked = FluvioReader(dict(base)).partitions()
+    n_parts = len(server_parts(server.address))
+    assert len(chunked) > n_parts  # granule chunking is in force...
+    whole = FluvioReader(
+        dict(base, chain=json.dumps(chain))
+    ).partitions()
+    assert len(whole) == n_parts  # ...until a fold is pushed
+    spans = sorted((p.pid, p.lo, p.hi) for p in whole)
+    leos = server_parts(server.address)
+    assert spans == [(pid, 0, leo - 1) for pid, leo in sorted(leos.items())]
+
+
+def test_stream_rejects_fold_chain(server):
+    """The stream reader must refuse a pushed fold outright: every
+    micro-batch fetch would reseed the accumulator and silently diverge
+    from the batch engine leg (the loud-rejection convention)."""
+    import json
+
+    from fluvio_duck_spark.sources.datasource import FluvioStreamReader
+
+    with pytest.raises(ValueError, match="reseed"):
+        FluvioStreamReader({
+            "server": server.address,
+            "chain": json.dumps([{"kind": "fold", "field": "k", "init": 0}]),
+        })
+
+
+def test_translate_fold_scope():
+    """Only the PER-PARTITION fold translates: the global fold orders
+    across partition logs, which no single per-partition fetch can see —
+    it must stay engine-side (all-or-nothing, whole chain)."""
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+    from fluvio_duck_spark.transforms import TransformSpec
+
+    glob = {"uses": "sum-aggregate", "with": {"field": "k"}}
+    assert translate_transform_chain([glob]) is None
+    # TransformSpec front end (--smartmodule + --aggregate-initial)
+    spec = TransformSpec(uses="sum-aggregate",
+                         params={"field": "v", "partitioned": "true"},
+                         aggregate_initial="100")
+    assert translate_transform_chain([spec]) == [
+        {"kind": "fold", "field": "v", "init": 100}
+    ]
+    # dicts may carry the initial inline
+    assert translate_transform_chain(
+        [{"uses": "sum-aggregate",
+          "with": {"field": "k", "partitioned": "true"},
+          "aggregate_initial": "-5"}]
+    ) == [{"kind": "fold", "field": "k", "init": -5}]
