@@ -748,3 +748,141 @@ def test_translate_fold_scope():
           "with": {"field": "k", "partitioned": "true"},
           "aggregate_initial": "-5"}]
     ) == [{"kind": "fold", "field": "k", "init": -5}]
+
+
+def test_random_composed_chains_match_engine(spark):
+    """Seeded randomized net over the WHOLE translatable chain algebra:
+    diverse generated payloads x generated multi-link chains (filter /
+    shift / default / map / fold composed in random orders) across two
+    partition logs — the server interpreter must match the engine's
+    DataFrame interpretation byte-for-byte, kept-row sets included.
+    The fixed parity tests pin each link's edge semantics one at a
+    time; this one pins their COMPOSITION (a link reading the previous
+    link's rewritten value text is where mirror drift would hide).
+    Filter/fold-visible ``$.k`` payloads stay int/missing/null — the
+    ANSI both-throw path is pinned separately in
+    test_server_framed_errors_and_cast_parity."""
+    import json as _json
+    import random
+
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import (
+        _apply_server_chain,
+        translate_transform_chain,
+    )
+    from fluvio_duck_spark.transforms import (
+        TransformSpec,
+        apply_transform_chain,
+    )
+
+    rng = random.Random(0xF1D0)
+
+    def payload():
+        if rng.random() < 0.08:
+            return rng.choice(["not json", None, "[1,2]", '"scalar"'])
+        parts = {}
+        r = rng.random()
+        if r < 0.6:
+            parts["k"] = rng.randint(-100, 200)
+        elif r < 0.75:
+            parts["k"] = None
+        c = rng.randrange(8)
+        if c == 0:
+            parts["v"] = rng.randint(-10**6, 10**6)
+        elif c == 1:
+            parts["v"] = round(rng.uniform(-1e4, 1e4), rng.randrange(1, 6))
+        elif c == 2:
+            parts["v"] = rng.choice([1e3, 0.001, 1e-4, 1e7, -12.25, 12.50])
+        elif c == 3:
+            parts["v"] = rng.choice(
+                ["héllo ✓", "", 'with "q"', "x\\y", "12.5", " 7 ", "ß"])
+        elif c == 4:
+            parts["v"] = rng.choice([True, False, None])
+        elif c == 5:
+            parts["v"] = {"nested": rng.randint(0, 9)}
+        elif c == 6:
+            parts["v"] = [1, "a", 2.5]
+        if rng.random() < 0.2:
+            parts["route"] = rng.choice(["a", "b", "c"])
+        return _json.dumps(parts, ensure_ascii=False)
+
+    def random_link():
+        kind = rng.randrange(5)
+        if kind == 0:
+            return {"uses": "sql-filter", "with": {"where":
+                    "cast(get_json_object(value, '$.k') as int) "
+                    f"{rng.choice(['>=', '<', '!='])} {rng.randint(-50, 150)}"}}
+        if kind == 1:
+            spec = {"k": rng.choice(["k", "kk"]),
+                    "v": rng.choice(["v", "vv"])}
+            if rng.random() < 0.5:
+                spec["route"] = "r"
+            return {"uses": "infinyon/jolt@0.1.0",
+                    "with": {"spec": [{"operation": "shift", "spec": spec}]}}
+        if kind == 2:
+            return {"uses": "infinyon/jolt@0.1.0",
+                    "with": {"spec": [{"operation": "default",
+                                       "spec": {"k": rng.randint(0, 9),
+                                                "tag": "t"}}]}}
+        if kind == 3:
+            return {"uses": "sql-map", "with": {"value": rng.choice(
+                ["upper(value)", "lower(value)",
+                 "get_json_object(value, '$.k')",
+                 "get_json_object(value, '$.v')"])}}
+        return {"uses": "sum-aggregate",
+                "with": {"field": "k", "partitioned": "true"},
+                "aggregate_initial": str(rng.randint(-5, 100))}
+
+    # two partition logs with their own dense offsets, like a real fetch
+    parts = {0: [payload() for _ in range(150)],
+             1: [payload() for _ in range(120)]}
+    rows = [(off, pid, v) for pid, vals in parts.items()
+            for off, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "offset long, partition int, value string")
+
+    chains = [[random_link() for _ in range(rng.randint(1, 3))]
+              for _ in range(10)]
+    # always exercise the two most composition-sensitive shapes
+    chains.append([
+        {"uses": "sql-filter", "with": {"where":
+         "cast(get_json_object(value, '$.k') as int) >= 10"}},
+        {"uses": "sum-aggregate",
+         "with": {"field": "k", "partitioned": "true"},
+         "aggregate_initial": "7"},
+        {"uses": "sql-map", "with": {"value": "upper(value)"}},
+    ])
+    chains.append([
+        {"uses": "infinyon/jolt@0.1.0",
+         "with": {"spec": [{"operation": "shift", "spec": {"k": "k"}}]}},
+        {"uses": "sum-aggregate",
+         "with": {"field": "k", "partitioned": "true"}},
+    ])
+
+    tested = 0
+    for chain_spec in chains:
+        dsl = translate_transform_chain(chain_spec)
+        assert dsl is not None, chain_spec
+        specs = [TransformSpec(uses=t["uses"], params=dict(t.get("with", {})),
+                               aggregate_initial=t.get("aggregate_initial"))
+                 for t in chain_spec]
+        engine = {
+            (r["partition"], r["offset"]): r["value"]
+            for r in apply_transform_chain(df, specs).collect()
+        }
+        server = {}
+        for pid, vals in parts.items():
+            tbl = pa.table({
+                "offset": pa.array(range(len(vals)), pa.int64()),
+                "timestamp": pa.array([0] * len(vals), pa.timestamp("us")),
+                "value": pa.array(vals, pa.string()),
+            })
+            out = _apply_server_chain(tbl, dsl)
+            server.update({
+                (pid, o): v for o, v in zip(out["offset"].to_pylist(),
+                                            out["value"].to_pylist())
+            })
+        assert server == engine, chain_spec
+        tested += 1
+    assert tested == len(chains)
