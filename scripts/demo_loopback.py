@@ -14,6 +14,9 @@ option.
     5. filter SmartModule: engine-side chain vs pushed to the server
     6. whole ordered transform chain (filter → jolt shift) pushed to the
        server: bit-identical records, measured wire-byte reduction
+    7. aggregate fold (filter → per-partition running sum) pushed to
+       the server: the last SmartModule kind across the seam, one
+       batch task per partition so no chunk boundary reseeds
 
 Usage: python scripts/demo_loopback.py [sf_dir]
 """
@@ -159,6 +162,34 @@ def main() -> None:
               "engine-side == pushed to server, value text bit-identical; "
               f"whole-log wire bytes {raw_b} -> {push_b} "
               f"({push_b / raw_b:.2f}x)\n")
+
+        # 7. the aggregate kind: per-partition fold (filter → running
+        #    sum) pushed to the server — the last SmartModule kind to
+        #    cross the seam; the plan pins one task per partition so no
+        #    chunk boundary reseeds the accumulator
+        transforms = [
+            {"uses": "sql-filter", "with": {"where": where}},
+            {"uses": "sum-aggregate",
+             "with": {"field": "k", "partitioned": "true"}},
+        ]
+        chain = translate_transform_chain(transforms)
+        engine = fluvio_consume(
+            spark,
+            ["events", "-A", "-T", "40", "--rows", "1000000",
+             "--transform", json.dumps(transforms[0]),
+             "--transform", json.dumps(transforms[1])],
+            sf_dir=SF_DIR, source=served(big), per_partition_offsets=True,
+        ).select("offset", "value")
+        pushed = (spark.read.format("fluvio")
+                  .option("server", srv.address)
+                  .option("args", "-A -T 40 --rows 1000000")
+                  .option("chain", json.dumps(chain))
+                  .load().select("offset", "value"))
+        pushed.show(3, truncate=False)
+        assert rows(engine) == rows(pushed)
+        print(f"7. aggregate FOLD ({len(rows(pushed))} records): "
+              "per-partition running sum engine-side == pushed to "
+              "server, one task per partition\n")
         print("transport swap verified: every step byte-identical")
     finally:
         srv.stop()
