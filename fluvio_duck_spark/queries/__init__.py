@@ -195,6 +195,10 @@ _RECEIPT_ROUNDS: tuple[frozenset[str], ...] = (
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "loopback_aggregate_pushdown",
     "loopback_transform_pushdown",
+    "consume_transform_filter_map",
+    "consume_transform_array_map",
+    "loopback_array_map_pushdown",
+    "loopback_filter_map_pushdown",
 })
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing

@@ -139,6 +139,26 @@ def _chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fluvio_consume(spark, argv, sf_dir=sf_dir)
 
 
+def _array_map_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 array-map kind: map builds a JSON array payload ``[k, k+1]``,
+    then sql-array-map emits one record per element — the budget counts
+    records EMITTED (post-SmartModule, like the reference's printed-row
+    count), so it must exceed 2x the log or the fan-out truncates (the
+    sf1 receipt is what catches a budget sized to the pre-fanout
+    count)."""
+    argv = [
+        "events", "-A", "-B", "--rows", "10000000",
+        "--transform",
+        '{"uses":"sql-map","with":{"value":'
+        '"concat(\'[\', get_json_object(value, \'$.k\'), \',\', '
+        'cast(cast(get_json_object(value, \'$.k\') as long) + 1 as string), '
+        '\']\')"}}',
+        "--transform",
+        '{"uses":"sql-array-map","with":{"path":"$"}}',
+    ]
+    return fluvio_consume(spark, argv, sf_dir=sf_dir)
+
+
 def _sum_leo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # README.md:73-83 demo: SELECT sum(LEO) FROM fluvio_partitions()
     return fluvio_partitions(spark, sf_dir).agg(
@@ -468,6 +488,46 @@ QUERIES: dict[str, QuerySpec] = {
         WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
         """,
         doc="filter smartmodule as pushed-down predicate (reference SmartModuleKind, src/consume.rs:713-741)",
+    ),
+    # ST5: filter-map kind — rewrite-or-drop in ONE module (fn(record) ->
+    # Option<record>, fluvio's standard filter-map; shipped opaquely as
+    # SmartModuleKind::Generic by the reference, src/consume.rs:713-726).
+    # Records with odd k produce NULL and are dropped; even k records
+    # survive with a rewritten payload — a composition filter→map cannot
+    # decide survival from the rewrite's own result.
+    "consume_transform_filter_map": QuerySpec(
+        _q(
+            "events -A -B --rows 1000000 --smartmodule sql-filter-map "
+            "-e \"value=case when cast(get_json_object(value, '$.k') as int) % 2 = 0 "
+            "then concat('even:', get_json_object(value, '$.k')) end\""
+        ),
+        """
+        SELECT event_id AS "offset", ts AS "timestamp",
+               'even:' || json_extract_string(props, '$.k') AS "value"
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 2 = 0
+        """,
+        doc="filter-map smartmodule kind: rewrite-or-drop in one pass — ST5",
+    ),
+    # ST5: array-map kind — one record per JSON-array element (fn(record)
+    # -> Vec<record>).  The chain first builds '[k, k+1]' with a map
+    # link, then sql-array-map unnests it: every event yields TWO
+    # records sharing the parent's offset/timestamp, values 'k' and
+    # 'k+1' per get_json_object's element rendering.
+    "consume_transform_array_map": QuerySpec(
+        _array_map_chain,
+        """
+        SELECT event_id AS "offset", ts AS "timestamp",
+               json_extract_string(props, '$.k') AS "value"
+        FROM events
+        UNION ALL
+        SELECT event_id AS "offset", ts AS "timestamp",
+               CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) + 1
+                    AS VARCHAR) AS "value"
+        FROM events
+        """,
+        doc="array-map smartmodule kind: one record per JSON-array element, "
+            "parent offset inherited — ST5",
     ),
     # S2: fluvio_topics()
     "fluvio_topics": QuerySpec(

@@ -350,7 +350,151 @@ def _q_loopback_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
         return pushed.unionAll(engine).localCheckpoint(eager=True)
 
 
+@contextlib.contextmanager
+def _array_server(spark: SparkSession, sf_dir: str):
+    """The ARRAY-PAYLOAD per-partition log (pplog.write_pp_array_log_dir)
+    served over the loopback protocol — the array-map kind's natural
+    input shape."""
+    from fluvio_duck_spark.sources.datasource import register_fluvio_source
+    from fluvio_duck_spark.sources.loopback import RecordServer
+    from fluvio_duck_spark.sources.pplog import write_pp_array_log_dir
+
+    register_fluvio_source(spark)
+    srv = RecordServer(write_pp_array_log_dir(spark, sf_dir)).start()
+    try:
+        yield srv.address
+    finally:
+        srv.stop()
+
+
+def _pushdown_legs(spark, sf_dir, addr, transforms, chain):
+    """The shared two-leg shape of every chain-pushdown parity query:
+    ``pushed`` ships the translated chain with each windowed fetch,
+    ``engine`` consumes the raw log and runs the SAME chain as
+    DataFrame transforms — both behind the identical per-partition tail
+    bound (bounds-before-chain on both sides)."""
+    import json
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+
+    args = "-A -T 40 --rows 1000000"
+    pushed = (
+        spark.read.format("fluvio")
+        .option("server", addr).option("args", args)
+        .option("chain", json.dumps(chain))
+        .load()
+        .select(F.lit("pushed").alias("leg"), "offset", "value")
+    )
+    engine = fluvio_consume(
+        spark,
+        ["events"] + args.split() + sum(
+            [["--transform", json.dumps(t)] for t in transforms], []
+        ),
+        sf_dir=sf_dir,
+        source=(
+            spark.read.format("fluvio")
+            .option("server", addr)
+            .option("args", "-A -B --rows 1000000").load()
+        ),
+        per_partition_offsets=True,
+    ).select(F.lit("engine").alias("leg"), "offset", "value")
+    return pushed.unionAll(engine).localCheckpoint(eager=True)
+
+
+def _q_loopback_array_map_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-map SmartModule kind pushed through the executed
+    connector seam: the server unnests each JSON-array payload into one
+    record per element BEFORE bytes cross the wire — fluvio's
+    ``fn(record) -> Vec<Record>`` kind (shipped opaquely as
+    SmartModuleKind::Generic, reference src/consume.rs:713-726).  The
+    pushed leg must be bit-identical to the engine-side
+    ``array_map_transform``, row by row including each element's
+    rendered text (get_json_object's contract: compact objects, Java
+    number rendering — the shared extraction mirror).  Bounds before
+    chain: the per-partition -T 40 window resolves first, so each tail
+    record fans out to exactly two wire records sharing its offset —
+    unlike the fold, the op is stateless per record, so granule
+    chunking needs no task pinning."""
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    transforms = [{"uses": "sql-array-map", "with": {"path": "$"}}]
+    chain = translate_transform_chain(transforms)
+    assert chain is not None  # the query exists to exercise the pushdown
+
+    with _array_server(spark, sf_dir) as addr:
+        return _pushdown_legs(spark, sf_dir, addr, transforms, chain)
+
+
+def _q_loopback_filter_map_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter-map SmartModule kind pushed through the executed
+    connector seam, ORDERED AFTER a pushed array-map: the server unnests
+    ``[{"k":K},{"j":K+1}]`` into two element records, then the
+    filter-map rewrites each to its ``$.k`` extraction and DROPS the
+    element where the key is missing (the kind's ``Option<Record>``
+    contract — rewrite and survival decided by one module).  In-chain
+    ordering is load-bearing: filter-map BEFORE the unnest would drop
+    every record (the array payload has no top-level ``k``), so a
+    server that reordered the chain fails the hash.  The pushed leg
+    must equal the engine-side chain bit-identically per row."""
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    transforms = [
+        {"uses": "sql-array-map", "with": {"path": "$"}},
+        {"uses": "sql-filter-map",
+         "with": {"value": "get_json_object(value, '$.k')"}},
+    ]
+    chain = translate_transform_chain(transforms)
+    assert chain is not None  # the query exists to exercise the pushdown
+
+    with _array_server(spark, sf_dir) as addr:
+        return _pushdown_legs(spark, sf_dir, addr, transforms, chain)
+
+
+#: tail-40 window over the ARRAY-payload pp log, k extracted — the
+#: shared scaffold of the two new pushdown oracles.
+_ARR_TAIL_CTE = _PP_CTE + """,
+tail AS (
+  SELECT "offset",
+         CAST(json_extract_string("value", '$.k') AS BIGINT) AS k
+  FROM pp
+  WHERE "offset" >= leo - 40
+)
+"""
+
 QUERIES.update({
+    "loopback_array_map_pushdown": QuerySpec(
+        _q_loopback_array_map_pushdown,
+        """
+        WITH """ + _ARR_TAIL_CTE + """,
+        r AS (
+          SELECT "offset", '{"k":' || k || '}' AS "value" FROM tail
+          UNION ALL
+          SELECT "offset", '{"j":' || (k + 1) || '}' AS "value" FROM tail
+        )
+        SELECT 'pushed' AS leg, * FROM r
+        UNION ALL
+        SELECT 'engine' AS leg, * FROM r
+        """,
+        doc="r9: the array-map SmartModule kind pushed to the record server "
+            "== engine-side unnest, bit-identical per element record "
+            "including the rendered object text; parent offsets inherited, "
+            "bounds-before-chain pinned",
+    ),
+    "loopback_filter_map_pushdown": QuerySpec(
+        _q_loopback_filter_map_pushdown,
+        """
+        WITH """ + _ARR_TAIL_CTE + """,
+        r AS (
+          SELECT "offset", CAST(k AS VARCHAR) AS "value" FROM tail
+        )
+        SELECT 'pushed' AS leg, * FROM r
+        UNION ALL
+        SELECT 'engine' AS leg, * FROM r
+        """,
+        doc="r9: the filter-map SmartModule kind pushed to the record server "
+            "behind a pushed array-map — rewrite-or-drop decided server-side "
+            "per element, in-chain ordering load-bearing, bit-identical legs",
+    ),
     "loopback_aggregate_pushdown": QuerySpec(
         _q_loopback_aggregate_pushdown,
         """

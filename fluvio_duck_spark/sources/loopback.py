@@ -324,6 +324,47 @@ def _extract_like_get_json_object(value_text: str | None,
     return json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
 
 
+def _render_node_like_get_json_object(node) -> str | None:
+    """Render one PARSED JSON node the way ``get_json_object`` renders a
+    matched node: unquoted strings, ``true``/``false``, numbers via
+    :func:`_num_text`, compact re-serialization for objects/arrays.
+    Unlike the dot-path extractor, an INDEXED match on a JSON ``null``
+    element renders as the text ``null`` (verified against the engine in
+    test_array_map_mirror_matches_engine), so the caller maps None
+    explicitly."""
+    if node is None:
+        return "null"
+    if isinstance(node, bool):
+        return "true" if node else "false"
+    if isinstance(node, str):
+        return node
+    if isinstance(node, (int, float)):
+        return _num_text(node)
+    return json.dumps(node, separators=(",", ":"), ensure_ascii=False)
+
+
+def _unnest_like_array_map(value_text: str | None,
+                           dot_path: str) -> list[str | None] | None:
+    """Mirror of transforms.array_map_transform over one payload: the
+    list of element renderings when the path names a non-empty JSON
+    array, else None (no output records — missing path, non-array node,
+    malformed payload, or empty array)."""
+    if value_text is None:
+        return None
+    try:
+        obj = json.loads(value_text)
+    except ValueError:
+        return None
+    if dot_path != "$":
+        for part in dot_path[2:].split("."):
+            if not isinstance(obj, dict):
+                return None
+            obj = obj.get(part)
+    if not isinstance(obj, list) or not obj:
+        return None
+    return [_render_node_like_get_json_object(e) for e in obj]
+
+
 def _cast_like_spark(got: str | None, cast: str):
     """Mirror Spark's ANSI cast of get_json_object's STRING extraction:
     integral-only for int (a fractional, boolean, or non-numeric
@@ -391,6 +432,16 @@ def translate_transform_chain(transforms) -> list[dict] | None:
       ``get_json_object(value, '$.path')`` (the shared extraction
       mirror).  Any other expression is arbitrary SQL and stays
       engine-side.
+    * ``sql-filter-map`` with the same mirror-safe rewrites as the map
+      kind — the server drops records whose rewrite comes out NULL (the
+      kind's ``Option<Record>`` contract), which both sides decide
+      identically on the mirror-safe forms.
+    * ``sql-array-map`` with a literal ``$.dot.path`` (or ``$``) — the
+      server unnests the JSON array node into one record per element,
+      each rendered with the shared get_json_object mirror, inheriting
+      the parent record's offset/timestamp/partition.  Stateless per
+      record, so it pushes to BOTH the batch and stream readers with no
+      task-boundary pinning.
     * ``sum-aggregate`` with ``partitioned=true`` — the aggregate kind's
       per-partition fold (the reference's ACTUAL per-SPU semantics under
       ``-A``: each SPU folds its own log independently,
@@ -408,6 +459,7 @@ def translate_transform_chain(transforms) -> list[dict] | None:
     the ``--aggregate-initial`` front end; dicts may use an
     ``"aggregate_initial"`` key)."""
     ops: list[dict] = []
+    seen_unnest = False
     for t in transforms:
         uses = t["uses"] if isinstance(t, dict) else t.uses
         params = (t.get("with", {}) or {}) if isinstance(t, dict) else t.params
@@ -421,12 +473,37 @@ def translate_transform_chain(transforms) -> list[dict] | None:
             if mp is None:
                 return None
             ops.append(mp)
+        elif uses == "sql-filter-map":
+            # the filter-map kind's translatable subset is exactly the
+            # map kind's (the drop decision is "was the rewrite NULL",
+            # which every mirror-safe rewrite decides identically on
+            # both sides: upper/lower are NULL only for a NULL payload,
+            # json_path is NULL for missing key / JSON null / malformed)
+            mp = _translate_sql_map(params.get("value", ""))
+            if mp is None:
+                return None
+            ops.append({**mp, "kind": "filter_map"})
+        elif uses == "sql-array-map":
+            from fluvio_duck_spark.transforms import _ARRAY_MAP_PATH
+
+            path = params.get("path", "$")
+            if not _ARRAY_MAP_PATH.match(path):
+                return None
+            seen_unnest = True
+            ops.append({"kind": "unnest", "path": path})
         elif uses == "sum-aggregate":
             partitioned = str(params.get("partitioned", "")).lower() in (
                 "true", "1", "yes")
             if not partitioned:
                 # the global fold orders across partition logs; no
                 # per-partition fetch can see that ordering — engine-side
+                return None
+            if seen_unnest:
+                # an array-map upstream duplicates offsets; the engine's
+                # offset-ordered fold is then order-AMBIGUOUS between
+                # tied records, so no server pass can be bit-identical
+                # to it — the whole chain stays engine-side (and the
+                # composition is documented as order-ambiguous there)
                 return None
             init = (t.get("aggregate_initial") if isinstance(t, dict)
                     else t.aggregate_initial)
@@ -539,7 +616,11 @@ def _apply_server_chain(tbl, chain: list[dict]):
       json-encoded default) AS key, ...)) over the spec's top-level
       keys;
     * ``fold`` — the aggregate kind's per-partition running sum
-      (see the op's inline note).
+      (see the op's inline note);
+    * ``filter_map`` — the map mirror's rewrite, then drop-when-NULL
+      (fluvio's filter-map kind);
+    * ``unnest`` — the array-map kind: one record per JSON-array
+      element, parent log position inherited.
 
     Ordering matters and is pinned by the parity query: a filter that
     references a key a later shift renames would drop everything if the
@@ -562,6 +643,46 @@ def _apply_server_chain(tbl, chain: list[dict]):
             else:
                 raise ValueError(f"unknown map fn {fn!r}")
             tbl = tbl.set_column(
+                tbl.schema.get_field_index("value"), "value",
+                pa.array(new, pa.string()),
+            )
+        elif op["kind"] == "filter_map":
+            # the map mirror's rewrite, then drop-when-NULL — the
+            # Option<Record> contract of fluvio's filter-map kind
+            fn = op["fn"]
+            vals = tbl["value"].to_pylist()
+            if fn == "upper":
+                new = [v.upper() if v is not None else None for v in vals]
+            elif fn == "lower":
+                new = [v.lower() if v is not None else None for v in vals]
+            elif fn == "json_path":
+                path = op["path"][2:]
+                new = [_extract_like_get_json_object(v, path) for v in vals]
+            else:
+                raise ValueError(f"unknown filter_map fn {fn!r}")
+            keep = [i for i, v in enumerate(new) if v is not None]
+            # typed index array: an all-dropped window takes [] and an
+            # untyped empty list infers null, which array_take rejects
+            tbl = tbl.take(pa.array(keep, pa.int64())).set_column(
+                tbl.schema.get_field_index("value"), "value",
+                pa.array([new[i] for i in keep], pa.string()),
+            )
+        elif op["kind"] == "unnest":
+            # the array-map kind: one output record per JSON-array
+            # element, offset/timestamp/partition inherited from the
+            # parent record; element text per the shared
+            # get_json_object mirror (a JSON null element renders as
+            # the TEXT 'null' — the engine's indexed extraction does)
+            path = op["path"]
+            idx: list[int] = []
+            new = []
+            for i, v in enumerate(tbl["value"].to_pylist()):
+                elems = _unnest_like_array_map(v, path)
+                if elems is None:
+                    continue
+                idx.extend([i] * len(elems))
+                new.extend(elems)
+            tbl = tbl.take(pa.array(idx, pa.int64())).set_column(
                 tbl.schema.get_field_index("value"), "value",
                 pa.array(new, pa.string()),
             )

@@ -18,6 +18,13 @@ Supported:
   missing-key fills.  The record's ``value`` is rewritten to the shifted
   JSON object, all inside Catalyst expressions (``get_json_object`` +
   ``to_json(struct(...))``) — no per-record Python.
+* built-in modules covering fluvio's five standard SmartModule kinds:
+  ``sql-filter`` (filter), ``sql-map`` / jolt (map), ``sql-filter-map``
+  (filter-map: rewrite-or-drop in one pass), ``sql-array-map``
+  (array-map: one record per JSON-array element), and ``sum-aggregate``
+  (aggregate fold) — the reference ships any of these opaquely as
+  ``SmartModuleKind::Generic`` (src/consume.rs:713-726), the kind
+  semantics living in the module.
 * registered Python smartmodules — the extensibility analogue of named
   WASM modules from the hub: ``register_smartmodule(name, fn)`` where
   ``fn(df, params) -> df`` (filter/map kinds), or
@@ -29,6 +36,7 @@ Supported:
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -132,6 +140,80 @@ def sql_map_transform(df: DataFrame, params: dict) -> DataFrame:
     return df.withColumn("value", F.expr(expr).cast("string"))
 
 
+def sql_filter_map_transform(df: DataFrame, params: dict) -> DataFrame:
+    """Built-in filter-map-kind smartmodule: ``-e value=<sql expr>`` —
+    rewrite the payload to the expression's value when it is non-NULL and
+    DROP the record when it is NULL.  This is the ``Option<Record>``
+    contract of fluvio's standard filter-map kind (one WASM call that
+    both transforms and decides survival — e.g. "parse the payload, keep
+    only records that parse, emit the parsed subfield"); the reference
+    ships any such module opaquely as ``SmartModuleKind::Generic``
+    (src/consume.rs:713-726), the kind behavior living in the module.
+    Filter and map composed as two links CANNOT express this when the
+    drop decision is "did the rewrite produce anything", which is why it
+    is a distinct kind."""
+    expr = params.get("value")
+    if not expr:
+        raise TransformError("sql-filter-map requires -e value=<expr>")
+    return (
+        df.withColumn("value", F.expr(expr).cast("string"))
+        .filter(F.col("value").isNotNull())
+    )
+
+
+#: array-map's ``path`` must be a literal dot path — it is spliced into a
+#: get_json_object path template, so reject anything expression-shaped.
+_ARRAY_MAP_PATH = re.compile(r"\$(\.\w+)*\Z")
+
+
+def array_map_transform(df: DataFrame, params: dict) -> DataFrame:
+    """Built-in array-map-kind smartmodule: a record whose payload (or
+    ``-e path=$.field`` sub-node) is a JSON array becomes ONE RECORD PER
+    ELEMENT — fluvio's standard array-map kind (``fn(record) ->
+    Vec<Record>``; shipped as ``SmartModuleKind::Generic`` by the
+    reference, src/consume.rs:713-726).  Offset, timestamp, and
+    partition are inherited from the parent record, matching fluvio's
+    output records which share the input record's log position; element
+    order is preserved within each record.
+
+    Element rendering follows ``get_json_object``'s string contract
+    (the engine literally extracts ``path[i]`` per element): strings
+    unquoted, numbers as Java double/long rendering, booleans
+    ``true``/``false``, nested objects/arrays compact, a JSON ``null``
+    element as the text ``null``.  A missing path, non-array node,
+    malformed payload, or EMPTY array yields no output records — the
+    WASM analogue returned an empty Vec.
+
+    Scale: pure Catalyst (json_array_length + explode over a sequence +
+    one dynamic-path extraction); stateless per record, so it is safe
+    under granule chunking and in micro-batches — unlike the aggregate
+    fold, no task-boundary pinning is required.  Composition caveat: the
+    output records DUPLICATE the parent offset, so an aggregate fold
+    placed downstream folds over tied offsets in ambiguous order —
+    compose folds upstream of an array-map (the connector translation
+    refuses to push that composition for the same reason)."""
+    path = params.get("path", "$")
+    if not _ARRAY_MAP_PATH.match(path):
+        raise TransformError(
+            f"sql-array-map path must be a literal $.dot.path, got {path!r}"
+        )
+    arr = (
+        F.col("value") if path == "$"
+        else F.get_json_object(F.col("value"), path)
+    )
+    n = F.json_array_length(arr)
+    idx = "__arraymap_idx"
+    out = df.withColumn(
+        idx,
+        F.explode(
+            F.when(n > 0, F.sequence(F.lit(0), n - F.lit(1)))
+            .otherwise(F.array().cast("array<int>"))
+        ),
+    )
+    elem = F.expr(f"get_json_object(value, concat('{path}[', {idx}, ']'))")
+    return out.withColumn("value", elem).drop(idx)
+
+
 def aggregate_sum_transform(df: DataFrame, params: dict, accumulator: str = "0") -> DataFrame:
     """Built-in aggregate-kind smartmodule (A1): sequential fold over the
     record log in offset order — ``acc := acc + payload[field]`` seeded by
@@ -167,6 +249,8 @@ register_smartmodule("sum-aggregate", aggregate_sum_transform)
 register_smartmodule("jolt", jolt_transform)
 register_smartmodule("sql-filter", sql_filter_transform)
 register_smartmodule("sql-map", sql_map_transform)
+register_smartmodule("sql-filter-map", sql_filter_map_transform)
+register_smartmodule("sql-array-map", array_map_transform)
 
 
 def _specs_from_config(config: dict | list) -> list[TransformSpec]:

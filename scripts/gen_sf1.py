@@ -91,7 +91,17 @@ def main() -> None:
             .agg(F.max(c)).collect()[0][0]
             for t, c in sources
         )
-        shifts[fam] = 10 ** math.ceil(math.log10(mx + 2))
+        if fam == "event":
+            # event_id IS the consume stand-in's offset, and a real
+            # partition log is DENSE 0..LEO-1 — the offset algebra
+            # (-H/-T/--rows windows) is only row-faithful on a dense
+            # sequence.  event_id has no FK partner, so it shifts by
+            # exactly max+1: replicas tile 0..10·LEO-1 with no gaps.
+            # (A power-of-10 shift left 9·LEO-row holes per replica;
+            # consume_infer_typed's sf1 receipt caught the truncation.)
+            shifts[fam] = mx + 1
+        else:
+            shifts[fam] = 10 ** math.ceil(math.log10(mx + 2))
     print("shift constants:", shifts)
 
     for t in COPIED:

@@ -385,3 +385,61 @@ def test_all_partitions_tail_is_global_by_offset(spark, sf_dir, tmp_path):
         # the global tail window spans multiple Fluvio partitions — the
         # per-partition form would have returned n rows from EACH
         assert len({r.partition for r in rows}) > 1
+
+
+def test_smartmodule_filter_map_option_string(spark, sf_dir):
+    """The filter-map kind through the ``--smartmodule`` front end:
+    rewrite-or-drop in one module (fn(record) -> Option<record>) —
+    odd-k records produce a NULL rewrite and must vanish, even-k
+    records survive with the rewritten payload."""
+    df = fluvio_consume(
+        spark,
+        "events -A -B --rows 100000 --smartmodule sql-filter-map "
+        "-e \"value=case when cast(get_json_object(value, '$.k') as int) % 2 = 0 "
+        "then concat('even:', get_json_object(value, '$.k')) end\"",
+        sf_dir=sf_dir,
+    )
+    vals = [r.value for r in df.collect()]
+    assert vals and all(v.startswith("even:") for v in vals)
+    assert all(int(v[5:]) % 2 == 0 for v in vals)
+
+
+def test_smartmodule_array_map_option_string(spark, sf_dir):
+    """The array-map kind through the transform-chain front end: a map
+    link builds '[k, k+1]', sql-array-map fans each record out to one
+    record per element, inheriting the parent offset — every surviving
+    offset appears exactly twice with the element pair (k, k+1).  The
+    row budget counts records EMITTED (post-SmartModule, the
+    reference's printed-row semantics), so a 400-row budget over the
+    2x fan-out covers exactly the first 200 parents."""
+    import collections
+    import json as _json
+
+    raw = fluvio_consume(
+        spark, "events -A -B --rows 200", sf_dir=sf_dir
+    )
+    k_by_offset = {
+        r.offset: int(_json.loads(r.value)["k"]) for r in raw.collect()
+    }
+    assert len(k_by_offset) == 200
+    df = fluvio_consume(
+        spark,
+        [
+            "events", "-A", "-B", "--rows", "400",
+            "--transform",
+            '{"uses":"sql-map","with":{"value":'
+            '"concat(\'[\', get_json_object(value, \'$.k\'), \',\', '
+            'cast(cast(get_json_object(value, \'$.k\') as long) + 1 '
+            'as string), \']\')"}}',
+            "--transform",
+            '{"uses":"sql-array-map","with":{"path":"$"}}',
+        ],
+        sf_dir=sf_dir,
+    )
+    got = collections.defaultdict(list)
+    for r in df.collect():
+        got[r.offset].append(int(r.value))
+    assert sum(len(v) for v in got.values()) == 400
+    assert set(got) == set(k_by_offset)
+    for off, elems in got.items():
+        assert sorted(elems) == [k_by_offset[off], k_by_offset[off] + 1]

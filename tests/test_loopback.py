@@ -808,7 +808,15 @@ def test_random_composed_chains_match_engine(spark):
         return _json.dumps(parts, ensure_ascii=False)
 
     def random_link():
-        kind = rng.randrange(5)
+        kind = rng.randrange(7)
+        if kind == 5:
+            return {"uses": "sql-filter-map", "with": {"value": rng.choice(
+                ["upper(value)", "lower(value)",
+                 "get_json_object(value, '$.k')",
+                 "get_json_object(value, '$.v')"])}}
+        if kind == 6:
+            return {"uses": "sql-array-map",
+                    "with": {"path": rng.choice(["$", "$.v"])}}
         if kind == 0:
             return {"uses": "sql-filter", "with": {"where":
                     "cast(get_json_object(value, '$.k') as int) "
@@ -859,19 +867,47 @@ def test_random_composed_chains_match_engine(spark):
         {"uses": "sum-aggregate",
          "with": {"field": "k", "partitioned": "true"}},
     ])
+    # the two new-kind composition shapes: unnest feeding a filter-map
+    # (each element rewritten-or-dropped), and a case-map feeding an
+    # unnest (only the case-mapped ARRAY payloads survive the unnest)
+    chains.append([
+        {"uses": "sql-array-map", "with": {"path": "$.v"}},
+        {"uses": "sql-filter-map",
+         "with": {"value": "get_json_object(value, '$.nested')"}},
+    ])
+    chains.append([
+        {"uses": "sql-filter-map", "with": {"value": "upper(value)"}},
+        {"uses": "sql-array-map", "with": {"path": "$"}},
+    ])
 
-    tested = 0
+    def fold_after_unnest(chain_spec):
+        seen = False
+        for t in chain_spec:
+            if t["uses"] == "sql-array-map":
+                seen = True
+            elif t["uses"] == "sum-aggregate" and seen:
+                return True
+        return False
+
+    tested = refused = 0
     for chain_spec in chains:
         dsl = translate_transform_chain(chain_spec)
+        if fold_after_unnest(chain_spec):
+            # order-ambiguous composition: duplicated offsets under an
+            # offset-ordered fold — must stay engine-side
+            assert dsl is None, chain_spec
+            refused += 1
+            continue
         assert dsl is not None, chain_spec
         specs = [TransformSpec(uses=t["uses"], params=dict(t.get("with", {})),
                                aggregate_initial=t.get("aggregate_initial"))
                  for t in chain_spec]
-        engine = {
-            (r["partition"], r["offset"]): r["value"]
+        # MULTISET compare — an array-map link duplicates offsets by design
+        engine = sorted(
+            (r["partition"], r["offset"], r["value"])
             for r in apply_transform_chain(df, specs).collect()
-        }
-        server = {}
+        )
+        server = []
         for pid, vals in parts.items():
             tbl = pa.table({
                 "offset": pa.array(range(len(vals)), pa.int64()),
@@ -879,10 +915,126 @@ def test_random_composed_chains_match_engine(spark):
                 "value": pa.array(vals, pa.string()),
             })
             out = _apply_server_chain(tbl, dsl)
-            server.update({
-                (pid, o): v for o, v in zip(out["offset"].to_pylist(),
+            server.extend(
+                (pid, o, v) for o, v in zip(out["offset"].to_pylist(),
                                             out["value"].to_pylist())
-            })
-        assert server == engine, chain_spec
+            )
+        assert sorted(server) == engine, chain_spec
         tested += 1
-    assert tested == len(chains)
+    assert tested + refused == len(chains) and tested >= len(chains) - 4
+
+
+def test_array_map_mirror_matches_engine(spark):
+    """The unnest op's server mirror must be BYTE-identical to the
+    engine's ``array_map_transform`` across the element-rendering
+    contract: number re-rendering (1.50 -> '1.5', 1e3 -> '1000.0'),
+    unquoted strings, booleans, COMPACT object/array re-serialization,
+    a JSON null ELEMENT as the text 'null' (the engine's indexed
+    extraction renders it, unlike a null dot-path match), and the
+    no-output cases (missing path / non-array node / malformed / empty
+    array).  Output multisets compare on (parent offset, element text)
+    — offsets DUPLICATE across elements by design."""
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import (
+        _apply_server_chain,
+        translate_transform_chain,
+    )
+    from fluvio_duck_spark.transforms import array_map_transform
+
+    values = [
+        '[1.50, "a", {"k": 1}, null, true]', "[]", "not json", None,
+        '{"tags": ["x", 2, {"b": [1, 2]}, null]}', '{"tags": {}}',
+        '{"tags": []}', '[1000000.0, 2.5e-4, -0.0, 123456789012345]',
+        '["sp ace", "x\\u00e9", ""]', '{"k": 42}', "[[1, 2], [3]]",
+        '{"tags": "notarray"}', "null", "[null]",
+        '[{"k": 1, "z": "a b"} , {"q": [1, 2]}]',
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["offset", "value"]
+    )
+    for path in ("$", "$.tags"):
+        engine = sorted(
+            (r["offset"], r["value"])
+            for r in array_map_transform(df, {"path": path}).collect()
+        )
+        chain = translate_transform_chain(
+            [{"uses": "sql-array-map", "with": {"path": path}}]
+        )
+        assert chain == [{"kind": "unnest", "path": path}]
+        tbl = pa.table({
+            "offset": pa.array(range(len(values)), pa.int64()),
+            "timestamp": pa.array([0] * len(values), pa.timestamp("us")),
+            "value": pa.array(values, pa.string()),
+        })
+        out = _apply_server_chain(tbl, chain)
+        mirror = sorted(zip(out["offset"].to_pylist(),
+                            out["value"].to_pylist()))
+        assert mirror == engine, path
+        assert len(engine) > 0
+
+
+def test_filter_map_mirror_matches_engine(spark):
+    """The filter_map op's mirror must match the engine's
+    ``sql_filter_map_transform`` on every mirror-safe rewrite —
+    including WHICH records survive (the Option<Record> drop decision):
+    json_path drops missing-key / JSON-null / malformed payloads,
+    upper/lower drop only NULL payloads."""
+    import pyarrow as pa
+
+    from fluvio_duck_spark.sources.loopback import (
+        _apply_server_chain,
+        translate_transform_chain,
+    )
+    from fluvio_duck_spark.transforms import sql_filter_map_transform
+
+    values = [
+        '{"k": 57}', '{"k": "Straße"}', '{"k": 12.50}', '{"j": 1}',
+        '{"k": null}', "not json", None, '{"k": {"n": 1}}', "plain ß",
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], ["offset", "value"]
+    )
+    for expr in ("get_json_object(value, '$.k')", "upper(value)",
+                 "lower(value)"):
+        engine = sorted(
+            (r["offset"], r["value"])
+            for r in sql_filter_map_transform(df, {"value": expr}).collect()
+        )
+        chain = translate_transform_chain(
+            [{"uses": "sql-filter-map", "with": {"value": expr}}]
+        )
+        assert chain is not None and chain[0]["kind"] == "filter_map", expr
+        tbl = pa.table({
+            "offset": pa.array(range(len(values)), pa.int64()),
+            "timestamp": pa.array([0] * len(values), pa.timestamp("us")),
+            "value": pa.array(values, pa.string()),
+        })
+        out = _apply_server_chain(tbl, chain)
+        mirror = sorted(zip(out["offset"].to_pylist(),
+                            out["value"].to_pylist()))
+        assert mirror == engine, expr
+    # an arbitrary-SQL rewrite stays engine-side — all-or-nothing
+    assert translate_transform_chain(
+        [{"uses": "sql-filter-map",
+          "with": {"value": "concat('x', value)"}}]
+    ) is None
+
+
+def test_translate_refuses_fold_after_unnest():
+    """An aggregate fold downstream of an array-map folds over DUPLICATED
+    offsets — order-ambiguous engine-side, so no server pass can mirror
+    it bit-identically: the whole chain must stay engine-side.  The
+    reverse order (fold, then unnest) is deterministic and translates."""
+    from fluvio_duck_spark.sources.loopback import translate_transform_chain
+
+    unnest = {"uses": "sql-array-map", "with": {"path": "$"}}
+    fold = {"uses": "sum-aggregate",
+            "with": {"field": "k", "partitioned": "true"}}
+    assert translate_transform_chain([unnest, fold]) is None
+    got = translate_transform_chain([fold, unnest])
+    assert [op["kind"] for op in got] == ["fold", "unnest"]
+    # non-literal path stays engine-side
+    assert translate_transform_chain(
+        [{"uses": "sql-array-map", "with": {"path": "$.a[0]"}}]
+    ) is None

@@ -355,9 +355,10 @@ def test_weighted_sample_single_shuffle_no_python(specs, spark, sf_dir):
 def test_global_rank_matches_window_without_global_sort(spark):
     """The distributed global rank must reproduce row_number() OVER
     (ORDER BY …) exactly, while the plan's only data-sized exchange is
-    the range partitioner — the single-partition exchange that a naive
-    global window would put under the full dataset appears here only
-    under the P-row offsets side."""
+    the hash exchange on the VALUE-DERIVED bucket id (driver-sampled
+    boundary literals — re-evaluation-safe, see ranking.py) — the
+    single-partition exchange that a naive global window would put under
+    the full dataset appears here only under the P-row offsets side."""
     from pyspark.sql import Window as W
 
     from fluvio_duck_spark.operators.ranking import global_rank
@@ -374,8 +375,15 @@ def test_global_rank_matches_window_without_global_sort(spark):
         ranked.orderBy("rank").collect() == expect.orderBy("rank").collect()
     )
     plan = formatted_plan(ranked)
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(__bkt" in plan  # the one data-sized exchange
     assert plan.count("SinglePartition") == 1  # offsets cumsum only
+    # determinism under re-evaluation: a second materialization of the
+    # SAME DataFrame must assign identical ranks (the old
+    # monotonically_increasing_id implementation could disagree with
+    # itself between the offsets job and the join job)
+    a = sorted((r["id"], r["rank"]) for r in ranked.collect())
+    b = sorted((r["id"], r["rank"]) for r in ranked.collect())
+    assert a == b
 
 
 def test_quantile_bins_uniform_split(spark):
