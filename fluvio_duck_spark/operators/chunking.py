@@ -97,29 +97,37 @@ def concat_pack(
     funnels through a single-task ``Window.orderBy`` — computed here as a
     distributed two-level prefix sum:
 
-    1. ``repartitionByRange(id)`` (one range shuffle — partition *i*
-       holds ids strictly below partition *i+1*; boundaries come from
-       Spark's reservoir sampling, and because the result depends only on
-       the global id order, boundary placement cannot change the answer);
-    2. per-partition token totals (an aggregate of ≤ #partitions rows)
-       cumulated into per-partition offsets by a window over that TINY
+    1. bucket by ~P driver-sampled id-quantile boundaries shipped back
+       as LITERALS (one approxQuantile scan; the bucket is a pure
+       function of the row's id, so every re-evaluation of the plan
+       assigns the identical bucket — ``spark_partition_id`` after a
+       range shuffle is evaluation-dependent, and this operator's
+       totals aggregate and join branch each re-evaluate the exchange:
+       the same double-evaluation drift the sf1 receipt caught in
+       operators/ranking.py.  Boundary placement affects balance only);
+    2. per-bucket token totals (an aggregate of ≤ #buckets rows)
+       cumulated into per-bucket offsets by a window over that TINY
        table, broadcast back;
-    3. an in-partition running sum keyed by the partition id plus the
+    3. an in-bucket running sum keyed by the bucket id plus the
        broadcast offset.
 
     No driver collect, no global sort, no single-task stage over data —
-    the only full-data movements are the range shuffle and the
-    per-partition-id window's hash exchange.  ``n_tokens`` defaults to
-    the whitespace token count of ``text`` (must be ≥ 1 per row with
-    that tokenizer, matching the oracle).
+    the only full-data movement is the bucket-id window's hash exchange.
+    ``n_tokens`` defaults to the whitespace token count of ``text``
+    (must be ≥ 1 per row with that tokenizer, matching the oracle).
     """
     spark = df.sparkSession
     toks = n_tokens if n_tokens is not None else F.size(tokenize("text"))
     base = df.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = base.repartitionByRange(parts, F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    bkt = F.lit(0)
+    if parts > 1:
+        probs = [i / parts for i in range(1, parts)]
+        for b in sorted(set(
+            base.stat.approxQuantile(id_col, probs, 1.0 / (4 * parts))
+        )):
+            bkt = bkt + (F.col(id_col) > F.lit(b)).cast("int")
+    ranged = base.withColumn("__pid", bkt)
     totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
     w_parts = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
