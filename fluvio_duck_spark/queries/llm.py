@@ -508,15 +508,18 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_EMBEDDING_NEAR_DUPS = """
+WITH nrm AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(range(1, len(embedding)+1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+             'sum')) AS n
+  FROM embeddings)
 SELECT id_a, id_b, sim FROM (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     list_aggregate(list_transform(range(1, len(a.embedding)+1),
         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
-    / (sqrt(list_aggregate(list_transform(range(1, len(a.embedding)+1),
-        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum'))
-     * sqrt(list_aggregate(list_transform(range(1, len(b.embedding)+1),
-        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum'))) AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t
+    / (a.n * b.n) AS sim
+  FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id) t
 WHERE sim >= 0.45
 """
 
