@@ -373,10 +373,16 @@ def embedding_near_dup_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if not bucketed and max_rows is not None:
         # Never binds (the probe above already raised past max_rows) but
-        # makes the broadcast side's row bound provable from the plan —
-        # both sides, since the planner picks whichever estimates smaller.
-        a = a.coalesce(1).limit(max_rows)
-        b = b.coalesce(1).limit(max_rows)
+        # makes the broadcast side's row bound provable from the plan.
+        # The broadcast side is PINNED by hint below; the streamed side
+        # repartitions back out after its limit — a GlobalLimit leaves
+        # ONE partition behind, and an NLJ streaming 200M pairs through
+        # one task serialized the whole scan (sf1 receipt, round 9:
+        # minutes-per-task wall on a 16-thread box).  The repartition
+        # moves only max_rows rows; the bound proof is unchanged.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        a = a.coalesce(1).limit(max_rows).repartition(par)
+        b = F.broadcast(b.coalesce(1).limit(max_rows))
     if bucketed:
         planes = _planes(dim, n_planes, seed)
         a = a.withColumn("__sig", lsh_signature(F.col("va"), planes))
