@@ -123,8 +123,9 @@ def concat_pack(
     bkt = F.lit(0)
     if parts > 1:
         probs = [i / parts for i in range(1, parts)]
+        # loose sketch error: boundaries affect balance only (ranking.py)
         for b in sorted(set(
-            base.stat.approxQuantile(id_col, probs, 1.0 / (4 * parts))
+            base.stat.approxQuantile(id_col, probs, max(0.02, 1.0 / (4 * parts)))
         )):
             bkt = bkt + (F.col(id_col) > F.lit(b)).cast("int")
     ranged = base.withColumn("__pid", bkt)
