@@ -1038,3 +1038,38 @@ def test_translate_refuses_fold_after_unnest():
     assert translate_transform_chain(
         [{"uses": "sql-array-map", "with": {"path": "$.a[0]"}}]
     ) is None
+
+
+def test_new_kind_chain_pushdown_reduces_wire_bytes(spark):
+    """CONNECTOR.md §6 scale posture for the filter-map/array-map
+    chain: pushing [unnest -> filter-map($.k)] emits ONE short element
+    text per parent record instead of the whole array payload, so the
+    fetch stream must shrink.  Also pins the nuance the aggregate
+    measurement would hide: an unnest pushed ALONE fans records OUT
+    (2x rows here), so kind-level pushdown is not automatically a wire
+    win — it is the chain's net effect that must be measured."""
+    from fluvio_duck_spark.sources.loopback import (
+        RecordServer,
+        translate_transform_chain,
+    )
+    from fluvio_duck_spark.sources.pplog import write_pp_array_log_dir
+
+    srv = RecordServer(write_pp_array_log_dir(spark, SF_DIR)).start()
+    try:
+        full = translate_transform_chain([
+            {"uses": "sql-array-map", "with": {"path": "$"}},
+            {"uses": "sql-filter-map",
+             "with": {"value": "get_json_object(value, '$.k')"}},
+        ])
+        unnest_only = translate_transform_chain(
+            [{"uses": "sql-array-map", "with": {"path": "$"}}]
+        )
+        raw = len(srv.fetch_ipc(0, 0, 200))
+        pushed = len(srv.fetch_ipc(0, 0, 200, None, full))
+        fanned = len(srv.fetch_ipc(0, 0, 200, None, unnest_only))
+        assert pushed < raw, (pushed, raw)
+        # the fan-out leg carries MORE rows than the raw window (2 per
+        # parent) — the filter-map behind it is what wins the bytes back
+        assert fanned > pushed, (fanned, pushed)
+    finally:
+        srv.stop()
