@@ -17,6 +17,11 @@ option.
     7. aggregate fold (filter → per-partition running sum) pushed to
        the server: the last SmartModule kind across the seam, one
        batch task per partition so no chunk boundary reseeds
+    8. the remaining standard kinds — array-map (one record per
+       JSON-array element) feeding filter-map (rewrite-or-drop) — pushed
+       over an array-payload log: bit-identical element records, and the
+       measured nuance that the unnest ALONE inflates the wire while the
+       full chain shrinks it
 
 Usage: python scripts/demo_loopback.py [sf_dir]
 """
@@ -190,6 +195,56 @@ def main() -> None:
         print(f"7. aggregate FOLD ({len(rows(pushed))} records): "
               "per-partition running sum engine-side == pushed to "
               "server, one task per partition\n")
+
+        # 8. the remaining standard kinds over the ARRAY-payload log:
+        #    array-map unnests [{"k":K},{"j":K+1}] into element records,
+        #    filter-map keeps only the element carrying "k" and rewrites
+        #    it to the extraction — all server-side, behind the same
+        #    per-partition tail bound
+        from fluvio_duck_spark.sources.loopback import RecordServer
+        from fluvio_duck_spark.sources.pplog import write_pp_array_log_dir
+
+        arr_srv = RecordServer(write_pp_array_log_dir(spark, SF_DIR)).start()
+        try:
+            transforms = [
+                {"uses": "sql-array-map", "with": {"path": "$"}},
+                {"uses": "sql-filter-map",
+                 "with": {"value": "get_json_object(value, '$.k')"}},
+            ]
+            chain = translate_transform_chain(transforms)
+            arr_raw = (spark.read.format("fluvio")
+                       .option("server", arr_srv.address)
+                       .option("args", "-A -B --rows 1000000").load())
+            engine = fluvio_consume(
+                spark,
+                ["events", "-A", "-T", "40", "--rows", "1000000",
+                 "--transform", json.dumps(transforms[0]),
+                 "--transform", json.dumps(transforms[1])],
+                sf_dir=SF_DIR, source=arr_raw, per_partition_offsets=True,
+            ).select("offset", "value")
+            pushed = (spark.read.format("fluvio")
+                      .option("server", arr_srv.address)
+                      .option("args", "-A -T 40 --rows 1000000")
+                      .option("chain", json.dumps(chain))
+                      .load().select("offset", "value"))
+            pushed.show(3, truncate=False)
+            assert rows(engine) == rows(pushed)
+            unnest_only = translate_transform_chain(
+                [{"uses": "sql-array-map", "with": {"path": "$"}}]
+            )
+            raw_b = sum(len(arr_srv.fetch_ipc(p, 0, None)) for p in range(4))
+            fan_b = sum(len(arr_srv.fetch_ipc(p, 0, None, None, unnest_only))
+                        for p in range(4))
+            push_b = sum(len(arr_srv.fetch_ipc(p, 0, None, None, chain))
+                         for p in range(4))
+            print(f"8. array-map -> filter-map ({len(rows(pushed))} element "
+                  "records): engine-side == pushed to server; whole-log "
+                  f"wire bytes raw {raw_b} -> unnest-alone {fan_b} "
+                  f"({fan_b / raw_b:.2f}x, fan-OUT) -> full chain {push_b} "
+                  f"({push_b / raw_b:.2f}x)\n")
+        finally:
+            arr_srv.stop()
+
         print("transport swap verified: every step byte-identical")
     finally:
         srv.stop()
