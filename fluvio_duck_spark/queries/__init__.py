@@ -27,40 +27,22 @@ class QuerySpec:
 #: has at least one row in some CORRECTNESS_r0N.json (lifetime coverage is
 #: complete), so the sets below partition the registry by the MOST RECENT
 #: round in which the driver receipted each name (computed from
-#: CORRECTNESS_r01–r08; each name appears in exactly one set).  Six rounds
+#: CORRECTNESS_r01–r09; each name appears in exactly one set).  Six rounds
 #: of refactors ran over shared plumbing since the r01–r03 receipts, so
 #: ``all_queries()`` now rotates: never-receipted new registrations first,
 #: then oldest receipts ascending — a ~50-name driver sample refreshes the
 #: ~50 stalest receipts each round (r8 verdict "Next round" #3).
 #: REFRESH each round: move the names CORRECTNESS_r0N sampled into a new
 #: _LATEST_RECEIPT_R0N set and clear _NEW_THIS_ROUND.
-_LATEST_RECEIPT_R01 = frozenset({
-    "agg_cube", "agg_distinct", "agg_filtered_revenue",
-    "agg_grouping_sets", "agg_market_share", "agg_pricing_summary",
-    "agg_rollup", "join_asof", "join_asof_broadcast", "join_asof_forward",
-    "join_asof_tolerance", "join_disjunctive_bands",
-    "join_order_count_dist", "join_profit_by_nation_year",
-    "join_range_band", "join_returned_top_customers",
-    "join_revenue_by_nation", "join_session_error_overlap",
-    "join_shipping_priority", "join_top_supplier", "join_volume_shipping",
-    "join_waiting_suppliers", "scd2_intervals",
-})
-
 _LATEST_RECEIPT_R02 = frozenset({
-    "above_avg_orders", "agg_gini_by_type", "agg_promo_ratio",
-    "agg_winsorized_mean", "batch_sessionize", "correlated_small_quantity",
-    "dedup_semantic", "join_anti", "join_full_outer", "join_large_orders",
-    "join_left_order_counts", "join_rich_idle_customers", "join_semi",
-    "join_topk_shipping", "ngram_corpus_topk", "pivot_qty_by_status",
-    "rollup_cascade_daily", "rollup_hist_percentiles", "rollup_hourly",
-    "sample_stratified_quota", "sample_temperature_mixture",
-    "sample_weighted_quota", "scalar_array_funcs", "scalar_case_buckets",
-    "scalar_date_funcs", "scalar_math_funcs", "scalar_regex_null_funcs",
-    "scalar_string_funcs", "set_ops", "set_ops_all", "sim_range_search",
-    "text_decontaminate", "text_pii_redact", "text_quality_gate",
-    "text_seqlen_histogram", "topk_orders", "window_distribution",
-    "window_order_gaps", "window_quantile_bins", "window_rank_ntile",
-    "window_running_spend", "window_topk_per_customer", "window_zscore",
+    "agg_gini_by_type", "agg_promo_ratio", "agg_winsorized_mean",
+    "batch_sessionize", "correlated_small_quantity", "dedup_semantic",
+    "join_large_orders", "join_rich_idle_customers", "join_topk_shipping",
+    "ngram_corpus_topk", "rollup_cascade_daily",
+    "rollup_hist_percentiles", "rollup_hourly", "sample_stratified_quota",
+    "sample_temperature_mixture", "sample_weighted_quota",
+    "sim_range_search", "text_decontaminate", "text_pii_redact",
+    "text_quality_gate", "text_seqlen_histogram", "window_quantile_bins",
 })
 
 _LATEST_RECEIPT_R03 = frozenset({
@@ -183,23 +165,37 @@ _LATEST_RECEIPT_R08 = frozenset({
     "source_pp_offsets_parity", "sql_passthrough", "unpivot_metrics",
 })
 
+_LATEST_RECEIPT_R09 = frozenset({
+    "above_avg_orders", "agg_cube", "agg_distinct",
+    "agg_filtered_revenue", "agg_grouping_sets", "agg_market_share",
+    "agg_pricing_summary", "agg_rollup", "consume_transform_array_map",
+    "consume_transform_filter_map", "join_anti", "join_asof",
+    "join_asof_broadcast", "join_asof_forward", "join_asof_tolerance",
+    "join_disjunctive_bands", "join_full_outer", "join_left_order_counts",
+    "join_order_count_dist", "join_profit_by_nation_year",
+    "join_range_band", "join_returned_top_customers",
+    "join_revenue_by_nation", "join_semi", "join_session_error_overlap",
+    "join_shipping_priority", "join_top_supplier", "join_volume_shipping",
+    "join_waiting_suppliers", "loopback_aggregate_pushdown",
+    "loopback_array_map_pushdown", "loopback_filter_map_pushdown",
+    "loopback_transform_pushdown", "pivot_qty_by_status",
+    "scalar_array_funcs", "scalar_case_buckets", "scalar_date_funcs",
+    "scalar_math_funcs", "scalar_regex_null_funcs", "scalar_string_funcs",
+    "scd2_intervals", "set_ops", "set_ops_all", "topk_orders",
+    "window_distribution", "window_order_gaps", "window_rank_ntile",
+    "window_running_spend", "window_topk_per_customer", "window_zscore",
+})
+
 _RECEIPT_ROUNDS: tuple[frozenset[str], ...] = (
-    _LATEST_RECEIPT_R01, _LATEST_RECEIPT_R02, _LATEST_RECEIPT_R03,
-    _LATEST_RECEIPT_R04, _LATEST_RECEIPT_R05, _LATEST_RECEIPT_R06,
-    _LATEST_RECEIPT_R07, _LATEST_RECEIPT_R08,
+    _LATEST_RECEIPT_R02, _LATEST_RECEIPT_R03, _LATEST_RECEIPT_R04,
+    _LATEST_RECEIPT_R05, _LATEST_RECEIPT_R06, _LATEST_RECEIPT_R07,
+    _LATEST_RECEIPT_R08, _LATEST_RECEIPT_R09,
 )
 
 #: Queries REGISTERED this round: never driver-receipted, so they lead the
 #: ordering — the very next ~50-name driver sample must cover them before
 #: refreshing old receipts (every new operator needs a first receipt).
-_NEW_THIS_ROUND: frozenset[str] = frozenset({
-    "loopback_aggregate_pushdown",
-    "loopback_transform_pushdown",
-    "consume_transform_filter_map",
-    "consume_transform_array_map",
-    "loopback_array_map_pushdown",
-    "loopback_filter_map_pushdown",
-})
+_NEW_THIS_ROUND: frozenset[str] = frozenset()
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing
 #: (none currently — the r7 backlog was closed in r8).  Kept as a hook:
