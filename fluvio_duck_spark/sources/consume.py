@@ -133,6 +133,18 @@ def _with_pp_offset_bounds(log: DataFrame, opts: ConsumeOptions) -> DataFrame:
     return log
 
 
+def _budget_order_cols(log: DataFrame) -> list[str]:
+    """Ordering for "first N records" budgets.  Offset alone is a total
+    order on a raw log, but an array-map fan-out duplicates the parent
+    offset — when a budget bisects one parent's element group, the
+    offset tie makes the surviving element plan-dependent.  The chain
+    carries a stable element-sequence column (transforms.ELEM_SEQ_COL)
+    precisely for this: include it as the tie-breaker when present."""
+    from fluvio_duck_spark.transforms import ELEM_SEQ_COL
+
+    return ["offset", ELEM_SEQ_COL] if ELEM_SEQ_COL in log.columns else ["offset"]
+
+
 def _pp_row_budget(log: DataFrame, rows: int) -> DataFrame:
     """Per-partition ``--rows`` budget: the first ``rows`` records of
     each partition's stream (applied AFTER the transform chain, like the
@@ -140,7 +152,7 @@ def _pp_row_budget(log: DataFrame, rows: int) -> DataFrame:
     matches)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("partition").orderBy("offset")
+    w = Window.partitionBy("partition").orderBy(*_budget_order_cols(log))
     return (
         log.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= rows)
@@ -263,6 +275,6 @@ def fluvio_consume(
         log = _with_offset_bounds(log, opts)
         log = apply_transform_chain(log, chain)
         if opts.rows is not None:
-            log = log.orderBy("offset").limit(opts.rows)
+            log = log.orderBy(*_budget_order_cols(log)).limit(opts.rows)
 
     return log.select(projection(opts.columns))

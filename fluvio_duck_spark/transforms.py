@@ -165,6 +165,11 @@ def sql_filter_map_transform(df: DataFrame, params: dict) -> DataFrame:
 #: get_json_object path template, so reject anything expression-shaped.
 _ARRAY_MAP_PATH = re.compile(r"\$(\.\w+)*\Z")
 
+#: Column name for the array-map element-sequence tie-breaker (see
+#: array_map_transform); read by the consume row-budget paths, dropped by
+#: the final column projection.
+ELEM_SEQ_COL = "__elem_seq"
+
 
 def array_map_transform(df: DataFrame, params: dict) -> DataFrame:
     """Built-in array-map-kind smartmodule: a record whose payload (or
@@ -211,6 +216,18 @@ def array_map_transform(df: DataFrame, params: dict) -> DataFrame:
         ),
     )
     elem = F.expr(f"get_json_object(value, concat('{path}[', {idx}, ']'))")
+    # Stable intra-record ordering receipt: fan-out duplicates the parent
+    # offset, so any downstream "first N records" budget that orders by
+    # offset alone is tie-ambiguous when the budget bisects one parent's
+    # element group — which element survives could differ between plan
+    # evaluations.  Carry a lexicographically ordered element-sequence
+    # column (zero-padded, dot-joined per fan-out level so CHAINED
+    # array-maps stay totally ordered); the consume budget paths use it
+    # as the offset tie-breaker and the final projection drops it.
+    seq = F.lpad(F.col(idx).cast("string"), 9, "0")
+    if ELEM_SEQ_COL in out.columns:
+        seq = F.concat(F.col(ELEM_SEQ_COL), F.lit("."), seq)
+    out = out.withColumn(ELEM_SEQ_COL, seq)
     return out.withColumn("value", elem).drop(idx)
 
 

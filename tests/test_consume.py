@@ -443,3 +443,74 @@ def test_smartmodule_array_map_option_string(spark, sf_dir):
     assert set(got) == set(k_by_offset)
     for off, elems in got.items():
         assert sorted(elems) == [k_by_offset[off], k_by_offset[off] + 1]
+
+
+def test_array_map_budget_bisecting_fanout_group_is_deterministic(spark, sf_dir):
+    """A --rows budget that BISECTS one parent's fan-out group must keep
+    the parent's elements in ELEMENT order, not an offset-tie coin flip:
+    with a 2x fan-out and an odd budget of 401, the 401st record is the
+    FIRST element (k) of the 201st parent — never k+1.  The chain carries
+    a stable element-sequence tie-breaker to make that ordering a plan
+    property rather than an evaluation accident (advice r9)."""
+    import json as _json
+
+    raw = fluvio_consume(spark, "events -A -B --rows 201", sf_dir=sf_dir)
+    k_by_offset = {
+        r.offset: int(_json.loads(r.value)["k"]) for r in raw.collect()
+    }
+    boundary_off = max(k_by_offset)
+    chain_args = [
+        "events", "-A", "-B", "--rows", "401",
+        "--transform",
+        '{"uses":"sql-map","with":{"value":'
+        '"concat(\'[\', get_json_object(value, \'$.k\'), \',\', '
+        'cast(cast(get_json_object(value, \'$.k\') as long) + 1 '
+        'as string), \']\')"}}',
+        "--transform",
+        '{"uses":"sql-array-map","with":{"path":"$"}}',
+    ]
+    for _ in range(2):  # re-evaluate the same plan: result must be stable
+        df = fluvio_consume(spark, chain_args, sf_dir=sf_dir)
+        rows = df.collect()
+        assert len(rows) == 401
+        bisected = [int(r.value) for r in rows if r.offset == boundary_off]
+        assert bisected == [k_by_offset[boundary_off]]
+
+
+def test_chained_array_maps_keep_total_element_order(spark, sf_dir):
+    """Two stacked array-maps (4x fan-out) with a budget that cuts
+    mid-group: the element-sequence tie-breaker composes per fan-out
+    level, so the survivors of the cut parent are the leading elements
+    of the NESTED order [[k,k+1],[k+2,k+3]] flattened — k then k+1,
+    never a later leaf."""
+    import json as _json
+
+    raw = fluvio_consume(spark, "events -A -B --rows 3", sf_dir=sf_dir)
+    k_by_offset = {
+        r.offset: int(_json.loads(r.value)["k"]) for r in raw.collect()
+    }
+    boundary_off = max(k_by_offset)
+    k0 = k_by_offset[boundary_off]
+    df = fluvio_consume(
+        spark,
+        [
+            "events", "-A", "-B", "--rows", "10",
+            "--transform",
+            '{"uses":"sql-map","with":{"value":'
+            '"concat(\'[[\', get_json_object(value, \'$.k\'), \',\', '
+            'cast(cast(get_json_object(value, \'$.k\') as long) + 1 as string), '
+            '\'],[\', '
+            'cast(cast(get_json_object(value, \'$.k\') as long) + 2 as string), \',\', '
+            'cast(cast(get_json_object(value, \'$.k\') as long) + 3 as string), '
+            '\']]\')"}}',
+            "--transform",
+            '{"uses":"sql-array-map","with":{"path":"$"}}',
+            "--transform",
+            '{"uses":"sql-array-map","with":{"path":"$"}}',
+        ],
+        sf_dir=sf_dir,
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    cut = [int(r.value) for r in rows if r.offset == boundary_off]
+    assert cut == [k0, k0 + 1]
