@@ -311,7 +311,7 @@ def q_consume_aggregate_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fluvio_consume(
         spark,
         "events -A -B --rows 200 --smartmodule sum-aggregate "
-        "--aggregate-initial 1000 -e field=k",
+        "--aggregate-initial 1000 -e field=k -e global=true",
         sf_dir=sf_dir,
     )
 

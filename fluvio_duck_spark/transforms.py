@@ -245,12 +245,35 @@ def aggregate_sum_transform(df: DataFrame, params: dict, accumulator: str = "0")
     src/consume.rs:687-695), and the form that scales: the shuffle is
     keyed by partition, so a 1000-partition topic folds on 1000 tasks
     instead of one.  For unbounded logs use
-    streaming.stateful.aggregate_fold_stream."""
+    streaming.stateful.aggregate_fold_stream.
+
+    Scale guard (r9 verdict #3): the global default SERIALIZES the whole
+    log through one task.  That is the documented reference behavior for
+    a single pinned SPU partition, but on a multi-partition log it is a
+    silent scale cliff — so when the frame still carries a ``partition``
+    column (i.e. the caller did not pin one and could fold per-partition
+    instead) and neither ``-e partitioned=true`` nor the explicit
+    acknowledgement ``-e global=true`` was given, a ``UserWarning`` names
+    the single-task window and both ways to resolve it."""
+    import warnings
+
     from pyspark.sql import Window
 
     field = params.get("field", "k")
     init = int(accumulator or "0")
-    partitioned = str(params.get("partitioned", "")).lower() in ("true", "1", "yes")
+    _flag = lambda key: str(params.get(key, "")).lower() in ("true", "1", "yes")
+    partitioned = _flag("partitioned")
+    if not partitioned and not _flag("global") and "partition" in df.columns:
+        warnings.warn(
+            "sum-aggregate folds the ENTIRE log through one task "
+            "(Window.partitionBy() with a global order) — a scale cliff on "
+            "multi-partition topics.  Pass -e partitioned=true for the "
+            "per-SPU fold (reference semantics under -A, and the form that "
+            "scales), or -e global=true to acknowledge the single-task "
+            "global fold.",
+            UserWarning,
+            stacklevel=2,
+        )
     base = (
         Window.partitionBy("partition") if partitioned else Window.partitionBy()
     )

@@ -514,3 +514,26 @@ def test_chained_array_maps_keep_total_element_order(spark, sf_dir):
     assert len(rows) == 10
     cut = [int(r.value) for r in rows if r.offset == boundary_off]
     assert cut == [k0, k0 + 1]
+
+
+def test_global_aggregate_fold_warns_without_acknowledgement(spark, sf_dir):
+    """The aggregate kind's default global fold serializes the whole log
+    through one task (r9 verdict #3): composing it over a frame that
+    still carries a partition column must emit a loud UserWarning naming
+    both resolutions; -e partitioned=true and -e global=true silence it."""
+    import warnings
+
+    base = (
+        "events -A -B --rows 50 --smartmodule sum-aggregate "
+        "--aggregate-initial 0 -e field=k"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fluvio_consume(spark, base, sf_dir=sf_dir)
+        msgs = [str(w.message) for w in caught if w.category is UserWarning]
+    assert any("one task" in m and "partitioned=true" in m for m in msgs)
+    for silencer in (" -e partitioned=true", " -e global=true"):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            fluvio_consume(spark, base + silencer, sf_dir=sf_dir)
+            assert not [w for w in caught if w.category is UserWarning]
