@@ -116,19 +116,16 @@ def concat_pack(
     ``n_tokens`` defaults to the whitespace token count of ``text``
     (must be ≥ 1 per row with that tokenizer, matching the oracle).
     """
+    from fluvio_duck_spark.operators.ranking import bucket_by_quantiles
+
     spark = df.sparkSession
     toks = n_tokens if n_tokens is not None else F.size(tokenize("text"))
     base = df.select(F.col(id_col), toks.cast("long").alias("n_tokens"))
     parts = num_partitions or spark.sparkContext.defaultParallelism
-    bkt = F.lit(0)
-    if parts > 1:
-        probs = [i / parts for i in range(1, parts)]
-        # loose sketch error: boundaries affect balance only (ranking.py)
-        for b in sorted(set(
-            base.stat.approxQuantile(id_col, probs, max(0.02, 1.0 / (4 * parts)))
-        )):
-            bkt = bkt + (F.col(id_col) > F.lit(b)).cast("int")
-    ranged = base.withColumn("__pid", bkt)
+    # shared value-derived bucketing (ranking.py): NULL ids land in
+    # bucket 0 (NULLS FIRST) instead of being dropped by the offsets
+    # join; non-numeric ids degrade to one bucket with a loud warning
+    ranged = base.withColumn("__pid", bucket_by_quantiles(base, id_col, parts))
     totals = ranged.groupBy("__pid").agg(F.sum("n_tokens").alias("__ptot"))
     w_parts = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

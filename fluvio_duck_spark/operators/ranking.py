@@ -31,8 +31,71 @@ Value-derived buckets make any number of evaluations agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window as W
+import warnings
+
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+
+#: dtypes approxQuantile accepts directly (DecimalType matches by prefix).
+_NUMERIC_DTYPES = frozenset(
+    {"tinyint", "smallint", "int", "bigint", "float", "double"}
+)
+
+
+def bucket_by_quantiles(
+    df: DataFrame, col: str, n_buckets: int
+) -> Column:
+    """Value-derived bucket id for ``col``: how many of ~``n_buckets``
+    driver-sampled quantile boundaries the row's value exceeds — a pure
+    function of the row value, so every re-evaluation of a two-branch
+    plan assigns the identical bucket (see module docstring; the
+    eval-dependent repartitionByRange id was the sf1-receipt bug).
+
+    Contract made explicit (advice r9): sampling runs a job at COMPOSE
+    time (approxQuantile is eager — inherent to shipping boundaries back
+    as literals).  NULL values land in bucket 0, matching the ascending
+    window's NULLS FIRST order — previously a NULL comparison made the
+    bucket id NULL and the offsets equi-join silently DROPPED the row.
+    Temporal columns sample through a numeric surrogate (timestamp →
+    epoch seconds, date → epoch days); any other non-numeric dtype falls
+    back to a single bucket — still correct, but a single-task window,
+    so it warns loudly instead of raising mid-pipeline."""
+    dtype = dict(df.dtypes).get(col)
+    cmp_expr = F.col(col)
+    if dtype in _NUMERIC_DTYPES or (dtype or "").startswith("decimal"):
+        probe = df.select(F.col(col).alias("__q"))
+    elif dtype == "timestamp":
+        cmp_expr = F.col(col).cast("double")
+        probe = df.select(cmp_expr.alias("__q"))
+    elif dtype == "date":
+        cmp_expr = F.datediff(F.col(col), F.lit("1970-01-01"))
+        probe = df.select(cmp_expr.cast("double").alias("__q"))
+    else:
+        warnings.warn(
+            f"bucket_by_quantiles: column {col!r} has non-numeric dtype "
+            f"{dtype!r} (approxQuantile cannot sample it) — falling back "
+            "to a SINGLE bucket, which serializes the windowed stage "
+            "through one task.  Rank/pack on a numeric, timestamp, or "
+            "date key for the bucketed scale path.",
+            UserWarning,
+            stacklevel=3,
+        )
+        return F.lit(0)
+    bounds: list[float] = []
+    if n_buckets > 1:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        # boundary drift costs balance only, never correctness, so the
+        # sketch error is loose — a tight epsilon made the sampling
+        # pre-scan cost more than the rank itself (2.3x at sf0.1)
+        bounds = sorted(set(
+            probe.stat.approxQuantile("__q", probs, max(0.02, 1.0 / (4 * n_buckets)))
+        ))
+    bkt = F.lit(0)
+    for b in bounds:
+        # coalesce: NULL > boundary is NULL; count it as "not above" so
+        # NULLs deterministically join bucket 0 instead of vanishing
+        bkt = bkt + F.coalesce((cmp_expr > F.lit(b)).cast("int"), F.lit(0))
+    return bkt
 
 
 def global_rank(
@@ -43,24 +106,16 @@ def global_rank(
 ) -> DataFrame:
     """Attach a dense 1-based global rank by ``order_cols`` (which must
     end in a tie-breaking unique key) without a single-partition sort.
-    The leading order column must be numeric and non-NULL (every call
-    site ranks a score/price/count); all ties of one leading value land
-    in one bucket, so a single dominant value degrades balance, not
+    Leading-column contract: numeric/timestamp/date buckets across ~
+    ``n_partitions`` tasks; other dtypes degrade to one bucket with a
+    warning; NULL leads rank first (ascending NULLS FIRST), matching
+    the bucket-0 placement.  All ties of one leading value land in one
+    bucket, so a single dominant value degrades balance, not
     correctness."""
     lead = order_cols[0]
-    bounds: list[float] = []
-    if n_partitions > 1:
-        probs = [i / n_partitions for i in range(1, n_partitions)]
-        # boundary drift costs balance only, never correctness, so the
-        # sketch error is loose — a tight epsilon made the sampling
-        # pre-scan cost more than the rank itself (2.3x at sf0.1)
-        bounds = sorted(set(
-            df.stat.approxQuantile(lead, probs, max(0.02, 1.0 / (4 * n_partitions)))
-        ))
-    bkt = F.lit(0)
-    for b in bounds:
-        bkt = bkt + (F.col(lead) > F.lit(b)).cast("int")
-    tagged = df.withColumn("__bkt", bkt).withColumn(
+    tagged = df.withColumn(
+        "__bkt", bucket_by_quantiles(df, lead, n_partitions)
+    ).withColumn(
         "__lrk",
         F.row_number().over(W.partitionBy("__bkt").orderBy(*order_cols)),
     )

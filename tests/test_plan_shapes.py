@@ -386,6 +386,66 @@ def test_global_rank_matches_window_without_global_sort(spark):
     assert a == b
 
 
+def test_global_rank_keeps_null_leads_and_matches_nulls_first(spark):
+    """NULL leading values must NOT be silently dropped (advice r9: a
+    NULL > boundary comparison made the bucket id NULL and the offsets
+    equi-join lost the row) — they land in bucket 0 and rank first,
+    exactly Spark's ascending NULLS FIRST window order."""
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.ranking import global_rank
+
+    df = (
+        spark.range(0, 2000)
+        .select(
+            "id",
+            F.when(F.col("id") % 13 == 0, None)
+            .otherwise(F.hash("id") % 500)
+            .alias("v"),
+        )
+        .repartition(8)
+    )
+    ranked = global_rank(df, ["v", "id"], n_partitions=8)
+    assert ranked.count() == 2000  # nothing dropped
+    expect = df.withColumn("rank", F.row_number().over(W.orderBy("v", "id")))
+    assert (
+        ranked.orderBy("rank").collect() == expect.orderBy("rank").collect()
+    )
+
+
+def test_global_rank_temporal_and_string_lead_contract(spark):
+    """Temporal leads bucket through a numeric surrogate (no eager
+    approxQuantile failure); a string lead degrades to one bucket with a
+    loud UserWarning instead of raising mid-pipeline (advice r9)."""
+    import warnings
+
+    from pyspark.sql import Window as W
+
+    from fluvio_duck_spark.operators.ranking import global_rank
+
+    dated = spark.range(0, 500).select(
+        "id", F.date_add(F.lit("2024-01-01"), (F.hash("id") % 365)).alias("d")
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = global_rank(dated, ["d", "id"], n_partitions=4)
+        rows = got.orderBy("rank").collect()
+    assert not [w for w in caught if w.category is UserWarning]
+    expect = dated.withColumn("rank", F.row_number().over(W.orderBy("d", "id")))
+    assert rows == expect.orderBy("rank").collect()
+
+    strung = spark.range(0, 100).select(
+        "id", F.concat(F.lit("s"), F.lpad("id", 5, "0")).alias("s")
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = global_rank(strung, ["s", "id"], n_partitions=4)
+        rows = got.orderBy("rank").collect()
+    assert [w for w in caught if w.category is UserWarning]
+    expect = strung.withColumn("rank", F.row_number().over(W.orderBy("s", "id")))
+    assert rows == expect.orderBy("rank").collect()
+
+
 def test_quantile_bins_uniform_split(spark):
     from fluvio_duck_spark.operators.ranking import quantile_bins
 
