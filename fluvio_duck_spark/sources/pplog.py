@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -76,6 +77,11 @@ def _scratch_root(sf_dir: str, suffix: str = "") -> str:
     return os.path.join(tempfile.gettempdir(), "fluvio_duck_pplog", base)
 
 
+#: Builder touches its lock file this often; waiters declare the builder
+#: dead only after ``timeout_s`` WITHOUT a touch (see _build_scratch_once).
+_LOCK_HEARTBEAT_S = 5.0
+
+
 def _build_scratch_once(root: str, key: str, build, timeout_s: float = 900.0) -> None:
     """Cross-PROCESS build-once for a marker-keyed scratch dir.  A bare
     marker check is racy: two processes that both see no marker both run
@@ -83,15 +89,19 @@ def _build_scratch_once(root: str, key: str, build, timeout_s: float = 900.0) ->
     doubled partition behind (caught by the round-9 sf1 receipt — two
     verify shards raced the array-log scratch and one partition came
     back 2x).  The first caller takes an O_EXCL lock file and builds;
-    concurrent callers poll the marker until the builder finishes.  A
-    crashed builder leaves a stale lock — raise loudly after
-    ``timeout_s`` instead of spinning forever."""
+    concurrent callers poll the marker until the builder finishes.
+
+    Crash detection is by lock-file STALENESS, not total wait time
+    (advice r9): a live builder touches the lock's mtime every
+    ``_LOCK_HEARTBEAT_S`` while it works, so waiters time out only when
+    the lock goes ``timeout_s`` without a heartbeat — a healthy builder
+    writing a huge fixture on a contended box can legitimately hold the
+    lock far longer than any fixed total-wall-time budget."""
     if os.path.exists(os.path.join(root, "_READY")) \
             and open(os.path.join(root, "_READY")).read() == key:
         return
     os.makedirs(os.path.dirname(root), exist_ok=True)
     lock = root + ".lock"
-    deadline = time.monotonic() + timeout_s
     while True:
         marker = os.path.join(root, "_READY")
         if os.path.exists(marker) and open(marker).read() == key:
@@ -99,20 +109,37 @@ def _build_scratch_once(root: str, key: str, build, timeout_s: float = 900.0) ->
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            if time.monotonic() > deadline:
+            try:
+                age = time.time() - os.path.getmtime(lock)
+            except OSError:
+                continue  # lock vanished between open and stat — retry
+            if age > timeout_s:
                 raise TimeoutError(
-                    f"scratch build lock {lock!r} held for >{timeout_s}s — "
-                    "a concurrent builder crashed? remove the lock file to "
-                    "rebuild"
+                    f"scratch build lock {lock!r} heartbeat is {age:.0f}s "
+                    f"stale (>{timeout_s}s) — the builder crashed? remove "
+                    "the lock file to rebuild"
                 )
             time.sleep(0.5)
             continue
+        hb_stop = threading.Event()
+
+        def _heartbeat() -> None:
+            while not hb_stop.wait(_LOCK_HEARTBEAT_S):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return
+
+        hb = threading.Thread(target=_heartbeat, daemon=True)
+        hb.start()
         try:
             if not (os.path.exists(marker) and open(marker).read() == key):
                 build()
                 with open(marker, "w") as fh:
                     fh.write(key)
         finally:
+            hb_stop.set()
+            hb.join()
             os.close(fd)
             os.unlink(lock)
         return

@@ -592,3 +592,58 @@ def test_skewed_partition_drain_chunks_to_granule(tmp_path):
             assert len(got) <= granule
             rows.extend(got)
         assert sorted(rows) == list(range(sizes[pid]))
+
+
+def test_scratch_lock_staleness_not_total_wait(tmp_path):
+    """Waiters must distinguish a LIVE builder (lock mtime keeps moving —
+    wait past any total-time budget) from a CRASHED one (stale mtime —
+    raise).  The r9 total-wall-time deadline failed healthy concurrent
+    shards whenever a big fixture build outlived the budget (advice r9)."""
+    import os
+    import threading
+    import time
+
+    from fluvio_duck_spark.sources import pplog
+
+    root = str(tmp_path / "scratch")
+    lock = root + ".lock"
+
+    # 1. live builder: holds the lock longer than timeout_s but
+    # heartbeats; the waiter must succeed, not TimeoutError.
+    release = threading.Event()
+
+    def slow_build():
+        os.makedirs(root, exist_ok=True)  # a real build materializes root
+        release.wait(10.0)
+
+    t = threading.Thread(
+        target=pplog._build_scratch_once,
+        args=(root, "k1", slow_build),
+        kwargs={"timeout_s": 0.8},
+        daemon=True,
+    )
+    hb_orig = pplog._LOCK_HEARTBEAT_S
+    pplog._LOCK_HEARTBEAT_S = 0.1
+    try:
+        t.start()
+        while not os.path.exists(lock):
+            time.sleep(0.01)
+        time.sleep(1.2)  # already past timeout_s of total wall time
+        release.set()
+        done: list[str] = []
+        pplog._build_scratch_once(root, "k1", lambda: done.append("ran"),
+                                  timeout_s=0.8)
+        t.join(5.0)
+        assert done == []  # builder's marker satisfied the waiter
+        assert open(os.path.join(root, "_READY")).read() == "k1"
+
+        # 2. crashed builder: a lock nobody touches goes stale -> raise.
+        os.remove(os.path.join(root, "_READY"))
+        with open(lock, "w"):
+            pass
+        old = time.time() - 5.0
+        os.utime(lock, (old, old))
+        with pytest.raises(TimeoutError, match="stale"):
+            pplog._build_scratch_once(root, "k2", lambda: None, timeout_s=0.8)
+    finally:
+        pplog._LOCK_HEARTBEAT_S = hb_orig
