@@ -195,7 +195,9 @@ _RECEIPT_ROUNDS: tuple[frozenset[str], ...] = (
 #: Queries REGISTERED this round: never driver-receipted, so they lead the
 #: ordering — the very next ~50-name driver sample must cover them before
 #: refreshing old receipts (every new operator needs a first receipt).
-_NEW_THIS_ROUND: frozenset[str] = frozenset()
+_NEW_THIS_ROUND: frozenset[str] = frozenset({
+    "loopback_chain_prefix_pushdown",
+})
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing
 #: (none currently — the r7 backlog was closed in r8).  Kept as a hook:

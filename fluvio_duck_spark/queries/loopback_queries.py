@@ -289,6 +289,68 @@ def _q_loopback_transform_pushdown(spark: SparkSession, sf_dir: str) -> DataFram
         return pushed.unionAll(engine).localCheckpoint(eager=True)
 
 
+def _q_loopback_chain_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFIX-split chain pushdown (r9 verdict #6): when one tail link is
+    untranslatable, the all-or-nothing translator forfeits the whole wire
+    win — but links compose left-to-right, so the translatable HEAD can
+    ship server-side and the tail run engine-side over the (already
+    filtered and shifted) wire records with identical semantics.  Here
+    ``filter(k>=50) → jolt shift(k→kk)`` pushes to the record server and
+    the untranslatable ``sql-map concat('v:', …)`` rewrite runs
+    engine-side on the survivors; the split leg must be bit-identical to
+    the whole chain run engine-side, row by row including the rewritten
+    value text.  Wire bytes for the split sit strictly between the
+    no-push and full-push bounds
+    (tests/test_loopback.py::test_prefix_pushdown_wire_bytes_between_bounds)."""
+    import json
+
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.loopback import split_translatable_prefix
+    from fluvio_duck_spark.transforms import TransformSpec, apply_transform_chain
+
+    transforms = [
+        {"uses": "sql-filter",
+         "with": {"where":
+                  "cast(get_json_object(value, '$.k') as int) >= 50"}},
+        {"uses": "infinyon/jolt@0.1.0",
+         "with": {"spec": [{"operation": "shift", "spec": {"k": "kk"}}]}},
+        {"uses": "sql-map",
+         "with": {"value":
+                  "concat('v:', get_json_object(value, '$.kk'))"}},
+    ]
+    chain, tail = split_translatable_prefix(transforms)
+    # the query exists to exercise the SPLIT: head pushed, tail engine-side
+    assert [op["kind"] for op in chain] == ["filter", "shift"] and len(tail) == 1
+
+    with _server(spark, sf_dir) as addr:
+        args = "-A -T 40 --rows 1000000"
+        wire = (
+            spark.read.format("fluvio")
+            .option("server", addr).option("args", args)
+            .option("chain", json.dumps(chain))
+            .load()
+        )
+        split_leg = apply_transform_chain(
+            wire,
+            [TransformSpec(uses=t["uses"], params=dict(t["with"]))
+             for t in tail],
+        ).select(F.lit("pushed").alias("leg"), "offset", "value")
+        engine = fluvio_consume(
+            spark,
+            ["events"] + args.split() + sum(
+                [["--transform", json.dumps(t)] for t in transforms], []
+            ),
+            sf_dir=sf_dir,
+            source=(
+                spark.read.format("fluvio")
+                .option("server", addr)
+                .option("args", "-A -B --rows 1000000").load()
+            ),
+            per_partition_offsets=True,
+        ).select(F.lit("engine").alias("leg"), "offset", "value")
+        return split_leg.unionAll(engine).localCheckpoint(eager=True)
+
+
 def _q_loopback_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LAST SmartModule kind crossing the executed connector seam:
     the aggregate fold, pushed server-side behind an ordered sql-filter
@@ -526,6 +588,29 @@ QUERIES.update({
             "chain, bit-identical per row including the running-sum text; "
             "the plan pins one task per partition so no chunk boundary can "
             "reseed the accumulator",
+    ),
+    "loopback_chain_prefix_pushdown": QuerySpec(
+        _q_loopback_chain_prefix_pushdown,
+        """
+        WITH """ + _PP_CTE + """,
+        tail AS (
+          SELECT "offset", "value" FROM pp WHERE "offset" >= leo - 40
+        ),
+        f AS (
+          SELECT "offset",
+                 'v:' || json_extract_string("value", '$.k') AS "value"
+          FROM tail
+          WHERE CAST(json_extract_string("value", '$.k') AS INTEGER) >= 50
+        )
+        SELECT 'pushed' AS leg, * FROM f
+        UNION ALL
+        SELECT 'engine' AS leg, * FROM f
+        """,
+        doc="r10: PREFIX-split pushdown — translatable head "
+            "(filter -> jolt shift) executes on the record server, the "
+            "untranslatable sql-map tail runs engine-side over the wire "
+            "records; bit-identical to the whole chain engine-side, wire "
+            "bytes between the no-push and full-push bounds",
     ),
     "loopback_transform_pushdown": QuerySpec(
         _q_loopback_transform_pushdown,

@@ -404,9 +404,11 @@ def _apply_server_filter(tbl, flt: dict):
 def translate_transform_chain(transforms) -> list[dict] | None:
     """Translate an ORDERED engine-side SmartModule chain into the record
     server's chain DSL — or None when ANY link falls outside the
-    translatable subset (the whole chain then stays engine-side; pushing
-    a prefix would reorder effects across the wire, the one thing
-    CONNECTOR.md §5 forbids).  This is the connector analogue of shipping
+    translatable subset (the whole chain then stays engine-side; for the
+    partial-win form that pushes the translatable HEAD and keeps the
+    tail engine-side — legal because links compose left-to-right, so a
+    prefix split never reorders effects across the wire — use
+    :func:`split_translatable_prefix`).  This is the connector analogue of shipping
     the full transform chain to the SPU so it executes before bytes
     cross the network (reference src/consume.rs:650-673) — the
     reference examples' entire real workload is exactly one such jolt
@@ -458,94 +460,145 @@ def translate_transform_chain(transforms) -> list[dict] | None:
     TransformSpec objects (the latter carry ``aggregate_initial`` from
     the ``--aggregate-initial`` front end; dicts may use an
     ``"aggregate_initial"`` key)."""
-    ops: list[dict] = []
+    ops, tail = split_translatable_prefix(transforms)
+    return ops if not tail else None
+
+
+def split_translatable_prefix(transforms) -> tuple[list[dict], list]:
+    """Longest-prefix variant of :func:`translate_transform_chain` (r9
+    verdict #6): translate the translatable HEAD of the chain for the
+    server and return the untranslatable TAIL for the engine.  Links
+    compose left-to-right, so server-prefix-then-engine-tail preserves
+    the chain's semantics exactly — the all-or-nothing rule only ever
+    guarded against REORDERING effects across the wire, which a prefix
+    split never does.
+
+    One ordering guard survives the split: when the engine tail contains
+    a ``sum-aggregate`` link, a pushed unnest upstream would hand the
+    engine fold duplicated offsets WITHOUT the engine's element-sequence
+    tie-breaker (transforms.ELEM_SEQ_COL travels only through the
+    engine-side array_map_transform), so the prefix is cut back to just
+    before its first unnest — the unnest and everything after it run
+    engine-side, where the fold's input order is the one the
+    whole-engine chain would see.
+
+    Returns ``(ops, tail)``; ``tail`` entries keep their original form
+    (dict or TransformSpec), ready for ``load_transform_chain``-style
+    re-use or ``apply_transform_chain`` via TransformSpec conversion."""
+    transforms = list(transforms)
+    per_link: list[list[dict]] = []
     seen_unnest = False
+    n_pushed = 0
     for t in transforms:
-        uses = t["uses"] if isinstance(t, dict) else t.uses
-        params = (t.get("with", {}) or {}) if isinstance(t, dict) else t.params
-        if uses == "sql-filter":
-            flt = translate_sql_filter(params.get("where", ""))
-            if flt is None:
-                return None
-            ops.append({"kind": "filter", **flt})
-        elif uses == "sql-map":
-            mp = _translate_sql_map(params.get("value", ""))
-            if mp is None:
-                return None
-            ops.append(mp)
-        elif uses == "sql-filter-map":
-            # the filter-map kind's translatable subset is exactly the
-            # map kind's (the drop decision is "was the rewrite NULL",
-            # which every mirror-safe rewrite decides identically on
-            # both sides: upper/lower are NULL only for a NULL payload,
-            # json_path is NULL for missing key / JSON null / malformed)
-            mp = _translate_sql_map(params.get("value", ""))
-            if mp is None:
-                return None
-            ops.append({**mp, "kind": "filter_map"})
-        elif uses == "sql-array-map":
-            from fluvio_duck_spark.transforms import _ARRAY_MAP_PATH
+        link = _translate_link(t, seen_unnest)
+        if link is None:
+            break
+        link_ops, seen_unnest = link
+        per_link.append(link_ops)
+        n_pushed += 1
+    tail = transforms[n_pushed:]
+    if any(
+        (t["uses"] if isinstance(t, dict) else t.uses) == "sum-aggregate"
+        for t in tail
+    ):
+        for j, link_ops in enumerate(per_link):
+            if any(op["kind"] == "unnest" for op in link_ops):
+                per_link = per_link[:j]
+                tail = transforms[j:]
+                break
+    return [op for link_ops in per_link for op in link_ops], tail
 
-            path = params.get("path", "$")
-            if not _ARRAY_MAP_PATH.match(path):
-                return None
-            seen_unnest = True
-            ops.append({"kind": "unnest", "path": path})
-        elif uses == "sum-aggregate":
-            partitioned = str(params.get("partitioned", "")).lower() in (
-                "true", "1", "yes")
-            if not partitioned:
-                # the global fold orders across partition logs; no
-                # per-partition fetch can see that ordering — engine-side
-                return None
-            if seen_unnest:
-                # an array-map upstream duplicates offsets; the engine's
-                # offset-ordered fold is then order-AMBIGUOUS between
-                # tied records, so no server pass can be bit-identical
-                # to it — the whole chain stays engine-side (and the
-                # composition is documented as order-ambiguous there)
-                return None
-            init = (t.get("aggregate_initial") if isinstance(t, dict)
-                    else t.aggregate_initial)
-            ops.append({"kind": "fold",
-                        "field": params.get("field", "k"),
-                        "init": int(init or "0")})
-        elif uses.startswith("infinyon/jolt@"):
-            from fluvio_duck_spark.transforms import (
-                TransformError,
-                _jolt_leaves,
-            )
 
-            spec = params.get("spec")
-            if isinstance(spec, str):
-                try:
-                    spec = json.loads(spec)
-                except ValueError:
-                    return None
-            if not isinstance(spec, list):
-                return None
-            for op in spec:
-                kind = op.get("operation")
-                if kind == "shift":
-                    try:
-                        pairs = _jolt_leaves(op.get("spec", {}))
-                    except TransformError:
-                        return None
-                    ops.append({"kind": "shift",
-                                "pairs": [list(p) for p in pairs]})
-                elif kind == "default":
-                    ops.append({
-                        "kind": "default",
-                        "fields": [
-                            [key, json.dumps(default)]
-                            for key, default in op.get("spec", {}).items()
-                        ],
-                    })
-                else:
-                    return None
-        else:
+def _translate_link(t, seen_unnest: bool) -> tuple[list[dict], bool] | None:
+    """Translate ONE chain link into server ops (jolt may emit several),
+    or None when the link falls outside the translatable subset; returns
+    the updated seen-unnest flag alongside the ops."""
+    uses = t["uses"] if isinstance(t, dict) else t.uses
+    params = (t.get("with", {}) or {}) if isinstance(t, dict) else t.params
+    ops: list[dict] = []
+    if uses == "sql-filter":
+        flt = translate_sql_filter(params.get("where", ""))
+        if flt is None:
             return None
-    return ops
+        ops.append({"kind": "filter", **flt})
+    elif uses == "sql-map":
+        mp = _translate_sql_map(params.get("value", ""))
+        if mp is None:
+            return None
+        ops.append(mp)
+    elif uses == "sql-filter-map":
+        # the filter-map kind's translatable subset is exactly the
+        # map kind's (the drop decision is "was the rewrite NULL",
+        # which every mirror-safe rewrite decides identically on
+        # both sides: upper/lower are NULL only for a NULL payload,
+        # json_path is NULL for missing key / JSON null / malformed)
+        mp = _translate_sql_map(params.get("value", ""))
+        if mp is None:
+            return None
+        ops.append({**mp, "kind": "filter_map"})
+    elif uses == "sql-array-map":
+        from fluvio_duck_spark.transforms import _ARRAY_MAP_PATH
+
+        path = params.get("path", "$")
+        if not _ARRAY_MAP_PATH.match(path):
+            return None
+        seen_unnest = True
+        ops.append({"kind": "unnest", "path": path})
+    elif uses == "sum-aggregate":
+        partitioned = str(params.get("partitioned", "")).lower() in (
+            "true", "1", "yes")
+        if not partitioned:
+            # the global fold orders across partition logs; no
+            # per-partition fetch can see that ordering — engine-side
+            return None
+        if seen_unnest:
+            # an array-map upstream duplicates offsets; the engine's
+            # offset-ordered fold is then order-AMBIGUOUS between
+            # tied records, so no server pass can be bit-identical
+            # to it — the fold never follows a pushed unnest (and the
+            # composition is documented as order-ambiguous engine-side)
+            return None
+        init = (t.get("aggregate_initial") if isinstance(t, dict)
+                else t.aggregate_initial)
+        ops.append({"kind": "fold",
+                    "field": params.get("field", "k"),
+                    "init": int(init or "0")})
+    elif uses.startswith("infinyon/jolt@"):
+        from fluvio_duck_spark.transforms import (
+            TransformError,
+            _jolt_leaves,
+        )
+
+        spec = params.get("spec")
+        if isinstance(spec, str):
+            try:
+                spec = json.loads(spec)
+            except ValueError:
+                return None
+        if not isinstance(spec, list):
+            return None
+        for op in spec:
+            kind = op.get("operation")
+            if kind == "shift":
+                try:
+                    pairs = _jolt_leaves(op.get("spec", {}))
+                except TransformError:
+                    return None
+                ops.append({"kind": "shift",
+                            "pairs": [list(p) for p in pairs]})
+            elif kind == "default":
+                ops.append({
+                    "kind": "default",
+                    "fields": [
+                        [key, json.dumps(default)]
+                        for key, default in op.get("spec", {}).items()
+                    ],
+                })
+            else:
+                return None
+    else:
+        return None
+    return ops, seen_unnest
 
 
 _MAP_CASE_RE = re.compile(r"^\s*(upper|lower)\s*\(\s*value\s*\)\s*$",

@@ -491,6 +491,72 @@ def test_translate_transform_chain_scope(spark):
     ) is None
 
 
+def test_split_translatable_prefix_contract():
+    """split_translatable_prefix: longest translatable head + engine
+    tail; full chains split with an empty tail; a fold in the tail cuts
+    the prefix back before any pushed unnest (the engine fold would
+    otherwise order over wire-duplicated offsets without the engine's
+    element-sequence tie-breaker)."""
+    from fluvio_duck_spark.sources.loopback import split_translatable_prefix
+
+    flt = {"uses": "sql-filter",
+           "with": {"where":
+                    "cast(get_json_object(value, '$.k') as int) >= 50"}}
+    jolt = {"uses": "infinyon/jolt@0.1.0",
+            "with": {"spec": [{"operation": "shift", "spec": {"k": "kk"}}]}}
+    bad = {"uses": "sql-map", "with": {"value": "concat(value, 'x')"}}
+    unnest = {"uses": "sql-array-map", "with": {"path": "$"}}
+    fold = {"uses": "sum-aggregate",
+            "with": {"field": "k", "partitioned": "true"}}
+
+    ops, tail = split_translatable_prefix([flt, jolt, bad])
+    assert [op["kind"] for op in ops] == ["filter", "shift"]
+    assert tail == [bad]
+    # fully translatable -> empty tail, same ops as the all-or-nothing form
+    ops, tail = split_translatable_prefix([flt, jolt])
+    assert [op["kind"] for op in ops] == ["filter", "shift"] and tail == []
+    # untranslatable head -> nothing pushes
+    ops, tail = split_translatable_prefix([bad, flt])
+    assert ops == [] and tail == [bad, flt]
+    # fold in the ENGINE tail cuts the prefix before the pushed unnest
+    ops, tail = split_translatable_prefix([flt, unnest, bad, fold])
+    assert [op["kind"] for op in ops] == ["filter"]
+    assert tail == [unnest, bad, fold]
+    # fold inside the prefix (no unnest upstream) still pushes whole
+    ops, tail = split_translatable_prefix([flt, fold, bad])
+    assert [op["kind"] for op in ops] == ["filter", "fold"] and tail == [bad]
+
+
+def test_prefix_pushdown_wire_bytes_between_bounds(server):
+    """The prefix split keeps most of the wire win when one tail link is
+    untranslatable: over the same window, bytes(full push) <=
+    bytes(prefix push) < bytes(no push) — the prefix (filter+shift)
+    bounds the payload, the engine-side concat tail adds nothing to the
+    wire."""
+    from fluvio_duck_spark.sources.loopback import split_translatable_prefix
+
+    transforms = [
+        {"uses": "sql-filter",
+         "with": {"where":
+                  "cast(get_json_object(value, '$.k') as int) >= 50"}},
+        {"uses": "infinyon/jolt@0.1.0",
+         "with": {"spec": [{"operation": "shift", "spec": {"k": "kk"}}]}},
+        {"uses": "sql-map",
+         "with": {"value": "concat('v:', get_json_object(value, '$.kk'))"}},
+    ]
+    prefix_ops, tail = split_translatable_prefix(transforms)
+    assert len(prefix_ops) == 2 and len(tail) == 1
+    full_ops, no_tail = split_translatable_prefix(transforms[:2])
+    assert no_tail == []
+    raw = len(server.fetch_ipc(0, 0, 200))
+    prefix = len(server.fetch_ipc(0, 0, 200, None, prefix_ops))
+    full = len(server.fetch_ipc(0, 0, 200, None, full_ops))
+    assert full <= prefix < raw, (full, prefix, raw)
+    # the win is substantive: the prefix filter drops ~half the records
+    # and the shift strips the payload to one short key
+    assert prefix < 0.6 * raw, (prefix, raw)
+
+
 def test_chain_pushdown_reduces_wire_bytes(server):
     """CONNECTOR.md §6 scale posture for the pushed chain: the whole
     point of SPU-side execution is fewer bytes on the wire.  Measure
