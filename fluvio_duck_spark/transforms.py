@@ -266,8 +266,8 @@ def aggregate_sum_transform(df: DataFrame, params: dict, accumulator: str = "0")
     if not partitioned and not _flag("global") and "partition" in df.columns:
         warnings.warn(
             "sum-aggregate folds the ENTIRE log through one task "
-            "(Window.partitionBy() with a global order) — a scale cliff on "
-            "multi-partition topics.  Pass -e partitioned=true for the "
+            "(an empty window partitioning with a global order) — a scale "
+            "cliff on multi-partition topics.  Pass -e partitioned=true for the "
             "per-SPU fold (reference semantics under -A, and the form that "
             "scales), or -e global=true to acknowledge the single-task "
             "global fold.",
