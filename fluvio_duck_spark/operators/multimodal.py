@@ -320,6 +320,91 @@ def audio_energy_segments(
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 
 
+def scene_cuts(
+    df: DataFrame,
+    frame_bytes: int = 64,
+    max_frames: int = 32,
+    cut_threshold: int = 192,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    energy_fn: Callable[[bytes], int] | None = None,
+) -> DataFrame:
+    """Shot-boundary (scene-cut) segmentation over the binary VIDEO
+    convention — the temporal-CHANGE twin of
+    :func:`audio_energy_segments` (which gates on absolute energy):
+    a cut is declared between consecutive ``frame_bytes`` frames whose
+    energy jumps by ``>= cut_threshold``, and the frames between cuts
+    form one scene.  This is the standard pixel-difference shot detector
+    with the decode step stubbed: a production kernel decodes each frame
+    and returns its luma sum via ``energy_fn`` (ffmpeg absent here —
+    documented STUB seam); the default byte-sum kernel is
+    engine-reproducible over the utf-8 fixture bytes, so the ENTIRE
+    pipeline — framing, the lag-based change detector, and the
+    cumulative-sum scene assignment — is replayable per byte in SQL.
+
+    Only full frames count and at most ``max_frames`` are read per
+    payload (frame sampling caps the fan-out exactly like
+    :func:`sample_frames`); payloads shorter than one frame yield no
+    rows.  Output is one row per scene: 1-based ``scene_no``, the
+    [``start_frame``, ``end_frame``] inclusive frame-index bounds,
+    ``n_frames`` and the exact BIGINT energy sum.
+
+    Arrow-batched ``mapInPandas``, map-only: segmentation never crosses
+    a row, so at 100 TB this is a single scan with per-task state
+    bounded by ``max_frames`` — no shuffle, no window exchange."""
+    schema = (
+        f"{id_col} long, scene_no int, start_frame long, end_frame long, "
+        "n_frames long, energy long"
+    )
+
+    def _frame_energies(data: bytes) -> np.ndarray:
+        n = min(max_frames, len(data) // frame_bytes)
+        if energy_fn is None:
+            arr = np.frombuffer(data, dtype=np.uint8)[: n * frame_bytes]
+            return arr.reshape(n, frame_bytes).sum(axis=1, dtype=np.int64)
+        return np.array(
+            [energy_fn(data[f * frame_bytes:(f + 1) * frame_bytes])
+             for f in range(n)],
+            dtype=np.int64,
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, scenes, starts, ends, nfr, energies = [], [], [], [], [], []
+            for i, c in zip(pdf[id_col], pdf[content_col]):
+                if c is None:
+                    continue
+                e = _frame_energies(bytes(c))
+                if len(e) == 0:
+                    continue
+                # cut BEFORE frame f when |e[f] - e[f-1]| >= threshold;
+                # scene id = running count of cuts (frame 0 opens scene 1)
+                cuts = np.abs(np.diff(e)) >= cut_threshold
+                scene = np.concatenate(([0], np.cumsum(cuts)))
+                cs = np.concatenate(([0], np.cumsum(e, dtype=np.int64)))
+                bounds = np.flatnonzero(
+                    np.concatenate(([True], cuts, [True]))
+                )
+                for j in range(len(bounds) - 1):
+                    lo, hi = int(bounds[j]), int(bounds[j + 1])  # [lo, hi)
+                    ids.append(i); scenes.append(int(scene[lo]) + 1)
+                    starts.append(lo); ends.append(hi - 1)
+                    nfr.append(hi - lo)
+                    energies.append(int(cs[hi] - cs[lo]))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "scene_no": pd.Series(scenes, dtype="int32"),
+                    "start_frame": pd.Series(starts, dtype="int64"),
+                    "end_frame": pd.Series(ends, dtype="int64"),
+                    "n_frames": pd.Series(nfr, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
 def decode_image(*args, **kwargs):
     """Real image decode requires PIL/opencv — not in this container."""
     raise NotImplementedError(

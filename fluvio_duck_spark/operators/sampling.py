@@ -103,6 +103,37 @@ def stratified_sample(
     )
 
 
+def global_sample(
+    df: DataFrame,
+    k: int,
+    order_key: Column,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Exact global uniform k-sample: the ``k`` rows with the smallest
+    ``order_key`` over the WHOLE corpus — the distributed equivalent of
+    a k-slot reservoir, as one declarative top-k.
+
+    Why this shape and not a reservoir loop or a window: ``orderBy(key)
+    .limit(k)`` compiles to ``TakeOrderedAndProject`` — every partition
+    keeps only its local k smallest (a bounded heap, map-side), and the
+    driver merges |partitions| k-row heaps.  No shuffle of the corpus,
+    no global sort, state bounded by k everywhere — exactly the merge
+    property that makes reservoir sampling scale, with Catalyst picking
+    the physical plan.  Contrast :func:`stratified_sample`, which pays
+    one shuffle because its quota is per-stratum.
+
+    With a hash ``order_key`` (``uniform_key``) the draw is uniform
+    without replacement and a pure function of the data: same corpus →
+    same sample on any cluster layout, and a re-run after appending new
+    rows changes the sample only where new keys displace old ones (the
+    property that makes incremental refreshes cheap to audit).
+    ``tiebreak`` must make the order total (hash collisions otherwise
+    leave the boundary row nondeterministic).
+    """
+    order = [order_key.asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    return df.orderBy(*order).limit(k)
+
+
 def pack_token_budget(
     df: DataFrame,
     strata: list[str],

@@ -197,6 +197,10 @@ _RECEIPT_ROUNDS: tuple[frozenset[str], ...] = (
 #: refreshing old receipts (every new operator needs a first receipt).
 _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "loopback_chain_prefix_pushdown",
+    "layout_zorder_skipping",
+    "layout_compaction_plan",
+    "sample_reservoir_global",
+    "mm_scene_cuts",
 })
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing

@@ -4754,3 +4754,42 @@ QUERIES.update({
         doc="filtered ANN at scale: metadata predicate inside the probed IVF cell over the oracle-checked portable codebook",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# sample_reservoir_global — k-bounded global uniform draw (no shuffle)
+# ---------------------------------------------------------------------------
+
+def q_sample_reservoir_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global uniform 200-doc draw — the distributed reservoir sample
+    (operators/sampling.py::global_sample): rank the corpus by a
+    deterministic hash key and keep the k smallest.  Compiles to
+    TakeOrderedAndProject — per-partition k-row heaps merged at the
+    driver, NO shuffle of the corpus and state bounded by k everywhere
+    (the mergeability that makes reservoir sampling scale, planned by
+    Catalyst instead of hand-rolled).  Contrast sample_stratified_quota,
+    whose per-stratum quota pays one shuffle on the strata key."""
+    from fluvio_duck_spark.operators.sampling import global_sample, uniform_key
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return global_sample(docs, 200, uniform_key("doc_id", seed=11),
+                         tiebreak=["doc_id"])
+
+
+ORACLE_SAMPLE_RESERVOIR = """
+SELECT doc_id, lang, source, n_chars FROM documents
+ORDER BY ((doc_id + 1) * (2654435761 + 11 * 98765431)) % 1000003, doc_id
+LIMIT 200
+"""
+
+
+QUERIES.update({
+    "sample_reservoir_global": QuerySpec(
+        q_sample_reservoir_global, ORACLE_SAMPLE_RESERVOIR,
+        doc="global uniform k-draw via hash top-k (TakeOrderedAndProject: "
+            "per-partition k-heaps, no corpus shuffle — the mergeable "
+            "reservoir, Catalyst-planned)",
+    ),
+})

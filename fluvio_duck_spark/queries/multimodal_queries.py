@@ -369,3 +369,67 @@ QUERIES.update({
             "oracle-replayed per byte",
     ),
 })
+
+
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO temporal-segmentation seam: shot-boundary detection
+    over binary content (operators/multimodal.py::scene_cuts) — 64-byte
+    frames, a cut where consecutive frame energies jump by >= 192, scenes
+    as the runs between cuts.  The CHANGE-detection twin of
+    mm_audio_energy_segments' absolute-threshold VAD: lag-diff + running
+    cut count instead of gaps-and-islands.  Default byte-sum energy
+    kernel is engine-reproducible over the utf-8 fixture, so framing,
+    the lag detector, and the cumulative scene assignment are all
+    replayed per byte in SQL (a real decoder plugs in via energy_fn —
+    ffmpeg absent, documented STUB seam)."""
+    from fluvio_duck_spark.operators.multimodal import scene_cuts
+
+    d = attach_binary_content(
+        load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
+    return scene_cuts(d)
+
+
+#: Per-byte SQL replay: 64-byte full frames (max 32), energy = byte sum,
+#: cut when |energy - lag(energy)| >= 192, scene = 1 + running cut count.
+ORACLE_MM_SCENE_CUTS = """
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest(range(0, least(32, length(text) // 64))) AS f
+  FROM documents WHERE text IS NOT NULL),
+pos AS (
+  SELECT doc_id, f, unnest(range(0, 64)) AS b, text FROM fr),
+wins AS (
+  SELECT doc_id, f,
+         CAST(SUM(ascii(substr(text, CAST(f * 64 + b + 1 AS INTEGER), 1)))
+              AS BIGINT) AS energy
+  FROM pos GROUP BY 1, 2),
+lagged AS (
+  SELECT doc_id, f, energy,
+         lag(energy) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+  FROM wins),
+cuts AS (
+  SELECT doc_id, f, energy,
+         CASE WHEN pe IS NOT NULL AND abs(energy - pe) >= 192
+              THEN 1 ELSE 0 END AS cut
+  FROM lagged),
+scenes AS (
+  SELECT doc_id, f, energy,
+         SUM(cut) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+  FROM cuts)
+SELECT doc_id, CAST(scene + 1 AS INTEGER) AS scene_no,
+       MIN(f) AS start_frame, MAX(f) AS end_frame,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS energy
+FROM scenes GROUP BY doc_id, scene
+"""
+
+
+QUERIES.update({
+    "mm_scene_cuts": QuerySpec(
+        q_mm_scene_cuts, ORACLE_MM_SCENE_CUTS,
+        doc="video shot-boundary segmentation (64-byte frames, lag-diff cut "
+            "detector, cumulative scene ids) through the Arrow-batched "
+            "kernel seam — replayed per byte in SQL",
+    ),
+})

@@ -4353,3 +4353,154 @@ QUERIES.update({
             "twin's ~2x correlation drift fails it at scale)",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# layout_* — physical-layout maintenance: Z-order skipping audit, compaction
+# ---------------------------------------------------------------------------
+
+#: Audit geometry: 10-bit buckets per dimension (2^20 key space), 64
+#: target files (key width 2^14), fixed probe points.  Module constants
+#: so the Spark query and the SQL oracle cannot drift.
+_ZO_BITS_MASK = 1023
+_ZO_FILE_SHIFT = 14
+_ZO_PROBE_X = 600
+_ZO_PROBE_Y = 17
+
+
+def q_layout_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit of a Z-order clustered layout vs the linear
+    (time-sorted) layout, over events bucketed by epoch-hour x user.
+
+    This is the decision metric for CLUSTER BY at 100 TB: per layout,
+    every file's min/max envelope in both dimensions and how many files
+    a point predicate on either dimension must scan (files whose
+    [min, max] straddles the probe).  The Morton key bounds BOTH
+    envelopes, so both probes prune; the linear key prunes only its
+    leading (time) dimension — the audit shows exactly that, as data.
+
+    Plan: one scan computing the bit-interleave (pure shift/mask
+    codegen), a bounded 2x fan-out tagging the two candidate layouts,
+    then two file-count-sized aggregations (operators/layout.py).  The
+    oracle replays the identical shift/mask chain via zorder_sql().
+    """
+    from fluvio_duck_spark.operators.layout import skipping_audit, zorder_key
+
+    ev = load(spark, sf_dir, "events")
+    xb = F.pmod(F.expr("unix_timestamp(ts) div 3600"), F.lit(_ZO_BITS_MASK + 1))
+    yb = F.pmod(F.col("user_id"), F.lit(_ZO_BITS_MASK + 1))
+    b = ev.select(xb.alias("xb"), yb.alias("yb"))
+    z_file = F.shiftright(zorder_key(F.col("xb"), F.col("yb")), _ZO_FILE_SHIFT)
+    lin_file = F.shiftright(
+        F.shiftleft(F.col("xb"), 10).bitwiseOR(F.col("yb")), _ZO_FILE_SHIFT
+    )
+    audit = skipping_audit(
+        b,
+        {"zorder": z_file, "linear": lin_file},
+        F.col("xb"),
+        F.col("yb"),
+        probe_x=_ZO_PROBE_X,
+        probe_y=_ZO_PROBE_Y,
+    )
+    return audit.select(
+        "layout", "n_files", "n_rows",
+        (F.col("sum_x_span").cast("double") / F.col("n_files")).alias("avg_x_span"),
+        (F.col("sum_y_span").cast("double") / F.col("n_files")).alias("avg_y_span"),
+        "files_hit_x", "files_hit_y",
+    )
+
+
+def _zorder_skipping_oracle() -> str:
+    from fluvio_duck_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("xb", "yb")
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 % {_ZO_BITS_MASK + 1} AS xb,
+         user_id % {_ZO_BITS_MASK + 1} AS yb
+  FROM events),
+t AS (
+  SELECT 'zorder' AS layout, {z} >> {_ZO_FILE_SHIFT} AS file_id, xb, yb FROM b
+  UNION ALL
+  SELECT 'linear', ((xb << 10) | yb) >> {_ZO_FILE_SHIFT}, xb, yb FROM b),
+pf AS (
+  SELECT layout, file_id,
+         min(xb) AS mnx, max(xb) AS mxx, min(yb) AS mny, max(yb) AS mxy,
+         count(*) AS n
+  FROM t GROUP BY 1, 2)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(sum(mxx - mnx + 1) AS DOUBLE) / count(*) AS avg_x_span,
+       CAST(sum(mxy - mny + 1) AS DOUBLE) / count(*) AS avg_y_span,
+       CAST(count(*) FILTER (mnx <= {_ZO_PROBE_X} AND {_ZO_PROBE_X} <= mxx)
+            AS BIGINT) AS files_hit_x,
+       CAST(count(*) FILTER (mny <= {_ZO_PROBE_Y} AND {_ZO_PROBE_Y} <= mxy)
+            AS BIGINT) AS files_hit_y
+FROM pf GROUP BY layout
+"""
+
+
+#: Compaction target size (bytes of props payload per output file) —
+#: small enough that every SF yields multi-file bins.
+_COMPACT_TARGET = 8192
+
+
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: the daily (date x event_type) files of
+    an events lake, bin-packed into ~8 KB compaction groups by
+    next-fit-decreasing (operators/layout.py::compaction_plan — one
+    window prefix sum per table partition, no driver loop).  Input is a
+    file LISTING (catalog metadata: one row per file), so the plan step
+    is metadata-sized even when the table is 100 TB; the window
+    partitions by event_type because compaction never merges across
+    table partitions."""
+    from fluvio_duck_spark.operators.layout import compaction_plan
+
+    ev = load(spark, sf_dir, "events")
+    files = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("file_date")
+    ).agg(F.sum(F.length("props")).cast("long").alias("bytes"))
+    return compaction_plan(
+        files,
+        _COMPACT_TARGET,
+        partition_cols=["event_type"],
+        file_id_cols=["file_date"],
+    )
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH files AS (
+  SELECT event_type, CAST(ts AS DATE) AS file_date,
+         CAST(sum(length(props)) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT event_type, bytes,
+         CAST(floor((sum(bytes) OVER (
+                 PARTITION BY event_type
+                 ORDER BY bytes DESC, file_date
+                 ROWS UNBOUNDED PRECEDING) - bytes)
+               / {_COMPACT_TARGET}) AS BIGINT) AS bin
+  FROM files)
+SELECT event_type, bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(bytes) AS BIGINT) AS min_file_bytes,
+       CAST(max(bytes) AS BIGINT) AS max_file_bytes
+FROM b GROUP BY 1, 2
+"""
+
+
+QUERIES.update({
+    "layout_zorder_skipping": QuerySpec(
+        q_layout_zorder_skipping, _zorder_skipping_oracle(),
+        doc="Z-order vs linear layout data-skipping audit: per-file min/max "
+            "envelopes + files hit by point probes on both dimensions "
+            "(bit-interleave replayed shift-for-shift in the oracle)",
+    ),
+    "layout_compaction_plan": QuerySpec(
+        q_layout_compaction_plan, ORACLE_COMPACTION_PLAN,
+        doc="next-fit-decreasing compaction bin packing as a per-partition "
+            "window prefix sum over the file listing (metadata-sized plan)",
+    ),
+})

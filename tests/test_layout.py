@@ -1,0 +1,160 @@
+"""Layout-maintenance operators: Morton keys, skipping audit, compaction
+bin packing, global reservoir sample, and the video scene-cut kernel."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from fluvio_duck_spark.operators.layout import (
+    compaction_plan,
+    skipping_audit,
+    zorder_key,
+    zorder_sql,
+)
+
+
+def _morton_ref(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_matches_bitwise_reference(spark):
+    pts = [(0, 0), (1, 0), (0, 1), (5, 3), (1023, 1023), (513, 2),
+           (65535, 65535), (700, 17)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _morton_ref(x, y), (x, y)
+
+
+def test_zorder_sql_twin_matches_spark():
+    duckdb = pytest.importorskip("duckdb")
+    expr = zorder_sql("x", "y")
+    rows = duckdb.sql(
+        f"SELECT x, y, {expr} AS z FROM (VALUES (5, 3), (1023, 1023), "
+        "(700, 17), (0, 0)) t(x, y)"
+    ).fetchall()
+    for x, y, z in rows:
+        assert z == _morton_ref(x, y), (x, y)
+
+
+def test_zorder_locality_beats_linear_on_grid(spark):
+    # a full 64x64 grid split into 16 files per layout: the Morton key
+    # must bound BOTH envelopes; the row-major key leaves y unbounded
+    grid = spark.range(64 * 64).select(
+        (F.col("id") / 64).cast("long").alias("x"),
+        F.pmod(F.col("id"), 64).alias("y"),
+    )
+    z_file = F.shiftright(zorder_key(F.col("x"), F.col("y")), 8)
+    lin_file = F.shiftright(F.shiftleft(F.col("x"), 6).bitwiseOR(F.col("y")), 8)
+    out = {
+        r.layout: r
+        for r in skipping_audit(
+            grid, {"z": z_file, "lin": lin_file},
+            F.col("x"), F.col("y"), probe_x=10, probe_y=10,
+        ).collect()
+    }
+    assert out["z"].n_files == 16 and out["lin"].n_files == 16
+    assert out["z"].n_rows == 64 * 64 and out["lin"].n_rows == 64 * 64
+    # Morton files cover a 16x16 tile; row-major files cover 4 full rows
+    assert out["z"].sum_x_span == 16 * 16 and out["z"].sum_y_span == 16 * 16
+    assert out["lin"].sum_x_span == 16 * 4 and out["lin"].sum_y_span == 16 * 64
+    # the y-probe prunes Morton files but scans every row-major file
+    assert out["z"].files_hit_y == 4
+    assert out["lin"].files_hit_y == 16
+    assert out["z"].files_hit_x == 4 and out["lin"].files_hit_x == 1
+
+
+def test_compaction_plan_invariants(spark):
+    files = spark.createDataFrame(
+        [("a", i, (17 * i) % 29 * 100 + 50) for i in range(40)]
+        + [("b", 0, 99_999)],  # oversized file: lands in its own bin
+        "part string, fid long, bytes long",
+    )
+    plan = compaction_plan(
+        files, 4000, partition_cols=["part"], file_id_cols=["fid"]
+    ).collect()
+    by_part: dict[str, list] = {}
+    for r in plan:
+        by_part.setdefault(r.part, []).append(r)
+    # byte totals preserved, bins contiguous from 0
+    total_in = sum(r.bytes for r in files.collect())
+    assert sum(r.total_bytes for r in plan) == total_in
+    for part, rows in by_part.items():
+        bins = sorted(r.bin for r in rows)
+        assert bins == list(range(len(bins))), (part, bins)
+    # the oversized file is alone in its bin (size-descending order puts
+    # it first, and it spans its whole target window)
+    b = by_part["b"]
+    assert len(b) >= 1 and b[0].n_files == 1 and b[0].max_file_bytes == 99_999
+    # every bin's span is consistent
+    for r in plan:
+        assert r.min_file_bytes <= r.max_file_bytes
+        assert r.n_files >= 1
+
+
+def test_global_sample_plan_and_determinism(spark):
+    from fluvio_duck_spark.operators.sampling import global_sample, uniform_key
+
+    df = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s = global_sample(df, 10, uniform_key("doc_id", seed=11), tiebreak=["doc_id"])
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan  # k-heap merge, no shuffle
+    got = [r.doc_id for r in s.collect()]
+    key = lambda i: ((i + 1) * (2654435761 + 11 * 98765431)) % 1000003
+    expect = sorted(range(1000), key=lambda i: (key(i), i))[:10]
+    assert got == expect
+    # repartitioning must not change the draw
+    got2 = [
+        r.doc_id
+        for r in global_sample(
+            df.repartition(7), 10, uniform_key("doc_id", seed=11),
+            tiebreak=["doc_id"],
+        ).collect()
+    ]
+    assert sorted(got2) == sorted(expect)
+
+
+def test_scene_cuts_kernel(spark):
+    from fluvio_duck_spark.operators.multimodal import scene_cuts
+
+    # 2 flat frames of 'a', then 2 of 'z': one cut at frame 2
+    payload = b"a" * 128 + b"z" * 128
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)),
+         (2, bytearray(b"q" * 63)),        # shorter than one frame: no rows
+         (3, bytearray(b"m" * 64 * 40))],  # 40 frames: capped at 32, 1 scene
+        "doc_id long, content binary",
+    )
+    rows = {(r.doc_id, r.scene_no): r for r in scene_cuts(df).collect()}
+    assert set(rows) == {(1, 1), (1, 2), (3, 1)}
+    s1, s2 = rows[(1, 1)], rows[(1, 2)]
+    assert (s1.start_frame, s1.end_frame, s1.n_frames) == (0, 1, 2)
+    assert (s2.start_frame, s2.end_frame, s2.n_frames) == (2, 3, 2)
+    assert s1.energy == 2 * 64 * ord("a") and s2.energy == 2 * 64 * ord("z")
+    cap = rows[(3, 1)]
+    assert (cap.start_frame, cap.end_frame, cap.n_frames) == (0, 31, 32)
+
+
+def test_scene_cuts_threshold_boundary(spark):
+    from fluvio_duck_spark.operators.multimodal import scene_cuts
+
+    # frame energies 64*a vs 64*d: diff = 64*3 = 192 == threshold -> cut;
+    # 64*a vs 64*c: diff = 128 < 192 -> merged
+    df = spark.createDataFrame(
+        [(1, bytearray(b"a" * 64 + b"d" * 64)),
+         (2, bytearray(b"a" * 64 + b"c" * 64))],
+        "doc_id long, content binary",
+    )
+    out = {r.doc_id: r for r in scene_cuts(df)
+           .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert out[1].n == 2 and out[2].n == 1
