@@ -94,6 +94,87 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    x,
+    y,
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """CLUSTER BY (x, y) — write parquet range-partitioned and sorted on
+    the Morton interleave of two bucket columns
+    (operators/layout.py::zorder_key), so every output file carries a
+    BOUNDED min/max envelope in BOTH dimensions and predicates on either
+    column skip files/row-groups via ordinary parquet statistics.
+
+    This is the materialization half of ``skipping_audit``: the audit
+    simulates candidate layouts from the stats they WOULD produce; this
+    writer produces the real files (``parquet_file_envelopes`` reads the
+    real footers back for verification).  ``repartitionByRange`` samples
+    the key distribution, so file boundaries adapt to skew — a hot
+    (x, y) cell spreads over several files instead of one giant one; the
+    in-partition sort keeps row-group stats tight within each file.
+
+    ``x``/``y`` must already be bucketed ints in [0, 2^16) — clustering
+    keys are coarse by design (bucket first, e.g. ``pmod(col, 1024)``),
+    because the envelope width, not the key precision, is what prunes.
+    """
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.layout import zorder_key
+
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    (
+        df.withColumn("__z", zorder_key(xc, yc))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def parquet_file_envelopes(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max statistics for ``cols``, read from the parquet
+    FOOTERS of every file under ``path`` — no data pages are touched.
+    Returns one dict per file: ``{"file", "n_rows", "<col>_min",
+    "<col>_max", ...}`` (None when a footer lacks stats).
+
+    This is the reader half of the clustering story: what an engine's
+    scan planner sees when it decides which files a predicate can skip.
+    Driver-side by design — the input is file METADATA (one footer per
+    file, the same thing a catalog/manifest stores), not table data; at
+    lake scale the identical walk runs over the manifest instead.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for root, _dirs, files in os.walk(path):
+        for fname in sorted(files):
+            if not fname.endswith(".parquet"):
+                continue
+            meta = pq.read_metadata(os.path.join(root, fname))
+            names = {c: i for i, c in enumerate(meta.schema.names)}
+            row: dict = {"file": fname, "n_rows": meta.num_rows}
+            for c in cols:
+                mn = mx = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(names[c]).statistics
+                    if st is None or not st.has_min_max:
+                        mn = mx = None
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                row[f"{c}_min"] = mn
+                row[f"{c}_max"] = mx
+            out.append(row)
+    return out
+
+
 def compact_files(
     spark,
     path: str,
