@@ -18,6 +18,11 @@ real lake.
   shift/mask steps per dimension — plain 64-bit integer ops that stay
   inside whole-stage codegen and reproduce exactly in any SQL engine
   (:func:`zorder_sql` emits the identical expression for the oracle).
+  This is the EXACT key over pre-bucketed integer dimensions; the
+  data-driven variant that buckets raw double/skewed columns by
+  ``approxQuantile`` first (and the writers for both) lives in
+  ``operators/zorder.py`` — the two are deliberately split because only
+  the exact key is engine-reproducible and therefore oracle-pairable.
 * :func:`skipping_audit` — given per-row dimension buckets and a file
   assignment, computes each file's min/max envelope and a per-layout
   summary (envelope widths + how many files a probe predicate must

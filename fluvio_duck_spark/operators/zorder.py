@@ -82,6 +82,42 @@ def write_zordered(
     """Write ``df`` parquet with rows Morton-clustered on ``cols`` so
     row-group/file min-max stats prune multi-column range predicates."""
     df, zkey = zorder_key(df, cols, bits)
+    _write_clustered(df, zkey, path, num_files, mode)
+
+
+def write_zordered_exact(
+    df: DataFrame,
+    path: str,
+    x,
+    y,
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Exact-key twin of :func:`write_zordered` for dimensions that are
+    ALREADY bucketed integers in [0, 2^16) (e.g. ``pmod(user_id, 1024)``,
+    an epoch-hour bucket): interleaves the raw bits via
+    ``operators/layout.py::zorder_key`` — four shift/mask codegen steps
+    per dimension, no ``approxQuantile`` sampling job at plan time, and
+    a key that reproduces bit-for-bit in any engine (the oracle-paired
+    ``layout_zorder_skipping`` audit scores exactly this layout;
+    ``sinks.py::parquet_file_envelopes`` reads the resulting footer
+    stats back).  Use the quantile form above when dimensions are raw
+    doubles/skewed values that need data-driven bucketing first."""
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.layout import zorder_key as exact_key
+
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    _write_clustered(df, exact_key(xc, yc), path, num_files, mode)
+
+
+def _write_clustered(
+    df: DataFrame, zkey: Column, path: str, num_files: int, mode: str
+) -> None:
+    # repartitionByRange samples the key distribution, so file boundaries
+    # adapt to skew (a hot cell spreads over several files); the
+    # in-partition sort keeps row-group stats tight within each file
     (
         df.withColumn("__z", zkey)
         .repartitionByRange(num_files, "__z")

@@ -94,48 +94,6 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
-def write_zorder_clustered(
-    df: DataFrame,
-    path: str,
-    x,
-    y,
-    n_files: int = 16,
-    mode: str = "overwrite",
-) -> None:
-    """CLUSTER BY (x, y) — write parquet range-partitioned and sorted on
-    the Morton interleave of two bucket columns
-    (operators/layout.py::zorder_key), so every output file carries a
-    BOUNDED min/max envelope in BOTH dimensions and predicates on either
-    column skip files/row-groups via ordinary parquet statistics.
-
-    This is the materialization half of ``skipping_audit``: the audit
-    simulates candidate layouts from the stats they WOULD produce; this
-    writer produces the real files (``parquet_file_envelopes`` reads the
-    real footers back for verification).  ``repartitionByRange`` samples
-    the key distribution, so file boundaries adapt to skew — a hot
-    (x, y) cell spreads over several files instead of one giant one; the
-    in-partition sort keeps row-group stats tight within each file.
-
-    ``x``/``y`` must already be bucketed ints in [0, 2^16) — clustering
-    keys are coarse by design (bucket first, e.g. ``pmod(col, 1024)``),
-    because the envelope width, not the key precision, is what prunes.
-    """
-    from pyspark.sql import functions as F
-
-    from fluvio_duck_spark.operators.layout import zorder_key
-
-    xc = F.col(x) if isinstance(x, str) else x
-    yc = F.col(y) if isinstance(y, str) else y
-    (
-        df.withColumn("__z", zorder_key(xc, yc))
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
-
-
 def parquet_file_envelopes(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max statistics for ``cols``, read from the parquet
     FOOTERS of every file under ``path`` — no data pages are touched.

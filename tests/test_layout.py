@@ -164,14 +164,15 @@ def test_write_zorder_clustered_real_footers(spark, tmp_path):
     """End-to-end: the clustered writer must produce parquet files whose
     FOOTER stats bound both dimensions — the real-file proof of what
     skipping_audit simulates."""
-    from fluvio_duck_spark.sinks import parquet_file_envelopes, write_zorder_clustered
+    from fluvio_duck_spark.operators.zorder import write_zordered_exact
+    from fluvio_duck_spark.sinks import parquet_file_envelopes
 
     grid = spark.range(64 * 64).select(
         (F.col("id") / 64).cast("long").alias("x"),
         F.pmod(F.col("id") * 2654435761, 64).alias("y"),  # scrambled y
     )
     zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
-    write_zorder_clustered(grid, zdir, "x", "y", n_files=16)
+    write_zordered_exact(grid, zdir, "x", "y", num_files=16)
     grid.repartitionByRange(16, "x").write.parquet(ldir)  # time-sorted twin
 
     def spans(path, col):
