@@ -224,6 +224,13 @@ EXTENDED = [
     "sketch_bloom_xxhash_fp",
     "sink_wds_multimodal_roundtrip",
     "loopback_filter_pushdown",
+    # round-10 additions (layout maintenance + reservoir + scene cuts +
+    # chain-prefix pushdown)
+    "layout_zorder_skipping",
+    "layout_compaction_plan",
+    "sample_reservoir_global",
+    "mm_scene_cuts",
+    "loopback_chain_prefix_pushdown",
 ]
 
 
