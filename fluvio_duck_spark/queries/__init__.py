@@ -201,6 +201,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "layout_compaction_plan",
     "sample_reservoir_global",
     "mm_scene_cuts",
+    "stream_reservoir_sample",
 })
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing

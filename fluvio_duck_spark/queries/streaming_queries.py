@@ -1862,3 +1862,66 @@ QUERIES.update({
             "sequence (fourth front end sharing the one offset algebra)",
     ),
 })
+
+
+def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained global uniform k-sample: each micro-batch
+    merges into a parquet-backed reservoir of the K smallest
+    deterministic hash keys (union + re-top-K via the SAME
+    ``global_sample`` operator the batch draw uses — the merge is
+    associative, so the maintained state equals the one-shot batch draw
+    under ANY micro-batch slicing).  Shares the batch oracle of
+    ``sample_reservoir_global`` bit-for-bit; the streaming form is the
+    arriving-corpus version of the same mergeable-reservoir contract
+    (the top-K twin of ``stream_kmv_distinct``'s sketch merge).
+
+    State is BOUNDED at K rows regardless of stream length; per batch
+    the merge costs one TakeOrderedAndProject over (batch ∪ K prior
+    rows) — per-partition K-row heaps, no shuffle, no window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.sampling import global_sample, uniform_key
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    k = 200
+    state_dir = _run_dir("reservoir", "state")
+    st_schema = "doc_id long, lang string, source string, n_chars bigint"
+
+    def apply_batch(batch_df, _bid) -> None:
+        cand = batch_df.select("doc_id", "lang", "source", "n_chars")
+        if os.path.isdir(state_dir):
+            prior = spark.read.schema(st_schema).parquet(state_dir)
+            cand = cand.unionByName(prior)
+        new_state = global_sample(
+            cand, k, uniform_key("doc_id", seed=11), tiebreak=["doc_id"]
+        ).localCheckpoint(eager=True)  # sever lineage before overwrite
+        new_state.write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _run_dir("reservoir", "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(st_schema).parquet(state_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _wire_stream_reservoir_oracle() -> None:
+    from fluvio_duck_spark.queries.llm import ORACLE_SAMPLE_RESERVOIR
+
+    QUERIES["stream_reservoir_sample"] = QuerySpec(
+        q_stream_reservoir_sample,
+        ORACLE_SAMPLE_RESERVOIR,  # shared: stream-merged reservoir == batch draw
+        doc="continuously-maintained global uniform k-reservoir (bounded "
+            "parquet state, associative top-K merge per batch) — shares the "
+            "batch draw's oracle",
+    )
+
+
+_wire_stream_reservoir_oracle()

@@ -190,3 +190,58 @@ def test_write_zorder_clustered_real_footers(spark, tmp_path):
     # and x stays bounded too (not a plain y-sort in disguise)
     zx = spans(zdir, "x")
     assert max(zx) <= 32, zx
+
+
+def test_stream_reservoir_equals_batch_under_slicing(spark, tmp_path):
+    """The micro-batch-merged reservoir must equal the one-shot batch
+    draw when the corpus arrives across many files (top-K by a
+    deterministic key is an associative merge)."""
+    from fluvio_duck_spark.queries.llm import q_sample_reservoir_global
+    from fluvio_duck_spark.queries.streaming_queries import (
+        q_stream_reservoir_sample,
+    )
+    from fluvio_duck_spark.sources.tables import load
+
+    src = "/root/testdata/sf0.001"
+    docs = load(spark, src, "documents")
+    work = str(tmp_path / "reservoir_stream")
+    docs.repartition(7).write.parquet(f"{work}/documents.parquet")
+
+    want = sorted(tuple(r) for r in q_sample_reservoir_global(spark, src).collect())
+    got_single = sorted(
+        tuple(r) for r in q_stream_reservoir_sample(spark, src).collect()
+    )
+    got_sliced = sorted(
+        tuple(r) for r in q_stream_reservoir_sample(spark, work).collect()
+    )
+    assert got_single == want
+    assert got_sliced == want
+
+
+def test_morton_key_tile_properties(spark):
+    """Structural properties of the exact Morton key: bijective on the
+    grid, and prefix-truncation yields aligned square tiles (the property
+    that bounds BOTH file envelopes)."""
+    n = 32
+    df = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("x"),
+        F.pmod(F.col("id"), n).alias("y"),
+    )
+    rows = df.select(
+        "x", "y", zorder_key(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    zs = [r.z for r in rows]
+    assert len(set(zs)) == n * n  # bijective on the grid
+    assert min(zs) == 0 and max(zs) == n * n - 1  # dense on a square grid
+    # dropping 2b low bits = the enclosing 2^b x 2^b aligned tile
+    for b in (1, 2, 3):
+        tiles = {}
+        for r in rows:
+            tiles.setdefault(r.z >> (2 * b), set()).add((r.x, r.y))
+        side = 1 << b
+        for cells in tiles.values():
+            xs = sorted({c[0] for c in cells})
+            ys = sorted({c[1] for c in cells})
+            assert len(cells) == side * side
+            assert xs[-1] - xs[0] == side - 1 and xs[0] % side == 0
+            assert ys[-1] - ys[0] == side - 1 and ys[0] % side == 0
