@@ -103,8 +103,6 @@ def write_zordered_exact(
     ``sinks.py::parquet_file_envelopes`` reads the resulting footer
     stats back).  Use the quantile form above when dimensions are raw
     doubles/skewed values that need data-driven bucketing first."""
-    from pyspark.sql import functions as F
-
     from fluvio_duck_spark.operators.layout import zorder_key as exact_key
 
     xc = F.col(x) if isinstance(x, str) else x

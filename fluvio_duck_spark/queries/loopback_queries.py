@@ -306,7 +306,7 @@ def _q_loopback_chain_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataF
 
     from fluvio_duck_spark.sources.consume import fluvio_consume
     from fluvio_duck_spark.sources.loopback import split_translatable_prefix
-    from fluvio_duck_spark.transforms import TransformSpec, apply_transform_chain
+    from fluvio_duck_spark.transforms import apply_transform_chain, specs_from_links
 
     transforms = [
         {"uses": "sql-filter",
@@ -332,8 +332,7 @@ def _q_loopback_chain_prefix_pushdown(spark: SparkSession, sf_dir: str) -> DataF
         )
         split_leg = apply_transform_chain(
             wire,
-            [TransformSpec(uses=t["uses"], params=dict(t["with"]))
-             for t in tail],
+            specs_from_links(tail),  # preserves a dict link's fold seed
         ).select(F.lit("pushed").alias("leg"), "offset", "value")
         engine = fluvio_consume(
             spark,

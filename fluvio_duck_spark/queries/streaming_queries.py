@@ -1880,8 +1880,6 @@ def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows) — per-partition K-row heaps, no shuffle, no window."""
     import os
 
-    from pyspark.sql import functions as F
-
     from fluvio_duck_spark.operators.sampling import global_sample, uniform_key
     from fluvio_duck_spark.streaming.neardup import document_stream
 

@@ -483,8 +483,11 @@ def split_translatable_prefix(transforms) -> tuple[list[dict], list]:
     whole-engine chain would see.
 
     Returns ``(ops, tail)``; ``tail`` entries keep their original form
-    (dict or TransformSpec), ready for ``load_transform_chain``-style
-    re-use or ``apply_transform_chain`` via TransformSpec conversion."""
+    (dict or TransformSpec).  Re-run the tail engine-side via
+    ``apply_transform_chain(df, transforms.specs_from_links(tail))`` —
+    that conversion preserves a dict link's ``aggregate_initial`` fold
+    seed, which a hand-rolled ``TransformSpec(uses=..., params=...)``
+    conversion silently drops."""
     transforms = list(transforms)
     per_link: list[list[dict]] = []
     seen_unnest = False

@@ -96,12 +96,18 @@ def _build_scratch_once(root: str, key: str, build, timeout_s: float = 900.0) ->
     ``_LOCK_HEARTBEAT_S`` while it works, so waiters time out only when
     the lock goes ``timeout_s`` without a heartbeat — a healthy builder
     writing a huge fixture on a contended box can legitimately hold the
-    lock far longer than any fixed total-wall-time budget."""
+    lock far longer than any fixed total-wall-time budget.  A LIVE but
+    HUNG builder (deadlocked Spark job keeps the daemon heartbeat
+    touching the lock forever) is still bounded: waiters raise after
+    ``8 * timeout_s`` of total wall wait even with a fresh heartbeat,
+    with a message distinguishing the two cases — without the cap every
+    concurrent shard would block silently until an outer CI timeout."""
     if os.path.exists(os.path.join(root, "_READY")) \
             and open(os.path.join(root, "_READY")).read() == key:
         return
     os.makedirs(os.path.dirname(root), exist_ok=True)
     lock = root + ".lock"
+    wait_started = time.time()
     while True:
         marker = os.path.join(root, "_READY")
         if os.path.exists(marker) and open(marker).read() == key:
@@ -118,6 +124,15 @@ def _build_scratch_once(root: str, key: str, build, timeout_s: float = 900.0) ->
                     f"scratch build lock {lock!r} heartbeat is {age:.0f}s "
                     f"stale (>{timeout_s}s) — the builder crashed? remove "
                     "the lock file to rebuild"
+                )
+            waited = time.time() - wait_started
+            if waited > 8 * timeout_s:
+                raise TimeoutError(
+                    f"scratch build lock {lock!r} still held after "
+                    f"{waited:.0f}s of waiting with a LIVE heartbeat "
+                    f"(last touch {age:.0f}s ago) — the builder is alive "
+                    "but hung; inspect/kill the builder process, then "
+                    "remove the lock file to rebuild"
                 )
             time.sleep(0.5)
             continue

@@ -299,8 +299,32 @@ def _specs_from_config(config: dict | list) -> list[TransformSpec]:
     for t in transforms:
         if "uses" not in t:
             raise TransformError(f"transform entry missing `uses`: {t!r}")
-        specs.append(TransformSpec(uses=t["uses"], params=dict(t.get("with", {}))))
+        specs.append(TransformSpec(
+            uses=t["uses"],
+            params=dict(t.get("with", {}) or {}),
+            # extension beyond the reference's YAML schema: a dict link may
+            # carry the fold seed inline (the --aggregate-initial flag only
+            # exists on the --smartmodule front end) — dropping it here
+            # would silently seed the fold with 0
+            aggregate_initial=t.get("aggregate_initial"),
+        ))
     return specs
+
+
+def specs_from_links(links) -> list[TransformSpec]:
+    """Normalize chain links — dicts (``{uses, with, aggregate_initial?}``)
+    or TransformSpec — to TransformSpec, PRESERVING ``aggregate_initial``.
+    This is the safe conversion for re-running a
+    ``split_translatable_prefix`` tail engine-side: hand-rolled
+    ``TransformSpec(uses=t["uses"], params=dict(t["with"]))`` conversions
+    silently drop a dict link's fold seed."""
+    out: list[TransformSpec] = []
+    for t in links:
+        if isinstance(t, TransformSpec):
+            out.append(t)
+        else:
+            out.extend(_specs_from_config([t]))
+    return out
 
 
 def load_transform_chain(opts: ConsumeOptions) -> list[TransformSpec]:
@@ -309,22 +333,35 @@ def load_transform_chain(opts: ConsumeOptions) -> list[TransformSpec]:
     --transform JSON strings, then --transforms-file YAML."""
     if opts.smartmodule is not None or opts.smartmodule_path is not None:
         name = opts.smartmodule or str(opts.smartmodule_path)
-        return [
+        specs = [
             TransformSpec(
                 uses=name,
                 params=dict(opts.params),
                 aggregate_initial=opts.aggregate_initial,
             )
         ]
-    if opts.transform:
-        return _specs_from_config([json.loads(t) for t in opts.transform])
-    if opts.transforms_file:
+    elif opts.transform:
+        specs = _specs_from_config([json.loads(t) for t in opts.transform])
+    elif opts.transforms_file:
         import yaml
 
         with open(opts.transforms_file) as fh:
             config = yaml.safe_load(fh)
-        return _specs_from_config(config)
-    return []
+        specs = _specs_from_config(config)
+    else:
+        return []
+    if not opts.all_partitions:
+        # a -p N consume pins ONE partition, so the per-partition fold and
+        # the global fold are the same computation over the remaining frame
+        # — default the fold to the partition-keyed window (better plan,
+        # and the multi-partition scale-cliff warning below does not apply
+        # to a pinned selection)
+        for s in specs:
+            if s.uses == "sum-aggregate" and not (
+                "partitioned" in s.params or "global" in s.params
+            ):
+                s.params = {**s.params, "partitioned": "true"}
+    return specs
 
 
 def apply_transform_chain(df: DataFrame, chain: list[TransformSpec]) -> DataFrame:

@@ -44,7 +44,7 @@ sf_dir() {
 
 # registry names, registry order (the shards partition this list)
 python - <<'EOF' > "$OUT_DIR/names.txt"
-import sys; sys.path.insert(0, "/root/repo")
+import os, sys; sys.path.insert(0, os.getcwd())
 from fluvio_duck_spark.queries import all_queries
 print("\n".join(all_queries()))
 EOF
@@ -55,7 +55,7 @@ run_scale() {  # $1=scale label  $2=sf dir  $3=extra env ("K=V K=V")
   local label="$1" dir="$2" extra="${3:-}"
   # prebuild the shared pplog scratch fixtures once (see header)
   env $extra SPARK_GRAFT_CPUS="$CPUS" python - "$dir" <<'EOF' >> "$OUT_DIR/prebuild.log" 2>&1
-import sys; sys.path.insert(0, "/root/repo")
+import os, sys; sys.path.insert(0, os.getcwd())
 from fluvio_duck_spark.session import get_spark
 from fluvio_duck_spark.sources.pplog import write_pp_log_dir, write_pp_array_log_dir
 spark = get_spark("round-gate-prebuild", shuffle_partitions=8)
@@ -75,12 +75,16 @@ EOF
   done
   local fail=0
   for p in "${pids[@]}"; do wait "$p" || fail=1; done
-  # logs carry \r progress lines — normalize before counting (r9 pitfall)
-  local ok
+  # logs carry \r progress lines — normalize before counting (r9 pitfall).
+  # rows-only queries print "ROWS-ONLY", not "OK" (verify_local.py:128):
+  # both are green; any "FAIL" line is red even if the process exited 0.
+  local ok rows_only failed
   ok=$(cat "$OUT_DIR/verify_${label}_"*.log | tr '\r' '\n' | grep -c '^OK')
-  echo "$label: $ok/$N_TOTAL OK (fail=$fail, dir=$dir${extra:+, $extra})" \
+  rows_only=$(cat "$OUT_DIR/verify_${label}_"*.log | tr '\r' '\n' | grep -c '^ROWS-ONLY')
+  failed=$(cat "$OUT_DIR/verify_${label}_"*.log | tr '\r' '\n' | grep -c '^FAIL')
+  echo "$label: $ok oracle-OK + $rows_only rows-only = $((ok + rows_only))/$N_TOTAL (FAIL lines=$failed, proc fail=$fail, dir=$dir${extra:+, $extra})" \
     | tee -a "$OUT_DIR/receipt.txt"
-  [ "$ok" -eq "$N_TOTAL" ] && [ "$fail" -eq 0 ]
+  [ "$((ok + rows_only))" -eq "$N_TOTAL" ] && [ "$failed" -eq 0 ] && [ "$fail" -eq 0 ]
 }
 
 overall=0

@@ -537,3 +537,24 @@ def test_global_aggregate_fold_warns_without_acknowledgement(spark, sf_dir):
             warnings.simplefilter("always")
             fluvio_consume(spark, base + silencer, sf_dir=sf_dir)
             assert not [w for w in caught if w.category is UserWarning]
+
+
+def test_pinned_partition_fold_never_warns(spark, sf_dir):
+    """A -p N consume pins ONE partition, so the scale-cliff warning does
+    not apply: the chain loader defaults the fold to the partition-keyed
+    window there (result-identical on a pinned frame) and no UserWarning
+    fires.  The pinned result must equal the explicit-global fold."""
+    import warnings
+
+    pinned = (
+        "events -p 1 -B --rows 50 --smartmodule sum-aggregate "
+        "--aggregate-initial 0 -e field=k"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = fluvio_consume(spark, pinned, sf_dir=sf_dir).collect()
+        assert not [w for w in caught if w.category is UserWarning]
+    want = fluvio_consume(
+        spark, pinned + " -e global=true", sf_dir=sf_dir
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
