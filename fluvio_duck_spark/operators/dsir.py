@@ -82,28 +82,28 @@ def dsir_lambda(
     "model" of DSIR.  Fit once over the reference corpus, broadcast
     everywhere (batch scoring, streaming gates): bounded state, like a
     k-means codebook."""
-    grams = _bucketed_bigrams(docs, None, text_col, n_buckets)
-    tgrams = _bucketed_bigrams(
-        docs.filter(target_pred), None, text_col, n_buckets
+    # ONE bigram pass fits both sides: the target slice is a subset of
+    # the corpus, so its per-bucket count is a conditional sum riding the
+    # corpus aggregation (the flag travels through _bucketed_bigrams in
+    # the id seat) — previously two corpus-sized explode passes + a
+    # two-sided totals cross join.
+    flagged = docs.withColumn("__is_t", target_pred.cast("long"))
+    grams = _bucketed_bigrams(flagged, "__is_t", text_col, n_buckets)
+    counts = grams.groupBy("bucket").agg(
+        F.count("*").alias("cc"), F.sum("__is_t").alias("ct")
     )
-    corpus = grams.groupBy("bucket").agg(F.count("*").alias("cc"))
-    target = tgrams.groupBy("bucket").agg(F.count("*").alias("ct"))
-    tot = (
-        corpus.agg(F.sum("cc").alias("nc"))
-        .crossJoin(target.agg(F.sum("ct").alias("nt")))
-    )
+    tot = counts.agg(F.sum("cc").alias("nc"), F.sum("ct").alias("nt"))
     # log-ratio per bucket, add-one smoothed over B buckets:
     #   λ(b) = ln((ct+1)/(nt+B)) − ln((cc+1)/(nc+B))
     # built on the corpus bucket table (every scored gram's bucket has
-    # cc ≥ 1 by construction), target side coalesced to 0.
+    # cc ≥ 1 by construction; a bucket unseen in the target has ct = 0).
     lam = (
-        corpus.join(target, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "bucket",
             (
                 F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                    (F.col("ct") + 1).cast("double")
                     / (F.col("nt") + n_buckets).cast("double")
                 )
                 - F.log(
