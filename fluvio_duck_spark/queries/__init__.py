@@ -202,6 +202,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "sample_reservoir_global",
     "mm_scene_cuts",
     "stream_reservoir_sample",
+    "eval_bradley_terry",
 })
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing

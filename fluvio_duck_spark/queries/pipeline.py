@@ -4504,3 +4504,148 @@ QUERIES.update({
             "window prefix sum over the file listing (metadata-sized plan)",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# eval_bradley_terry — arena-style pairwise model ranking (MM iterations)
+# ---------------------------------------------------------------------------
+
+_BT_ITERS = 3
+
+
+def _bt_r12(col):
+    """floor(x*1e12+0.5)/1e12 — the graph.py fixed-point rounding, so the
+    iterated MM recurrence is bit-identical across engines."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+
+
+def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength ranking from pairwise comparisons — the
+    arena/leaderboard fit an LLM-eval pipeline runs over millions of
+    model-vs-model judgments (Elo's batch cousin).  Comparisons are
+    derived deterministically from events: per (user, event_type) an
+    exact integer engagement score (micro-summed values, order-free),
+    then within each user every type pair yields one game won by the
+    higher score (ties to the lexicographically first type).
+
+    The MM fit (Hunter 2004): p_i ← W_i / Σ_j n_ij/(p_i+p_j), unrolled
+    ``_BT_ITERS`` rounds with 12-dp fixed-point rounding and DECIMAL
+    term sums — the pagerank trick, so an ITERATIVE fit gets an exact
+    hash-compared oracle.
+
+    Scale shape: one user-keyed shuffle builds per-user scores; the
+    within-user pair join fans out C(types,2) ≤ 15 rows per user; one
+    aggregation collapses to the |models|² pair table (bounded: dozens
+    of rows) — every MM round then runs on that TINY table (a
+    self-join + one DECIMAL agg), never re-touching the corpus.  At
+    100 TB of judgments only the first two steps see data."""
+    ev = load(spark, sf_dir, "events")
+    scores = ev.groupBy("user_id", "event_type").agg(
+        F.sum(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 1e6 + F.lit(0.5))
+            .cast("long")
+        ).alias("s")
+    )
+    a, b = scores.alias("a"), scores.alias("b")
+    games = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+            (F.col("a.s") >= F.col("b.s")).cast("long").alias("wa"),
+        )
+    )
+    pairs = games.groupBy("ta", "tb").agg(
+        F.sum("wa").alias("wa"),
+        (F.count("*") - F.sum("wa")).alias("wb"),
+        F.count("*").alias("n"),
+    ).localCheckpoint(eager=True)  # |models|^2 rows; every round reuses it
+    # symmetric edge list: (i, j, wins_i_over_j, n_ij)
+    edges = pairs.select(
+        F.col("ta").alias("i"), F.col("tb").alias("j"),
+        F.col("wa").alias("w"), "n",
+    ).unionByName(pairs.select(
+        F.col("tb").alias("i"), F.col("ta").alias("j"),
+        F.col("wb").alias("w"), "n",
+    ))
+    totals = edges.groupBy("i").agg(
+        F.sum("w").alias("wins"), F.sum("n").alias("games")
+    )
+    ratings = totals.select("i", F.lit(1.0).alias("p"))
+    # every relation in the loop is |models|-sized: broadcast-hint all
+    # join sides so the 3 rounds compile to broadcast hash joins instead
+    # of a tower of sort-merge exchanges over dozen-row tables
+    for _ in range(_BT_ITERS):
+        pj = ratings.select(F.col("i").alias("j"), F.col("p").alias("pj"))
+        denom = (
+            edges.join(F.broadcast(ratings), "i").join(F.broadcast(pj), "j")
+            .select(
+                "i",
+                _bt_r12(F.col("n") / (F.col("p") + F.col("pj"))).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
+                 .alias("d"))
+        )
+        ratings = totals.join(F.broadcast(denom), "i").select(
+            "i",
+            _bt_r12(F.col("wins").cast("double") / F.col("d")).alias("p"),
+        )
+    return (
+        totals.join(F.broadcast(ratings), "i")
+        .select(F.col("i").alias("event_type"), "wins", "games",
+                F.col("p").alias("bt_strength"))
+    )
+
+
+def _bt_oracle(iters: int = _BT_ITERS) -> str:
+    head = """
+WITH scores AS (
+  SELECT user_id, event_type,
+         SUM(CAST(floor(COALESCE(value, 0.0) * 1e6 + 0.5) AS BIGINT)) AS s
+  FROM events GROUP BY 1, 2),
+games AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(a.s >= b.s AS BIGINT) AS wa
+  FROM scores a JOIN scores b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type),
+pairs AS (
+  SELECT ta, tb, SUM(wa) AS wa, COUNT(*) - SUM(wa) AS wb, COUNT(*) AS n
+  FROM games GROUP BY 1, 2),
+edges AS (
+  SELECT ta AS i, tb AS j, wa AS w, n FROM pairs
+  UNION ALL
+  SELECT tb, ta, wb, n FROM pairs),
+totals AS (
+  SELECT i, SUM(w) AS wins, SUM(n) AS games FROM edges GROUP BY i),
+r0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM totals)"""
+    its = []
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        its.append(f""", d{k} AS (
+  SELECT e.i,
+         CAST(SUM(CAST(floor(e.n / (ri.p + rj.p) * 1e12 + 0.5) / 1e12
+                       AS DECIMAL(28,12))) AS DOUBLE) AS d
+  FROM edges e JOIN {prev} ri ON e.i = ri.i JOIN {prev} rj ON e.j = rj.i
+  GROUP BY e.i
+), r{k} AS (
+  SELECT t.i,
+         floor(CAST(t.wins AS DOUBLE) / d.d * 1e12 + 0.5) / 1e12 AS p
+  FROM totals t JOIN d{k} d ON t.i = d.i
+)""")
+    return head + "".join(its) + f"""
+SELECT t.i AS event_type, CAST(t.wins AS BIGINT) AS wins,
+       CAST(t.games AS BIGINT) AS games, r.p AS bt_strength
+FROM totals t JOIN r{iters} r ON t.i = r.i"""
+
+
+QUERIES.update({
+    "eval_bradley_terry": QuerySpec(
+        q_eval_bradley_terry, _bt_oracle(),
+        doc="Bradley-Terry arena ranking: MM iterations on the "
+            "|models|^2-bounded pair table (corpus touched once), "
+            "SQL-unrolled exact oracle — the pagerank trick for an "
+            "iterative fit",
+    ),
+})
