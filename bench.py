@@ -231,6 +231,8 @@ EXTENDED = [
     "sample_reservoir_global",
     "mm_scene_cuts",
     "loopback_chain_prefix_pushdown",
+    "stream_reservoir_sample",
+    "eval_bradley_terry",
 ]
 
 
