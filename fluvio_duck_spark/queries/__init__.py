@@ -203,6 +203,7 @@ _NEW_THIS_ROUND: frozenset[str] = frozenset({
     "mm_scene_cuts",
     "stream_reservoir_sample",
     "eval_bradley_terry",
+    "eval_bootstrap_ci",
 })
 
 #: Names whose latest receipt is stale-red or predates an oracle pairing

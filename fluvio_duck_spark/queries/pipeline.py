@@ -4649,3 +4649,131 @@ QUERIES.update({
             "iterative fit",
     ),
 })
+
+
+# ---------------------------------------------------------------------------
+# eval_bootstrap_ci — Poisson-bootstrap confidence interval, deterministic
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32          # replicates
+_BOOT_SEED = 23
+#: Poisson(1) CDF thresholds (exact doubles, shared with the oracle):
+#: weight k when u falls in the k-th band — the inverse-CDF draw.
+_POIS_CDF = (0.36787944117144233, 0.7357588823428847,
+             0.9196986029286058, 0.9810118431238463)
+
+
+def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for a corpus-level metric (mean
+    order value) via the POISSON bootstrap — the resampling scheme that
+    scales: classic bootstrap materializes B index-resamples of the
+    corpus (impossible at 100 TB); Poisson(1) per-row replicate weights
+    are independent of n, so all B replicates ride ONE pass as a
+    bounded ×B fan-out with map-side partial aggregation.
+
+    Deterministic end to end: the per-(row, replicate) uniform is the
+    sampling family's integer LCG keyed by (o_orderkey, replicate), the
+    weight is its inverse-CDF Poisson band, replicate means accumulate
+    in exact integer cents, and the CI bounds are ORDER STATISTICS of
+    the B=32 replicate means (2nd and 31st — the ~93% interval),
+    selected from a sorted array rather than interpolated, so both
+    engines pick identical values.  Output: one row (n, mean_value,
+    ci_lo, ci_hi, n_eff_min) — the leaderboard-significance primitive
+    an eval pipeline runs over every metric."""
+    orders = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    r = F.col("r").cast("long")
+    u = (
+        F.pmod(
+            (F.col("o_orderkey") + 1)
+            * (F.lit(2654435761) + (F.lit(_BOOT_SEED) + r) * F.lit(98765431).cast("long")),
+            F.lit(1000003),
+        ).cast("double")
+        / F.lit(1000003.0)
+    )
+    w = (
+        F.when(u < _POIS_CDF[0], 0).when(u < _POIS_CDF[1], 1)
+        .when(u < _POIS_CDF[2], 2).when(u < _POIS_CDF[3], 3).otherwise(4)
+        .cast("long")
+    )
+    reps = (
+        orders.select(cents.alias("c"), F.col("o_orderkey"))
+        .select("c", "o_orderkey",
+                F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r"))
+        .select("c", "r", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("wc"),
+            F.sum("w").alias("n_eff"),
+        )
+        .select(
+            (F.col("wc").cast("double") / (F.col("n_eff") * 100)).alias("m"),
+            "n_eff",
+        )
+    )
+    # B rows -> one: order statistics from a sorted in-row array
+    return (
+        reps.crossJoin(
+            F.broadcast(
+                load(spark, sf_dir, "orders").agg(
+                    F.count("*").alias("n"),
+                    (F.sum(cents).cast("double") / (F.count("*") * 100))
+                    .alias("mean_value"),
+                )
+            )
+        )
+        .groupBy("n", "mean_value")
+        .agg(
+            F.sort_array(F.collect_list("m")).alias("ms"),
+            F.min("n_eff").alias("n_eff_min"),
+        )
+        .select(
+            "n", "mean_value",
+            F.element_at("ms", 2).alias("ci_lo"),
+            F.element_at("ms", _BOOT_B - 1).alias("ci_hi"),
+            "n_eff_min",
+        )
+    )
+
+
+ORACLE_BOOTSTRAP_CI = f"""
+WITH reps AS (
+  SELECT r,
+         SUM(w * c) AS wc, SUM(w) AS n_eff
+  FROM (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c, t.r,
+           CASE WHEN u < {_POIS_CDF[0]!r} THEN 0
+                WHEN u < {_POIS_CDF[1]!r} THEN 1
+                WHEN u < {_POIS_CDF[2]!r} THEN 2
+                WHEN u < {_POIS_CDF[3]!r} THEN 3
+                ELSE 4 END AS w
+    FROM (
+      SELECT o_orderkey, o_totalprice, r,
+             CAST(((o_orderkey + 1) * (2654435761 + ({_BOOT_SEED} + r) * 98765431))
+                  % 1000003 AS DOUBLE) / 1000003.0 AS u
+      FROM orders, unnest(range(0, {_BOOT_B})) AS t(r)) t) t
+  GROUP BY r),
+base AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 100) AS mean_value
+  FROM orders),
+ms AS (
+  SELECT list_sort(list(CAST(wc AS DOUBLE) / (n_eff * 100))) AS ms,
+         MIN(n_eff) AS n_eff_min
+  FROM reps)
+SELECT b.n, b.mean_value, ms.ms[2] AS ci_lo, ms.ms[{_BOOT_B - 1}] AS ci_hi,
+       CAST(ms.n_eff_min AS BIGINT) AS n_eff_min
+FROM base b, ms
+"""
+
+
+QUERIES.update({
+    "eval_bootstrap_ci": QuerySpec(
+        q_eval_bootstrap_ci, ORACLE_BOOTSTRAP_CI,
+        doc="Poisson-bootstrap CI for a corpus metric: B=32 replicates in "
+            "ONE pass (deterministic per-(row,replicate) weights, exact "
+            "integer-cents means, order-statistic bounds) — the scalable "
+            "bootstrap for leaderboard significance",
+    ),
+})
