@@ -35,3 +35,19 @@ def dmul(a: Column, b: Column, scale_a: int = 2, scale_b: int = 4) -> Column:
     """Exact product of two float columns for use under dsum — e.g.
     ``l_extendedprice * (1 - l_discount)`` with money/rate scales."""
     return a.cast(f"decimal(18,{scale_a})") * b.cast(f"decimal(9,{scale_b})")
+
+
+def r12(col: Column) -> Column:
+    """Round to 12 decimals as ``floor(x*1e12 + 0.5)/1e12`` — spelled out
+    in IEEE double ops so Spark and any SQL oracle compute bit-identical
+    results (engine-native ``round()`` differs in the last ulp between
+    BigDecimal-based and multiply-based implementations, which iterated
+    fixpoints amplify into visible divergence).  DOMAIN: |x| must stay
+    below ~9.2e6 — ``floor`` on a double yields LongType in Spark and
+    saturates at 2^63-1 where DuckDB's floor stays DOUBLE, so the two
+    engines diverge past x*1e12 ≈ 2^63.  Normalize the iterated quantity
+    into O(1) range first (PageRank values are probabilities; the
+    Bradley–Terry fit divides its win/game counts by the total game
+    count — the MM fixpoint is scale-invariant, so normalization changes
+    nothing but the safe range)."""
+    return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)

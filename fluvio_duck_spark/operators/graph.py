@@ -24,12 +24,12 @@ RANK_DP = 12
 
 
 def _r12(col):
-    """Round to 12 decimals as floor(x·1e12 + 0.5)/1e12 — spelled out in
-    IEEE double ops so Spark and any SQL oracle compute bit-identical
-    results.  Engine-native round() differs in the last ulp between
-    BigDecimal-based (Spark) and multiply-based (DuckDB) implementations,
-    which an iterated fixpoint amplifies into visible divergence."""
-    return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    """Shared fixed-point rounding — see functions/exact.py::r12 (incl.
+    the ~9.2e6 domain bound; PageRank values are probabilities ≤ 1, well
+    inside it)."""
+    from fluvio_duck_spark.functions.exact import r12
+
+    return r12(col)
 
 
 def pagerank(

@@ -49,9 +49,14 @@ def uniform_key(id_col: str | Column, seed: int = 0) -> Column:
 
     Engine-portable (plain 64-bit integer arithmetic — the DuckDB oracle
     computes the identical expression), which is why the oracle-paired
-    query uses it.  At real scale with non-integer or composite ids,
-    pass ``F.xxhash64(*cols, F.lit(seed))`` as ``order_key`` instead —
-    same operator, stronger mixing, no SQL-oracle requirement.
+    query uses it.  Int64 domain bound: the raw product must stay below
+    2^63, i.e. ``(id+1) * (2654435761 + seed*98765431) < 2^63`` — with
+    seeds ≤ 11 that caps ids at ~2.4e9 (DuckDB raises on BIGINT overflow
+    where Spark silently wraps).  Past that, pre-reduce the id
+    (``pmod(id, 1000003)`` BEFORE the multiply — the bootstrap-CI query
+    is the worked example) or, at real scale with non-integer/composite
+    ids, pass ``F.xxhash64(*cols, F.lit(seed))`` as ``order_key``
+    instead — same operator, stronger mixing, no SQL-oracle requirement.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return F.pmod((c + F.lit(1)) * F.lit(_KNUTH + seed * _SEED_STRIDE), F.lit(_MOD))

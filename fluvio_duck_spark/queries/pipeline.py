@@ -4511,12 +4511,16 @@ QUERIES.update({
 # ---------------------------------------------------------------------------
 
 _BT_ITERS = 3
+#: Ratings are floored here so a pair of never-winning models cannot
+#: drive a 0/0 in the MM denominator; with this floor every rounded MM
+#: term stays ≤ 1/(2·eps) = 5e5, inside r12's ~9.2e6 domain bound.
+_BT_EPS = 1e-06
 
 
 def _bt_r12(col):
-    """floor(x*1e12+0.5)/1e12 — the graph.py fixed-point rounding, so the
-    iterated MM recurrence is bit-identical across engines."""
-    return F.floor(col * F.lit(1e12) + F.lit(0.5)) / F.lit(1e12)
+    from fluvio_duck_spark.functions.exact import r12
+
+    return r12(col)
 
 
 def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4572,6 +4576,18 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = edges.groupBy("i").agg(
         F.sum("w").alias("wins"), F.sum("n").alias("games")
     )
+    # The MM fixpoint is invariant to scaling every win/game count by a
+    # constant, so normalize by the total game mass: all rounded MM
+    # quantities then live in O(1) (r12's domain is ~9.2e6 — raw counts
+    # at judgment scale would saturate Spark's floor-to-long where
+    # DuckDB's floor stays DOUBLE, silently breaking engine parity).
+    g = edges.agg(F.sum("n").cast("double").alias("g"))
+    edges = edges.crossJoin(F.broadcast(g)).select(
+        "i", "j", _bt_r12(F.col("n") / F.col("g")).alias("nn")
+    ).localCheckpoint(eager=True)
+    totals_n = totals.crossJoin(F.broadcast(g)).select(
+        "i", _bt_r12(F.col("wins") / F.col("g")).alias("wn")
+    )
     ratings = totals.select("i", F.lit(1.0).alias("p"))
     # every relation in the loop is |models|-sized: broadcast-hint all
     # join sides so the 3 rounds compile to broadcast hash joins instead
@@ -4582,15 +4598,17 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(F.broadcast(ratings), "i").join(F.broadcast(pj), "j")
             .select(
                 "i",
-                _bt_r12(F.col("n") / (F.col("p") + F.col("pj"))).alias("t"),
+                _bt_r12(F.col("nn") / (F.col("p") + F.col("pj"))).alias("t"),
             )
             .groupBy("i")
             .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
                  .alias("d"))
         )
-        ratings = totals.join(F.broadcast(denom), "i").select(
+        ratings = totals_n.join(F.broadcast(denom), "i").select(
             "i",
-            _bt_r12(F.col("wins").cast("double") / F.col("d")).alias("p"),
+            F.greatest(
+                _bt_r12(F.col("wn") / F.col("d")), F.lit(_BT_EPS)
+            ).alias("p"),
         )
     return (
         totals.join(F.broadcast(ratings), "i")
@@ -4619,20 +4637,25 @@ edges AS (
   SELECT tb, ta, wb, n FROM pairs),
 totals AS (
   SELECT i, SUM(w) AS wins, SUM(n) AS games FROM edges GROUP BY i),
+g AS (SELECT CAST(SUM(n) AS DOUBLE) AS g FROM edges),
+nedges AS (
+  SELECT i, j, floor(n / g.g * 1e12 + 0.5) / 1e12 AS nn FROM edges, g),
+ntotals AS (
+  SELECT i, floor(wins / g.g * 1e12 + 0.5) / 1e12 AS wn FROM totals, g),
 r0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM totals)"""
     its = []
     for k in range(1, iters + 1):
         prev = f"r{k - 1}"
         its.append(f""", d{k} AS (
   SELECT e.i,
-         CAST(SUM(CAST(floor(e.n / (ri.p + rj.p) * 1e12 + 0.5) / 1e12
+         CAST(SUM(CAST(floor(e.nn / (ri.p + rj.p) * 1e12 + 0.5) / 1e12
                        AS DECIMAL(28,12))) AS DOUBLE) AS d
-  FROM edges e JOIN {prev} ri ON e.i = ri.i JOIN {prev} rj ON e.j = rj.i
+  FROM nedges e JOIN {prev} ri ON e.i = ri.i JOIN {prev} rj ON e.j = rj.i
   GROUP BY e.i
 ), r{k} AS (
   SELECT t.i,
-         floor(CAST(t.wins AS DOUBLE) / d.d * 1e12 + 0.5) / 1e12 AS p
-  FROM totals t JOIN d{k} d ON t.i = d.i
+         GREATEST(floor(t.wn / d.d * 1e12 + 0.5) / 1e12, {_BT_EPS!r}) AS p
+  FROM ntotals t JOIN d{k} d ON t.i = d.i
 )""")
     return head + "".join(its) + f"""
 SELECT t.i AS event_type, CAST(t.wins AS BIGINT) AS wins,
@@ -4644,7 +4667,7 @@ QUERIES.update({
     "eval_bradley_terry": QuerySpec(
         q_eval_bradley_terry, _bt_oracle(),
         doc="Bradley-Terry arena ranking: MM iterations on the "
-            "|models|^2-bounded pair table (corpus touched once), "
+            "models^2-bounded pair table (corpus touched once), "
             "SQL-unrolled exact oracle — the pagerank trick for an "
             "iterative fit",
     ),
@@ -4683,9 +4706,14 @@ def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     r = F.col("r").cast("long")
+    # the key is pre-reduced mod 1000003 BEFORE the multiply (unlike
+    # sampling.uniform_key, whose raw (id+1)*multiplier products overflow
+    # int64 past id ~1.15e9 with this replicate-widened multiplier range):
+    # (key%M + 1) ≤ 1e6 and the largest multiplier ≈ 8e9, so every
+    # product stays < 8e15 < 2^63 at ANY key magnitude, in both engines
     u = (
         F.pmod(
-            (F.col("o_orderkey") + 1)
+            (F.pmod(F.col("o_orderkey"), F.lit(1000003)) + 1)
             * (F.lit(2654435761) + (F.lit(_BOOT_SEED) + r) * F.lit(98765431).cast("long")),
             F.lit(1000003),
         ).cast("double")
@@ -4707,32 +4735,35 @@ def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").alias("n_eff"),
         )
         .select(
-            (F.col("wc").cast("double") / (F.col("n_eff") * 100)).alias("m"),
+            # n_eff = 0 is possible only for a degenerate tiny corpus;
+            # guard the division so ANSI mode cannot raise (both engines
+            # emit NULL for that replicate instead)
+            F.when(
+                F.col("n_eff") > 0,
+                F.col("wc").cast("double") / (F.col("n_eff") * 100),
+            ).alias("m"),
             "n_eff",
         )
     )
-    # B rows -> one: order statistics from a sorted in-row array
-    return (
-        reps.crossJoin(
-            F.broadcast(
-                load(spark, sf_dir, "orders").agg(
-                    F.count("*").alias("n"),
-                    (F.sum(cents).cast("double") / (F.count("*") * 100))
-                    .alias("mean_value"),
-                )
-            )
-        )
-        .groupBy("n", "mean_value")
-        .agg(
-            F.sort_array(F.collect_list("m")).alias("ms"),
-            F.min("n_eff").alias("n_eff_min"),
-        )
-        .select(
-            "n", "mean_value",
-            F.element_at("ms", 2).alias("ci_lo"),
-            F.element_at("ms", _BOOT_B - 1).alias("ci_hi"),
-            "n_eff_min",
-        )
+    # B rows -> ONE, via GROUP-BY-less aggregates on both sides so even
+    # an empty input yields exactly one (NULL-filled) row — matching the
+    # oracle's scalar-aggregate shape row-for-row on any table contents
+    stats = reps.agg(
+        F.sort_array(F.collect_list("m")).alias("ms"),
+        F.min("n_eff").alias("n_eff_min"),
+    )
+    base = load(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n"),
+        F.when(
+            F.count("*") > 0,
+            F.sum(cents).cast("double") / (F.count("*") * 100),
+        ).alias("mean_value"),
+    )
+    return base.crossJoin(F.broadcast(stats)).select(
+        "n", "mean_value",
+        F.try_element_at("ms", F.lit(2)).alias("ci_lo"),
+        F.try_element_at("ms", F.lit(_BOOT_B - 1)).alias("ci_hi"),
+        "n_eff_min",
     )
 
 
@@ -4749,17 +4780,20 @@ WITH reps AS (
                 ELSE 4 END AS w
     FROM (
       SELECT o_orderkey, o_totalprice, r,
-             CAST(((o_orderkey + 1) * (2654435761 + ({_BOOT_SEED} + r) * 98765431))
+             CAST(((o_orderkey % 1000003 + 1)
+                   * (2654435761 + ({_BOOT_SEED} + r) * 98765431))
                   % 1000003 AS DOUBLE) / 1000003.0 AS u
       FROM orders, unnest(range(0, {_BOOT_B})) AS t(r)) t) t
   GROUP BY r),
 base AS (
   SELECT COUNT(*) AS n,
-         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
-           / (COUNT(*) * 100) AS mean_value
+         CASE WHEN COUNT(*) > 0 THEN
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (COUNT(*) * 100) END AS mean_value
   FROM orders),
 ms AS (
-  SELECT list_sort(list(CAST(wc AS DOUBLE) / (n_eff * 100))) AS ms,
+  SELECT list_sort(list(CASE WHEN n_eff > 0
+                             THEN CAST(wc AS DOUBLE) / (n_eff * 100) END)) AS ms,
          MIN(n_eff) AS n_eff_min
   FROM reps)
 SELECT b.n, b.mean_value, ms.ms[2] AS ci_lo, ms.ms[{_BOOT_B - 1}] AS ci_hi,

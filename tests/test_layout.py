@@ -260,7 +260,6 @@ def test_bootstrap_ci_layout_independent(spark):
     from fluvio_duck_spark.sources.tables import load
 
     orders = load(spark, src, "orders").repartition(7)
-    orders.createOrReplaceTempView("__boot_orders")
     # rebuild against the repartitioned frame via a patched loader
     import fluvio_duck_spark.queries.pipeline as pl
 
