@@ -50,24 +50,42 @@ def test_queries_md_matches_registry():
     )
 
 
-def test_receipt_rotation_partitions_registry():
-    """The latest-receipt sets plus _NEW_THIS_ROUND must exactly cover the
-    registry: registering a query without adding it to _NEW_THIS_ROUND
-    would let it hide at an arbitrary rotation position, and a renamed or
-    deleted query would leave a stray receipt name behind."""
-    from fluvio_duck_spark.queries import _NEW_THIS_ROUND, _RECEIPT_ROUNDS
+def test_receipt_rotation_orders_stalest_first():
+    """Rotation is DERIVED from the committed CORRECTNESS_r*.json
+    artifacts (VERDICT r10 #8) — no hand-maintained cohort sets to
+    forget.  Invariants: every receipt name still exists in the registry
+    (a rename would silently orphan its history), never-receipted names
+    lead the ordering (a new registration gets its first driver receipt
+    before any refresh), and receipted names follow in non-decreasing
+    latest-green-round order (stalest receipts refresh first)."""
+    from fluvio_duck_spark.queries import _REVERIFY, latest_receipts
 
-    qs = set(all_queries())
-    receipted: set[str] = set()
-    for s in _RECEIPT_ROUNDS:
-        assert receipted.isdisjoint(s), sorted(receipted & s)
-        receipted |= s
-    stray = receipted - qs
-    assert not stray, f"receipt names not in registry: {sorted(stray)}"
-    unaccounted = qs - receipted - _NEW_THIS_ROUND
-    assert not unaccounted, (
-        f"registered but neither receipted nor in _NEW_THIS_ROUND: "
-        f"{sorted(unaccounted)} — add new registrations to _NEW_THIS_ROUND"
+    qs = all_queries()
+    receipts = latest_receipts()
+    assert receipts, "no CORRECTNESS_r*.json artifacts found at repo root"
+    stray = set(receipts) - set(qs)
+    assert not stray, (
+        f"receipt names not in registry (rename lost its history?): "
+        f"{sorted(stray)}"
+    )
+    rounds = [
+        receipts.get(name, 0) for name in qs if name not in _REVERIFY
+    ]
+    assert rounds == sorted(rounds), (
+        "all_queries() ordering is not stalest-receipt-first: a "
+        "later-receipted name precedes an earlier-receipted one"
+    )
+    # The driver's ~50-name sample must be exactly the stalest cohort:
+    # unreceipted names first (round 0), then the oldest rounds.
+    first50 = list(qs)[:50]
+    cutoff = max(receipts.get(n, 0) for n in first50)
+    outside = [
+        n for n in qs
+        if n not in first50 and receipts.get(n, 0) < cutoff
+    ]
+    assert not outside, (
+        f"names staler than the first-50 cutoff (r{cutoff}) are ordered "
+        f"after position 50: {outside[:5]}"
     )
 
 
