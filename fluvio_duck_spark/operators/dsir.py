@@ -87,7 +87,13 @@ def dsir_lambda(
     # corpus aggregation (the flag travels through _bucketed_bigrams in
     # the id seat) — previously two corpus-sized explode passes + a
     # two-sided totals cross join.
-    flagged = docs.withColumn("__is_t", target_pred.cast("long"))
+    # NULL predicate rows are non-target (SQL WHERE semantics): without
+    # the coalesce, a bucket whose bigrams all come from NULL-predicate
+    # rows would get ct = NULL (F.sum skips NULLs over an all-NULL
+    # group) and a NULL λ that silently poisons downstream score joins.
+    flagged = docs.withColumn(
+        "__is_t", F.coalesce(target_pred.cast("long"), F.lit(0))
+    )
     grams = _bucketed_bigrams(flagged, "__is_t", text_col, n_buckets)
     counts = grams.groupBy("bucket").agg(
         F.count("*").alias("cc"), F.sum("__is_t").alias("ct")

@@ -157,10 +157,16 @@ def compaction_plan(
 
     Files are ordered size-descending (ties broken by ``file_id_cols``
     so the plan is a pure function of the listing) within each table
-    partition; a file's bin is ``floor(exclusive_prefix_sum / target)``.
-    Oversized files (> target) naturally land alone; the size-descending
-    order keeps big files from fragmenting bins that small files would
-    have filled.
+    partition; a file's bin is ``floor(exclusive_prefix_sum / target)``
+    where each file contributes ``min(bytes, target)`` to the prefix.
+    The clamp makes an oversized file (> target) consume exactly one
+    window — it lands alone in its bin and the next file starts at a
+    fresh window boundary instead of inheriting the oversized file's
+    fractional remainder (unclamped, a 99 999-byte file at target 4 000
+    leaves 1 byte of window, splitting the small files that follow
+    across two bins).  It also makes bin ids provably contiguous from 0
+    per partition: each prefix step is ≤ target, so floor() advances by
+    at most 1.
 
     The window partitions by ``partition_cols`` (compaction never merges
     across table partitions), so a real lake's plan parallelizes per
@@ -179,11 +185,11 @@ def compaction_plan(
         Window.partitionBy(*parts).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    clamped = F.least(F.col(bytes_col), F.lit(target_bytes).cast("long"))
     binned = files.withColumn(
         "bin",
         F.floor(
-            (F.sum(bytes_col).over(w) - F.col(bytes_col))
-            / F.lit(target_bytes)
+            (F.sum(clamped).over(w) - clamped) / F.lit(target_bytes)
         ).cast("long"),
     )
     return binned.groupBy(*parts, "bin").agg(

@@ -4476,10 +4476,10 @@ WITH files AS (
   FROM events GROUP BY 1, 2),
 b AS (
   SELECT event_type, bytes,
-         CAST(floor((sum(bytes) OVER (
+         CAST(floor((sum(least(bytes, {_COMPACT_TARGET})) OVER (
                  PARTITION BY event_type
                  ORDER BY bytes DESC, file_date
-                 ROWS UNBOUNDED PRECEDING) - bytes)
+                 ROWS UNBOUNDED PRECEDING) - least(bytes, {_COMPACT_TARGET}))
                / {_COMPACT_TARGET}) AS BIGINT) AS bin
   FROM files)
 SELECT event_type, bin,
@@ -4747,7 +4747,10 @@ def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # B rows -> ONE, via GROUP-BY-less aggregates on both sides so even
     # an empty input yields exactly one (NULL-filled) row — matching the
-    # oracle's scalar-aggregate shape row-for-row on any table contents
+    # oracle's scalar-aggregate shape row-for-row on any table contents.
+    # collect_list SKIPS NULL means (n_eff = 0 replicates); the oracle's
+    # list() carries a matching FILTER so ms[i] indexes the same order
+    # statistic in both engines even on degenerate tiny corpora.
     stats = reps.agg(
         F.sort_array(F.collect_list("m")).alias("ms"),
         F.min("n_eff").alias("n_eff_min"),
@@ -4792,8 +4795,8 @@ base AS (
              / (COUNT(*) * 100) END AS mean_value
   FROM orders),
 ms AS (
-  SELECT list_sort(list(CASE WHEN n_eff > 0
-                             THEN CAST(wc AS DOUBLE) / (n_eff * 100) END)) AS ms,
+  SELECT list_sort(list(CAST(wc AS DOUBLE) / (n_eff * 100))
+                   FILTER (WHERE n_eff > 0)) AS ms,
          MIN(n_eff) AS n_eff_min
   FROM reps)
 SELECT b.n, b.mean_value, ms.ms[2] AS ci_lo, ms.ms[{_BOOT_B - 1}] AS ci_hi,

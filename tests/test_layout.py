@@ -86,7 +86,10 @@ def test_compaction_plan_invariants(spark):
     by_part: dict[str, list] = {}
     for r in plan:
         by_part.setdefault(r.part, []).append(r)
-    # byte totals preserved, bins contiguous from 0
+    # byte totals preserved; bin ids contiguous from 0 per partition —
+    # a real invariant now that each file's prefix contribution is
+    # clamped at target (every prefix step ≤ target → floor advances
+    # by at most 1)
     total_in = sum(r.bytes for r in files.collect())
     assert sum(r.total_bytes for r in plan) == total_in
     for part, rows in by_part.items():
@@ -100,6 +103,28 @@ def test_compaction_plan_invariants(spark):
     for r in plan:
         assert r.min_file_bytes <= r.max_file_bytes
         assert r.n_files >= 1
+
+
+def test_compaction_plan_oversized_then_small_files(spark):
+    """Oversized + small files in ONE partition (ADVICE r10 — the case
+    the old fixture couldn't trigger): the prefix clamp makes the
+    99 999-byte file consume exactly one window, so it sits alone in
+    bin 0 and BOTH small files pack together in bin 1.  Unclamped, the
+    oversized file's fractional window remainder (1 byte) would have
+    split them across bins 24 and 25."""
+    files = spark.createDataFrame(
+        [("a", 0, 99_999), ("a", 1, 100), ("a", 2, 100)],
+        "part string, fid long, bytes long",
+    )
+    plan = {
+        r.bin: r
+        for r in compaction_plan(
+            files, 4000, partition_cols=["part"], file_id_cols=["fid"]
+        ).collect()
+    }
+    assert set(plan) == {0, 1}
+    assert plan[0].n_files == 1 and plan[0].max_file_bytes == 99_999
+    assert plan[1].n_files == 2 and plan[1].total_bytes == 200
 
 
 def test_global_sample_plan_and_determinism(spark):

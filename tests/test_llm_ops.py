@@ -1051,6 +1051,34 @@ def test_dsir_weights_rank_target_slice_higher(docs):
     assert a == b
 
 
+def test_dsir_lambda_null_predicate_rows_are_nontarget(spark):
+    """A NULL target predicate means non-target (SQL WHERE semantics).
+    Regression (ADVICE r10): ``target_pred.cast("long")`` propagated
+    NULL, so a bucket whose bigrams all came from NULL-predicate rows
+    got ct = NULL → λ = NULL, silently poisoning downstream score
+    joins.  Pin: no NULL λ, and the fit equals the filter-as-false
+    fit."""
+    from fluvio_duck_spark.operators.dsir import dsir_lambda
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma delta", None),
+            (3, "zulu yankee xray whiskey victor", None),
+            (4, "uniform tango sierra romeo quebec", "fr"),
+        ],
+        "doc_id int, text string, lang string",
+    )
+    lam = dsir_lambda(docs, F.col("lang") == "en", n_buckets=64)
+    assert lam.filter(F.col("lam").isNull()).count() == 0
+    explicit = dsir_lambda(
+        docs, F.coalesce(F.col("lang") == "en", F.lit(False)), n_buckets=64
+    )
+    got = sorted((r.bucket, round(r.lam, 12)) for r in lam.collect())
+    want = sorted((r.bucket, round(r.lam, 12)) for r in explicit.collect())
+    assert got == want
+
+
 def test_binary_hamming_recall_vs_exact(emb):
     """1-bit quantization keeps enough signal on the fixture: recall@10
     of the Hamming-candidates + cosine-rerank pipeline vs the exact
