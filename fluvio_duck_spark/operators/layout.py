@@ -10,12 +10,14 @@ operators are pure DataFrame expressions — integer bit arithmetic and
 window sums — so the same code runs on the catalog-sized metadata of a
 real lake.
 
-* :func:`zorder_key` — Morton (bit-interleaved) clustering key over two
-  bucketed dimensions.  Sorting/range-partitioning by this key before a
-  write gives every file a bounded min/max envelope in BOTH dimensions,
-  so point/range predicates on either column prune files (linear layouts
-  prune only their leading sort column).  The bit-spread is four
-  shift/mask steps per dimension — plain 64-bit integer ops that stay
+* :func:`zorder_key` — Morton (bit-interleaved) clustering key over
+  2–7 bucketed dimensions (real lakes cluster (ts, user, type), not
+  just two).  Sorting/range-partitioning by this key before a write
+  gives every file a bounded min/max envelope in EVERY dimension, so
+  point/range predicates on any column prune files (linear layouts
+  prune only their leading sort column).  The bit-spread is a handful
+  of shift/mask steps per dimension (:func:`morton_geometry` derives
+  the chain for any stride) — plain 64-bit integer ops that stay
   inside whole-stage codegen and reproduce exactly in any SQL engine
   (:func:`zorder_sql` emits the identical expression for the oracle).
   This is the EXACT key over pre-bucketed integer dimensions; the
@@ -43,44 +45,152 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Shift/mask steps that spread a 16-bit value's bits into the even bit
-#: positions of a 32-bit lane (classic Morton encoding):
-#: abcdefgh -> a0b0c0d0e0f0g0h0.  Applying the same four steps to both
-#: dimensions and OR-ing one shifted left by 1 interleaves them.
-_SPREAD_STEPS: tuple[tuple[int, int], ...] = (
-    (8, 0x00FF00FF),
-    (4, 0x0F0F0F0F),
-    (2, 0x33333333),
-    (1, 0x55555555),
-)
+def morton_geometry(n_dims: int) -> tuple[int, tuple[tuple[int, int], ...]]:
+    """(bits_per_dim, ((shift, mask), ...)) for a stride-``n_dims`` bit
+    spread: source bit i lands at interleaved position ``i * n_dims``.
+
+    The chain generalizes the classic 2-d Morton shift/mask steps
+    (8/0x00FF00FF, 4/0x0F0F0F0F, 2/0x33333333, 1/0x55555555): halving
+    group sizes g = B/2 … 1, each step shifts by ``g * (n_dims - 1)``
+    and masks to "g consecutive bits every g * n_dims positions".
+    bits_per_dim is the largest power of two with
+    ``bits * n_dims <= 63`` (the interleaved key must stay positive in
+    a signed 64-bit long): 16 bits for 2–3 dims, 8 bits for 4–7.
+    """
+    if not 2 <= n_dims <= 7:
+        raise ValueError(f"n_dims must be in [2, 7], got {n_dims}")
+    bits = 16
+    while bits * n_dims > 63:
+        bits //= 2
+    steps = []
+    g = bits
+    while g > 1:
+        g //= 2
+        mask = 0
+        pos = 0
+        while pos + g <= 63:
+            mask |= ((1 << g) - 1) << pos
+            pos += g * n_dims
+        steps.append((g * (n_dims - 1), mask))
+    return bits, tuple(steps)
 
 
-def _spread_bits(c: Column) -> Column:
+def _spread_bits(c: Column, steps: tuple[tuple[int, int], ...]) -> Column:
     c = c.cast("long")
-    for shift, mask in _SPREAD_STEPS:
+    for shift, mask in steps:
         c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
     return c
 
 
-def zorder_key(x: Column, y: Column) -> Column:
-    """Morton-interleave two bucket columns (each in [0, 2^16)) into one
-    clustering key: bit i of ``x`` lands at position 2i, bit i of ``y``
-    at 2i+1.  All shift/mask integer ops — codegen-friendly, engine
-    reproducible."""
-    return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1))
+def zorder_key(*dims: Column) -> Column:
+    """Morton-interleave N bucket columns (each in [0, 2^bits_per_dim),
+    see :func:`morton_geometry`) into one clustering key: bit i of
+    dimension j lands at position ``i * N + j``.  All shift/mask integer
+    ops — codegen-friendly, engine reproducible, for 2–7 dimensions
+    (real lakes cluster e.g. (ts, user, type))."""
+    _, steps = morton_geometry(len(dims))
+    key = _spread_bits(dims[0], steps)
+    for j, d in enumerate(dims[1:], start=1):
+        key = key.bitwiseOR(F.shiftleft(_spread_bits(d, steps), j))
+    return key
 
 
-def zorder_sql(x_expr: str, y_expr: str) -> str:
+def zorder_sql(*exprs: str) -> str:
     """The SQL twin of :func:`zorder_key` — emits the identical
-    shift/mask chain over two (small, cheap-to-repeat) SQL expressions,
-    so a DuckDB oracle computes bit-identical keys."""
+    shift/mask chain over N (small, cheap-to-repeat) SQL expressions,
+    so a DuckDB oracle computes bit-identical keys.  Each input is cast
+    to BIGINT first: an INT32-typed expression would overflow the wider
+    strides' shifts (e.g. 65535 << 16) before SQL integer promotion."""
+    _, steps = morton_geometry(len(exprs))
 
     def spread(e: str) -> str:
-        for shift, mask in _SPREAD_STEPS:
+        e = f"CAST(({e}) AS BIGINT)"
+        for shift, mask in steps:
             e = f"((({e}) | (({e}) << {shift})) & {mask})"
         return e
 
-    return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
+    parts = [spread(exprs[0])] + [
+        f"({spread(e)} << {j})" for j, e in enumerate(exprs[1:], start=1)
+    ]
+    return "(" + " | ".join(parts) + ")"
+
+
+def skipping_audit_nd(
+    df: DataFrame,
+    layouts: dict[str, Column],
+    dims: dict[str, Column],
+    probes: dict[str, int],
+) -> DataFrame:
+    """Data-skipping audit over candidate file layouts, N dimensions.
+
+    ``layouts`` maps a layout name to that layout's file-id expression
+    (a pure function of the row, e.g. ``zorder_key(*dims) / width``);
+    ``dims`` maps a dimension name to its bucket column; ``probes`` maps
+    each dimension name to a point-probe value.  For each layout this
+    computes every file's min/max envelope in every dimension, then one
+    summary row per layout:
+
+    ``n_files, n_rows`` plus, per dimension ``d``: ``sum_<d>_span``
+    (exact BIGINT — divide by ``n_files`` for the mean envelope width)
+    and ``files_hit_<d>`` — how many files a point predicate on that
+    dimension cannot skip, i.e. the fraction of the table an engine with
+    min/max file statistics reads.
+
+    Plan shape: the row is expanded once per layout (bounded fan-out =
+    len(layouts)), then two hash aggregations — the first keyed on
+    (layout, file_id) with map-side combine, the second file-count-sized.
+    At 100 TB the audit costs one table scan; everything downstream is
+    metadata-sized.
+    """
+    if set(dims) != set(probes):
+        raise ValueError(f"dims/probes mismatch: {set(dims) ^ set(probes)}")
+    tagged = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("layout"),
+                        fid.cast("long").alias("file_id"),
+                        *[
+                            c.cast("long").alias(f"__{d}")
+                            for d, c in dims.items()
+                        ],
+                    )
+                    for name, fid in layouts.items()
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+    per_file = tagged.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n"),
+        *[
+            agg
+            for d in dims
+            for agg in (
+                F.min(f"__{d}").alias(f"min_{d}"),
+                F.max(f"__{d}").alias(f"max_{d}"),
+            )
+        ],
+    )
+    hit = lambda lo, hi, p: F.count(  # noqa: E731 — local plumbing
+        F.when((F.col(lo) <= p) & (F.lit(p) <= F.col(hi)), 1)
+    )
+    return per_file.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").cast("long").alias("n_rows"),
+        *[
+            F.sum(F.col(f"max_{d}") - F.col(f"min_{d}") + 1)
+            .cast("long")
+            .alias(f"sum_{d}_span")
+            for d in dims
+        ],
+        *[
+            hit(f"min_{d}", f"max_{d}", probes[d])
+            .cast("long")
+            .alias(f"files_hit_{d}")
+            for d in dims
+        ],
+    )
 
 
 def skipping_audit(
@@ -91,57 +201,37 @@ def skipping_audit(
     probe_x: int,
     probe_y: int,
 ) -> DataFrame:
-    """Data-skipping audit over candidate file layouts.
-
-    ``layouts`` maps a layout name to that layout's file-id expression
-    (a pure function of the row, e.g. ``zorder_key(x, y) / width``).
-    For each layout this computes every file's min/max envelope in both
-    dimensions, then one summary row per layout:
-
-    ``n_files, n_rows, sum_x_span, sum_y_span`` (exact BIGINTs — divide
-    by ``n_files`` for the mean envelope width) and
-    ``files_hit_x / files_hit_y`` — how many files a point predicate on
-    that dimension (``probe_x`` / ``probe_y``) cannot skip, i.e. the
-    fraction of the table an engine with min/max file statistics reads.
-
-    Plan shape: the row is expanded once per layout (bounded fan-out =
-    len(layouts)), then two hash aggregations — the first keyed on
-    (layout, file_id) with map-side combine, the second file-count-sized.
-    At 100 TB the audit costs one table scan; everything downstream is
-    metadata-sized.
-    """
-    tagged = df.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(name).alias("layout"),
-                        fid.cast("long").alias("file_id"),
-                        x.cast("long").alias("xb"),
-                        y.cast("long").alias("yb"),
-                    )
-                    for name, fid in layouts.items()
-                ]
-            )
-        ).alias("s")
-    ).select("s.*")
-    per_file = tagged.groupBy("layout", "file_id").agg(
-        F.min("xb").alias("min_x"),
-        F.max("xb").alias("max_x"),
-        F.min("yb").alias("min_y"),
-        F.max("yb").alias("max_y"),
-        F.count("*").alias("n"),
+    """Two-dimensional form of :func:`skipping_audit_nd` (column names
+    ``sum_x_span/sum_y_span/files_hit_x/files_hit_y``)."""
+    return skipping_audit_nd(
+        df, layouts, {"x": x, "y": y}, {"x": probe_x, "y": probe_y}
     )
-    hit = lambda lo, hi, p: F.count(  # noqa: E731 — local plumbing
-        F.when((F.col(lo) <= p) & (F.lit(p) <= F.col(hi)), 1)
+
+
+def compaction_bins(
+    files: DataFrame,
+    target_bytes: int,
+    partition_cols: list[str] | None = None,
+    file_id_cols: list[str] | None = None,
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Per-FILE bin assignment (the input listing plus a ``bin``
+    column) — the executable half of :func:`compaction_plan`: feed it to
+    ``sinks.apply_compaction_plan`` to drive the physical rewrite, or
+    aggregate it (as ``compaction_plan`` does) for the plan summary.
+    Binning logic documented on :func:`compaction_plan`."""
+    parts = partition_cols or []
+    order = [F.col(bytes_col).desc()] + [F.col(c) for c in (file_id_cols or [])]
+    w = (
+        Window.partitionBy(*parts).orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return per_file.groupBy("layout").agg(
-        F.count("*").alias("n_files"),
-        F.sum("n").cast("long").alias("n_rows"),
-        F.sum(F.col("max_x") - F.col("min_x") + 1).cast("long").alias("sum_x_span"),
-        F.sum(F.col("max_y") - F.col("min_y") + 1).cast("long").alias("sum_y_span"),
-        hit("min_x", "max_x", probe_x).cast("long").alias("files_hit_x"),
-        hit("min_y", "max_y", probe_y).cast("long").alias("files_hit_y"),
+    clamped = F.least(F.col(bytes_col), F.lit(target_bytes).cast("long"))
+    return files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum(clamped).over(w) - clamped) / F.lit(target_bytes)
+        ).cast("long"),
     )
 
 
@@ -180,17 +270,8 @@ def compaction_plan(
     compact and can be skipped by the rewrite job).
     """
     parts = partition_cols or []
-    order = [F.col(bytes_col).desc()] + [F.col(c) for c in (file_id_cols or [])]
-    w = (
-        Window.partitionBy(*parts).orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    clamped = F.least(F.col(bytes_col), F.lit(target_bytes).cast("long"))
-    binned = files.withColumn(
-        "bin",
-        F.floor(
-            (F.sum(clamped).over(w) - clamped) / F.lit(target_bytes)
-        ).cast("long"),
+    binned = compaction_bins(
+        files, target_bytes, partition_cols, file_id_cols, bytes_col
     )
     return binned.groupBy(*parts, "bin").agg(
         F.count("*").alias("n_files"),

@@ -88,26 +88,107 @@ def write_zordered(
 def write_zordered_exact(
     df: DataFrame,
     path: str,
-    x,
-    y,
+    *dims,
     num_files: int = 16,
     mode: str = "overwrite",
 ) -> None:
-    """Exact-key twin of :func:`write_zordered` for dimensions that are
-    ALREADY bucketed integers in [0, 2^16) (e.g. ``pmod(user_id, 1024)``,
-    an epoch-hour bucket): interleaves the raw bits via
-    ``operators/layout.py::zorder_key`` — four shift/mask codegen steps
-    per dimension, no ``approxQuantile`` sampling job at plan time, and
-    a key that reproduces bit-for-bit in any engine (the oracle-paired
-    ``layout_zorder_skipping`` audit scores exactly this layout;
-    ``sinks.py::parquet_file_envelopes`` reads the resulting footer
-    stats back).  Use the quantile form above when dimensions are raw
-    doubles/skewed values that need data-driven bucketing first."""
+    """Exact-key twin of :func:`write_zordered` for 2–7 dimensions that
+    are ALREADY bucketed integers (each in [0, 2^bits_per_dim) — see
+    ``operators/layout.py::morton_geometry``; e.g. ``pmod(user_id,
+    1024)``, an epoch-hour bucket): interleaves the raw bits via
+    ``operators/layout.py::zorder_key`` — a handful of shift/mask
+    codegen steps per dimension, no ``approxQuantile`` sampling job at
+    plan time, and a key that reproduces bit-for-bit in any engine (the
+    oracle-paired ``layout_zorder_skipping`` / ``layout_zorder3_skipping``
+    audits score exactly this layout; ``sinks.py::parquet_file_envelopes``
+    reads the resulting footer stats back).  Use the quantile form above
+    when dimensions are raw doubles/skewed values that need data-driven
+    bucketing first."""
     from fluvio_duck_spark.operators.layout import zorder_key as exact_key
 
-    xc = F.col(x) if isinstance(x, str) else x
-    yc = F.col(y) if isinstance(y, str) else y
-    _write_clustered(df, exact_key(xc, yc), path, num_files, mode)
+    cols = [F.col(d) if isinstance(d, str) else d for d in dims]
+    _write_clustered(df, exact_key(*cols), path, num_files, mode)
+
+
+def write_zordered_exact_partitioned(
+    df: DataFrame,
+    path: str,
+    part_col: str,
+    dims,
+    file_shift: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned exact-Z-order write with DETERMINISTIC file
+    boundaries: within each ``part_col`` table partition, rows land in
+    the file ``zorder_key(*dims) >> file_shift`` — a pure function of
+    the row, not of sampling or task scheduling.  Each (partition,
+    z-file) pair becomes exactly one physical file (hash repartition on
+    the pair co-locates it in one task; nested ``partitionBy`` writes it
+    to its own leaf), so two writes of the same logical data produce the
+    SAME file-level min/max envelopes — the property that makes
+    incremental maintenance (:func:`refresh_zordered_partitioned`)
+    provably equivalent to a full rewrite, file boundary for file
+    boundary.  Rows are z-sorted within each file for tight row-group
+    stats."""
+    from fluvio_duck_spark.operators.layout import zorder_key as exact_key
+
+    cols = [F.col(d) if isinstance(d, str) else d for d in dims]
+    zkey = exact_key(*cols)
+    (
+        df.withColumn("__zfile", F.shiftright(zkey, file_shift))
+        .withColumn("__z", zkey)
+        .repartition(part_col, "__zfile")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .partitionBy(part_col, "__zfile")
+        .parquet(path)
+    )
+
+
+def refresh_zordered_partitioned(
+    spark,
+    path: str,
+    delta: DataFrame,
+    part_col: str,
+    dims,
+    file_shift: int = 8,
+) -> list:
+    """Incremental Z-order maintenance (IVM for the physical layout):
+    fold an append ``delta`` into a :func:`write_zordered_exact_partitioned`
+    lake by re-clustering ONLY the table partitions the delta touches.
+
+    Mechanics: the dirty-partition list is collected (partition-count-
+    sized — catalog metadata, never data), the existing rows of just
+    those partitions are read back (partition-pruned scan), unioned with
+    the delta, and re-written z-clustered through DYNAMIC partition
+    overwrite — Spark replaces only the leaf directories present in the
+    output, so every untouched partition's files stay byte-for-byte
+    stable (the ``refresh_rollup_materialized`` pattern applied to
+    layout).  Because file ids are value-derived (``zkey >> shift``),
+    the refreshed lake's file envelopes equal what a full rewrite of
+    base+delta would produce — verified in test_layout.py.
+
+    At 100 TB: cost scales with the DIRTY partitions' size, not the
+    table's; a daily append re-clusters a day, not a lake.  Returns the
+    dirty-partition values (for audit/logging).
+    """
+    dirty = [r[0] for r in delta.select(part_col).distinct().collect()]
+    existing = (
+        spark.read.parquet(path)
+        .filter(F.col(part_col).isin(dirty))
+        .drop("__zfile")
+    )
+    merged = existing.unionByName(delta.select(*existing.columns))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_zordered_exact_partitioned(
+            merged, path, part_col, dims, file_shift, mode="overwrite"
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return dirty
 
 
 def _write_clustered(

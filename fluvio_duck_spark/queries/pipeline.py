@@ -4441,6 +4441,107 @@ FROM pf GROUP BY layout
 """
 
 
+#: 3-d audit geometry: 8-bit buckets per dimension (2^24 key space), 64
+#: target files (key width 2^18), fixed probe points.
+_ZO3_MASK = 255
+_ZO3_FILE_SHIFT = 18
+_ZO3_PROBES = {"hour": 87, "user": 17, "val": 200}
+
+
+def q_layout_zorder3_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-dimensional Z-order skipping audit — the realistic CLUSTER
+    BY shape (time x user x value-band; real lakes cluster three or four
+    predicates, not two).  Same decision metric as the 2-d audit: per
+    layout, every file's min/max envelope in ALL THREE dimensions and
+    how many files a point probe on each dimension must scan.  The
+    3-way Morton key bounds all three envelopes; the linear
+    (hour, user, val) concatenation bounds only its leading dimension.
+
+    Plan: identical shape to the 2-d audit — one scan computing the
+    stride-3 bit-interleave (shift/mask chain from morton_geometry(3),
+    pure codegen), bounded 2x layout fan-out, two hash aggregations.
+    The oracle replays the identical chain via zorder_sql (3 args).
+    """
+    from fluvio_duck_spark.operators.layout import (
+        skipping_audit_nd,
+        zorder_key,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"), F.lit(_ZO3_MASK + 1))
+        .alias("hb"),
+        F.pmod(F.col("user_id"), F.lit(_ZO3_MASK + 1)).alias("ub"),
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(_ZO3_MASK + 1))
+        .alias("vb"),
+    )
+    z_file = F.shiftright(
+        zorder_key(F.col("hb"), F.col("ub"), F.col("vb")), _ZO3_FILE_SHIFT
+    )
+    lin_file = F.shiftright(
+        F.shiftleft(F.col("hb"), 16)
+        .bitwiseOR(F.shiftleft(F.col("ub"), 8))
+        .bitwiseOR(F.col("vb")),
+        _ZO3_FILE_SHIFT,
+    )
+    audit = skipping_audit_nd(
+        b,
+        {"zorder3": z_file, "linear": lin_file},
+        {"hour": F.col("hb"), "user": F.col("ub"), "val": F.col("vb")},
+        _ZO3_PROBES,
+    )
+    return audit.select(
+        "layout", "n_files", "n_rows",
+        *[
+            (F.col(f"sum_{d}_span").cast("double") / F.col("n_files"))
+            .alias(f"avg_{d}_span")
+            for d in ("hour", "user", "val")
+        ],
+        "files_hit_hour", "files_hit_user", "files_hit_val",
+    )
+
+
+def _zorder3_skipping_oracle() -> str:
+    from fluvio_duck_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("hb", "ub", "vb")
+    m = _ZO3_MASK + 1
+    span = "\n".join(
+        f"       CAST(sum(mx_{d} - mn_{d} + 1) AS DOUBLE) / count(*) "
+        f"AS avg_{d}_span," for d in ("hour", "user", "val")
+    )
+    hits = ",\n".join(
+        f"       CAST(count(*) FILTER (mn_{d} <= {p} AND {p} <= mx_{d}) "
+        f"AS BIGINT) AS files_hit_{d}" for d, p in _ZO3_PROBES.items()
+    )
+    env = ", ".join(
+        f"min({c}) AS mn_{d}, max({c}) AS mx_{d}"
+        for d, c in (("hour", "hb"), ("user", "ub"), ("val", "vb"))
+    )
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 % {m} AS hb,
+         user_id % {m} AS ub,
+         CAST(floor(value) AS BIGINT) % {m} AS vb
+  FROM events),
+t AS (
+  SELECT 'zorder3' AS layout, {z} >> {_ZO3_FILE_SHIFT} AS file_id,
+         hb, ub, vb FROM b
+  UNION ALL
+  SELECT 'linear', ((hb << 16) | (ub << 8) | vb) >> {_ZO3_FILE_SHIFT},
+         hb, ub, vb FROM b),
+pf AS (
+  SELECT layout, file_id, count(*) AS n, {env}
+  FROM t GROUP BY 1, 2)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+{span}
+{hits}
+FROM pf GROUP BY layout
+"""
+
+
 #: Compaction target size (bytes of props payload per output file) —
 #: small enough that every SF yields multi-file bins.
 _COMPACT_TARGET = 8192
@@ -4491,6 +4592,211 @@ FROM b GROUP BY 1, 2
 """
 
 
+#: Row budget per compacted output file for the plan→execute query —
+#: small enough that every SF yields multi-file bins (150 daily files at
+#: every SF; per-type totals range 200 rows at sf0.001 to 200k at sf1).
+_COMPACT_APPLY_TARGET_ROWS = 2000
+
+
+def q_layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan→EXECUTE compaction round trip (closes the loop the plan
+    query opens): the events lake is first written deliberately
+    fragmented — one physical parquet file per (event_type, file_date),
+    150 small files — then ``compaction_bins`` plans row-budget bins per
+    event_type and ``sinks.apply_compaction_plan`` physically rewrites
+    the lake, one output file per bin (broadcast file→bin mapping, one
+    bounded shuffle of the rewritten rows).
+
+    The returned audit is measured from the EXECUTED layout (read back
+    from the rewritten directory): per (event_type, bin) the row count,
+    the number of distinct physical output files (``input_file_name``),
+    the number of source files folded in, and an event_id checksum.  The
+    oracle computes what the rewrite MUST produce — the same bins from
+    the pure window-prefix plan, n_out_files = 1 as a literal — so a
+    hash match proves the physical layout equals the plan: no bin split
+    across files, no row lost or duplicated, no file in the wrong bin.
+
+    The plan runs on ROW COUNTS (maxRecordsPerFile-style budget) rather
+    than bytes so both engines can reproduce it exactly; the byte form
+    is the same window expression over a byte listing.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators.layout import compaction_bins
+    from fluvio_duck_spark.sinks import apply_compaction_plan
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "file_date", F.to_date("ts")
+    )
+    work = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_compact_apply",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    src, out = os.path.join(work, "src"), os.path.join(work, "out")
+    shutil.rmtree(work, ignore_errors=True)
+    # fragmented lake: one physical file per (event_type, file_date) —
+    # repartition puts each leaf wholly in one task, partitionBy writes
+    # one file per leaf directory per task
+    (
+        ev.repartition("event_type", "file_date")
+        .write.partitionBy("event_type", "file_date")
+        .parquet(src)
+    )
+    files = (
+        spark.read.parquet(src)
+        .groupBy("event_type", "file_date")
+        .agg(F.count("*").cast("long").alias("rows"))
+    )
+    bins = compaction_bins(
+        files, _COMPACT_APPLY_TARGET_ROWS,
+        partition_cols=["event_type"], file_id_cols=["file_date"],
+        bytes_col="rows",
+    )
+    apply_compaction_plan(
+        spark, src, bins,
+        partition_cols=["event_type"], file_id_cols=["file_date"],
+        out_path=out,
+    )
+    back = spark.read.parquet(out).withColumn("__f", F.input_file_name())
+    return back.groupBy(
+        "event_type", F.col("__bin").cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("__f").cast("long").alias("n_out_files"),
+        F.count_distinct("file_date").cast("long").alias("n_src_files"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+
+
+#: Z-order refresh geometry: 8-bit (hour, user) buckets → 16-bit key;
+#: shift 12 → ≤16 z-files per table partition.  Day 20 splits base from
+#: the late-arriving delta (which touches ONE event_type partition).
+_ZR_MASK = 255
+_ZR_FILE_SHIFT = 12
+_ZR_SPLIT_DAY = 20
+_ZR_DELTA_TYPE = "click"
+
+
+def q_layout_zorder_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Z-order maintenance as a driver row (VERDICT r10 #7):
+    a Z-ordered events lake partitioned by event_type takes a
+    late-arriving append touching ONE partition; the refresh re-clusters
+    only that partition via dynamic partition overwrite
+    (operators/zorder.py::refresh_zordered_partitioned).
+
+    The audit is measured from the REFRESHED physical lake: per
+    (event_type, z-file) the row count, distinct physical files
+    (must be 1 — file ids are value-derived ``zkey >> shift``, so each
+    leaf is exactly one file), dimension envelopes, and an id checksum.
+    The oracle computes the audit a FULL rewrite of base+delta would
+    produce, purely in SQL — a hash match proves refresh ≡ full
+    rewrite, file boundary for file boundary, while only the dirty
+    partition's bytes moved (the byte-stability half is pinned in
+    test_layout.py with mtime snapshots).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators.zorder import (
+        refresh_zordered_partitioned,
+        write_zordered_exact_partitioned,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.pmod(F.expr("unix_timestamp(ts) div 3600"), F.lit(_ZR_MASK + 1))
+        .alias("hb"),
+        F.pmod(F.col("user_id"), F.lit(_ZR_MASK + 1)).alias("ub"),
+        F.dayofmonth("ts").alias("dom"),
+    )
+    base = ev.filter(F.col("dom") <= _ZR_SPLIT_DAY).drop("dom")
+    delta = ev.filter(
+        (F.col("dom") > _ZR_SPLIT_DAY)
+        & (F.col("event_type") == _ZR_DELTA_TYPE)
+    ).drop("dom")
+    lake = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_zorder_refresh",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    shutil.rmtree(lake, ignore_errors=True)
+    write_zordered_exact_partitioned(
+        base, lake, "event_type", ["hb", "ub"], file_shift=_ZR_FILE_SHIFT
+    )
+    refresh_zordered_partitioned(
+        spark, lake, delta, "event_type", ["hb", "ub"],
+        file_shift=_ZR_FILE_SHIFT,
+    )
+    back = spark.read.parquet(lake).withColumn("__f", F.input_file_name())
+    return back.groupBy(
+        "event_type", F.col("__zfile").cast("long").alias("zfile")
+    ).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("__f").cast("long").alias("n_out_files"),
+        F.min("hb").cast("long").alias("min_hb"),
+        F.max("hb").cast("long").alias("max_hb"),
+        F.min("ub").cast("long").alias("min_ub"),
+        F.max("ub").cast("long").alias("max_ub"),
+        F.sum("event_id").cast("long").alias("id_checksum"),
+    )
+
+
+def _zorder_refresh_oracle() -> str:
+    from fluvio_duck_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("hb", "ub")
+    m = _ZR_MASK + 1
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 % {m} AS hb,
+         user_id % {m} AS ub,
+         day(ts) AS dom
+  FROM events),
+combined AS (
+  SELECT event_type, event_id, hb, ub FROM ev
+  WHERE dom <= {_ZR_SPLIT_DAY}
+     OR event_type = '{_ZR_DELTA_TYPE}')
+SELECT event_type,
+       {z} >> {_ZR_FILE_SHIFT} AS zfile,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_out_files,
+       CAST(min(hb) AS BIGINT) AS min_hb,
+       CAST(max(hb) AS BIGINT) AS max_hb,
+       CAST(min(ub) AS BIGINT) AS min_ub,
+       CAST(max(ub) AS BIGINT) AS max_ub,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM combined GROUP BY 1, 2
+"""
+
+
+ORACLE_COMPACTION_APPLY = f"""
+WITH files AS (
+  SELECT event_type, CAST(ts AS DATE) AS file_date,
+         CAST(count(*) AS BIGINT) AS rows
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT event_type, file_date, rows,
+         CAST(floor((sum(least(rows, {_COMPACT_APPLY_TARGET_ROWS})) OVER (
+                 PARTITION BY event_type
+                 ORDER BY rows DESC, file_date
+                 ROWS UNBOUNDED PRECEDING)
+                 - least(rows, {_COMPACT_APPLY_TARGET_ROWS}))
+               / {_COMPACT_APPLY_TARGET_ROWS}) AS BIGINT) AS bin
+  FROM files)
+SELECT e.event_type, b.bin,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS n_out_files,
+       CAST(count(DISTINCT b.file_date) AS BIGINT) AS n_src_files,
+       CAST(sum(e.event_id) AS BIGINT) AS id_checksum
+FROM events e
+JOIN b ON e.event_type = b.event_type AND CAST(e.ts AS DATE) = b.file_date
+GROUP BY 1, 2
+"""
+
+
 QUERIES.update({
     "layout_zorder_skipping": QuerySpec(
         q_layout_zorder_skipping, _zorder_skipping_oracle(),
@@ -4498,10 +4804,31 @@ QUERIES.update({
             "envelopes + files hit by point probes on both dimensions "
             "(bit-interleave replayed shift-for-shift in the oracle)",
     ),
+    "layout_zorder3_skipping": QuerySpec(
+        q_layout_zorder3_skipping, _zorder3_skipping_oracle(),
+        doc="three-dimensional Z-order vs linear skipping audit (time x "
+            "user x value-band): stride-3 Morton interleave from "
+            "morton_geometry(3), per-file envelopes + point probes on "
+            "all three dimensions, oracle replays the chain exactly",
+    ),
     "layout_compaction_plan": QuerySpec(
         q_layout_compaction_plan, ORACLE_COMPACTION_PLAN,
         doc="next-fit-decreasing compaction bin packing as a per-partition "
             "window prefix sum over the file listing (metadata-sized plan)",
+    ),
+    "layout_compaction_apply": QuerySpec(
+        q_layout_compaction_apply, ORACLE_COMPACTION_APPLY,
+        doc="plan->execute compaction round trip: fragmented 150-file "
+            "events lake physically rewritten one-file-per-bin via the "
+            "broadcast file->bin mapping; audit measured from the real "
+            "rewrite must equal the pure-SQL plan (n_out_files=1 literal)",
+    ),
+    "layout_zorder_refresh": QuerySpec(
+        q_layout_zorder_refresh, _zorder_refresh_oracle(),
+        doc="incremental Z-order maintenance: late-arriving delta folded "
+            "into ONE dirty partition via dynamic partition overwrite; "
+            "audit of the refreshed physical lake must equal the full "
+            "rewrite the oracle computes (value-derived z-file ids)",
     ),
 })
 

@@ -183,6 +183,50 @@ def compact_files(
     return n_files
 
 
+def apply_compaction_plan(
+    spark,
+    src_path: str,
+    bins: DataFrame,
+    partition_cols: list[str],
+    file_id_cols: list[str],
+    out_path: str,
+    bin_col_name: str = "__bin",
+) -> None:
+    """Execute a compaction plan: rewrite the lake at ``src_path`` so
+    each planned bin becomes exactly ONE physical file, closing the
+    plan→execute loop of ``operators/layout.py::compaction_bins``.
+
+    ``bins`` is the per-file bin assignment (``compaction_bins`` output:
+    one row per source file, keyed by ``partition_cols + file_id_cols``,
+    plus ``bin``).  Each data row joins its file's bin through a
+    BROADCAST of the catalog-sized listing (no data-sized shuffle for
+    the mapping), then one hash repartition on (partition, bin)
+    co-locates each bin in a single task and ``partitionBy`` writes it
+    to its own ``<partition>/<bin_col_name>=<bin>/`` directory — exactly
+    one file per bin, regardless of how bins hash across tasks, because
+    a bin never spans tasks.
+
+    At 100 TB this is the standard OPTIMIZE shape: the only data-sized
+    cost is one shuffle of the rows being compacted (bounded by the
+    plan, not the table — feed it only the bins worth rewriting), and
+    the plan/catalog stays driver-sized.  Output partition values are
+    directory-encoded; re-reading with ``basePath``/partition discovery
+    restores the columns.
+    """
+    from pyspark.sql import functions as F
+
+    key = list(partition_cols) + list(file_id_cols)
+    mapping = bins.select(*key, F.col("bin").alias(bin_col_name))
+    df = spark.read.parquet(src_path)
+    (
+        df.join(F.broadcast(mapping), key, "inner")
+        .repartition(*(list(partition_cols) + [bin_col_name]))
+        .write.mode("overwrite")
+        .partitionBy(*(list(partition_cols) + [bin_col_name]))
+        .parquet(out_path)
+    )
+
+
 def write_wds_shards(
     df: DataFrame,
     out_dir: str,

@@ -47,6 +47,100 @@ def test_zorder_sql_twin_matches_spark():
         assert z == _morton_ref(x, y), (x, y)
 
 
+def _morton_ref_nd(vals: list[int]) -> int:
+    from fluvio_duck_spark.operators.layout import morton_geometry
+
+    bits, _ = morton_geometry(len(vals))
+    n = len(vals)
+    z = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> i) & 1) << (i * n + j)
+    return z
+
+
+def test_zorder_key_nd_matches_reference(spark):
+    """The derived shift/mask chain equals the per-bit interleave for
+    3 and 4 dimensions (Spark side), including the max bucket values."""
+    pts3 = [(0, 0, 0), (1, 2, 3), (65535, 65535, 65535), (700, 17, 200),
+            (513, 2, 65534)]
+    df = spark.createDataFrame(pts3, "x long, y long, w long")
+    got = {
+        (r.x, r.y, r.w): r.z
+        for r in df.select(
+            "x", "y", "w",
+            zorder_key(F.col("x"), F.col("y"), F.col("w")).alias("z"),
+        ).collect()
+    }
+    for p in pts3:
+        assert got[p] == _morton_ref_nd(list(p)), p
+    pts4 = [(0, 0, 0, 0), (255, 255, 255, 255), (1, 2, 3, 4), (87, 17, 200, 9)]
+    df4 = spark.createDataFrame(pts4, "a long, b long, c long, d long")
+    got4 = {
+        tuple(r)[:4]: r.z
+        for r in df4.select(
+            "a", "b", "c", "d",
+            zorder_key(*[F.col(c) for c in "abcd"]).alias("z"),
+        ).collect()
+    }
+    for p in pts4:
+        assert got4[p] == _morton_ref_nd(list(p)), p
+
+
+def test_zorder_sql_twin_matches_spark_3d():
+    duckdb = pytest.importorskip("duckdb")
+    expr = zorder_sql("x", "y", "w")
+    rows = duckdb.sql(
+        f"SELECT x, y, w, {expr} AS z FROM (VALUES (5, 3, 9), "
+        "(1023, 1023, 1023), (700, 17, 200), (0, 0, 0), "
+        "(65535, 65535, 65535)) t(x, y, w)"
+    ).fetchall()
+    for x, y, w, z in rows:
+        assert z == _morton_ref_nd([x, y, w]), (x, y, w)
+
+
+def test_zorder3_locality_beats_linear_on_grid(spark):
+    """Full 16x16x16 grid split into 64 files per layout: each stride-3
+    Morton file is one 4x4x4 octree cell (every envelope = 4 wide, every
+    point probe hits exactly 16 of 64 files); the (x,y,w)-concatenation
+    layout bounds only x."""
+    from fluvio_duck_spark.operators.layout import skipping_audit_nd
+
+    grid = spark.range(16 ** 3).select(
+        (F.col("id") / 256).cast("long").alias("x"),
+        (F.pmod(F.col("id"), 256) / 16).cast("long").alias("y"),
+        F.pmod(F.col("id"), 16).alias("w"),
+    )
+    zk = zorder_key(F.col("x"), F.col("y"), F.col("w"))
+    z_file = F.shiftright(zk, 6)  # 2^6 keys/file = one 4x4x4 cell
+    lin = F.shiftleft(F.col("x"), 8).bitwiseOR(
+        F.shiftleft(F.col("y"), 4)
+    ).bitwiseOR(F.col("w"))
+    lin_file = F.shiftright(lin, 6)
+    out = {
+        r.layout: r
+        for r in skipping_audit_nd(
+            grid, {"z": z_file, "lin": lin_file},
+            {"x": F.col("x"), "y": F.col("y"), "w": F.col("w")},
+            {"x": 10, "y": 10, "w": 10},
+        ).collect()
+    }
+    z, ln = out["z"], out["lin"]
+    assert z.n_files == 64 and ln.n_files == 64
+    assert z.n_rows == 16 ** 3 and ln.n_rows == 16 ** 3
+    # every Morton file is a 4x4x4 cell
+    assert z.sum_x_span == 64 * 4 and z.sum_y_span == 64 * 4
+    assert z.sum_w_span == 64 * 4
+    # linear: each file spans 4 full (y,w)-planes of one x value
+    assert ln.sum_x_span == 64 * 1 and ln.sum_y_span == 64 * 4
+    assert ln.sum_w_span == 64 * 16
+    # a point probe on ANY dimension hits 16 of 64 Morton files
+    assert z.files_hit_x == 16 and z.files_hit_y == 16 and z.files_hit_w == 16
+    # linear prunes x only; w is unbounded (every file scanned)
+    assert ln.files_hit_x == 4
+    assert ln.files_hit_w == 64
+
+
 def test_zorder_locality_beats_linear_on_grid(spark):
     # a full 64x64 grid split into 16 files per layout: the Morton key
     # must bound BOTH envelopes; the row-major key leaves y unbounded
@@ -125,6 +219,86 @@ def test_compaction_plan_oversized_then_small_files(spark):
     assert set(plan) == {0, 1}
     assert plan[0].n_files == 1 and plan[0].max_file_bytes == 99_999
     assert plan[1].n_files == 2 and plan[1].total_bytes == 200
+
+
+def _file_stats(root: str) -> dict:
+    import os
+
+    out = {}
+    for r, _d, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_mtime_ns, st.st_size)
+    return out
+
+
+def test_zorder_refresh_only_rewrites_dirty_partitions(spark, tmp_path):
+    """Incremental Z-order maintenance (VERDICT r10 #7): an append delta
+    touching ONE table partition re-clusters only that partition —
+    untouched partitions' files stay byte/mtime stable — and because
+    file ids are value-derived (zkey >> shift, not range-sampled), the
+    refreshed lake's file envelopes equal a FULL rewrite's exactly."""
+    import os
+
+    from fluvio_duck_spark.operators.zorder import (
+        refresh_zordered_partitioned,
+        write_zordered_exact_partitioned,
+    )
+
+    base = spark.range(600).select(
+        F.concat(F.lit("p"), F.pmod(F.col("id"), 3)).alias("part"),
+        F.pmod(F.col("id") * 7, 16).alias("x"),
+        F.pmod(F.col("id") * 13, 16).alias("y"),
+        F.col("id"),
+    )
+    delta = spark.range(600, 800).select(
+        F.lit("p1").alias("part"),
+        F.pmod(F.col("id") * 7, 16).alias("x"),
+        F.pmod(F.col("id") * 13, 16).alias("y"),
+        F.col("id"),
+    )
+    lake = str(tmp_path / "lake")
+    write_zordered_exact_partitioned(
+        base, lake, "part", ["x", "y"], file_shift=6
+    )
+    before = _file_stats(lake)
+    untouched_before = {
+        k: v for k, v in before.items() if "part=p1" not in k
+    }
+    dirty = refresh_zordered_partitioned(
+        spark, lake, delta, "part", ["x", "y"], file_shift=6
+    )
+    assert dirty == ["p1"]
+    after = _file_stats(lake)
+    untouched_after = {k: v for k, v in after.items() if "part=p1" not in k}
+    assert untouched_after == untouched_before  # byte/mtime stable
+    # one physical file per (part, zfile) leaf
+    for r, _d, files in os.walk(lake):
+        pq_files = [f for f in files if f.endswith(".parquet")]
+        if "__zfile=" in r:
+            assert len(pq_files) == 1, (r, pq_files)
+    # the refreshed lake equals a full rewrite, envelope for envelope
+    full = str(tmp_path / "full")
+    write_zordered_exact_partitioned(
+        base.unionByName(delta), full, "part", ["x", "y"], file_shift=6
+    )
+
+    def audit(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path)
+            .groupBy("part", "__zfile")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("x"), F.max("x"), F.min("y"), F.max("y"),
+                F.sum("id").alias("chk"),
+            )
+            .collect()
+        )
+
+    assert audit(lake) == audit(full)
 
 
 def test_global_sample_plan_and_determinism(spark):
