@@ -4670,6 +4670,200 @@ def q_layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Bloom-skipping audit geometry: 16 docs per file (32 of 126
+#: bloom bits set -> ~6% FP, a realistic fill); scrambled key =
+#: (doc_id * 2654435761) % 1000003 (injective below the prime, so every
+#: file's min/max envelope spans ~the whole key domain and min/max
+#: skipping is useless — the scenario blooms exist for).  126-bit
+#: per-file bloom as two 63-bit BIGINT words (bit 63 never set — both
+#: engines' checked shifts reject the sign bit), k=2 positions
+#: h1 = key % 126, h2 = (key // 126) % 126; word = h // 63, bit = h % 63.
+#: Probe = doc 90's key (mid-domain, present in exactly one file).
+_BLOOM_DOCS_PER_FILE = 16
+_BLOOM_PROBE_KEY = 501796   # (90 * 2654435761) % 1000003
+_BLOOM_PROBE_H1 = 64        # _BLOOM_PROBE_KEY % 126
+_BLOOM_PROBE_H2 = 76        # (_BLOOM_PROBE_KEY // 126) % 126
+
+
+def q_layout_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping audit for POINT lookups on a high-cardinality
+    scrambled key — the case min/max envelopes cannot prune (every
+    file's [min, max] spans essentially the whole key domain when keys
+    arrive hash-distributed) and per-file bloom filters exist for.
+
+    Per file (16 docs each): the key min/max envelope AND a 128-bit
+    k=2 bloom, built as two BIGINT words via ``bit_or`` of shifted bits
+    — a pure map-side-combined aggregate, 16 bytes of state per file,
+    exactly the footer-metadata shape parquet bloom filters store.  The
+    audit probes one known-present key and reports how many files each
+    pruning strategy must scan: ``files_hit_minmax`` (≈ all of them),
+    ``files_hit_bloom`` (the true file + deterministic false positives),
+    ``files_true`` (ground truth), and the bloom false-positive rate.
+    Everything is exact integer arithmetic (both hash positions, the
+    bit ops, the probe) so the oracle reproduces the bitmaps
+    bit-for-bit.  At 100 TB: one scan + a file-count-sized aggregate;
+    the decision data for "enable bloom filters on this column"."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000003))
+    b = docs.select(
+        (F.col("doc_id") / _BLOOM_DOCS_PER_FILE).cast("long").alias("f"),
+        key.alias("k"),
+    ).select(
+        "f", "k",
+        F.pmod(F.col("k"), F.lit(126)).cast("int").alias("h1"),
+        F.pmod((F.col("k") / 126).cast("long"), F.lit(126))
+        .cast("int").alias("h2"),
+    )
+    word = lambda h, w: F.when(  # noqa: E731 — local plumbing
+        (F.col(h) / 63).cast("int") == w,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {h} % 63)"),
+    ).otherwise(F.lit(0).cast("long"))
+    per_file = b.groupBy("f").agg(
+        F.min("k").alias("mn"),
+        F.max("k").alias("mx"),
+        F.bit_or(word("h1", 0).bitwiseOR(word("h2", 0))).alias("w0"),
+        F.bit_or(word("h1", 1).bitwiseOR(word("h2", 1))).alias("w1"),
+        F.max(
+            F.when(F.col("k") == _BLOOM_PROBE_KEY, F.lit(1)).otherwise(0)
+        ).alias("has_key"),
+    )
+    p = F.lit(_BLOOM_PROBE_KEY)
+
+    def probe_bit(h: int):
+        w = "w0" if h // 63 == 0 else "w1"
+        return F.col(w).bitwiseAND(F.lit(1 << (h % 63))) != 0
+
+    bloom_hit = probe_bit(_BLOOM_PROBE_H1) & probe_bit(_BLOOM_PROBE_H2)
+    return per_file.agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.count(F.when((F.col("mn") <= p) & (p <= F.col("mx")), 1))
+        .cast("long").alias("files_hit_minmax"),
+        F.count(F.when(bloom_hit, 1)).cast("long").alias("files_hit_bloom"),
+        F.sum("has_key").cast("long").alias("files_true"),
+        F.round(
+            (F.count(F.when(bloom_hit, 1)) - F.sum("has_key"))
+            .cast("double") / F.count("*"),
+            6,
+        ).alias("bloom_fp_rate"),
+    )
+
+
+ORACLE_BLOOM_SKIPPING = f"""
+WITH b AS (
+  SELECT doc_id // {_BLOOM_DOCS_PER_FILE} AS f,
+         (doc_id * 2654435761) % 1000003 AS k
+  FROM documents),
+h AS (
+  SELECT f, k,
+         k % 126 AS h1,
+         (k // 126) % 126 AS h2
+  FROM b),
+pf AS (
+  SELECT f, min(k) AS mn, max(k) AS mx,
+         bit_or((CASE WHEN h1 // 63 = 0 THEN CAST(1 AS BIGINT) << (h1 % 63)
+                      ELSE 0 END)
+              | (CASE WHEN h2 // 63 = 0 THEN CAST(1 AS BIGINT) << (h2 % 63)
+                      ELSE 0 END)) AS w0,
+         bit_or((CASE WHEN h1 // 63 = 1 THEN CAST(1 AS BIGINT) << (h1 % 63)
+                      ELSE 0 END)
+              | (CASE WHEN h2 // 63 = 1 THEN CAST(1 AS BIGINT) << (h2 % 63)
+                      ELSE 0 END)) AS w1,
+         max(CASE WHEN k = {_BLOOM_PROBE_KEY} THEN 1 ELSE 0 END) AS has_key
+  FROM h GROUP BY f),
+probe AS (
+  SELECT *,
+         (CASE WHEN {_BLOOM_PROBE_H1 // 63} = 0
+               THEN (w0 & (CAST(1 AS BIGINT) << {_BLOOM_PROBE_H1 % 63})) <> 0
+               ELSE (w1 & (CAST(1 AS BIGINT) << {_BLOOM_PROBE_H1 % 63})) <> 0
+          END)
+         AND
+         (CASE WHEN {_BLOOM_PROBE_H2 // 63} = 0
+               THEN (w0 & (CAST(1 AS BIGINT) << {_BLOOM_PROBE_H2 % 63})) <> 0
+               ELSE (w1 & (CAST(1 AS BIGINT) << {_BLOOM_PROBE_H2 % 63})) <> 0
+          END) AS bloom_hit
+  FROM pf)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(count(CASE WHEN mn <= {_BLOOM_PROBE_KEY}
+                        AND {_BLOOM_PROBE_KEY} <= mx THEN 1 END)
+            AS BIGINT) AS files_hit_minmax,
+       CAST(count(CASE WHEN bloom_hit THEN 1 END) AS BIGINT)
+         AS files_hit_bloom,
+       CAST(sum(has_key) AS BIGINT) AS files_true,
+       round(CAST(count(CASE WHEN bloom_hit THEN 1 END) - sum(has_key)
+                  AS DOUBLE) / count(*), 6) AS bloom_fp_rate
+FROM probe
+"""
+
+
+#: Token-index audit: same 16-docs-per-file geometry as the bloom
+#: audit; 63-slot sharded posting bitmap (slot = file % 63, bit 63 never
+#: set).  Probes span the selectivity range of the fixture vocabulary.
+_TIDX_PROBES = ("dup", "vector", "join")
+
+
+def q_text_index_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping audit for TEXT predicates (``text LIKE '%token%'``
+    can never use min/max or bloom column stats): a token→file inverted
+    index, stored as one 63-slot posting BITMAP per token (slot =
+    file % 63 — the Roaring-lite compromise that keeps per-token index
+    state at 8 bytes regardless of file count, trading false hits when
+    files alias a slot).
+
+    Per probe token: exact document frequency, the exact number of
+    files containing it, the bitmap's popcount (slots an engine must
+    scan), and the scan fraction the index buys.  A rare token ('dup')
+    prunes nearly everything; a corpus-stopword ('join') saturates the
+    bitmap — the audit quantifies exactly which predicates an inverted
+    index helps at 100 TB.  Plan: one scan exploding tokens with the
+    probe filter PUSHED BELOW the explode-distinct (only probe-token
+    rows survive the map side), then a probe-count-sized aggregate;
+    everything integer/bitwise → bit-exact in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") / _BLOOM_DOCS_PER_FILE).cast("long").alias("f"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).filter(F.col("tok").isin(*_TIDX_PROBES))
+    pairs = toks.select(
+        "tok", "doc_id", "f", F.pmod(F.col("f"), F.lit(63)).alias("slot")
+    )
+    return pairs.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count_distinct("f").cast("long").alias("n_files_exact"),
+        F.bit_count(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(slot AS INT))"))
+        ).cast("long").alias("slots_hit"),
+        F.round(
+            F.bit_count(
+                F.bit_or(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(slot AS INT))")
+                )
+            ).cast("double") / 63,
+            6,
+        ).alias("scan_fraction"),
+    )
+
+
+ORACLE_TEXT_INDEX_SKIPPING = f"""
+WITH pairs AS (
+  SELECT tok, doc_id, f, f % 63 AS slot
+  FROM (
+    SELECT doc_id, doc_id // {_BLOOM_DOCS_PER_FILE} AS f,
+           unnest(string_split(text, ' ')) AS tok
+    FROM documents) t
+  WHERE tok IN {_TIDX_PROBES!r})
+SELECT tok,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT f) AS BIGINT) AS n_files_exact,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT) << CAST(slot AS INTEGER)))
+            AS BIGINT) AS slots_hit,
+       round(CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                                   << CAST(slot AS INTEGER))) AS DOUBLE)
+             / 63, 6) AS scan_fraction
+FROM pairs GROUP BY tok
+"""
+
+
 #: Z-order refresh geometry: 8-bit (hour, user) buckets → 16-bit key;
 #: shift 12 → ≤16 z-files per table partition.  Day 20 splits base from
 #: the late-arriving delta (which touches ONE event_type partition).
@@ -4829,6 +5023,20 @@ QUERIES.update({
             "into ONE dirty partition via dynamic partition overwrite; "
             "audit of the refreshed physical lake must equal the full "
             "rewrite the oracle computes (value-derived z-file ids)",
+    ),
+    "layout_bloom_skipping": QuerySpec(
+        q_layout_bloom_skipping, ORACLE_BLOOM_SKIPPING,
+        doc="point-lookup skipping audit on a hash-distributed key: "
+            "126-bit k=2 per-file blooms via bit_or (16 bytes "
+            "state/file) vs useless min/max envelopes — bit-exact in "
+            "both engines, reports the deterministic FP rate",
+    ),
+    "text_index_skipping": QuerySpec(
+        q_text_index_skipping, ORACLE_TEXT_INDEX_SKIPPING,
+        doc="inverted-index skipping audit for text predicates: 63-slot "
+            "sharded posting bitmap per token (8 bytes regardless of "
+            "file count), probes across the selectivity range, exact "
+            "df/file counts vs bitmap popcount",
     ),
 })
 
@@ -5132,6 +5340,119 @@ FROM base b, ms
 """
 
 
+_PERM_B = 64          # sign-flip replicates (p resolution 1/65)
+_PERM_SEED = 41
+
+
+def q_eval_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired sign-flip permutation test — "is quality classifier A
+    actually better than B on the same corpus, or is the gap noise?" —
+    the leaderboard-significance primitive for PAIRED per-example
+    metrics (the bootstrap CI above handles the unpaired corpus-metric
+    case).  Under H0 the per-document difference d_i = a_i − b_i is
+    sign-symmetric, so each replicate flips every d_i's sign by a fair
+    deterministic coin and the p-value is the fraction of replicate
+    statistics at least as extreme as the observed one.
+
+    Scale shape, same scheme as the Poisson bootstrap: sign flips are
+    independent of n, so all B replicates ride ONE corpus pass as a
+    bounded ×(B+1) fan-out (replicate 0 is the unflipped observation)
+    with map-side partial aggregation — no index materialization, no
+    per-replicate scan.  Everything is exact integer arithmetic: scores
+    in ppm, the per-(doc, replicate) coin is the bootstrap's
+    overflow-proof LCG, sums are BIGINT (headroom to ~9e12 ppm-docs;
+    switch the fold to DECIMAL beyond), and the p-value is the exact
+    dyadic (1 + #{|T_r| ≥ |T_obs|}) / (B + 1) — both engines reproduce
+    it bit-for-bit.  Scores: A = whitespace-token density, B =
+    lowercase-alpha density (two cheap real quality signals over
+    ``documents``).  Output: one row (n_docs, mean_diff_ppm, t_obs,
+    p_value, b)."""
+    docs = load(spark, sf_dir, "documents")
+    a = F.floor(
+        F.lit(1000000) * F.size(F.split(F.col("text"), " "))
+        / F.length("text")
+    ).cast("long")
+    b = F.floor(
+        F.lit(1000000)
+        * F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+        / F.length("text")
+    ).cast("long")
+    base = docs.select(F.col("doc_id"), (a - b).alias("d"))
+    r = F.col("r").cast("long")
+    u = F.pmod(
+        (F.pmod(F.col("doc_id"), F.lit(1000003)) + 1)
+        * (F.lit(2654435761)
+           + (F.lit(_PERM_SEED) + r) * F.lit(98765431).cast("long")),
+        F.lit(1000003),
+    )
+    sign = F.when(F.col("r") == 0, F.lit(1)).otherwise(
+        F.when(u * 2 < 1000003, F.lit(-1)).otherwise(F.lit(1))
+    ).cast("long")
+    reps = (
+        base.select(
+            "doc_id", "d",
+            F.explode(F.sequence(F.lit(0), F.lit(_PERM_B))).alias("r"),
+        )
+        .select("r", (sign * F.col("d")).alias("sd"))
+        .groupBy("r")
+        .agg(F.sum("sd").alias("t"), F.count("*").alias("n"))
+    )
+    # scalar-aggregate shapes on both sides: exactly one output row even
+    # on an empty corpus (NULL-filled), matching the oracle row-for-row
+    obs = reps.filter(F.col("r") == 0).agg(
+        F.max("t").alias("t_obs"), F.max("n").alias("n_docs")
+    )
+    flips = reps.filter(F.col("r") > 0)
+    return (
+        flips.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_docs").cast("long").alias("n_docs"),
+            (F.max("t_obs").cast("double") / F.max("n_docs"))
+            .alias("mean_diff_ppm"),
+            F.max("t_obs").cast("long").alias("t_obs"),
+            (
+                (F.lit(1) + F.count(
+                    F.when(F.abs(F.col("t")) >= F.abs(F.col("t_obs")), 1)
+                )).cast("double") / F.lit(_PERM_B + 1)
+            ).alias("p_value"),
+            F.lit(_PERM_B).cast("long").alias("b"),
+        )
+    )
+
+
+ORACLE_PERMUTATION_TEST = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(floor(1000000.0 * len(string_split(text, ' '))
+                    / length(text)) AS BIGINT)
+         - CAST(floor(1000000.0 * length(regexp_replace(text, '[^a-z ]',
+                                                        '', 'g'))
+                      / length(text)) AS BIGINT) AS d
+  FROM documents),
+reps AS (
+  SELECT r, SUM(s * d) AS t, COUNT(*) AS n
+  FROM (
+    SELECT d, t.r,
+           CASE WHEN t.r = 0 THEN 1
+                WHEN ((doc_id % 1000003 + 1)
+                      * (2654435761 + ({_PERM_SEED} + t.r) * 98765431))
+                     % 1000003 * 2 < 1000003 THEN -1
+                ELSE 1 END AS s
+    FROM base, unnest(range(0, {_PERM_B + 1})) AS t(r)) x
+  GROUP BY r),
+obs AS (
+  SELECT max(t) AS t_obs, max(n) AS n_docs FROM reps WHERE r = 0)
+SELECT (SELECT CAST(n_docs AS BIGINT) FROM obs) AS n_docs,
+       (SELECT CAST(t_obs AS DOUBLE) / n_docs FROM obs) AS mean_diff_ppm,
+       (SELECT CAST(t_obs AS BIGINT) FROM obs) AS t_obs,
+       CAST(1 + count(CASE WHEN abs(t) >= abs((SELECT t_obs FROM obs))
+                      THEN 1 END)
+            AS DOUBLE) / {_PERM_B + 1} AS p_value,
+       CAST({_PERM_B} AS BIGINT) AS b
+FROM reps WHERE r > 0
+"""
+
+
 QUERIES.update({
     "eval_bootstrap_ci": QuerySpec(
         q_eval_bootstrap_ci, ORACLE_BOOTSTRAP_CI,
@@ -5139,5 +5460,11 @@ QUERIES.update({
             "ONE pass (deterministic per-(row,replicate) weights, exact "
             "integer-cents means, order-statistic bounds) — the scalable "
             "bootstrap for leaderboard significance",
+    ),
+    "eval_permutation_test": QuerySpec(
+        q_eval_permutation_test, ORACLE_PERMUTATION_TEST,
+        doc="paired sign-flip permutation test between two per-document "
+            "quality scores: B=64 deterministic-coin replicates in ONE "
+            "corpus pass, exact integer folds, exact dyadic p-value",
     ),
 })
