@@ -5453,6 +5453,77 @@ FROM reps WHERE r > 0
 """
 
 
+#: McNemar decision thresholds: classifier A = doc has ≥ 40 whitespace
+#: tokens, classifier B = doc has ≥ 220 characters.  Disagreement cells
+#: are non-empty at every fixture scale (checked sf0.001–sf0.1).
+_MCN_A_TOKENS = 40
+_MCN_B_CHARS = 220
+
+
+def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test for two binary keep/drop classifiers on the SAME
+    documents — the significance primitive for "does switching quality
+    gates actually change what we keep?".  Only the DISAGREEMENT cells
+    matter (b = A keeps, B drops; c = B keeps, A drops): under marginal
+    homogeneity b and c are exchangeable and χ² = (b−c)²/(b+c) is the
+    1-df statistic.  One corpus pass, four conditional integer counts
+    with map-side combine, a single scalar output row — at 100 TB this
+    is a ONE-scan metadata-sized decision, the cheap companion to the
+    permutation test (which handles graded scores; this handles the
+    binary gate case).  Exact integer cells; the χ² division is the
+    only float op, performed identically in both engines."""
+    docs = load(spark, sf_dir, "documents")
+    a_keep = F.size(F.split(F.col("text"), " ")) >= _MCN_A_TOKENS
+    b_keep = F.length("text") >= _MCN_B_CHARS
+    cell = lambda pa, pb: F.count(  # noqa: E731 — local plumbing
+        F.when(pa & pb, 1)
+    ).cast("long")
+    agg = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        cell(a_keep, b_keep).alias("both_keep"),
+        cell(a_keep, ~b_keep).alias("a_only"),
+        cell(~a_keep, b_keep).alias("b_only"),
+        cell(~a_keep, ~b_keep).alias("both_drop"),
+    )
+    diff = F.col("a_only") - F.col("b_only")
+    denom = F.col("a_only") + F.col("b_only")
+    chi2 = F.round(
+        F.when(denom > 0, (diff * diff).cast("double") / denom)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return agg.select(
+        "n_docs", "both_keep", "a_only", "b_only", "both_drop",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("significant"),
+    )
+
+
+ORACLE_MCNEMAR = f"""
+WITH cells AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(CASE WHEN a AND b THEN 1 END) AS BIGINT) AS both_keep,
+         CAST(count(CASE WHEN a AND NOT b THEN 1 END) AS BIGINT) AS a_only,
+         CAST(count(CASE WHEN NOT a AND b THEN 1 END) AS BIGINT) AS b_only,
+         CAST(count(CASE WHEN NOT a AND NOT b THEN 1 END) AS BIGINT)
+           AS both_drop
+  FROM (
+    SELECT len(string_split(text, ' ')) >= {_MCN_A_TOKENS} AS a,
+           length(text) >= {_MCN_B_CHARS} AS b
+    FROM documents) t)
+SELECT n_docs, both_keep, a_only, b_only, both_drop,
+       round(CASE WHEN a_only + b_only > 0
+                  THEN CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+                       / (a_only + b_only)
+                  ELSE 0.0 END, 6) AS chi2,
+       round(CASE WHEN a_only + b_only > 0
+                  THEN CAST((a_only - b_only) * (a_only - b_only) AS DOUBLE)
+                       / (a_only + b_only)
+                  ELSE 0.0 END, 6) > 3.841459 AS significant
+FROM cells
+"""
+
+
 QUERIES.update({
     "eval_bootstrap_ci": QuerySpec(
         q_eval_bootstrap_ci, ORACLE_BOOTSTRAP_CI,
@@ -5466,5 +5537,11 @@ QUERIES.update({
         doc="paired sign-flip permutation test between two per-document "
             "quality scores: B=64 deterministic-coin replicates in ONE "
             "corpus pass, exact integer folds, exact dyadic p-value",
+    ),
+    "eval_mcnemar": QuerySpec(
+        q_eval_mcnemar, ORACLE_MCNEMAR,
+        doc="McNemar's test between two binary keep/drop gates: exact "
+            "integer disagreement cells in one scan, 1-df chi-square on "
+            "the scalar row",
     ),
 })

@@ -1301,6 +1301,166 @@ def _wire_stream_decontaminate_oracle() -> None:
 _wire_stream_decontaminate_oracle()
 
 
+#: Streaming bloom-gate geometry: reference = every 89th doc; m = 8192
+#: positions, k = 3 md5-fold hashes (the sketch_bloom_join_filter
+#: family) — the position set stays ≤ 3·|reference| rows, broadcast
+#: forever.
+_SBG_REF_MOD = 89
+_SBG_M = 8192
+_SBG_K = 3
+
+
+def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming reference-corpus bloom gate: the O(1)-state
+    decontamination topology.  A frozen reference corpus (benchmark /
+    already-trained-on set) is summarized ONCE into a k=3, m=8192
+    portable bloom over canonical text — ≤ 3·|ref| distinct positions,
+    kilobytes broadcast to every executor forever — and the arriving
+    document stream is gated per micro-batch: a doc whose 3 positions
+    all hit is a PROBABLE member (exact duplicate of a reference text,
+    or a deterministic false positive) and gets flagged.
+
+    Contrast with stream_decontaminate_gate (n-gram overlap join —
+    catches paraphrase but carries the eval set's gram table): the bloom
+    gate is map-only + one broadcast membership join per batch, no
+    shuffle, no growth — the shape that screens a firehose against a
+    100M-doc reference.  A bloom never false-negatives, so every true
+    member is flagged; the audit counts the exact FP overhead.  Output
+    one scalar row: n_stream_docs, n_flagged, n_true_members,
+    n_false_positives — the oracle rebuilds the identical bitset in SQL
+    (md5-fold positions), so the driver hash covers FP behavior
+    bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.operators.dsir import hash_bucket
+    from fluvio_duck_spark.sources.tables import load
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    def positions(textcol):
+        return [
+            hash_bucket(
+                F.concat(textcol, F.lit(f"#bg{h}")), _SBG_M
+            )
+            for h in range(_SBG_K)
+        ]
+
+    docs_static = load(spark, sf_dir, "documents")
+    ref = docs_static.filter(F.col("doc_id") % _SBG_REF_MOD == 0)
+    bloom = (
+        ref.select(F.explode(F.array(*positions(F.col("text")))).alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=True)  # the frozen sketch
+    )
+
+    out_dir = _run_dir("bloom_gate", "out")
+
+    def gate_batch(batch_df, _bid) -> None:
+        # the whole firehose flows through — including the leaked
+        # reference docs themselves (how benchmark contamination
+        # actually arrives); the gate must catch every one
+        stream = batch_df
+        exploded = stream.select(
+            "doc_id",
+            F.explode(F.array(*positions(F.col("text")))).alias("pos"),
+        )
+        hits = (
+            exploded.join(F.broadcast(bloom), "pos")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("nhit"))
+        )
+        (
+            stream.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.coalesce(F.col("nhit"), F.lit(0)) == _SBG_K)
+                .cast("int").alias("flagged"),
+            )
+            .write.mode("append").parquet(out_dir)
+        )
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(gate_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _run_dir("bloom_gate", "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    out_schema = "doc_id long, flagged int"
+    if not os.path.isdir(out_dir):
+        gated = spark.createDataFrame([], out_schema)
+    else:
+        gated = spark.read.schema(out_schema).parquet(out_dir).dropDuplicates()
+    # exact-truth accounting (batch side): a true member is a stream doc
+    # whose text equals some reference text — bloom FPs = flagged − true
+    truth = (
+        docs_static
+        .join(ref.select("text").distinct(), "text", "left_semi")
+        .select("doc_id")
+        .withColumn("member", F.lit(1))
+    )
+    return (
+        gated.join(truth, "doc_id", "left")
+        .agg(
+            F.count("*").cast("long").alias("n_stream_docs"),
+            F.sum("flagged").cast("long").alias("n_flagged"),
+            F.sum(F.coalesce(F.col("member"), F.lit(0)))
+            .cast("long").alias("n_true_members"),
+            (F.sum("flagged")
+             - F.sum(F.coalesce(F.col("member"), F.lit(0))))
+            .cast("long").alias("n_false_positives"),
+        )
+    )
+
+
+def _oracle_stream_bloom_gate() -> str:
+    from fluvio_duck_spark.operators.dsir import hash_bucket_sql
+
+    def pos_sql(expr, h):
+        return hash_bucket_sql(f"({expr} || '#bg{h}')", _SBG_M)
+
+    bloom_pos = " UNION ".join(
+        f"SELECT {pos_sql('text', h)} AS pos FROM documents "
+        f"WHERE doc_id % {_SBG_REF_MOD} = 0"
+        for h in range(_SBG_K)
+    )
+    probe_pos = ", ".join(pos_sql("text", h) for h in range(_SBG_K))
+    return f"""
+WITH bloom AS ({bloom_pos}),
+stream AS (
+  SELECT doc_id, text FROM documents),
+pp AS (
+  SELECT doc_id, unnest([{probe_pos}]) AS pos FROM stream),
+hits AS (
+  SELECT doc_id, count(*) AS nhit
+  FROM pp JOIN bloom USING (pos) GROUP BY doc_id),
+flags AS (
+  SELECT s.doc_id,
+         CASE WHEN coalesce(h.nhit, 0) = {_SBG_K} THEN 1 ELSE 0 END
+           AS flagged,
+         CASE WHEN s.text IN (SELECT text FROM documents
+                              WHERE doc_id % {_SBG_REF_MOD} = 0)
+              THEN 1 ELSE 0 END AS member
+  FROM stream s LEFT JOIN hits h ON h.doc_id = s.doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_stream_docs,
+       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+       CAST(sum(member) AS BIGINT) AS n_true_members,
+       CAST(sum(flagged) - sum(member) AS BIGINT) AS n_false_positives
+FROM flags
+"""
+
+
+QUERIES["stream_bloom_gate"] = QuerySpec(
+    q_stream_bloom_gate, _oracle_stream_bloom_gate(),
+    doc="streaming reference-corpus bloom gate: kilobyte broadcast "
+        "sketch, map-only per-batch membership, exact FP accounting — "
+        "the O(1)-state decontamination topology",
+)
+
+
 def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming quality-classifier gate: the literal-ppm-weight linear
     filter (curate_classifier_gate) applied per micro-batch — the
