@@ -233,6 +233,19 @@ EXTENDED = [
     "loopback_chain_prefix_pushdown",
     "stream_reservoir_sample",
     "eval_bradley_terry",
+    # round-11 additions (bootstrap CI registered after r10's last bench
+    # run — ADVICE r10; N-dim z-order, compaction execute, incremental
+    # refresh, bloom/inverted-index skipping, paired significance tests,
+    # streaming bloom gate)
+    "eval_bootstrap_ci",
+    "layout_zorder3_skipping",
+    "layout_compaction_apply",
+    "layout_zorder_refresh",
+    "layout_bloom_skipping",
+    "text_index_skipping",
+    "eval_permutation_test",
+    "eval_mcnemar",
+    "stream_bloom_gate",
 ]
 
 
