@@ -246,6 +246,7 @@ EXTENDED = [
     "eval_permutation_test",
     "eval_mcnemar",
     "stream_bloom_gate",
+    "privacy_k_suppression",
 ]
 
 

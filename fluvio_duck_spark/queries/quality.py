@@ -749,12 +749,96 @@ FROM cells
 """
 
 
+def q_privacy_k_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the release transform the k-anonymity report implies:
+    suppress every row whose quasi-identifier cell has fewer than k=5
+    members, then PROVE the released table is k-anonymous by re-running
+    the audit on the released rows.  This closes the report→release
+    loop (the report above only measures): the released table's min
+    group size must be ≥ 5 by construction, and the suppressed count
+    must equal the report's rows_at_risk.
+
+    Plan: the cell-size table is |QI cells|-bounded, so the suppression
+    join is a BROADCAST of the violator cell list against the table —
+    one scan, no data-sized shuffle; the re-audit is the same
+    map-side-combined aggregation as the report.  At 100 TB the release
+    costs one pass.  Output one row: n_input, n_released, n_suppressed,
+    released_k (≥ 5), released_cells."""
+    cust = load(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(F.count("*").alias("group_size"))
+    violators = cells.filter(F.col("group_size") < 5).select(
+        "nationkey", "mktsegment"
+    )
+    released = cust.join(
+        F.broadcast(violators),
+        (F.col("c_nationkey") == F.col("nationkey"))
+        & (F.col("c_mktsegment") == F.col("mktsegment")),
+        "left_anti",
+    )
+    re_audit = released.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("gs")
+    )
+    total = cust.agg(F.count("*").alias("n_input"))
+    summary = re_audit.agg(
+        F.sum("gs").cast("long").alias("n_released"),
+        F.min("gs").cast("long").alias("released_k"),
+        F.count("*").cast("long").alias("released_cells"),
+    )
+    return (
+        total.crossJoin(F.broadcast(summary))
+        .select(
+            F.col("n_input").cast("long").alias("n_input"),
+            "n_released",
+            (F.col("n_input") - F.col("n_released"))
+            .cast("long").alias("n_suppressed"),
+            "released_k",
+            "released_cells",
+        )
+    )
+
+
+ORACLE_K_SUPPRESSION = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+  FROM customer GROUP BY 1, 2),
+released AS (
+  SELECT c.* FROM customer c
+  JOIN cells g ON g.c_nationkey = c.c_nationkey
+              AND g.c_mktsegment = c.c_mktsegment
+  WHERE g.group_size >= 5),
+re_audit AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS gs
+  FROM released GROUP BY 1, 2),
+summary AS (
+  SELECT CAST(sum(gs) AS BIGINT) AS n_released,
+         CAST(min(gs) AS BIGINT) AS released_k,
+         CAST(count(*) AS BIGINT) AS released_cells
+  FROM re_audit)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_input,
+       n_released,
+       (SELECT CAST(count(*) AS BIGINT) FROM customer) - n_released
+         AS n_suppressed,
+       released_k, released_cells
+FROM summary
+"""
+
+
 QUERIES.update(
     {
         "privacy_k_anonymity": QuerySpec(
             q_privacy_k_anonymity,
             ORACLE_K_ANONYMITY,
             doc="k-anonymity / l-diversity release gate over quasi-identifier cells",
+        ),
+        "privacy_k_suppression": QuerySpec(
+            q_privacy_k_suppression,
+            ORACLE_K_SUPPRESSION,
+            doc="execute the k=5 suppression release: broadcast violator-"
+                "cell anti-join, re-audit proves released_k >= 5 and "
+                "suppressed == rows_at_risk",
         ),
     }
 )

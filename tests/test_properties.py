@@ -118,6 +118,43 @@ def test_parse_never_crashes_on_flag_soup(data):
         pass
 
 
+@settings(max_examples=300, deadline=None)
+@given(data=st.data(), n_dims=st.integers(min_value=2, max_value=7))
+def test_morton_chain_equals_per_bit_interleave(data, n_dims):
+    """The derived shift/mask spread chain (morton_geometry) must equal
+    the per-bit interleave definition for EVERY stride and any in-range
+    bucket values, and the key must stay positive in a signed int64 —
+    the invariants the N-dim zorder_key/zorder_sql pair rests on."""
+    from fluvio_duck_spark.operators.layout import morton_geometry
+
+    bits, steps = morton_geometry(n_dims)
+    vals = [
+        data.draw(st.integers(min_value=0, max_value=(1 << bits) - 1))
+        for _ in range(n_dims)
+    ]
+
+    def spread(v: int) -> int:
+        for shift, mask in steps:
+            v = (v | (v << shift)) & mask
+        return v
+
+    chain = 0
+    for j, v in enumerate(vals):
+        chain |= spread(v) << j
+    ref = 0
+    for i in range(bits):
+        for j, v in enumerate(vals):
+            ref |= ((v >> i) & 1) << (i * n_dims + j)
+    assert chain == ref
+    assert 0 <= chain < 2**63
+    # round trip: every dimension recovers from the key
+    for j, v in enumerate(vals):
+        back = 0
+        for i in range(bits):
+            back |= ((chain >> (i * n_dims + j)) & 1) << i
+        assert back == v
+
+
 @settings(max_examples=30, deadline=None)
 @given(
     toks=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=30),
