@@ -21,16 +21,22 @@
 #   N_SHARDS=8 scripts/round_gate.sh
 #
 # Environment:
-#   SCALES   space-separated subset of: sf0.001 sf0.01 sf0.1 sf1
-#   N_SHARDS concurrent verify_local shards per scale (default 4)
-#   CPUS     SPARK_GRAFT_CPUS per shard (default 8)
-#   OUT_DIR  log/receipt dir (default /tmp/round_gate.<timestamp>)
+#   SCALES     space-separated subset of: sf0.001 sf0.01 sf0.1 sf1
+#   N_SHARDS   concurrent verify_local shards per scale (default 4)
+#   SF1_SHARDS shards for the sf1 stage only (default 2): the sim_*
+#              heavies peak ~56 GB RSS per shard JVM at sf1, and four
+#              concurrent shards OOM-killed a shard on the 125 GB box
+#              (rounds 10 AND 11 both hit this and had to resume by
+#              hand) — two shards fit with headroom
+#   CPUS       SPARK_GRAFT_CPUS per shard (default 8)
+#   OUT_DIR    log/receipt dir (default /tmp/round_gate.<timestamp>)
 set -u
 
 cd "$(dirname "$0")/.."
 REPO="$PWD"
 SCALES="${SCALES:-sf0.001 sf0.01 sf0.1 sf1}"
 N_SHARDS="${N_SHARDS:-4}"
+SF1_SHARDS="${SF1_SHARDS:-2}"
 CPUS="${CPUS:-8}"
 OUT_DIR="${OUT_DIR:-/tmp/round_gate.$(date +%Y%m%d_%H%M%S)}"
 mkdir -p "$OUT_DIR"
@@ -51,8 +57,8 @@ EOF
 N_TOTAL=$(wc -l < "$OUT_DIR/names.txt")
 echo "registry: $N_TOTAL names; scales: $SCALES; $N_SHARDS shards each" | tee "$OUT_DIR/receipt.txt"
 
-run_scale() {  # $1=scale label  $2=sf dir  $3=extra env ("K=V K=V")
-  local label="$1" dir="$2" extra="${3:-}"
+run_scale() {  # $1=label  $2=sf dir  $3=extra env ("K=V K=V")  $4=shards
+  local label="$1" dir="$2" extra="${3:-}" shards="${4:-$N_SHARDS}"
   # prebuild the shared pplog scratch fixtures once (see header)
   env $extra SPARK_GRAFT_CPUS="$CPUS" python - "$dir" <<'EOF' >> "$OUT_DIR/prebuild.log" 2>&1
 import os, sys; sys.path.insert(0, os.getcwd())
@@ -64,8 +70,8 @@ write_pp_array_log_dir(spark, sys.argv[1])
 spark.stop()
 EOF
   local pids=() shard
-  for shard in $(seq 0 $((N_SHARDS - 1))); do
-    awk -v s="$shard" -v n="$N_SHARDS" 'NR % n == s' "$OUT_DIR/names.txt" \
+  for shard in $(seq 0 $((shards - 1))); do
+    awk -v s="$shard" -v n="$shards" 'NR % n == s' "$OUT_DIR/names.txt" \
       > "$OUT_DIR/shard_${label}_${shard}.names"
     # shellcheck disable=SC2046
     env $extra SPARK_GRAFT_CPUS="$CPUS" python scripts/verify_local.py "$dir" \
@@ -96,7 +102,11 @@ for sc in $SCALES; do
     python scripts/gen_sf1.py >> "$OUT_DIR/gen_sf1.log" 2>&1 \
       || { echo "gen_sf1 FAILED" | tee -a "$OUT_DIR/receipt.txt"; overall=1; continue; }
   fi
-  run_scale "$sc" "$d" || overall=1
+  if [ "$sc" = "sf1" ]; then
+    run_scale "$sc" "$d" "" "$SF1_SHARDS" || overall=1
+  else
+    run_scale "$sc" "$d" || overall=1
+  fi
 done
 
 # alternate shuffle layout at sf0.01: partitioning-independence proof
