@@ -247,6 +247,7 @@ EXTENDED = [
     "eval_mcnemar",
     "stream_bloom_gate",
     "privacy_k_suppression",
+    "events_survival_km",
 ]
 
 

@@ -80,6 +80,136 @@ GROUP BY cohort_week, week_offset
 """
 
 
+#: Administrative right-censoring horizon: each user is observed for at
+#: most this many days after their first event — a first error beyond
+#: the horizon (or never) is CENSORED at the horizon, not an event.
+_KM_HORIZON_DAYS = 7
+
+
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-error — the
+    right-censoring-aware answer to "how long until a user hits an
+    error?", which a naive mean over observed error times gets wrong
+    (users observed error-free past the horizon are CENSORED, not
+    error-free forever).  Duration = days from a user's first event to
+    their first 'error' event, administratively censored at a 7-day
+    observation horizon; the product-limit estimate
+    S(t) = Π_{u ≤ t} (1 − d_u / n_u) over the at-risk sets.
+
+    Plan: ONE user-keyed aggregation touches the corpus (min date +
+    conditional min error date per user — the error min rides the same
+    aggregate, no second scan), and everything after runs on the
+    |distinct durations|-sized table (horizon-bounded, ≤ 8 rows): the
+    risk set is a reverse cumulative sum and the product-limit fold is
+    a running sum of per-step ln(1 − d/n) terms — each term pre-rounded
+    to 1e-6 via explicit floor(x·1e6 + 0.5) and summed as exact integer
+    DECIMAL (the char-entropy discipline), so fold order cannot move
+    the hash and both engines produce identical survival values.
+
+    Output per duration t: users whose observation ends at t, events
+    (errors) at t, at-risk count, and the cumulative survival
+    probability (6 dp)."""
+    ev = load(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    spans = ev.groupBy("user_id").agg(
+        F.min(d).alias("first_d"),
+        F.min(F.when(F.col("event_type") == "error", d)).alias("err_d"),
+    )
+    t_err = F.datediff("err_d", "first_d").cast("long")
+    per_user = spans.select(
+        F.least(
+            F.coalesce(t_err, F.lit(_KM_HORIZON_DAYS + 1)),
+            F.lit(_KM_HORIZON_DAYS),
+        ).alias("t"),
+        F.when(
+            F.coalesce(t_err, F.lit(_KM_HORIZON_DAYS + 1))
+            <= _KM_HORIZON_DAYS,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("churned"),
+    )
+    tbl = per_user.groupBy("t").agg(
+        F.count("*").alias("entering"),
+        F.sum("churned").alias("d"),
+    )
+    # both windows run over the duration table — calendar-bounded
+    # cardinality (≤ observation-window days), whitelisted global window
+    w_desc = (
+        W.orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = tbl.withColumn("n", F.sum("entering").over(w_desc))
+    # d == n (whole risk set fails) can only happen on the LAST step —
+    # no user has a longer duration — so the NULLed term never poisons a
+    # later row's fold, and that row's survival is exactly 0
+    term6 = F.when(
+        F.col("n") > F.col("d"),
+        F.floor(
+            F.log((F.col("n") - F.col("d")).cast("double") / F.col("n"))
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("decimal(28,0)"),
+    )
+    w_asc = (
+        W.orderBy(F.col("t").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    folded = at_risk.withColumn("_s6", F.sum(term6).over(w_asc))
+    return folded.select(
+        F.col("t").alias("t_days"),
+        F.col("entering").cast("long").alias("entering"),
+        F.col("d").cast("long").alias("churned"),
+        F.col("n").cast("long").alias("at_risk"),
+        F.when(
+            F.col("d") < F.col("n"),
+            F.round(
+                F.exp(
+                    F.coalesce(F.col("_s6").cast("double"), F.lit(0.0))
+                    / F.lit(1e6)
+                ),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("survival"),
+    )
+
+
+ORACLE_SURVIVAL_KM = f"""
+WITH spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+         min(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+           AS err_d
+  FROM events GROUP BY user_id),
+per_user AS (
+  SELECT least(coalesce(CAST(date_diff('day', first_d, err_d) AS BIGINT),
+                        {_KM_HORIZON_DAYS + 1}),
+               {_KM_HORIZON_DAYS}) AS t,
+         CASE WHEN coalesce(CAST(date_diff('day', first_d, err_d)
+                                 AS BIGINT), {_KM_HORIZON_DAYS + 1})
+                   <= {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS churned
+  FROM spans),
+tbl AS (
+  SELECT t, count(*) AS entering, sum(churned) AS d
+  FROM per_user GROUP BY t),
+at_risk AS (
+  SELECT *, sum(entering) OVER (ORDER BY t DESC
+                                ROWS UNBOUNDED PRECEDING) AS n
+  FROM tbl),
+folded AS (
+  SELECT *,
+         sum(CASE WHEN n > d THEN
+               CAST(floor(ln(CAST(n - d AS DOUBLE) / n) * 1e6 + 0.5)
+                    AS DECIMAL(28,0)) END)
+           OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS s6
+  FROM at_risk)
+SELECT t AS t_days,
+       CAST(entering AS BIGINT) AS entering,
+       CAST(d AS BIGINT) AS churned,
+       CAST(n AS BIGINT) AS at_risk,
+       CASE WHEN d < n
+            THEN round(exp(coalesce(CAST(s6 AS DOUBLE), 0.0) / 1e6), 6)
+            ELSE 0.0 END AS survival
+FROM folded
+"""
+
+
 def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE: snapshot = each user's first-event value before the
     cutoff; change feed = events from the cutoff on (errors are deletes,
@@ -216,6 +346,12 @@ QUERIES = {
     "cohort_retention": QuerySpec(
         q_cohort_retention, ORACLE_COHORT,
         doc="weekly cohort retention matrix — event analytics",
+    ),
+    "events_survival_km": QuerySpec(
+        q_events_survival_km, ORACLE_SURVIVAL_KM,
+        doc="Kaplan-Meier user-retention survival curve with right "
+            "censoring: one user-keyed pass, calendar-sized risk sets, "
+            "integer-rounded log product-limit fold (hash-exact)",
     ),
     "cdc_apply_latest": QuerySpec(
         q_cdc_apply_latest, ORACLE_CDC,
