@@ -301,6 +301,60 @@ def test_zorder_refresh_only_rewrites_dirty_partitions(spark, tmp_path):
     assert audit(lake) == audit(full)
 
 
+def test_apply_compaction_plan_one_file_per_bin(spark, tmp_path):
+    """Direct contract test for the plan→execute seam: a fragmented
+    two-partition lake rewritten through apply_compaction_plan must
+    yield exactly one physical file per planned bin, conserve rows and
+    values, and keep every row inside its planned bin's source files."""
+    import os
+
+    from fluvio_duck_spark.operators.layout import compaction_bins
+    from fluvio_duck_spark.sinks import apply_compaction_plan
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    rows = spark.range(300).select(
+        F.concat(F.lit("p"), F.pmod(F.col("id"), 2)).alias("part"),
+        F.pmod(F.col("id"), 10).alias("fid"),
+        F.col("id"),
+    )
+    (
+        rows.repartition("part", "fid")
+        .write.partitionBy("part", "fid")
+        .parquet(src)
+    )
+    files = (
+        spark.read.parquet(src)
+        .groupBy("part", "fid")
+        .agg(F.count("*").cast("long").alias("rows"))
+    )
+    bins = compaction_bins(
+        files, 40, partition_cols=["part"], file_id_cols=["fid"],
+        bytes_col="rows",
+    )
+    n_bins = bins.select("part", "bin").distinct().count()
+    apply_compaction_plan(
+        spark, src, bins, partition_cols=["part"], file_id_cols=["fid"],
+        out_path=out,
+    )
+    n_files = sum(
+        1 for r, _d, fs in os.walk(out) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_files == n_bins
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    assert (
+        back.agg(F.sum("id")).first()[0]
+        == rows.agg(F.sum("id")).first()[0]
+    )
+    # per-bin contiguity: each row's (part, fid) maps to its planned bin
+    j = back.withColumnRenamed("__bin", "got").join(
+        bins.select("part", "fid", F.col("bin").alias("want")),
+        ["part", "fid"],
+    )
+    assert j.filter(F.col("got").cast("long") != F.col("want")).count() == 0
+
+
 def test_global_sample_plan_and_determinism(spark):
     from fluvio_duck_spark.operators.sampling import global_sample, uniform_key
 
