@@ -37,6 +37,23 @@ _REPO_ROOT = os.path.dirname(
 #: front of the rotation.
 _REVERIFY: frozenset[str] = frozenset()
 
+#: The 8 documented rows-only (no-oracle) queries and their oracle-paired
+#: twins (COVERAGE.md §rows-only).  When the rotation emits a rows-only
+#: name into the driver's ~50-name sample window, its twin is pulled in
+#: immediately after it (VERDICT r11 #5), so every CORRECTNESS file that
+#: records a `no_oracle` row also contains the green hash-checked twin
+#: that vouches for the shared math.
+ROWS_ONLY_TWINS: dict[str, str] = {
+    "dedup_minhash_lsh": "dedup_minhash_portable",
+    "dedup_simhash": "dedup_simhash_portable",
+    "dedup_semantic": "dedup_semantic_portable",
+    "sim_pq_rerank": "sim_pq_portable",
+    "sim_ivf_trained": "sim_ivf_kmeans_portable",
+    "stream_neardup_gate": "stream_neardup_gate_portable",
+    "mm_extract_features": "mm_extract_features_portable",
+    "text_compression_ratio": "text_compressibility_companion",
+}
+
 
 @lru_cache(maxsize=1)
 def latest_receipts() -> dict[str, int]:
@@ -53,6 +70,15 @@ def latest_receipts() -> dict[str, int]:
 
     Outside the repo (no artifacts found) this returns ``{}`` and
     ``all_queries()`` degrades to plain module order.
+
+    Caching (ADVICE r11): the result is ``lru_cache``d for the process
+    lifetime because the receipt files only change between rounds.  A
+    process that WRITES a new ``CORRECTNESS_r*.json`` and then needs the
+    refreshed ordering must call ``latest_receipts.cache_clear()`` first.
+    The glob reads whatever receipt files are on disk — the committed
+    set, in any clean checkout; an uncommitted receipt left in the
+    working tree is picked up too, which is why round hygiene commits
+    the driver artifacts as the round's first act.
     """
     latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
@@ -117,4 +143,16 @@ def all_queries() -> dict[str, QuerySpec]:
         key=lambda kv: receipts[kv[0]],
     ):
         ordered.setdefault(k, v)
-    return ordered
+    # Twin pull-in (VERDICT r11 #5): re-emit the ordering with each
+    # rows-only name immediately followed by its oracle-paired twin, so
+    # any prefix sample that contains the no-oracle row also contains
+    # the hash-checked twin.  A twin already emitted earlier stays put.
+    final: dict[str, QuerySpec] = {}
+    for k, v in ordered.items():
+        if k in final:
+            continue
+        final[k] = v
+        twin = ROWS_ONLY_TWINS.get(k)
+        if twin is not None and twin not in final and twin in ordered:
+            final[twin] = ordered[twin]
+    return final

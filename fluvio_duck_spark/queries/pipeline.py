@@ -4656,9 +4656,12 @@ def _zorder3_skipping_oracle() -> str:
     )
     return f"""
 WITH b AS (
-  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 % {m} AS hb,
-         user_id % {m} AS ub,
-         CAST(floor(value) AS BIGINT) % {m} AS vb
+  -- ((x % m) + m) % m == Spark's pmod for negative x; DuckDB's bare %
+  -- sign-follows the dividend, so a pre-1970 ts or negative value would
+  -- silently break hash parity under bare % (ADVICE r11)
+  SELECT ((CAST(floor(epoch(ts)) AS BIGINT) // 3600 % {m}) + {m}) % {m} AS hb,
+         ((user_id % {m}) + {m}) % {m} AS ub,
+         ((CAST(floor(value) AS BIGINT) % {m}) + {m}) % {m} AS vb
   FROM events),
 t AS (
   SELECT 'zorder3' AS layout, {z} >> {_ZO3_FILE_SHIFT} AS file_id,
@@ -4766,9 +4769,11 @@ def q_layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").withColumn(
         "file_date", F.to_date("ts")
     )
+    # PID-keyed (ADVICE r11): an overlapping bench + verify run at the
+    # same scale must not rmtree the lake the other is mid-read on
     work = os.path.join(
         tempfile.gettempdir(), "fluvio_duck_compact_apply",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
     )
     src, out = os.path.join(work, "src"), os.path.join(work, "out")
     shutil.rmtree(work, ignore_errors=True)
@@ -5047,9 +5052,11 @@ def q_layout_zorder_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dom") > _ZR_SPLIT_DAY)
         & (F.col("event_type") == _ZR_DELTA_TYPE)
     ).drop("dom")
+    # PID-keyed (ADVICE r11): concurrent same-scale invocations must not
+    # delete/rewrite each other's lake mid-read
     lake = os.path.join(
         tempfile.gettempdir(), "fluvio_duck_zorder_refresh",
-        os.path.basename(sf_dir.rstrip("/")),
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
     )
     shutil.rmtree(lake, ignore_errors=True)
     write_zordered_exact_partitioned(
@@ -5504,13 +5511,17 @@ def q_eval_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents``).  Output: one row (n_docs, mean_diff_ppm, t_obs,
     p_value, b)."""
     docs = load(spark, sf_dir, "documents")
+    # the ppm multiply must be 64-bit BEFORE it happens: a 32-bit
+    # 1000000 * size(...) wraps silently (non-ANSI) at >=2148 tokens,
+    # while the oracle computes in double — cast to long first (ADVICE r11)
     a = F.floor(
-        F.lit(1000000) * F.size(F.split(F.col("text"), " "))
+        F.lit(1000000).cast("long")
+        * F.size(F.split(F.col("text"), " ")).cast("long")
         / F.length("text")
     ).cast("long")
     b = F.floor(
-        F.lit(1000000)
-        * F.length(F.regexp_replace(F.col("text"), "[^a-z ]", ""))
+        F.lit(1000000).cast("long")
+        * F.length(F.regexp_replace(F.col("text"), "[^a-z ]", "")).cast("long")
         / F.length("text")
     ).cast("long")
     base = docs.select(F.col("doc_id"), (a - b).alias("d"))

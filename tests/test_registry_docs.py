@@ -57,8 +57,14 @@ def test_receipt_rotation_orders_stalest_first():
     (a rename would silently orphan its history), never-receipted names
     lead the ordering (a new registration gets its first driver receipt
     before any refresh), and receipted names follow in non-decreasing
-    latest-green-round order (stalest receipts refresh first)."""
-    from fluvio_duck_spark.queries import _REVERIFY, latest_receipts
+    latest-green-round order (stalest receipts refresh first) — EXCEPT
+    oracle-paired twins pulled in directly behind their rows-only name
+    (VERDICT r11 #5), which ride along regardless of their own receipt."""
+    from fluvio_duck_spark.queries import (
+        _REVERIFY,
+        ROWS_ONLY_TWINS,
+        latest_receipts,
+    )
 
     qs = all_queries()
     receipts = latest_receipts()
@@ -68,20 +74,25 @@ def test_receipt_rotation_orders_stalest_first():
         f"receipt names not in registry (rename lost its history?): "
         f"{sorted(stray)}"
     )
-    rounds = [
-        receipts.get(name, 0) for name in qs if name not in _REVERIFY
-    ]
+    order = [n for n in qs if n not in _REVERIFY]
+    pulled = {
+        n for prev, n in zip(order, order[1:])
+        if ROWS_ONLY_TWINS.get(prev) == n
+    }
+    rounds = [receipts.get(n, 0) for n in order if n not in pulled]
     assert rounds == sorted(rounds), (
         "all_queries() ordering is not stalest-receipt-first: a "
         "later-receipted name precedes an earlier-receipted one"
     )
-    # The driver's ~50-name sample must be exactly the stalest cohort:
-    # unreceipted names first (round 0), then the oldest rounds.
+    # The driver's ~50-name sample must be exactly the stalest cohort
+    # (plus pulled-in twins): unreceipted names first (round 0), then
+    # the oldest rounds.
     first50 = list(qs)[:50]
-    cutoff = max(receipts.get(n, 0) for n in first50)
+    cutoff = max(receipts.get(n, 0) for n in first50 if n not in pulled)
     outside = [
         n for n in qs
-        if n not in first50 and receipts.get(n, 0) < cutoff
+        if n not in first50 and n not in pulled
+        and receipts.get(n, 0) < cutoff
     ]
     assert not outside, (
         f"names staler than the first-50 cutoff (r{cutoff}) are ordered "
@@ -155,6 +166,35 @@ def test_bench_extended_sidecar_in_sync_with_bench_list():
     )
     qs = all_queries()
     assert sidecar <= set(qs)
+
+
+def test_rows_only_names_pull_their_twin_into_the_sample():
+    """VERDICT r11 #5: a rows-only (no-oracle) name appearing in the
+    driver's prefix sample must bring its oracle-paired twin along, so
+    every CORRECTNESS file recording a `no_oracle` row also records the
+    green hash-checked twin.  Pin: (a) the twin map names only real
+    registry entries, each twin oracle-paired; (b) in all_queries()
+    order, every rows-only name is immediately followed by its twin
+    unless the twin already appeared earlier; (c) the rows-only keys are
+    exactly the registry's oracle-less names."""
+    from fluvio_duck_spark.queries import ROWS_ONLY_TWINS
+
+    qs = all_queries()
+    order = list(qs)
+    pos = {n: i for i, n in enumerate(order)}
+    rows_only = {n for n, spec in qs.items() if spec.oracle is None}
+    assert set(ROWS_ONLY_TWINS) == rows_only, (
+        f"twin map drift — unmapped rows-only {rows_only - set(ROWS_ONLY_TWINS)},"
+        f" stale {set(ROWS_ONLY_TWINS) - rows_only}"
+    )
+    for name, twin in ROWS_ONLY_TWINS.items():
+        assert twin in qs, f"twin {twin} not registered"
+        assert qs[twin].oracle is not None, f"twin {twin} is not oracle-paired"
+        assert pos[twin] < pos[name] or pos[twin] == pos[name] + 1, (
+            f"{name} (rows-only, pos {pos[name]}) not adjacent to its twin "
+            f"{twin} (pos {pos[twin]}) — a 50-name prefix could record the "
+            f"no_oracle row without the vouching twin"
+        )
 
 
 def test_bench_extended_merge_preserves_estimator_and_minima():
