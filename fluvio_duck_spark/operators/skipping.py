@@ -1,0 +1,284 @@
+"""Sidecar-consulted file skipping: write-time per-file index sidecars
+(bloom filter for point keys, posting bitmap for tokens) and the READ
+path that plans its file list FROM the sidecar and opens only those
+files.
+
+Closes the audit→READ loop (VERDICT r11 #3): the committed
+``layout_bloom_skipping`` / ``text_index_skipping`` audits compute which
+files a probe WOULD hit; these functions persist that decision data at
+write time and consume it to prune a real scan — result ≡ full scan,
+files-opened == the audit's files_hit.
+
+Design for 100 TB:
+
+* **The sidecar is catalog-sized.** 16 bytes of bloom state per file /
+  8 bytes of posting bitmap per token — a million-file table's bloom
+  sidecar is ~16 MB, driver- or metastore-resident, never shuffled.
+  This is exactly the manifest-pruning shape Iceberg/Delta use; parquet
+  column-index blooms store the same bits per row group.
+* **Building it rides the write job's data.** One extra map-side-
+  combined aggregate over the same rows (`bit_or` of shifted bits), no
+  second table scan of raw bytes.
+* **The read path is planning-time work only.** Filter the sidecar
+  entries on the driver (a list comprehension over catalog-sized
+  state), then hand Spark the surviving file list — the executors never
+  open a pruned file, so I/O scales with the HIT count, not the table.
+
+The bloom geometry matches the committed audit bit-for-bit: 126-bit
+k=2 filter as two 63-bit BIGINT words (bit 63 never set — DuckDB's
+checked ``<<`` rejects shift 63), h1 = k % 126, h2 = (k // 126) % 126.
+The posting geometry is the 63-slot Roaring-lite bitmap (slot =
+file % 63): 8 bytes per token regardless of file count, false hits only
+when files alias a slot.
+
+Cite: reference has no storage-layout surface (its output is DuckDB
+``COPY ... TO`` — reference README.md:188-205); this extends sink K1
+with the pruning metadata a lakehouse table format would carry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Two 63-bit words; positions 0..125.  k=2 hash functions.
+BLOOM_BITS = 126
+#: Posting bitmap slots (one 63-bit word; bit 63 never set).
+POSTING_SLOTS = 63
+
+_BLOOM_SIDECAR = "_sidecar_bloom.json"
+_POSTING_SIDECAR = "_sidecar_postings.json"
+
+
+def bloom_positions(key: int) -> tuple[int, int]:
+    """The two bit positions a key sets/probes (both in [0, 126))."""
+    return key % BLOOM_BITS, (key // BLOOM_BITS) % BLOOM_BITS
+
+
+def bloom_hash_cols(key_col: Column) -> tuple[Column, Column]:
+    """The two hash positions (columns in [0, 126)) for a key column."""
+    h1 = F.pmod(key_col, F.lit(BLOOM_BITS)).cast("int")
+    h2 = F.pmod((key_col / BLOOM_BITS).cast("long"), F.lit(BLOOM_BITS)).cast(
+        "int"
+    )
+    return h1, h2
+
+
+def _bloom_word(h_name: str, w: int) -> Column:
+    """This hash position's contribution to word ``w`` (named-column
+    form — Spark's ``shiftleft`` builtin takes a literal shift, so a
+    column-valued shift goes through ``F.expr``, the same pattern the
+    committed audit uses)."""
+    return F.when(
+        (F.col(h_name) / 63).cast("int") == w,
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), {h_name} % 63)"),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def bloom_word_aggs() -> tuple[Column, Column]:
+    """Aggregate expressions producing the two bloom words over named
+    ``h1``/``h2`` hash columns — ``bit_or`` of shifted bits, pure
+    map-side-combined JVM codegen (the 16-byte fold the committed audit
+    uses)."""
+    return (
+        F.bit_or(_bloom_word("h1", 0).bitwiseOR(_bloom_word("h2", 0))),
+        F.bit_or(_bloom_word("h1", 1).bitwiseOR(_bloom_word("h2", 1))),
+    )
+
+
+def _leaf_files(path: str, file_col: str) -> dict[int, str]:
+    """Map integer file id → the single physical parquet file under its
+    ``file_col=<id>`` leaf directory (the value-derived one-file-per-leaf
+    write contract)."""
+    out: dict[int, str] = {}
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{file_col}="):
+            continue
+        fid = int(entry.split("=", 1)[1])
+        leaf = os.path.join(path, entry)
+        parts = [
+            p for p in os.listdir(leaf)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        ]
+        if len(parts) != 1:
+            raise ValueError(
+                f"leaf {leaf} holds {len(parts)} files; the sidecar write "
+                f"contract is one file per {file_col} value"
+            )
+        out[fid] = os.path.join(leaf, parts[0])
+    return out
+
+
+def write_with_bloom_sidecar(
+    df: DataFrame, path: str, file_col: str, key_col: str
+) -> dict:
+    """Write ``df`` as one physical parquet file per ``file_col`` value
+    and persist a per-file bloom + min/max sidecar for ``key_col``.
+
+    The write is ``repartition(file_col)`` (each file id wholly in one
+    task) + ``partitionBy(file_col)`` — the same value-derived
+    one-file-per-leaf contract the compaction/zorder writers use.  The
+    sidecar aggregate is file-count-sized state collected to the driver
+    (catalog-sized; a million files ≈ 16 MB)."""
+    (
+        df.repartition(F.col(file_col))
+        .write.mode("overwrite")
+        .partitionBy(file_col)
+        .parquet(path)
+    )
+    h1, h2 = bloom_hash_cols(F.col(key_col))
+    w0, w1 = bloom_word_aggs()
+    stats = (
+        df.withColumn("h1", h1)
+        .withColumn("h2", h2)
+        .groupBy(file_col)
+        .agg(
+            F.min(key_col).alias("mn"),
+            F.max(key_col).alias("mx"),
+            w0.alias("w0"),
+            w1.alias("w1"),
+        )
+        .collect()
+    )
+    files = _leaf_files(path, file_col)
+    sidecar = {
+        "key_col": key_col,
+        "file_col": file_col,
+        "files": [
+            {
+                "id": r[file_col],
+                "path": files[r[file_col]],
+                "mn": r["mn"],
+                "mx": r["mx"],
+                "w0": r["w0"],
+                "w1": r["w1"],
+            }
+            for r in sorted(stats, key=lambda r: r[file_col])
+        ],
+    }
+    with open(os.path.join(path, _BLOOM_SIDECAR), "w") as fh:
+        json.dump(sidecar, fh)
+    return sidecar
+
+
+def plan_bloom_read(path: str, probe_key: int) -> tuple[list[str], int]:
+    """Driver-side planning: return ``(files the bloom admits, total
+    file count)`` for a point probe.  Pure catalog work — no Spark job,
+    no file opened."""
+    with open(os.path.join(path, _BLOOM_SIDECAR)) as fh:
+        sidecar = json.load(fh)
+    h1, h2 = bloom_positions(probe_key)
+
+    def admits(e: dict) -> bool:
+        def bit(h: int) -> bool:
+            word = e["w0"] if h < 63 else e["w1"]
+            return bool(word & (1 << (h % 63)))
+
+        return bit(h1) and bit(h2)
+
+    files = [e["path"] for e in sidecar["files"] if admits(e)]
+    return files, len(sidecar["files"])
+
+
+def read_with_skipping(
+    spark: SparkSession, path: str, probe_key: int
+) -> tuple[DataFrame, int, int]:
+    """Sidecar-consulted scan: read ONLY the files whose bloom admits
+    ``probe_key``.  Returns ``(df, files_planned, files_total)``.
+
+    The returned frame is the bloom's candidate superset (true file +
+    deterministic false positives) — the caller still applies the exact
+    key predicate; bloom semantics guarantee no false negatives, so
+    filter(pruned) ≡ filter(full scan).  An empty plan returns an
+    empty frame of the table schema without scanning data (footer-only
+    schema read + an always-false filter Catalyst folds to a no-op
+    scan)."""
+    files, total = plan_bloom_read(path, probe_key)
+    if not files:
+        empty = spark.read.option("basePath", path).parquet(path).where(
+            F.lit(False)
+        )
+        return empty, 0, total
+    df = spark.read.option("basePath", path).parquet(*files)
+    return df, len(files), total
+
+
+def write_with_token_index(
+    df: DataFrame, path: str, file_col: str, text_col: str
+) -> dict:
+    """Write ``df`` one file per ``file_col`` value and persist a
+    token→posting-bitmap sidecar over whitespace tokens of ``text_col``
+    (slot = file id % 63).
+
+    Sidecar size is vocab-bounded at 8 bytes per distinct token — the
+    Roaring-lite trade: file count never grows the index, aliased slots
+    only add false hits the exact predicate removes."""
+    (
+        df.repartition(F.col(file_col))
+        .write.mode("overwrite")
+        .partitionBy(file_col)
+        .parquet(path)
+    )
+    postings = (
+        df.select(
+            F.pmod(F.col(file_col), F.lit(POSTING_SLOTS))
+            .cast("int").alias("slot"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .groupBy("tok")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), slot)")
+            ).alias("bitmap")
+        )
+        .collect()
+    )
+    files = _leaf_files(path, file_col)
+    sidecar = {
+        "text_col": text_col,
+        "file_col": file_col,
+        "files": [
+            {"id": fid, "path": p} for fid, p in sorted(files.items())
+        ],
+        "postings": {r["tok"]: r["bitmap"] for r in postings},
+    }
+    with open(os.path.join(path, _POSTING_SIDECAR), "w") as fh:
+        json.dump(sidecar, fh)
+    return sidecar
+
+
+def plan_token_read(path: str, token: str) -> tuple[list[str], int, int]:
+    """Driver-side planning for a token probe: return ``(files whose
+    slot is set in the token's posting bitmap, total files, slots
+    hit)``.  A token absent from the corpus plans zero files."""
+    with open(os.path.join(path, _POSTING_SIDECAR)) as fh:
+        sidecar = json.load(fh)
+    bitmap = sidecar["postings"].get(token, 0)
+    files = [
+        e["path"]
+        for e in sidecar["files"]
+        if bitmap & (1 << (e["id"] % POSTING_SLOTS))
+    ]
+    return files, len(sidecar["files"]), bin(bitmap).count("1")
+
+
+def read_with_token_skipping(
+    spark: SparkSession, path: str, token: str
+) -> tuple[DataFrame, int, int, int]:
+    """Posting-bitmap-consulted scan: read ONLY the files whose slot the
+    token's bitmap sets.  Returns ``(df, files_planned, files_total,
+    slots_hit)``.  The bitmap is complete over the write (every file
+    containing the token set its slot), so the planned list is a
+    superset of the true files — the caller's exact membership predicate
+    makes the pruned result ≡ the full scan's."""
+    files, total, slots = plan_token_read(path, token)
+    if not files:
+        empty = spark.read.option("basePath", path).parquet(path).where(
+            F.lit(False)
+        )
+        return empty, 0, total, slots
+    df = spark.read.option("basePath", path).parquet(*files)
+    return df, len(files), total, slots
