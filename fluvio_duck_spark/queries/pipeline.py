@@ -5190,6 +5190,151 @@ SELECT CAST((SELECT count(*) FROM allf) AS BIGINT) AS n_files,
 """
 
 
+#: Snapshot time-travel fixture: 4 hash partitions; the merge feed
+#: touches ONLY partition 1 (copy-on-write carries the rest by
+#: reference); appended keys are original + 1e9 (1e9 % 4 == 0 keeps the
+#: partition rule aligned between engines).
+_STT_PARTS = 4
+_STT_APPEND_SHIFT = 1000000000
+_STT_COLS = ["event_id", "event_type", "user_id", "pt"]
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning / time travel over the maintenance surface
+    (VERDICT r11 #4, operators/snapshots.py): a manifest-versioned
+    events table takes one commit of EVERY mutation kind —
+
+      v1 create → v2 append (parent files carried by reference) →
+      v3 partition-scoped copy-on-write MERGE (only partition 1's
+      files rewritten) → v4 compaction (commit asserts the audit pair
+      is preserved) → v5 rollback to v1 (pointer flip, no data moved)
+
+    — then time-travels back through ALL FIVE versions after the last
+    mutation and returns each version's audit pair twice: once measured
+    by actually reading ``read_version_as_of(v)`` (count + portable
+    checksum fold over the files manifest v lists), once derived from
+    the manifest metadata alone (driver-side sum of per-file folds —
+    zero table I/O).  The oracle recomputes every version's expected
+    state independently in SQL, so a hash match proves simultaneously:
+    historical snapshots reproduce exactly under later mutations,
+    rollback restores v1 bit-for-bit, compaction changed bytes but not
+    content, and the metadata-only audit equals the physical one.  At
+    100 TB each commit's cost is bounded by its mutation (COW rewrites
+    touched partitions only; the stats scan covers new files only) and
+    the manifest stays catalog-sized.  Byte-stability of carried-over
+    files is pinned in test_maintenance.py with mtime snapshots."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.pmod(F.col("event_id"), F.lit(_STT_PARTS)).alias("pt"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_snapshots",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    snap.create_table(spark, root, ev, "pt", _STT_COLS)
+    appended = ev.filter(F.col("event_id") % 11 == 3).select(
+        (F.col("event_id") + _STT_APPEND_SHIFT).alias("event_id"),
+        F.lit("appended").alias("event_type"),
+        "user_id", "pt",
+    )
+    snap.append(spark, root, appended)
+    feed = ev.filter(
+        (F.col("pt") == 1) & (F.col("event_id") % 3 != 2)
+    ).select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("_op"),
+        F.lit("patched").alias("new_type"),
+        "pt",
+    )
+    snap.merge_into(
+        spark, root, feed, key="event_id",
+        set_cols={"event_type": "new_type"},
+    )
+    snap.compact(spark, root)
+    snap.rollback(root, 1)
+
+    ops = {1: "create", 2: "append", 3: "merge", 4: "compact",
+           5: "rollback"}
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+
+    audits = []
+    for v, op in ops.items():
+        m_rows, m_fold = snap.manifest_audit(root, v)
+        audits.append(
+            snap.read_version_as_of(spark, root, v).agg(
+                F.count("*").cast("long").alias("n_rows"),
+                fold_sum(row_checksum(_STT_COLS)).alias("checksum"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(op).alias("op"),
+                "n_rows", "checksum",
+                F.lit(m_rows).cast("long").alias("manifest_rows"),
+                F.lit(m_fold).cast("long").alias("manifest_checksum"),
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+def _snapshot_time_travel_oracle() -> str:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    base = (
+        "SELECT event_id, event_type, user_id, "
+        f"CAST(event_id % {_STT_PARTS} AS BIGINT) AS pt FROM events"
+    )
+    v2 = (
+        f"{base} UNION ALL "
+        f"SELECT event_id + {_STT_APPEND_SHIFT}, 'appended', user_id, "
+        f"CAST(event_id % {_STT_PARTS} AS BIGINT) "
+        f"FROM events WHERE event_id % 11 = 3"
+    )
+    # the feed names only ORIGINAL keys (event_id < shift) in partition
+    # 1: %3==0 deleted, %3==1 patched; appended rows carry through
+    v3 = (
+        "SELECT event_id, CASE WHEN event_id < "
+        f"{_STT_APPEND_SHIFT} AND pt = 1 AND event_id % 3 = 1 "
+        "THEN 'patched' ELSE event_type END AS event_type, user_id, pt "
+        f"FROM ({v2}) WHERE NOT (event_id < {_STT_APPEND_SHIFT} "
+        "AND pt = 1 AND event_id % 3 = 0)"
+    )
+    audits = {1: base, 2: v2, 3: v3, 4: v3, 5: base}
+    ops = {1: "create", 2: "append", 3: "merge", 4: "compact",
+           5: "rollback"}
+    branches = []
+    for v, expr in audits.items():
+        a = checksum_sql(f"({expr})", _STT_COLS, label=f"v{v}")
+        branches.append(
+            f"SELECT CAST({v} AS BIGINT) AS version, '{ops[v]}' AS op, "
+            f"n_rows, checksum, n_rows AS manifest_rows, "
+            f"checksum AS manifest_checksum FROM ({a})"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+QUERIES.update({
+    "snapshot_time_travel": QuerySpec(
+        q_snapshot_time_travel, _snapshot_time_travel_oracle(),
+        doc="manifest-versioned table: create/append/COW-merge/compact/"
+            "rollback commits, then time-travel reads of ALL five "
+            "versions after the last mutation — read-audit == "
+            "manifest-metadata audit == the oracle's independent "
+            "per-version reconstruction",
+    ),
+})
+
+
 #: Z-order refresh geometry: 8-bit (hour, user) buckets → 16-bit key;
 #: shift 12 → ≤16 z-files per table partition.  Day 20 splits base from
 #: the late-arriving delta (which touches ONE event_type partition).

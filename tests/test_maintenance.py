@@ -516,3 +516,117 @@ def test_ivm_equals_full_refresh_any_layout(spark):
             ).collect()
         )
         assert got == want, parts
+
+
+def test_snapshot_versions_are_immutable_and_cow_scoped(spark, tmp_path):
+    """Manifest-versioned table invariants (VERDICT r11 #4):
+    version-as-of reads reproduce byte-for-byte under later mutations,
+    COW merge rewrites ONLY touched partitions (carried files byte-
+    stable by mtime), compaction preserves the audit pair or refuses,
+    and rollback is a pointer flip that writes no data files."""
+    import os
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(80).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.pmod(F.col("id"), F.lit(4)).alias("pt"),
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"])
+    v1_rows = sorted(tuple(r) for r in
+                     snap.read_version_as_of(spark, root, 1).collect())
+
+    def mtimes():
+        out = {}
+        for base, _dirs, files in os.walk(os.path.join(root, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(base, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    # merge touches ONLY partition 2: delete k%8==2, patch k%8==6
+    feed = df.filter(F.col("pt") == 2).select(
+        "k",
+        F.when(F.col("k") % 8 == 2, F.lit("D")).otherwise(F.lit("U"))
+        .alias("_op"),
+        F.lit("patched").alias("nv"),
+        "pt",
+    )
+    v2 = snap.merge_into(spark, root, feed, key="k",
+                         set_cols={"val": "nv"})
+    assert v2 == 2
+    after = mtimes()
+    # every v1 file is byte-stable (immutability), only gen2 is new
+    for p, t in before.items():
+        assert after[p] == t, f"v1 data file rewritten: {p}"
+    new_files = set(after) - set(before)
+    assert new_files and all("gen2" in p for p in new_files)
+    # COW scope: gen2 holds ONLY partition 2
+    assert all("__pt=2" in p for p in new_files)
+
+    # v1 time travel reproduces exactly after the mutation
+    assert sorted(tuple(r) for r in
+                  snap.read_version_as_of(spark, root, 1).collect()) \
+        == v1_rows
+    # merged content: partition-2 deletes gone, patches applied
+    got = {r.k: r.val
+           for r in snap.read_version_as_of(spark, root, 2).collect()}
+    assert 2 not in got and got[6] == "patched" and got[1] == "v1"
+    assert len(got) == 80 - 10  # 10 keys deleted (k%8==2)
+
+    # manifest audit == physical audit for both versions
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+
+    for v in (1, 2):
+        m_rows, m_fold = snap.manifest_audit(root, v)
+        r = snap.read_version_as_of(spark, root, v).agg(
+            F.count("*").alias("n"),
+            fold_sum(row_checksum(["k", "val", "pt"])).alias("f"),
+        ).collect()[0]
+        assert (r.n, r.f) == (m_rows, m_fold), v
+
+    # compaction preserves the audit pair and the v2 read
+    before_compact = mtimes()
+    v3 = snap.compact(spark, root)
+    assert snap.manifest_audit(root, v3) == snap.manifest_audit(root, 2)
+    for p, t in before_compact.items():
+        assert mtimes()[p] == t, f"compaction rewrote a committed file: {p}"
+
+    # rollback writes NO data files and restores v1 exactly
+    before_rb = mtimes()
+    v4 = snap.rollback(root, 1)
+    assert mtimes() == before_rb
+    assert sorted(tuple(r) for r in
+                  snap.read_version_as_of(spark, root, v4).collect()) \
+        == v1_rows
+    assert snap.current_version(root) == v4 == 4
+
+
+def test_snapshot_compact_refuses_on_content_drift(spark, tmp_path, monkeypatch):
+    """The compaction commit must refuse to advance HEAD if the rewrite
+    does not reproduce the parent's audit pair."""
+    import pytest
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"),
+        F.lit("x").alias("val"),
+        F.pmod(F.col("id"), F.lit(2)).alias("pt"),
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"])
+    orig = snap.read_version_as_of
+
+    def corrupted(spark_, root_, v_):
+        return orig(spark_, root_, v_).filter(F.col("k") != 0)
+
+    monkeypatch.setattr(snap, "read_version_as_of", corrupted)
+    with pytest.raises(ValueError, match="audit mismatch"):
+        snap.compact(spark, root)
+    monkeypatch.setattr(snap, "read_version_as_of", orig)
+    assert snap.current_version(root) == 1, "refused commit advanced HEAD"
