@@ -121,6 +121,19 @@ def _q(opts: str):
     return run
 
 
+def _q_udtf_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT * FROM fluvio_consume('<opts>', sf_dir)` binding natively
+    through the polymorphic UDTF (sources/udtf.py::FluvioConsumeUDTF)."""
+    from fluvio_duck_spark.sources.udtf import register_sql_table_functions
+
+    register_sql_table_functions(spark)
+    return spark.sql(
+        "SELECT * FROM fluvio_consume("
+        "'events -A -B --rows 1000000 -c k:i=k -c ks=k -c kd:d=k -c kl:l=k',"
+        f" '{sf_dir}')"
+    )
+
+
 def _chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST5 ordered chain: filter (k < 50) → jolt shift (k→n) → typed map.
     Order matters: the jolt renames k, so the filter must run first —
@@ -426,6 +439,24 @@ QUERIES: dict[str, QuerySpec] = {
         FROM events
         """,
         doc="-c name[:code]=path mapping (reference src/consume.rs:223-245,:311-443)",
+    ),
+    # P4-P11 through the POLYMORPHIC SQL table function (VERDICT r11 #6):
+    # analyze() binds the -c mappings to the output schema at bind time
+    # (reference src/consume.rs:184-187,:607-637); same oracle semantics
+    # as consume_mapped_typed, so a green hash here + there proves
+    # UDTF result == builder result cross-engine
+    "consume_udtf_mapped": QuerySpec(
+        _q_udtf_mapped,
+        """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               json_extract_string(props, '$.k') AS ks,
+               CAST(json_extract_string(props, '$.k') AS DOUBLE) AS kd,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS kl
+        FROM events
+        """,
+        doc="fluvio_consume as a Spark 4 polymorphic UDTF: analyze() "
+            "declares the mapping-dependent schema at bind time, SQL "
+            "binds natively with no textual rewrite (sources/udtf.py)",
     ),
     # S1 topic + partition selection (fix of reference partition pinning)
     "consume_partition_select": QuerySpec(

@@ -15,10 +15,25 @@ metadata-sized call, which is why a single-worker UDTF is the right
 shape.  The fixture stand-in derives the same rows from the events
 parquet with pyarrow inside the worker.
 
-``fluvio_consume`` deliberately stays a DataFrame *builder*: its result
-is data-sized and its pipeline (offset algebra, transforms, mappings)
-must run distributed under Catalyst, not inside one UDTF worker —
-SURVEY §2.12's builder-as-UDTF mapping.
+``fluvio_consume`` exists in BOTH shapes.  The DataFrame *builder*
+(sources/consume.py) remains the scale path: its result is data-sized
+and its pipeline (offset algebra, transforms, mappings) runs distributed
+under Catalyst; ``consume_sql`` substitutes that plan into SQL text.
+``FluvioConsumeUDTF`` (VERDICT r11 #6) additionally registers consume as
+a true Spark 4 POLYMORPHIC table function: its static ``analyze()``
+parses the option string at bind time and declares the
+mapping-dependent output schema — the exact analogue of the reference's
+bind-phase schema declaration (``fluvio_duck_bind`` names and types,
+reference src/consume.rs:184-187,:607-637) — so
+
+    SELECT * FROM fluvio_consume('events -B -c k:i=k')
+
+binds natively with columns (k INT), no textual rewrite.  The UDTF
+worker replays the builder's bounded GLOBAL offset algebra over the
+same stand-in (pyarrow scan, single worker) — the right shape for the
+ad-hoc bounded reads this SQL form serves, while data-sized pipelines
+keep using the builder; ``consume_udtf_mapped`` (driver-checked) and
+``test_consume.py``'s parity matrix pin UDTF rows == builder rows.
 """
 
 from __future__ import annotations
@@ -70,7 +85,198 @@ class FluvioPartitionsUDTF:
             yield name, str(p), off + 1
 
 
+class FluvioConsumeUDTF:
+    """``fluvio_consume('<topic> <flags>' [, sf_dir])`` as a polymorphic
+    SQL table function: ``analyze()`` binds the option string to its
+    output schema (default ``offset/timestamp/value`` or the typed
+    ``-c`` mappings — reference src/consume.rs:607-637,:223-245), then
+    ``eval()`` replays the builder's bounded global offset algebra.
+
+    Scope (documented): the SmartModule transform chain stays on the
+    builder / ``consume_sql`` path (it must run distributed); an option
+    string carrying transforms raises at bind time."""
+
+    @staticmethod
+    def analyze(opts, sf_dir=None):
+        from pyspark.sql.types import StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        from fluvio_duck_spark.mappings import (
+            TYPE_CODES,
+            parse_column_spec,
+        )
+        from fluvio_duck_spark.options import (
+            ConsumeOptError,
+            parse_consume_opts,
+        )
+
+        if opts.value is None:
+            raise ConsumeOptError(
+                "fluvio_consume option string must be a literal "
+                "(bind-time schema declaration needs the -c mappings)"
+            )
+        o = parse_consume_opts(opts.value)
+        if o.transform or o.transforms_file or o.has_smartmodule:
+            raise ConsumeOptError(
+                "transform chains are not supported in the SQL table "
+                "function form — use consume_sql(...) or the "
+                "fluvio_consume builder, which run the chain distributed"
+            )
+        schema = StructType()
+        if o.columns:
+            for name_spec, _path in o.columns:
+                name, dtype = parse_column_spec(name_spec)
+                schema.add(name, dtype)
+        else:
+            # bind-time metadata read (the reference's bind phase also
+            # inspects the source before declaring types): a NANOS
+            # fixture goes through timestamp_micros → TIMESTAMP, a
+            # MICROS fixture reads natively as TIMESTAMP_NTZ — the
+            # builder's schema, mirrored exactly
+            import pyarrow.parquet as pq
+            from pyspark.sql.types import TimestampNTZType
+
+            from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR
+
+            sf = (sf_dir.value if sf_dir is not None else None) or DEFAULT_SF_DIR
+            unit = pq.ParquetFile(
+                f"{sf}/events.parquet"
+            ).schema_arrow.field("ts").type.unit
+            schema.add("offset", TYPE_CODES["l"])
+            schema.add(
+                "timestamp",
+                TYPE_CODES["t"] if unit == "ns" else TimestampNTZType(),
+            )
+            schema.add("value", TYPE_CODES["s"])
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, opts: str, sf_dir: str | None = None):  # noqa: D102
+        import datetime as dt
+        import json
+
+        import pyarrow.parquet as pq
+
+        from fluvio_duck_spark.mappings import (
+            json_path_expr,
+            parse_column_spec,
+        )
+        from fluvio_duck_spark.options import parse_consume_opts
+        from fluvio_duck_spark.sources.consume import (
+            DEFAULT_SF_DIR,
+            STANDIN_PARTITIONS,
+            _WHOLE_LOG_TOPICS,
+        )
+
+        o = parse_consume_opts(opts)
+        sf = sf_dir or DEFAULT_SF_DIR
+        t = pq.read_table(
+            f"{sf}/events.parquet",
+            columns=["event_id", "ts", "user_id", "props", "event_type"],
+        )
+        # mirror read_events: nanos fixtures truncate ns→µs (integer
+        # div), micros fixtures pass through
+        raw = t.column("ts").cast("int64").to_pylist()
+        if t.column("ts").type.unit == "ns":
+            us = [v // 1000 for v in raw]
+        else:
+            us = raw
+        rows = [
+            (eid, u, uid % STANDIN_PARTITIONS, props, etype)
+            for eid, u, uid, props, etype in zip(
+                t.column("event_id").to_pylist(), us,
+                t.column("user_id").to_pylist(),
+                t.column("props").to_pylist(),
+                t.column("event_type").to_pylist(),
+            )
+        ]
+        if o.topic not in _WHOLE_LOG_TOPICS:
+            rows = [r for r in rows if r[4] == o.topic]
+        if not o.all_partitions:
+            rows = [r for r in rows if r[2] == o.partition]
+        # global offset algebra, mirroring the builder's bounded branch
+        leo = max((r[0] for r in rows), default=-1) + 1
+        start = o.calculate_start()
+        if start.kind == "beginning":
+            lo = 0
+        elif start.kind in ("head", "start"):
+            lo = start.n
+        elif start.kind == "tail":
+            lo = max(0, leo - start.n)
+        else:  # end — bounded read from the log end is empty
+            lo = leo
+        rows = [r for r in rows if r[0] >= lo]
+        if o.end is not None:
+            rows = [r for r in rows if r[0] <= o.end]
+        rows.sort(key=lambda r: r[0])
+        if o.rows is not None:
+            rows = rows[: o.rows]
+
+        epoch = dt.datetime(1970, 1, 1)
+
+        def leaf(value: str, path: str):
+            """get_json_object twin: dot-path walk, leaf as token text,
+            non-leaf re-serialized compact, JSON null/missing → None."""
+            try:
+                cur = json.loads(value)
+            except (TypeError, ValueError):
+                return None
+            jp = json_path_expr(path)
+            for part in jp[2:].split("."):
+                if isinstance(cur, dict) and part in cur:
+                    cur = cur[part]
+                else:
+                    return None
+            if cur is None:
+                return None
+            if isinstance(cur, bool):
+                return "true" if cur else "false"
+            if isinstance(cur, (dict, list)):
+                return json.dumps(cur, separators=(",", ":"))
+            return str(cur)
+
+        def cast(tok, code: str):
+            """try_cast twin: malformed → None, never an error."""
+            if tok is None:
+                return None
+            try:
+                if code in ("i", "l"):
+                    from decimal import Decimal
+
+                    v = int(Decimal(tok))  # '12.7' truncates like CAST
+                    bound = 2**31 if code == "i" else 2**63
+                    return v if -bound <= v < bound else None
+                if code in ("f", "d"):
+                    import struct
+
+                    v = float(tok)
+                    if code == "f":
+                        v = struct.unpack("f", struct.pack("f", v))[0]
+                    return v
+                if code == "t":
+                    return dt.datetime.fromisoformat(
+                        tok.replace("Z", "+00:00")
+                    ).replace(tzinfo=None)
+            except (ValueError, ArithmeticError, OverflowError):
+                return None
+            return tok  # 's' and unknown codes stay string
+
+        if o.columns:
+            specs = [
+                (parse_column_spec(ns_)[0], ns_.partition(":")[2] or "s", p)
+                for ns_, p in o.columns
+            ]
+            for r in rows:
+                yield tuple(
+                    cast(leaf(r[3], path), code) for _n, code, path in specs
+                )
+        else:
+            for r in rows:
+                yield r[0], epoch + dt.timedelta(microseconds=r[1]), r[3]
+
+
 def register_sql_table_functions(spark) -> None:
-    """Register both metadata scans as SQL table functions on ``spark``."""
+    """Register the metadata scans AND the polymorphic consume table
+    function as SQL table functions on ``spark``."""
     spark.udtf.register("fluvio_topics", FluvioTopicsUDTF)
     spark.udtf.register("fluvio_partitions", FluvioPartitionsUDTF)
+    spark.udtf.register("fluvio_consume", udtf(FluvioConsumeUDTF))

@@ -558,3 +558,55 @@ def test_pinned_partition_fold_never_warns(spark, sf_dir):
         spark, pinned + " -e global=true", sf_dir=sf_dir
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_consume_udtf_parity_with_builder(spark):
+    """The polymorphic SQL table function (VERDICT r11 #6) must bind the
+    option-string-dependent schema at analyze() time and reproduce the
+    builder's rows exactly across the option surface: default columns,
+    every start kind, --end, sub-topic, -p, and typed -c mappings."""
+    from fluvio_duck_spark.sources.consume import fluvio_consume
+    from fluvio_duck_spark.sources.udtf import register_sql_table_functions
+
+    register_sql_table_functions(spark)
+    sf = "/root/testdata/sf0.001"
+    cases = [
+        "events -A -B --rows 100",
+        "events -A -T 7",
+        "events -A -H 50 --rows 20",
+        "events -A --start 5 --end 60",
+        "events -A",  # default Offset::end -> empty bounded read
+        "click -A -B --rows 100000",
+        "purchase -A -T 50 --rows 100000",
+        "events -p 2 -B --rows 100000",
+        "events -A -B --rows 1000000 -c k:i=k -c ks=k -c kd:d=k "
+        "-c kf:f=k -c kl:l=k",
+        "events -A -B --rows 50 -c missing:i=no.such.path -c obj=k",
+    ]
+    for opts in cases:
+        want_df = fluvio_consume(spark, opts, sf)
+        got_df = spark.sql(
+            f"SELECT * FROM fluvio_consume('{opts}', '{sf}')"
+        )
+        assert got_df.schema == want_df.schema, opts
+        want = sorted(map(tuple, want_df.collect()))
+        got = sorted(map(tuple, got_df.collect()))
+        assert got == want, f"{opts}: {got[:3]} vs {want[:3]}"
+
+
+def test_consume_udtf_bind_time_errors(spark):
+    """Bind-time failures surface as ConsumeOptError: non-literal option
+    strings, transform chains (builder-only scope), bad flags."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    from fluvio_duck_spark.sources.udtf import register_sql_table_functions
+
+    register_sql_table_functions(spark)
+    for bad in (
+        "SELECT * FROM fluvio_consume('events --bogus')",
+        "SELECT * FROM fluvio_consume('events -A --transform "
+        '{"uses":"infinyon/jolt@0.1.0"}\')',
+    ):
+        with pytest.raises(AnalysisException):
+            spark.sql(bad).collect()
