@@ -274,6 +274,89 @@ def compact(spark: SparkSession, root: str) -> int:
     )
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change data feed between two versions (Delta CDF's
+    ``table_changes`` shape), MANIFEST-PRUNED: a partition whose file
+    set is identical in both manifests cannot contribute a change (data
+    files are immutable), so only differing partitions are read from
+    either side before the keyed diff (``operators/diff.py``).
+
+    At 100 TB this is the difference between "diff two table scans" and
+    "diff the partitions one of N commits touched" — the pruning
+    decision is pure driver-side manifest set algebra, and the join cost
+    follows the mutated partitions, never the table."""
+    from fluvio_duck_spark.operators.diff import snapshot_diff
+
+    ma, mb = load_manifest(root, v_from), load_manifest(root, v_to)
+
+    def by_part(m: dict) -> dict[str, frozenset]:
+        out: dict[str, set] = {}
+        for e in m["files"]:
+            out.setdefault(e["partition"], set()).add(e["path"])
+        return {p: frozenset(s) for p, s in out.items()}
+
+    fa, fb = by_part(ma), by_part(mb)
+    changed = {p for p in fa.keys() | fb.keys() if fa.get(p) != fb.get(p)}
+    paths_a = [e["path"] for e in ma["files"] if e["partition"] in changed]
+    paths_b = [e["path"] for e in mb["files"] if e["partition"] in changed]
+
+    def side(paths: list[str]) -> DataFrame:
+        if paths:
+            return spark.read.parquet(*paths)
+        return read_version_as_of(spark, root, v_from).where(F.lit(False))
+
+    return snapshot_diff(side(paths_a), side(paths_b), key, compare_cols)
+
+
+def vacuum(root: str, retain_from_version: int) -> dict:
+    """Physically delete data files referenced by NO manifest in
+    [retain_from_version, HEAD] — Delta's VACUUM with a version-number
+    retention bound instead of a timestamp.
+
+    Every retained version's as-of read is untouched (its files are, by
+    definition, live); versions older than the bound become unreadable,
+    which is the documented retention trade.  Driver-side set algebra
+    over catalog-sized manifests plus one filesystem walk."""
+    head = current_version(root)
+    if not 1 <= retain_from_version <= head:
+        raise ValueError(
+            f"retain_from_version must be in [1, {head}], "
+            f"got {retain_from_version}"
+        )
+    live = {
+        e["path"]
+        for v in range(retain_from_version, head + 1)
+        for e in load_manifest(root, v)["files"]
+    }
+    removed = []
+    data_dir = os.path.join(root, "data")
+    for base, _dirs, files in os.walk(data_dir):
+        for f in files:
+            p = os.path.join(base, f)
+            if f.endswith(".parquet") and p not in live:
+                os.remove(p)
+                removed.append(p)
+    # prune now-empty generation leaves so listings stay honest
+    # (bottom-up + live listdir: a parent emptied by its children's
+    # removal in this same walk is caught)
+    for base, _dirs, _files in os.walk(data_dir, topdown=False):
+        if base != data_dir and not os.listdir(base):
+            os.rmdir(base)
+    return {
+        "removed": len(removed),
+        "live": len(live),
+        "retain_from": retain_from_version,
+        "head": head,
+    }
+
+
 def rollback(root: str, to_version: int) -> int:
     """Rollback commit: re-list ``to_version``'s files under a new
     version number.  Pure pointer flip — no data moves, no Spark job."""

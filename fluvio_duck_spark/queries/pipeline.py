@@ -210,6 +210,152 @@ FROM folded
 """
 
 
+def q_eval_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing two cohorts' time-to-first-error survival
+    — the significance companion to ``events_survival_km``: "do even-id
+    and odd-id users churn at different rates?", answered with the
+    standard censoring-aware two-sample test (Mantel–Haenszel form).
+
+    Same duration fixture as the KM curve (first event → first 'error',
+    administratively censored at the 7-day horizon); cohort = user_id
+    parity.  At each duration with d > 0 events: observed group-A
+    events d1, expectation E = n1·d/n and variance
+    V = n1·n2·d·(n−d) / (n²·(n−1)) over the at-risk sets; χ² =
+    (O−E)²/V against the 1-df 95% critical value.
+
+    Cross-engine exactness discipline (the KM/char-entropy pattern):
+    every per-step term is computed in pure INTEGER arithmetic —
+    e-term = (10^6·n1·d) div n, v-term factored as
+    a = (10^6·n1·n2) div n², then (a·d·(n−d)) div (n−1) — so fold
+    order cannot move the hash (terms are exact longs; the factored div
+    is the definition both engines execute, keeping every intermediate
+    under ~2.5e17 for corpora to ~6M at-risk users).  The only float op
+    is the final χ² from the three scalar totals.  Scale shape: one
+    user-keyed aggregation touches the corpus; everything after runs on
+    the horizon-bounded duration table."""
+    ev = load(spark, sf_dir, "events")
+    d_ = F.to_date("ts")
+    spans = ev.groupBy("user_id").agg(
+        F.min(d_).alias("first_d"),
+        F.min(F.when(F.col("event_type") == "error", d_)).alias("err_d"),
+    )
+    t_err = F.datediff("err_d", "first_d").cast("long")
+    per_user = spans.select(
+        (F.col("user_id") % 2 == 0).cast("int").alias("g1"),
+        F.least(
+            F.coalesce(t_err, F.lit(_KM_HORIZON_DAYS + 1)),
+            F.lit(_KM_HORIZON_DAYS),
+        ).alias("t"),
+        F.when(
+            F.coalesce(t_err, F.lit(_KM_HORIZON_DAYS + 1))
+            <= _KM_HORIZON_DAYS,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("churned"),
+    )
+    tbl = per_user.groupBy("t").agg(
+        F.count("*").cast("long").alias("entering"),
+        F.sum("g1").cast("long").alias("entering1"),
+        F.sum("churned").cast("long").alias("d"),
+        F.sum(F.col("churned") * F.col("g1")).cast("long").alias("d1"),
+    )
+    w_desc = (
+        W.orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = tbl.select(
+        "t", "d", "d1",
+        F.sum("entering").over(w_desc).alias("n"),
+        F.sum("entering1").over(w_desc).alias("n1"),
+    )
+    e6 = F.expr("(1000000 * n1 * d) div n")
+    v6 = F.when(
+        F.col("n") > 1,
+        F.expr(
+            "(((1000000 * n1 * (n - n1)) div (n * n)) * d * (n - d)) "
+            "div (n - 1)"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    totals = at_risk.agg(
+        F.count("*").cast("long").alias("n_steps"),
+        F.sum("d1").cast("long").alias("o1"),
+        F.sum(e6).cast("long").alias("e1_ppm"),
+        F.sum(v6).cast("long").alias("v_ppm"),
+    )
+    chi2 = F.round(
+        F.when(
+            F.col("v_ppm") > 0,
+            (
+                (F.col("o1").cast("double")
+                 - F.col("e1_ppm").cast("double") / F.lit(1e6)) ** 2
+            ) / (F.col("v_ppm").cast("double") / F.lit(1e6)),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return totals.select(
+        "n_steps", "o1", "e1_ppm", "v_ppm",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841459)).alias("significant"),
+    )
+
+
+ORACLE_LOGRANK = f"""
+WITH spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+         min(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+           AS err_d
+  FROM events GROUP BY user_id),
+per_user AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+         least(coalesce(CAST(date_diff('day', first_d, err_d) AS BIGINT),
+                        {_KM_HORIZON_DAYS + 1}),
+               {_KM_HORIZON_DAYS}) AS t,
+         CASE WHEN coalesce(CAST(date_diff('day', first_d, err_d)
+                                 AS BIGINT), {_KM_HORIZON_DAYS + 1})
+                   <= {_KM_HORIZON_DAYS} THEN 1 ELSE 0 END AS churned
+  FROM spans),
+tbl AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS entering,
+         CAST(sum(g1) AS BIGINT) AS entering1,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(churned * g1) AS BIGINT) AS d1
+  FROM per_user GROUP BY t),
+at_risk AS (
+  SELECT t, d, d1,
+         sum(entering) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS n,
+         sum(entering1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS n1
+  FROM tbl),
+terms AS (
+  SELECT d1,
+         (1000000 * n1 * d) // n AS e6,
+         CASE WHEN n > 1
+              THEN (((1000000 * n1 * (n - n1)) // (n * n)) * d * (n - d))
+                   // (n - 1)
+              ELSE 0 END AS v6
+  FROM at_risk),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_steps,
+         CAST(sum(d1) AS BIGINT) AS o1,
+         CAST(sum(e6) AS BIGINT) AS e1_ppm,
+         CAST(sum(v6) AS BIGINT) AS v_ppm
+  FROM terms)
+SELECT n_steps, o1, e1_ppm, v_ppm,
+       round(CASE WHEN v_ppm > 0
+                  THEN ((CAST(o1 AS DOUBLE) - CAST(e1_ppm AS DOUBLE) / 1e6)
+                        * (CAST(o1 AS DOUBLE) - CAST(e1_ppm AS DOUBLE) / 1e6))
+                       / (CAST(v_ppm AS DOUBLE) / 1e6)
+                  ELSE 0.0 END, 6) AS chi2,
+       round(CASE WHEN v_ppm > 0
+                  THEN ((CAST(o1 AS DOUBLE) - CAST(e1_ppm AS DOUBLE) / 1e6)
+                        * (CAST(o1 AS DOUBLE) - CAST(e1_ppm AS DOUBLE) / 1e6))
+                       / (CAST(v_ppm AS DOUBLE) / 1e6)
+                  ELSE 0.0 END, 6) > 3.841459 AS significant
+FROM tot
+"""
+
+
+
 def q_cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch MERGE: snapshot = each user's first-event value before the
     cutoff; change feed = events from the cutoff on (errors are deletes,
@@ -463,6 +609,17 @@ WHERE a.token < b.token
   AND abs(len(a.token) - len(b.token)) <= 2
   AND levenshtein(a.token, b.token) <= 2
 """
+
+
+QUERIES.update({
+    "eval_logrank": QuerySpec(
+        q_eval_logrank, ORACLE_LOGRANK,
+        doc="log-rank (Mantel-Haenszel) two-cohort survival comparison "
+            "over the KM duration fixture: integer fixed-point E/V "
+            "terms (div-factored, fold-order-proof), one corpus pass + "
+            "horizon-bounded duration table, final chi2 vs 1-df 95%",
+    ),
+})
 
 
 QUERIES.update({
@@ -5323,6 +5480,92 @@ def _snapshot_time_travel_oracle() -> str:
     return "\nUNION ALL\n".join(branches)
 
 
+def q_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two committed versions (Delta CDF's
+    ``table_changes``), MANIFEST-PRUNED (operators/snapshots.py::
+    snapshot_changes): v1 create → v2 append → v3 COW merge touching
+    ONLY partition 1, then the v1→v3 feed.  Because data files are
+    immutable, partitions whose manifest file sets are identical
+    between the versions are skipped on the driver before any read —
+    here the diff scans partition 1's files plus the appended
+    generation, never the other three partitions of either snapshot.
+    The oracle computes the same feed as a full-outer diff of the two
+    independently reconstructed states, so a hash match proves the
+    pruned feed ≡ the unpruned one.  At 100 TB the CDC consumer's cost
+    follows what the commits touched, not the table."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.pmod(F.col("event_id"), F.lit(_STT_PARTS)).alias("pt"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_snapshot_cdf",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap.create_table(spark, root, ev, "pt", _STT_COLS)
+    appended = ev.filter(F.col("event_id") % 11 == 3).select(
+        (F.col("event_id") + _STT_APPEND_SHIFT).alias("event_id"),
+        F.lit("appended").alias("event_type"),
+        "user_id", "pt",
+    )
+    snap.append(spark, root, appended)
+    feed = ev.filter(
+        (F.col("pt") == 1) & (F.col("event_id") % 3 != 2)
+    ).select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("_op"),
+        F.lit("patched").alias("new_type"),
+        "pt",
+    )
+    snap.merge_into(
+        spark, root, feed, key="event_id",
+        set_cols={"event_type": "new_type"},
+    )
+    changes = snap.snapshot_changes(
+        spark, root, 1, 3, key="event_id", compare_cols=["event_type"]
+    )
+    return changes.select(
+        "event_id", "change", "old_event_type", "new_event_type"
+    )
+
+
+def _snapshot_changes_oracle() -> str:
+    v1 = (
+        "SELECT event_id, event_type FROM events"
+    )
+    v3 = f"""
+SELECT event_id,
+       CASE WHEN event_id % {_STT_PARTS} = 1 AND event_id % 3 = 1
+            THEN 'patched' ELSE event_type END AS event_type
+FROM events
+WHERE NOT (event_id % {_STT_PARTS} = 1 AND event_id % 3 = 0)
+UNION ALL
+SELECT event_id + {_STT_APPEND_SHIFT}, 'appended'
+FROM events WHERE event_id % 11 = 3
+"""
+    return f"""
+SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.event_type IS DISTINCT FROM n.event_type
+                 THEN 'changed' END AS change,
+       o.event_type AS old_event_type,
+       n.event_type AS new_event_type
+FROM ({v1}) o FULL OUTER JOIN ({v3}) n ON o.event_id = n.event_id
+WHERE (CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.event_type IS DISTINCT FROM n.event_type
+                 THEN 'changed' END) IS NOT NULL
+"""
+
+
 QUERIES.update({
     "snapshot_time_travel": QuerySpec(
         q_snapshot_time_travel, _snapshot_time_travel_oracle(),
@@ -5331,6 +5574,13 @@ QUERIES.update({
             "versions after the last mutation — read-audit == "
             "manifest-metadata audit == the oracle's independent "
             "per-version reconstruction",
+    ),
+    "snapshot_changes_feed": QuerySpec(
+        q_snapshot_changes_feed, _snapshot_changes_oracle(),
+        doc="manifest-pruned change data feed (Delta CDF shape) between "
+            "two versions: identical-file-set partitions skipped on the "
+            "driver before any read; hash-equal to the oracle's "
+            "full-outer diff of both reconstructed states",
     ),
 })
 

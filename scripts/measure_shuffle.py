@@ -7,6 +7,12 @@ raw rows" should show bytes orders of magnitude below its input.
 
 Usage: python scripts/measure_shuffle.py [sf_dir] [query ...]
 Prints SCALE.md-ready markdown rows.
+
+``--all-jobs`` (first arg after sf_dir) switches to the status-store
+delta: total shuffle write bytes/records across EVERY job the query
+runs — including the physical write jobs inside the layout family
+(compaction apply, z-order refresh, sidecar writes), which the
+executed-plan walk of the RETURNED frame alone cannot see.
 """
 
 from __future__ import annotations
@@ -52,6 +58,39 @@ def shuffle_totals(df) -> dict:
     return tot
 
 
+def _stage_totals(spark) -> dict:
+    """Cumulative shuffle-write totals over every stage the app has run,
+    from the status REST API (requires spark.ui.enabled) — covers write
+    jobs, sidecar stats jobs, and the returned frame alike."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete"
+    ) as resp:
+        stages = _json.load(resp)
+    return {
+        "bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "records": sum(s.get("shuffleWriteRecords", 0) for s in stages),
+        "stages": len(stages),
+    }
+
+
+def all_jobs_totals(spark, fn, sf_dir: str) -> dict:
+    """Run a registry query end-to-end (all its jobs + a collect of the
+    returned frame) and return the status-store shuffle delta."""
+    before = _stage_totals(spark)
+    fn(spark, sf_dir).collect()
+    after = _stage_totals(spark)
+    return {
+        "bytes": after["bytes"] - before["bytes"],
+        "records": after["records"] - before["records"],
+        "stages": after["stages"] - before["stages"],
+    }
+
+
 def fmt_bytes(b: int) -> str:
     for unit in ("B", "KB", "MB", "GB"):
         if b < 1024:
@@ -64,9 +103,24 @@ def main() -> None:
     from fluvio_duck_spark.queries import all_queries
     from fluvio_duck_spark.session import get_spark
 
-    spark = get_spark("measure-shuffle")
+    args = sys.argv[2:]
+    spark = get_spark(
+        "measure-shuffle",
+        extra_conf=(
+            {"spark.ui.enabled": "true"}
+            if args and args[0] == "--all-jobs" else None
+        ),
+    )
     specs = all_queries()
-    names = sys.argv[2:] or [
+    if args and args[0] == "--all-jobs":
+        for name in args[1:]:
+            t = all_jobs_totals(spark, specs[name].fn, SF_DIR)
+            print(
+                f"| {name} | {t['records']:,} | {fmt_bytes(t['bytes'])} |",
+                flush=True,
+            )
+        return
+    names = args or [
         "consume_mapped_typed", "agg_pricing_summary", "join_revenue_by_nation",
         "join_asof", "window_topk_per_customer", "topk_orders",
         "dedup_minhash_lsh", "text_fingerprint_winnow", "sim_topk_bruteforce",

@@ -630,3 +630,83 @@ def test_snapshot_compact_refuses_on_content_drift(spark, tmp_path, monkeypatch)
         snap.compact(spark, root)
     monkeypatch.setattr(snap, "read_version_as_of", orig)
     assert snap.current_version(root) == 1, "refused commit advanced HEAD"
+
+
+def test_snapshot_changes_prunes_identical_partitions(spark, tmp_path):
+    """The CDF read must plan only partitions whose manifest file sets
+    differ: after a merge touching partition 2 plus an append into
+    partitions 0/1, partition 3's files appear in NEITHER side of the
+    diff scan, and the feed equals the unpruned full diff."""
+    from fluvio_duck_spark.operators import snapshots as snap
+    from fluvio_duck_spark.operators.diff import snapshot_diff
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.pmod(F.col("id"), F.lit(4)).alias("pt"),
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"])
+    appended = spark.range(40, 50).select(
+        F.col("id").alias("k"),
+        F.lit("new").alias("val"),
+        F.pmod(F.col("id"), F.lit(2)).alias("pt"),  # partitions 0/1 only
+    )
+    snap.append(spark, root, appended)
+    feed = df.filter(F.col("pt") == 2).select(
+        "k", F.lit("U").alias("_op"), F.lit("patched").alias("nv"), "pt"
+    )
+    snap.merge_into(spark, root, feed, key="k", set_cols={"val": "nv"})
+
+    changes = snap.snapshot_changes(
+        spark, root, 1, 3, key="k", compare_cols=["val"]
+    )
+    opened = changes.inputFiles()
+    assert opened, "diff should read the touched partitions"
+    assert all("__pt=3" not in p for p in opened), (
+        "identical partition 3 was read despite manifest pruning"
+    )
+    # pruned feed == unpruned full diff
+    full = snapshot_diff(
+        snap.read_version_as_of(spark, root, 1),
+        snap.read_version_as_of(spark, root, 3),
+        key="k", compare_cols=["val"],
+    )
+    assert sorted(map(tuple, changes.collect())) \
+        == sorted(map(tuple, full.collect()))
+
+
+def test_snapshot_vacuum_preserves_retained_versions(spark, tmp_path):
+    """VACUUM removes exactly the files no retained manifest references;
+    retained as-of reads are byte-identical, older versions die."""
+    import pytest
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.lit("a").alias("val"),
+        F.pmod(F.col("id"), F.lit(4)).alias("pt"),
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"])
+    feed = df.filter(F.col("pt") == 1).select(
+        "k", F.lit("U").alias("_op"), F.lit("b").alias("nv"), "pt"
+    )
+    snap.merge_into(spark, root, feed, key="k", set_cols={"val": "nv"})
+    snap.compact(spark, root)  # v3 rewrites everything
+    v3_rows = sorted(tuple(r) for r in
+                     snap.read_version_as_of(spark, root, 3).collect())
+
+    out = snap.vacuum(root, retain_from_version=3)
+    # v3 is a full rewrite: every v1/v2 file (4 create + 1 merge gen)
+    # is unreferenced and removed
+    assert out["removed"] == 5 and out["live"] == 4
+    assert sorted(tuple(r) for r in
+                  snap.read_version_as_of(spark, root, 3).collect()) \
+        == v3_rows
+    assert snap.manifest_audit(root, 3) == snap.manifest_audit(root, 2)
+    with pytest.raises(Exception):
+        snap.read_version_as_of(spark, root, 1).collect()
+    with pytest.raises(ValueError):
+        snap.vacuum(root, retain_from_version=99)
