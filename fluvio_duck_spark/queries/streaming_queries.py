@@ -2083,3 +2083,99 @@ def _wire_stream_reservoir_oracle() -> None:
 
 
 _wire_stream_reservoir_oracle()
+
+
+def q_stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the manifest-versioned table
+    (operators/snapshots.py): each micro-batch commits one append —
+    immutable generation files + a new manifest — so the stream's
+    history is time-travelable version by version, exactly the
+    Delta/Iceberg streaming-sink commit model.
+
+    Slicing independence: micro-batch boundaries are engine/layout
+    dependent, but the FINAL version's content is their union however
+    sliced, so the returned audit row is portable and shares the
+    checksum discipline with the batch oracle.  The per-version claims
+    ride along as one boolean: for EVERY committed version, the
+    manifest-metadata audit (driver-side fold sum, zero table I/O) must
+    equal a physical as-of read's audit, and row counts must be
+    non-decreasing in version — any violation turns the column false
+    and the driver hash goes red.  At 100 TB each commit costs its
+    batch (stats scan over new files only); the audit loop is
+    catalog-sized metadata plus one bounded read per version."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+    from fluvio_duck_spark.operators import snapshots as snap
+    from fluvio_duck_spark.streaming.neardup import document_stream
+
+    root = _run_dir("snapshot_commits", "table")
+    cols = ["doc_id", "n_chars", "pt"]
+
+    def commit_batch(batch_df, _bid) -> None:
+        if batch_df.isEmpty():
+            return
+        df = batch_df.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.pmod(F.col("doc_id"), F.lit(4)).alias("pt"),
+        )
+        s = batch_df.sparkSession
+        if os.path.exists(os.path.join(root, "_HEAD")):
+            snap.append(s, root, df)
+        else:
+            snap.create_table(s, root, df, "pt", cols)
+
+    q = (
+        document_stream(spark, sf_dir)
+        .writeStream.foreachBatch(commit_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _run_dir("snapshot_commits", "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+
+    head = snap.current_version(root)
+    consistent = True
+    prev_rows = 0
+    for v in range(1, head + 1):
+        m_rows, m_fold = snap.manifest_audit(root, v)
+        r = snap.read_version_as_of(spark, root, v).agg(
+            F.count("*").alias("n"),
+            fold_sum(row_checksum(cols)).alias("f"),
+        ).collect()[0]
+        if (r["n"], r["f"]) != (m_rows, m_fold) or m_rows < prev_rows:
+            consistent = False
+        prev_rows = m_rows
+    return snap.read_version_as_of(spark, root, head).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        fold_sum(row_checksum(cols)).alias("checksum"),
+    ).select(
+        "n_rows", "checksum",
+        F.lit(consistent).alias("versions_consistent"),
+    )
+
+
+def _wire_stream_snapshot_oracle() -> None:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    inner = checksum_sql(
+        "(SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "doc_id % 4 AS pt FROM documents)",
+        ["doc_id", "n_chars", "pt"],
+        label="snapshots",
+    )
+    QUERIES["stream_snapshot_commits"] = QuerySpec(
+        q_stream_snapshot_commits,
+        f"SELECT n_rows, checksum, TRUE AS versions_consistent "
+        f"FROM ({inner})",
+        doc="streaming ingest as versioned commits (one append manifest "
+            "per micro-batch): final as-of read == the batch corpus "
+            "under ANY slicing, every intermediate version's manifest "
+            "audit re-proven against a physical as-of read",
+    )
+
+
+_wire_stream_snapshot_oracle()
