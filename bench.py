@@ -284,6 +284,15 @@ EXTENDED = [
     "stream_bloom_gate",
     "privacy_k_suppression",
     "events_survival_km",
+    "layout_bloom_read",
+    "text_index_read",
+    "snapshot_time_travel",
+    "consume_udtf_mapped",
+    "snapshot_changes_feed",
+    "eval_logrank",
+    "stream_snapshot_commits",
+    "snapshot_pruned_read",
+    "snapshot_optimize_zorder",
 ]
 
 

@@ -39,7 +39,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fluvio_duck_spark.functions.checksum import (
@@ -89,6 +89,57 @@ def read_version_as_of(
     return spark.read.parquet(*[e["path"] for e in m["files"]])
 
 
+def plan_as_of_pruned(
+    root: str, version: int, key: int
+) -> tuple[list[str], int, int]:
+    """Driver-side file plan for a point lookup ``stats_col == key`` at
+    ``version``, from the MANIFEST's per-file stats alone (the
+    Iceberg/Delta design: column stats live in the commit metadata, so
+    pruning any historical snapshot is catalog-sized work with zero
+    table I/O).  A file is admitted only if its [smin, smax] range
+    covers the key AND both of the key's 126-bit bloom positions are
+    set in its 16-byte word pair — range stats prune cross-generation
+    (disjoint id bands), the bloom prunes point lookups WITHIN a band
+    where min/max can't.  No false negatives: a file containing the key
+    necessarily recorded both bits and covers the range.  Returns
+    ``(paths, files_planned, files_total)``; a table committed without
+    ``stats_col`` degrades to the full file list."""
+    from fluvio_duck_spark.operators.skipping import bloom_positions
+
+    m = load_manifest(root, version)
+    files = m["files"]
+    if m.get("stats_col") is None:
+        return [e["path"] for e in files], len(files), len(files)
+    h1, h2 = bloom_positions(int(key))
+
+    def admits(e: dict) -> bool:
+        def bit(h: int) -> bool:
+            w = e["w0"] if h < 63 else e["w1"]
+            return (w >> (h % 63)) & 1 == 1
+
+        return e["smin"] <= key <= e["smax"] and bit(h1) and bit(h2)
+
+    hit = [e["path"] for e in files if admits(e)]
+    return hit, len(hit), len(files)
+
+
+def read_as_of_pruned(
+    spark: SparkSession, root: str, version: int, key: int
+) -> tuple[DataFrame, int, int]:
+    """Time-travel point-lookup read that opens ONLY the files
+    :func:`plan_as_of_pruned` admits.  The caller still applies the
+    exact ``stats_col == key`` predicate — bloom/range admission is a
+    superset (deterministic false positives, never negatives)."""
+    paths, planned, total = plan_as_of_pruned(root, version, key)
+    if not paths:
+        return (
+            read_version_as_of(spark, root, version).where(F.lit(False)),
+            planned,
+            total,
+        )
+    return spark.read.parquet(*paths), planned, total
+
+
 def _write_generation(
     spark: SparkSession,
     df: DataFrame,
@@ -96,18 +147,26 @@ def _write_generation(
     version: int,
     partition_col: str,
     audit_cols: list[str],
+    stats_col: str | None = None,
+    order_by: Column | None = None,
 ) -> list[dict]:
     """Write ``df`` one physical file per partition value into this
     version's generation directory and return the manifest entries.
 
-    The stats pass (rows + checksum fold per file) scans ONLY the
+    The stats pass (rows + checksum fold per file, plus — when the
+    table declares a ``stats_col`` — that column's min/max and 126-bit
+    bloom word pair, 16 extra bytes per manifest entry) scans ONLY the
     freshly written files — cost bounded by the mutation, never the
-    table."""
+    table.  ``order_by`` clusters rows within each written file (the
+    OPTIMIZE ZORDER path): the sort rides the same per-partition
+    exchange the write already pays."""
     gen_dir = os.path.join(root, "data", f"gen{version}")
+    staged = df.withColumn(_PT, F.col(partition_col).cast("string"))
+    staged = staged.repartition(F.col(_PT))
+    if order_by is not None:
+        staged = staged.sortWithinPartitions(F.col(_PT), order_by)
     (
-        df.withColumn(_PT, F.col(partition_col).cast("string"))
-        .repartition(F.col(_PT))
-        .write.mode("errorifexists")
+        staged.write.mode("errorifexists")
         .partitionBy(_PT)
         .parquet(gen_dir)
     )
@@ -127,30 +186,42 @@ def _write_generation(
                 f"commit contract is one file per partition value"
             )
         paths[os.path.join(leaf, parts[0])] = pv
-    stats = (
-        spark.read.parquet(*paths)
-        .withColumn("__f", F.input_file_name())
-        .groupBy("__f")
-        .agg(
-            F.count("*").cast("long").alias("rows"),
-            fold_sum(row_checksum(audit_cols)).alias("fold"),
+    sdf = spark.read.parquet(*paths).withColumn("__f", F.input_file_name())
+    aggs = [
+        F.count("*").cast("long").alias("rows"),
+        fold_sum(row_checksum(audit_cols)).alias("fold"),
+    ]
+    if stats_col is not None:
+        from fluvio_duck_spark.operators.skipping import (
+            bloom_hash_cols,
+            bloom_word_aggs,
         )
-        .collect()
-    )
+
+        h1, h2 = bloom_hash_cols(F.col(stats_col).cast("long"))
+        sdf = sdf.withColumn("h1", h1).withColumn("h2", h2)
+        w0, w1 = bloom_word_aggs()
+        aggs += [
+            F.min(F.col(stats_col).cast("long")).alias("smin"),
+            F.max(F.col(stats_col).cast("long")).alias("smax"),
+            w0.alias("w0"),
+            w1.alias("w1"),
+        ]
+    stats = sdf.groupBy("__f").agg(*aggs).collect()
     by_path = {}
     for r in stats:
         p = r["__f"]
         p = p[len("file://"):] if p.startswith("file://") else p
-        by_path[p] = (r["rows"], r["fold"])
-    return [
-        {
-            "path": p,
-            "partition": pv,
-            "rows": by_path[p][0],
-            "fold": by_path[p][1],
-        }
-        for p, pv in sorted(paths.items())
-    ]
+        by_path[p] = r
+    out = []
+    for p, pv in sorted(paths.items()):
+        r = by_path[p]
+        e = {"path": p, "partition": pv, "rows": r["rows"], "fold": r["fold"]}
+        if stats_col is not None:
+            e.update(
+                smin=r["smin"], smax=r["smax"], w0=r["w0"], w1=r["w1"]
+            )
+        out.append(e)
+    return out
 
 
 def _commit(
@@ -161,6 +232,7 @@ def _commit(
     files: list[dict],
     partition_col: str,
     audit_cols: list[str],
+    stats_col: str | None = None,
 ) -> int:
     manifest = {
         "version": version,
@@ -168,6 +240,7 @@ def _commit(
         "parent": parent,
         "partition_col": partition_col,
         "audit_cols": audit_cols,
+        "stats_col": stats_col,
         "files": files,
     }
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
@@ -191,11 +264,19 @@ def create_table(
     df: DataFrame,
     partition_col: str,
     audit_cols: list[str],
+    stats_col: str | None = None,
 ) -> int:
-    """Initial commit → version 1."""
+    """Initial commit → version 1.  ``stats_col`` (an integer column)
+    opts the table into manifest-embedded per-file pruning stats
+    (min/max + bloom word pair) recorded by every subsequent commit and
+    consulted by :func:`plan_as_of_pruned`."""
     os.makedirs(root, exist_ok=True)
-    files = _write_generation(spark, df, root, 1, partition_col, audit_cols)
-    return _commit(root, 1, "create", None, files, partition_col, audit_cols)
+    files = _write_generation(
+        spark, df, root, 1, partition_col, audit_cols, stats_col
+    )
+    return _commit(
+        root, 1, "create", None, files, partition_col, audit_cols, stats_col
+    )
 
 
 def append(spark: SparkSession, root: str, df: DataFrame) -> int:
@@ -205,11 +286,12 @@ def append(spark: SparkSession, root: str, df: DataFrame) -> int:
     m = load_manifest(root, head)
     v = head + 1
     new = _write_generation(
-        spark, df, root, v, m["partition_col"], m["audit_cols"]
+        spark, df, root, v, m["partition_col"], m["audit_cols"],
+        m.get("stats_col"),
     )
     return _commit(
         root, v, "append", head, m["files"] + new,
-        m["partition_col"], m["audit_cols"],
+        m["partition_col"], m["audit_cols"], m.get("stats_col"),
     )
 
 
@@ -243,35 +325,68 @@ def merge_into(
     else:
         base = read_version_as_of(spark, root, head).where(F.lit(False))
     merged = merge_upsert(base, changes, key, op_col, set_cols)
-    new = _write_generation(spark, merged, root, v, pt, m["audit_cols"])
+    new = _write_generation(
+        spark, merged, root, v, pt, m["audit_cols"], m.get("stats_col")
+    )
     return _commit(
-        root, v, "merge", head, carried + new, pt, m["audit_cols"]
+        root, v, "merge", head, carried + new, pt, m["audit_cols"],
+        m.get("stats_col"),
     )
 
 
-def compact(spark: SparkSession, root: str) -> int:
-    """Compaction commit: rewrite the current version one file per
-    partition (collapsing generations), preserving content EXACTLY —
-    the commit asserts the new audit pair equals the parent's before
-    advancing HEAD, so a compaction can never silently change data."""
+def _rewrite_commit(
+    spark: SparkSession,
+    root: str,
+    op: str,
+    order_by: Column | None,
+) -> int:
+    """Shared body of the content-preserving rewrite commits (compact /
+    optimize): rewrite the current version one file per partition
+    (collapsing generations), asserting the new audit pair equals the
+    parent's before advancing HEAD — a rewrite can never silently
+    change data (the checksum fold is order-invariant, so re-clustering
+    rows passes exactly when content is preserved)."""
     head = current_version(root)
     m = load_manifest(root, head)
     v = head + 1
     df = read_version_as_of(spark, root, head)
     new = _write_generation(
-        spark, df, root, v, m["partition_col"], m["audit_cols"]
+        spark, df, root, v, m["partition_col"], m["audit_cols"],
+        m.get("stats_col"), order_by,
     )
     old_rows, old_fold = manifest_audit(root, head)
     rows = sum(e["rows"] for e in new)
     fold = sum(e["fold"] for e in new) % CHECKSUM_MODULUS
     if (rows, fold) != (old_rows, old_fold):
         raise ValueError(
-            f"compaction audit mismatch: v{head} ({old_rows}, {old_fold}) "
+            f"{op} audit mismatch: v{head} ({old_rows}, {old_fold}) "
             f"vs rewrite ({rows}, {fold}) — commit refused"
         )
     return _commit(
-        root, v, "compact", head, new, m["partition_col"], m["audit_cols"]
+        root, v, op, head, new, m["partition_col"], m["audit_cols"],
+        m.get("stats_col"),
     )
+
+
+def compact(spark: SparkSession, root: str) -> int:
+    """Compaction commit — see :func:`_rewrite_commit`."""
+    return _rewrite_commit(spark, root, "compact", None)
+
+
+def optimize_zorder(spark: SparkSession, root: str, dims: list) -> int:
+    """Delta's ``OPTIMIZE ... ZORDER BY`` as a snapshot commit: compact
+    the current version AND Morton-cluster rows within each rewritten
+    file on ``dims`` (pre-bucketed integer columns/Columns — see
+    ``operators/layout.py::morton_geometry``), so file/row-group
+    min-max stats prune multi-column range predicates on every LATER
+    read of this or any newer version.  Content is checksum-asserted
+    like compaction; prior versions' files are untouched (time travel
+    preserved).  The sort rides the rewrite's existing per-partition
+    exchange — no extra shuffle."""
+    from fluvio_duck_spark.operators.layout import zorder_key
+
+    cols = [F.col(d) if isinstance(d, str) else d for d in dims]
+    return _rewrite_commit(spark, root, "optimize", zorder_key(*cols))
 
 
 def snapshot_changes(
@@ -366,4 +481,5 @@ def rollback(root: str, to_version: int) -> int:
     return _commit(
         root, v, "rollback", head, target["files"],
         target["partition_col"], target["audit_cols"],
+        target.get("stats_col"),
     )

@@ -5585,6 +5585,288 @@ QUERIES.update({
 })
 
 
+#: Manifest-stats pruning probes: a base key (v1 point lookup) and its
+#: appended twin (v2) — both exist at every SF (event_id is 0..N-1
+#: sequential and 14 % 11 == 3 puts 14 in the append feed).
+_SPR_BASE_KEY = 14
+_SPR_APPEND_KEY = _STT_APPEND_SHIFT + _SPR_BASE_KEY
+
+
+def q_snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats-pruned time-travel point lookup — the Iceberg/
+    Delta design where per-file column stats live in the COMMIT
+    METADATA, joining the round's two themes (snapshot versioning +
+    sidecar-consulted reads): every commit of a table created with
+    ``stats_col`` records each file's min/max and 126-bit bloom word
+    pair (16 extra bytes per manifest entry), and
+    ``operators/snapshots.py::read_as_of_pruned`` plans a point
+    lookup's file list at ANY version from the manifest alone — zero
+    table I/O before the pruned scan, on current or historical data
+    alike.
+
+    Fixture: v1 create (4 hash partitions, one file each) → v2 append
+    (ids shifted +1e9, 4 more files).  Probe the base key at v1 and the
+    appended key at v2: range stats prune across the disjoint id bands
+    (the appended generation can never admit a base key and vice
+    versa), the bloom prunes the point lookup WITHIN a band where
+    min/max can't (every in-band file's range covers the probe).  The
+    oracle replays both prunings in SQL over per-(partition, generation)
+    groups — exactly the physical file grid — so the hash match proves
+    files_planned == files_opened == the SQL plan AND that the pruned
+    scan missed nothing (rows_matched / user_checksum computed over the
+    FULL reconstruction).  At 100 TB: pruning any snapshot of a
+    billion-file table is driver-side set algebra over a catalog-sized
+    manifest; the scan cost is the admitted-file count."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.pmod(F.col("event_id"), F.lit(_STT_PARTS)).alias("pt"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_snapshot_pruned",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap.create_table(
+        spark, root, ev, "pt", _STT_COLS, stats_col="event_id"
+    )
+    appended = ev.filter(F.col("event_id") % 11 == 3).select(
+        (F.col("event_id") + _STT_APPEND_SHIFT).alias("event_id"),
+        F.lit("appended").alias("event_type"),
+        "user_id", "pt",
+    )
+    snap.append(spark, root, appended)
+
+    outs = []
+    for v, probe in ((1, _SPR_BASE_KEY), (2, _SPR_APPEND_KEY)):
+        pruned, planned, total = snap.read_as_of_pruned(
+            spark, root, v, probe
+        )
+        hit = F.col("event_id") == probe
+        outs.append(
+            pruned.withColumn("__file", F.input_file_name()).agg(
+                F.count_distinct("__file").cast("long")
+                .alias("files_opened"),
+                F.count(F.when(hit, 1)).cast("long").alias("rows_matched"),
+                F.sum(F.when(hit, F.col("user_id"))).cast("long")
+                .alias("user_checksum"),
+            ).select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(total).cast("long").alias("n_files"),
+                F.lit(planned).cast("long").alias("files_planned"),
+                "files_opened", "rows_matched", "user_checksum",
+            )
+        )
+    return outs[0].unionAll(outs[1])
+
+
+def _bloom_bit_sql(h: int) -> str:
+    """SQL test for bloom position ``h`` (compile-time constant) against
+    the per-file word pair — the same word/shift split the manifest
+    stats and ``operators/skipping.py`` use."""
+    w = "w0" if h < 63 else "w1"
+    return f"(({w} & (CAST(1 AS BIGINT) << {h % 63})) <> 0)"
+
+
+def _snapshot_pruned_read_oracle() -> str:
+    shift = _STT_APPEND_SHIFT
+    p1, p2 = _SPR_BASE_KEY, _SPR_APPEND_KEY
+    adm1 = (
+        f"smin <= {p1} AND {p1} <= smax AND "
+        f"{_bloom_bit_sql(p1 % 126)} AND "
+        f"{_bloom_bit_sql((p1 // 126) % 126)}"
+    )
+    adm2 = (
+        f"smin <= {p2} AND {p2} <= smax AND "
+        f"{_bloom_bit_sql(p2 % 126)} AND "
+        f"{_bloom_bit_sql((p2 // 126) % 126)}"
+    )
+    return f"""
+WITH v1 AS (
+  SELECT event_id, user_id, event_id % {_STT_PARTS} AS pt, 1 AS gen
+  FROM events),
+v2 AS (
+  SELECT * FROM v1
+  UNION ALL
+  SELECT event_id + {shift}, user_id, event_id % {_STT_PARTS}, 2
+  FROM events WHERE event_id % 11 = 3),
+h AS (
+  SELECT pt, gen, event_id, user_id,
+         event_id % 126 AS h1, (event_id // 126) % 126 AS h2
+  FROM v2),
+pf AS (
+  SELECT pt, gen, min(event_id) AS smin, max(event_id) AS smax,
+         bit_or((CASE WHEN h1 // 63 = 0 THEN CAST(1 AS BIGINT) << (h1 % 63)
+                      ELSE 0 END)
+              | (CASE WHEN h2 // 63 = 0 THEN CAST(1 AS BIGINT) << (h2 % 63)
+                      ELSE 0 END)) AS w0,
+         bit_or((CASE WHEN h1 // 63 = 1 THEN CAST(1 AS BIGINT) << (h1 % 63)
+                      ELSE 0 END)
+              | (CASE WHEN h2 // 63 = 1 THEN CAST(1 AS BIGINT) << (h2 % 63)
+                      ELSE 0 END)) AS w1
+  FROM h GROUP BY pt, gen)
+SELECT CAST(1 AS BIGINT) AS version,
+       CAST((SELECT count(*) FROM pf WHERE gen = 1) AS BIGINT) AS n_files,
+       CAST((SELECT count(*) FROM pf WHERE gen = 1 AND {adm1}) AS BIGINT)
+         AS files_planned,
+       CAST((SELECT count(*) FROM pf WHERE gen = 1 AND {adm1}) AS BIGINT)
+         AS files_opened,
+       CAST((SELECT count(*) FROM v1 WHERE event_id = {p1}) AS BIGINT)
+         AS rows_matched,
+       CAST((SELECT sum(user_id) FROM v1 WHERE event_id = {p1}) AS BIGINT)
+         AS user_checksum
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       CAST((SELECT count(*) FROM pf) AS BIGINT),
+       CAST((SELECT count(*) FROM pf WHERE {adm2}) AS BIGINT),
+       CAST((SELECT count(*) FROM pf WHERE {adm2}) AS BIGINT),
+       CAST((SELECT count(*) FROM v2 WHERE event_id = {p2}) AS BIGINT),
+       CAST((SELECT sum(user_id) FROM v2 WHERE event_id = {p2}) AS BIGINT)
+"""
+
+
+#: OPTIMIZE ZORDER clustering dimensions (pre-bucketed 8-bit ints —
+#: engine-reproducible, no quantile sampling at plan time)
+_SZO_BUCKETS = 256
+
+
+def q_snapshot_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's ``OPTIMIZE ... ZORDER BY`` as a snapshot commit
+    (``operators/snapshots.py::optimize_zorder``) — the last in-place
+    maintenance op (Z-order clustering, ``operators/zorder.py``)
+    unified under the manifest model: v1 create → v2 append (8 files
+    across 4 partitions) → v3 OPTIMIZE, which compacts to one file per
+    partition AND Morton-clusters rows within each rewritten file on
+    (user bucket, id bucket), riding the rewrite's existing
+    per-partition exchange — no extra shuffle, and the commit
+    checksum-asserts content preservation before HEAD advances.
+
+    The single output row proves four claims at once against the
+    oracle's independent SQL reconstruction: the optimized HEAD's
+    physical read-audit equals v2's expected content (clustering moved
+    bytes, not data); v1's physical read-audit is untouched (time
+    travel survives the rewrite); the file count collapsed 8 → 4; and
+    ``sort_violations`` — adjacent-row Morton-key inversions measured
+    per physical file from the actual scan — is 0, i.e. the clustering
+    REALLY happened on disk (file/row-group min-max stats will prune
+    multi-column range predicates on every later read).  At 100 TB:
+    OPTIMIZE cost is the rewritten partitions; history stays readable;
+    the manifest stays catalog-sized."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.operators import snapshots as snap
+    from fluvio_duck_spark.operators.layout import zorder_key as exact_key
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.pmod(F.col("event_id"), F.lit(_STT_PARTS)).alias("pt"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_snapshot_optimize",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    snap.create_table(spark, root, ev, "pt", _STT_COLS)
+    appended = ev.filter(F.col("event_id") % 11 == 3).select(
+        (F.col("event_id") + _STT_APPEND_SHIFT).alias("event_id"),
+        F.lit("appended").alias("event_type"),
+        "user_id", "pt",
+    )
+    snap.append(spark, root, appended)
+    files_before = len(snap.load_manifest(root, 2)["files"])
+    dims = [
+        F.pmod(F.col("user_id"), F.lit(_SZO_BUCKETS)),
+        F.pmod(F.col("event_id"), F.lit(_SZO_BUCKETS)),
+    ]
+    snap.optimize_zorder(spark, root, dims)
+    files_after = len(snap.load_manifest(root, 3)["files"])
+
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+
+    def read_audit(v: int, prefix: str) -> DataFrame:
+        return snap.read_version_as_of(spark, root, v).agg(
+            F.count("*").cast("long").alias(f"{prefix}_rows"),
+            fold_sum(row_checksum(_STT_COLS)).alias(f"{prefix}_checksum"),
+        )
+
+    zk = exact_key(*dims)
+    wf = W.partitionBy("__file").orderBy(F.monotonically_increasing_id())
+    viol = (
+        snap.read_version_as_of(spark, root, 3)
+        .withColumn("__file", F.input_file_name())
+        .withColumn("__zk", zk)
+        .withColumn("__prev", F.lag("__zk").over(wf))
+        .agg(
+            F.count(F.when(F.col("__zk") < F.col("__prev"), 1))
+            .cast("long").alias("sort_violations")
+        )
+    )
+    return (
+        read_audit(3, "head")
+        .crossJoin(F.broadcast(read_audit(1, "v1")))
+        .crossJoin(F.broadcast(viol))
+        .select(
+            F.lit(files_before).cast("long").alias("files_before"),
+            F.lit(files_after).cast("long").alias("files_after"),
+            "head_rows", "head_checksum",
+            "v1_rows", "v1_checksum",
+            "sort_violations",
+        )
+    )
+
+
+def _snapshot_optimize_zorder_oracle() -> str:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    base = (
+        "SELECT event_id, event_type, user_id, "
+        f"CAST(event_id % {_STT_PARTS} AS BIGINT) AS pt FROM events"
+    )
+    v2 = (
+        f"{base} UNION ALL "
+        f"SELECT event_id + {_STT_APPEND_SHIFT}, 'appended', user_id, "
+        f"CAST(event_id % {_STT_PARTS} AS BIGINT) "
+        f"FROM events WHERE event_id % 11 = 3"
+    )
+    a_head = checksum_sql(f"({v2})", _STT_COLS, label="head")
+    a_v1 = checksum_sql(f"({base})", _STT_COLS, label="v1")
+    return f"""
+SELECT CAST({2 * _STT_PARTS} AS BIGINT) AS files_before,
+       CAST({_STT_PARTS} AS BIGINT) AS files_after,
+       (SELECT n_rows FROM ({a_head})) AS head_rows,
+       (SELECT checksum FROM ({a_head})) AS head_checksum,
+       (SELECT n_rows FROM ({a_v1})) AS v1_rows,
+       (SELECT checksum FROM ({a_v1})) AS v1_checksum,
+       CAST(0 AS BIGINT) AS sort_violations
+"""
+
+
+QUERIES.update({
+    "snapshot_pruned_read": QuerySpec(
+        q_snapshot_pruned_read, _snapshot_pruned_read_oracle(),
+        doc="manifest-stats-pruned time-travel point lookup: per-file "
+            "min/max + bloom word pair recorded in every commit's "
+            "manifest, file list planned driver-side at any version "
+            "with zero table I/O — files_planned == files_opened == "
+            "the oracle's SQL replay, result == full reconstruction",
+    ),
+    "snapshot_optimize_zorder": QuerySpec(
+        q_snapshot_optimize_zorder, _snapshot_optimize_zorder_oracle(),
+        doc="OPTIMIZE ZORDER as a snapshot commit: compact 8→4 files + "
+            "Morton-cluster rows within each file (checksum-asserted "
+            "content preservation, prior versions byte-untouched); "
+            "sort_violations measured from the physical scan == 0",
+    ),
+})
+
+
 #: Z-order refresh geometry: 8-bit (hour, user) buckets → 16-bit key;
 #: shift 12 → ≤16 z-files per table partition.  Day 20 splits base from
 #: the late-arriving delta (which touches ONE event_type partition).

@@ -710,3 +710,143 @@ def test_snapshot_vacuum_preserves_retained_versions(spark, tmp_path):
         snap.read_version_as_of(spark, root, 1).collect()
     with pytest.raises(ValueError):
         snap.vacuum(root, retain_from_version=99)
+
+
+def test_snapshot_pruned_read_consults_manifest_stats(spark, tmp_path):
+    """Manifest-stats pruning invariants: the plan comes from the
+    MANIFEST (tampering an entry's bloom words changes the plan with no
+    parquet file touched), a stats-less table degrades to the full file
+    list, an out-of-band probe plans ZERO files yet returns a
+    schema-stable empty frame, and the pruned read equals the full
+    as-of read under the exact predicate."""
+    import json
+    import os
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.pmod(F.col("id"), F.lit(2)).alias("pt"),
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"],
+                      stats_col="k")
+    appended = spark.range(1000, 1040).select(
+        F.col("id").alias("k"),
+        F.lit("new").alias("val"),
+        F.pmod(F.col("id"), F.lit(2)).alias("pt"),
+    )
+    snap.append(spark, root, appended)
+
+    # appended-band probe: range stats exclude both gen1 files
+    probe = 1007
+    pruned, planned, total = snap.read_as_of_pruned(spark, root, 2, probe)
+    assert total == 4 and 1 <= planned <= 2  # its file + possible FP
+    got = sorted(tuple(r) for r in
+                 pruned.filter(F.col("k") == probe).collect())
+    want = sorted(tuple(r) for r in
+                  snap.read_version_as_of(spark, root, 2)
+                  .filter(F.col("k") == probe).collect())
+    assert got == want and len(got) == 1
+
+    # base-band probe at v1 still resolves after the append
+    paths1, planned1, total1 = snap.plan_as_of_pruned(root, 1, 7)
+    assert total1 == 2 and planned1 >= 1
+    assert all("gen1" in p for p in paths1)
+
+    # out-of-band probe: zero files planned, schema-stable empty read
+    empty, planned0, _ = snap.read_as_of_pruned(spark, root, 2, 500)
+    assert planned0 == 0 and empty.count() == 0
+    assert empty.columns == snap.read_version_as_of(
+        spark, root, 2).columns
+
+    # the plan consults the MANIFEST, not parquet footers: clear the
+    # probe's file's bloom words in the manifest json and the file
+    # drops from the plan (a deliberate false negative) with no data
+    # file modified
+    mpath = os.path.join(root, "_manifests", "v2.json")
+    m = json.load(open(mpath))
+    victims = [e for e in m["files"] if e["smin"] <= probe <= e["smax"]]
+    assert victims
+    mt_before = {e["path"]: os.path.getmtime(e["path"])
+                 for e in m["files"]}
+    for e in victims:
+        e["w0"] = 0
+        e["w1"] = 0
+    json.dump(m, open(mpath, "w"))
+    _, planned_t, _ = snap.plan_as_of_pruned(root, 2, probe)
+    assert planned_t == 0
+    assert {p: os.path.getmtime(p) for p in mt_before} == mt_before
+
+    # a table created WITHOUT stats_col degrades to the full list
+    root2 = str(tmp_path / "nostats")
+    snap.create_table(spark, root2, df, "pt", ["k", "val", "pt"])
+    _, planned_ns, total_ns = snap.plan_as_of_pruned(root2, 1, 7)
+    assert planned_ns == total_ns == 2
+
+
+def test_snapshot_optimize_zorder_clusters_and_preserves(spark, tmp_path):
+    """OPTIMIZE ZORDER commit invariants: files collapse to one per
+    partition, prior versions' files stay byte-stable (mtime), the
+    audit pair is preserved, rows inside every rewritten file are
+    sorted by the Morton key, and manifest stats keep pruning correctly
+    on the optimized version."""
+    import os
+
+    from fluvio_duck_spark.operators import snapshots as snap
+    from fluvio_duck_spark.operators.layout import zorder_key
+
+    root = str(tmp_path / "tbl")
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id") * 37, F.lit(64)).alias("a"),
+        F.pmod(F.col("id") * 11, F.lit(64)).alias("b"),
+        F.pmod(F.col("id"), F.lit(2)).alias("pt"),
+    )
+    cols = ["k", "a", "b", "pt"]
+    snap.create_table(spark, root, df, "pt", cols, stats_col="k")
+    appended = df.select(
+        (F.col("k") + 1000).alias("k"), "a", "b", "pt"
+    )
+    snap.append(spark, root, appended)
+
+    def mtimes():
+        out = {}
+        for base, _dirs, files in os.walk(os.path.join(root, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(base, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = mtimes()
+    v3 = snap.optimize_zorder(spark, root, ["a", "b"])
+    assert v3 == 3
+    m3 = snap.load_manifest(root, 3)
+    assert len(m3["files"]) == 2  # one per partition, 4 -> 2
+    # committed files byte-stable; audit preserved
+    after = mtimes()
+    for p, t in before.items():
+        assert after[p] == t, f"optimize rewrote a committed file: {p}"
+    assert snap.manifest_audit(root, 3) == snap.manifest_audit(root, 2)
+
+    # rows within each optimized file are Morton-sorted
+    rows = (
+        snap.read_version_as_of(spark, root, 3)
+        .withColumn("__file", F.input_file_name())
+        .withColumn("__zk", zorder_key(F.col("a"), F.col("b")))
+        .select("__file", "__zk")
+        .collect()
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["__file"], []).append(r["__zk"])
+    assert len(by_file) == 2
+    for f, zks in by_file.items():
+        assert zks == sorted(zks), f"file not Morton-clustered: {f}"
+
+    # stats survive the rewrite: pruning at v3 still finds the key
+    pruned, planned, total = snap.read_as_of_pruned(spark, root, 3, 1007)
+    assert total == 2 and planned >= 1
+    assert pruned.filter(F.col("k") == 1007).count() == 1

@@ -133,8 +133,9 @@ _GLOBAL_WINDOW_WHITELIST = {
     "operators/ranking.py": 1,   # global_rank prefix over |partitions| rows
     "transforms.py": 1,          # reference-faithful serial fold (src/consume.rs:687)
     "queries/llm.py": 2,         # RRF rerank over two k-row shortlists
-    "queries/pipeline.py": 2,    # KM survival risk-set/product-limit folds
-                                 # over the duration table (≤ window days)
+    "queries/pipeline.py": 3,    # KM survival risk-set/product-limit folds
+                                 # + log-rank at-risk fold, all over the
+                                 # duration table (≤ window days)
 }
 
 
