@@ -54,16 +54,37 @@ _POSTING_SIDECAR = "_sidecar_postings.json"
 
 
 def bloom_positions(key: int) -> tuple[int, int]:
-    """The two bit positions a key sets/probes (both in [0, 126))."""
+    """The two bit positions a key sets/probes (both in [0, 126)).
+
+    Python ``//`` / ``%`` are floor division / floor mod — the canonical
+    geometry.  :func:`bloom_hash_cols` mirrors it with exact integer
+    arithmetic (ADVICE r12: the old double-division form diverged for
+    negative keys and keys above 2**53, turning "no false negatives"
+    into silent row loss on pruned reads)."""
     return key % BLOOM_BITS, (key // BLOOM_BITS) % BLOOM_BITS
 
 
 def bloom_hash_cols(key_col: Column) -> tuple[Column, Column]:
-    """The two hash positions (columns in [0, 126)) for a key column."""
-    h1 = F.pmod(key_col, F.lit(BLOOM_BITS)).cast("int")
-    h2 = F.pmod((key_col / BLOOM_BITS).cast("long"), F.lit(BLOOM_BITS)).cast(
-        "int"
-    )
+    """The two hash positions (columns in [0, 126)) for a key column —
+    bit-identical to :func:`bloom_positions` for EVERY int64 key.
+
+    h2 needs ``floor(k / 126) mod 126`` — k's second base-126 digit.
+    Writing k = q*126² + r with r = pmod(k, 126²) ∈ [0, 126²) gives
+    ``floor(k/126) = q*126 + floor(r/126)``, so mod 126 the q term
+    vanishes:  **h2 = pmod(k, 126²) // 126**.  That residue is < 15 876,
+    so the one double division is exact (the nearest integer boundary is
+    1/126 away — 10¹³ ulps at this magnitude) and truncation == floor on
+    the non-negative residue.  No 2**53 precision cliff, no
+    trunc-vs-floor sign divergence — both of which the previous
+    ``(key/126).cast('long')`` form had (ADVICE r12: a negative or huge
+    key could set one bit at write time and probe a different one,
+    breaking the bloom's no-false-negatives contract and silently
+    dropping rows from pruned reads)."""
+    k = key_col.cast("long")
+    h1 = F.pmod(k, F.lit(BLOOM_BITS)).cast("int")
+    h2 = (
+        F.pmod(k, F.lit(BLOOM_BITS * BLOOM_BITS)) / F.lit(BLOOM_BITS)
+    ).cast("int")
     return h1, h2
 
 
@@ -122,17 +143,33 @@ def write_with_bloom_sidecar(
     task) + ``partitionBy(file_col)`` — the same value-derived
     one-file-per-leaf contract the compaction/zorder writers use.  The
     sidecar aggregate is file-count-sized state collected to the driver
-    (catalog-sized; a million files ≈ 16 MB)."""
+    (catalog-sized; a million files ≈ 16 MB).
+
+    The stats pass reads the FRESHLY WRITTEN files, not ``df`` — the
+    ``_write_generation`` pattern (``snapshots.py``).  Re-aggregating
+    the input lineage would execute the source pipeline twice AND,
+    for a nondeterministic upstream, could persist a sidecar that
+    disagrees with the files on disk (a bloom false negative, the one
+    thing the contract forbids); reading the files back costs one
+    bounded scan of exactly the bytes just written (VERDICT r12 #4)."""
     (
         df.repartition(F.col(file_col))
         .write.mode("overwrite")
         .partitionBy(file_col)
         .parquet(path)
     )
+    files = _leaf_files(path, file_col)
+    if not files:  # empty input: no leaves, an all-reject sidecar
+        sidecar = {"key_col": key_col, "file_col": file_col, "files": []}
+        with open(os.path.join(path, _BLOOM_SIDECAR), "w") as fh:
+            json.dump(sidecar, fh)
+        return sidecar
+    spark = df.sparkSession
+    written = spark.read.option("basePath", path).parquet(*files.values())
     h1, h2 = bloom_hash_cols(F.col(key_col))
     w0, w1 = bloom_word_aggs()
     stats = (
-        df.withColumn("h1", h1)
+        written.withColumn("h1", h1)
         .withColumn("h2", h2)
         .groupBy(file_col)
         .agg(
@@ -143,7 +180,6 @@ def write_with_bloom_sidecar(
         )
         .collect()
     )
-    files = _leaf_files(path, file_col)
     sidecar = {
         "key_col": key_col,
         "file_col": file_col,
@@ -215,15 +251,31 @@ def write_with_token_index(
 
     Sidecar size is vocab-bounded at 8 bytes per distinct token — the
     Roaring-lite trade: file count never grows the index, aliased slots
-    only add false hits the exact predicate removes."""
+    only add false hits the exact predicate removes.
+
+    Like :func:`write_with_bloom_sidecar`, the posting aggregate reads
+    the freshly written files rather than re-executing ``df``'s lineage
+    (single pipeline execution; sidecar provably consistent with the
+    bytes on disk even for a nondeterministic input — VERDICT r12 #4)."""
     (
         df.repartition(F.col(file_col))
         .write.mode("overwrite")
         .partitionBy(file_col)
         .parquet(path)
     )
+    files = _leaf_files(path, file_col)
+    if not files:  # empty input: no leaves, every probe plans zero files
+        sidecar = {
+            "text_col": text_col, "file_col": file_col,
+            "files": [], "postings": {},
+        }
+        with open(os.path.join(path, _POSTING_SIDECAR), "w") as fh:
+            json.dump(sidecar, fh)
+        return sidecar
+    spark = df.sparkSession
+    written = spark.read.option("basePath", path).parquet(*files.values())
     postings = (
-        df.select(
+        written.select(
             F.pmod(F.col(file_col), F.lit(POSTING_SLOTS))
             .cast("int").alias("slot"),
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -236,7 +288,6 @@ def write_with_token_index(
         )
         .collect()
     )
-    files = _leaf_files(path, file_col)
     sidecar = {
         "text_col": text_col,
         "file_col": file_col,

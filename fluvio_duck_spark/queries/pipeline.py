@@ -5009,7 +5009,10 @@ def q_layout_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "f", "k",
         F.pmod(F.col("k"), F.lit(126)).cast("int").alias("h1"),
-        F.pmod((F.col("k") / 126).cast("long"), F.lit(126))
+        # exact 2nd base-126 digit: pmod(k, 126²)//126 — the same
+        # all-int64-exact form operators/skipping.py::bloom_hash_cols
+        # uses (equal to (k//126)%126 for this non-negative k domain)
+        (F.pmod(F.col("k"), F.lit(126 * 126)) / F.lit(126))
         .cast("int").alias("h2"),
     )
     word = lambda h, w: F.when(  # noqa: E731 — local plumbing
