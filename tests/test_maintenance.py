@@ -850,3 +850,264 @@ def test_snapshot_optimize_zorder_clusters_and_preserves(spark, tmp_path):
     pruned, planned, total = snap.read_as_of_pruned(spark, root, 3, 1007)
     assert total == 2 and planned >= 1
     assert pruned.filter(F.col("k") == 1007).count() == 1
+
+
+def _mk_table(spark, root, n=40, parts=4):
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.pmod(F.col("id"), F.lit(parts)).alias("pt"),
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"])
+    return df
+
+
+def test_snapshot_two_writer_race_exactly_one_wins(spark, tmp_path):
+    """VERDICT r12 #3: optimistic concurrency — when two writers commit
+    the same version, exactly one wins and the loser gets
+    ConcurrentCommitError (never a silent overwrite)."""
+    import threading
+
+    import pytest
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    _mk_table(spark, root)
+    m = snap.load_manifest(root, 1)
+
+    # deterministic interleaving: both writers derived version 2 from
+    # the same stale head; the second manifest link must fail
+    snap._commit(root, 2, "append", 1, m["files"], "pt",
+                 ["k", "val", "pt"], schema=m["schema"])
+    with pytest.raises(snap.ConcurrentCommitError, match="version 2"):
+        snap._commit(root, 2, "append", 1, m["files"], "pt",
+                     ["k", "val", "pt"], schema=m["schema"])
+    assert snap.current_version(root) == 2
+
+    # threaded race at version 3: exactly one winner
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def writer(tag):
+        barrier.wait()
+        try:
+            snap._commit(root, 3, "append", 2, m["files"], "pt",
+                         ["k", "val", "pt"], schema=m["schema"])
+            outcomes.append(("win", tag))
+        except snap.ConcurrentCommitError:
+            outcomes.append(("lose", tag))
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(o for o, _ in outcomes) == ["lose", "win"]
+    assert snap.current_version(root) == 3
+    # the winning manifest is complete, valid JSON (atomic publish)
+    assert snap.load_manifest(root, 3)["op"] == "append"
+
+
+def test_snapshot_head_crash_recovery_falls_forward(spark, tmp_path):
+    """ADVICE r12: the manifest link is the commit point; a crash
+    before the HEAD rename must not wedge the table.  Simulate the
+    crash by publishing a manifest without advancing HEAD — readers
+    fall forward to it and the next commit builds on top."""
+    import json
+    import os
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    _mk_table(spark, root)
+    m = snap.load_manifest(root, 1)
+    # "crash": manifest v2 exists, HEAD still says 1
+    crash = dict(m, version=2, op="append", parent=1)
+    tmp = os.path.join(root, "_manifests", ".crash.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(crash, fh)
+    os.link(tmp, snap._manifest_path(root, 2))
+    os.unlink(tmp)
+    with open(os.path.join(root, snap._HEAD)) as fh:
+        assert fh.read().strip() == "1", "test setup: HEAD must trail"
+
+    assert snap.current_version(root) == 2, "reader must fall forward"
+    v3 = snap.append(
+        spark, root,
+        spark.range(100, 105).select(
+            F.col("id").alias("k"), F.lit("x").alias("val"),
+            F.pmod(F.col("id"), F.lit(4)).alias("pt"),
+        ),
+    )
+    assert v3 == 3 and snap.current_version(root) == 3
+    assert snap.read_version_as_of(spark, root, 3).count() == 45
+
+
+def test_snapshot_merge_all_deletes_commits_empty_generation(
+    spark, tmp_path
+):
+    """ADVICE r12: a MERGE whose change feed deletes every row of its
+    touched partitions (a legal MERGE) must commit — the generation is
+    empty, carried files only.  Wiping the whole table yields a valid
+    EMPTY version that still reads (schema from the manifest)."""
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    df = _mk_table(spark, root)
+
+    # delete every row of partition 2
+    feed = df.filter(F.col("pt") == 2).select(
+        "k", F.lit("D").alias("_op"), F.lit(None).cast("string").alias("nv"),
+        "pt",
+    )
+    v2 = snap.merge_into(spark, root, feed, key="k", set_cols={"val": "nv"})
+    got = snap.read_version_as_of(spark, root, v2)
+    assert got.filter(F.col("pt") == 2).count() == 0
+    assert got.count() == 30
+
+    # wipe everything that remains
+    feed_all = snap.read_version_as_of(spark, root, v2).select(
+        "k", F.lit("D").alias("_op"), F.lit(None).cast("string").alias("nv"),
+        "pt",
+    )
+    v3 = snap.merge_into(
+        spark, root, feed_all, key="k", set_cols={"val": "nv"}
+    )
+    empty = snap.read_version_as_of(spark, root, v3)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "val", "pt"]
+    assert snap.manifest_audit(root, v3) == (0, 0)
+    # and the table is still writable after the wipe
+    v4 = snap.append(
+        spark, root,
+        spark.range(3).select(
+            F.col("id").alias("k"), F.lit("re").alias("val"),
+            F.lit(0).cast("bigint").alias("pt"),
+        ),
+    )
+    assert snap.read_version_as_of(spark, root, v4).count() == 3
+
+
+def test_snapshot_partition_values_with_uri_special_chars(
+    spark, tmp_path
+):
+    """ADVICE r12: partition values containing ' ', ':' or '%' are
+    %XX-escaped both in directory names and in input_file_name()'s URI;
+    the commit must still match stats to files and record the LOGICAL
+    value so a later merge's touched-set compare works."""
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    vals = ["a:b", "c d", "p%1", "plain"]
+    df = spark.createDataFrame(
+        [(i, f"v{i}", vals[i % 4]) for i in range(16)],
+        "k long, val string, pt string",
+    )
+    snap.create_table(spark, root, df, "pt", ["k", "val", "pt"])
+    m = snap.load_manifest(root, 1)
+    assert sorted(e["partition"] for e in m["files"]) == sorted(vals)
+    assert snap.read_version_as_of(spark, root, 1).count() == 16
+
+    # merge touching ONLY the 'a:b' partition
+    feed = spark.createDataFrame(
+        [(0, "U", "patched", "a:b")], "k long, _op string, nv string, pt string"
+    )
+    v2 = snap.merge_into(spark, root, feed, key="k", set_cols={"val": "nv"})
+    m2 = snap.load_manifest(root, v2)
+    gen2 = [e for e in m2["files"] if f"gen{v2}" in e["path"]]
+    assert [e["partition"] for e in gen2] == ["a:b"], (
+        "COW scope must be exactly the escaped-value partition"
+    )
+    got = {r.k: r.val
+           for r in snap.read_version_as_of(spark, root, v2).collect()}
+    assert got[0] == "patched" and got[1] == "v1"
+
+
+def test_snapshot_schema_evolution_alter_add_column(spark, tmp_path):
+    """VERDICT r12 #5: ALTER ADD COLUMN as a metadata-only commit.
+    Every version reads with its own declared schema: pre-alter
+    versions keep the narrow schema under time travel, post-alter reads
+    NULL-backfill the new column for old generations, later appends
+    populate it, and merge/compact/rollback all work across the
+    boundary."""
+    import os
+
+    import pytest
+
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    root = str(tmp_path / "tbl")
+    _mk_table(spark, root, n=20, parts=2)   # v1: k val pt
+
+    def mtimes():
+        out = {}
+        for base, _d, files in os.walk(os.path.join(root, "data")):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(base, f)
+                    out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = mtimes()
+    v2 = snap.alter_add_column(root, "score", "double")
+    assert v2 == 2
+    assert mtimes() == before, "alter must move no data"
+    assert snap.load_manifest(root, 2)["files"] \
+        == snap.load_manifest(root, 1)["files"]
+
+    # each version reads with its own schema
+    assert snap.read_version_as_of(spark, root, 1).columns \
+        == ["k", "val", "pt"]
+    v2_df = snap.read_version_as_of(spark, root, 2)
+    assert v2_df.columns == ["k", "val", "pt", "score"]
+    assert v2_df.filter(F.col("score").isNull()).count() == 20
+
+    # an append may now populate the column; old rows stay NULL
+    v3 = snap.append(
+        spark, root,
+        spark.range(100, 104).select(
+            F.col("id").alias("k"), F.lit("new").alias("val"),
+            F.pmod(F.col("id"), F.lit(2)).alias("pt"),
+            (F.col("id") * 1.5).alias("score"),
+        ),
+    )
+    got = snap.read_version_as_of(spark, root, v3)
+    assert got.filter(F.col("score").isNotNull()).count() == 4
+    assert got.count() == 24
+
+    # merge across the boundary: update score in an OLD generation row
+    feed = spark.createDataFrame(
+        [(1, "U", 9.5, 1)], "k long, _op string, ns double, pt bigint"
+    )
+    v4 = snap.merge_into(spark, root, feed, key="k",
+                         set_cols={"score": "ns"})
+    row = snap.read_version_as_of(spark, root, v4) \
+        .filter(F.col("k") == 1).collect()[0]
+    assert row.score == 9.5 and row.val == "v1"
+
+    # compact across mixed-schema generations preserves the audit
+    v5 = snap.compact(spark, root)
+    assert snap.manifest_audit(root, v5) == snap.manifest_audit(root, v4)
+    assert snap.read_version_as_of(spark, root, v5).columns \
+        == ["k", "val", "pt", "score"]
+
+    # rollback to the pre-alter version restores the NARROW schema
+    v6 = snap.rollback(root, 1)
+    assert snap.read_version_as_of(spark, root, v6).columns \
+        == ["k", "val", "pt"]
+
+    # guards: duplicate column; undeclared column on append
+    with pytest.raises(ValueError, match="already declared"):
+        snap.alter_add_column(root, "val", "string")
+    with pytest.raises(ValueError, match="undeclared column"):
+        snap.append(
+            spark, root,
+            spark.range(3).select(
+                F.col("id").alias("k"), F.lit("x").alias("val"),
+                F.lit(0).cast("bigint").alias("pt"),
+                F.lit(1).alias("bogus"),
+            ),
+        )
