@@ -432,7 +432,12 @@ def alter_add_column(root: str, name: str, sql_type: str) -> int:
         )
     if any(f["name"] == name for f in s["fields"]):
         raise ValueError(f"column {name!r} already declared")
-    widened = StructType.fromJson(s).add(name, sql_type, nullable=True)
+    # fromDDL accepts SQL type spellings ("bigint", "decimal(10,2)");
+    # StructType.add's string form wants JSON type names only
+    new_field = StructType.fromDDL(f"{name} {sql_type}").fields[0]
+    widened = StructType.fromJson(s).add(
+        new_field.name, new_field.dataType, nullable=True
+    )
     v = head + 1
     return _commit(
         root, v, "alter", head, m["files"], m["partition_col"],

@@ -5870,6 +5870,170 @@ QUERIES.update({
 })
 
 
+#: Schema-evolution fixture geometry: scored appends take ids shifted
+#: past every base id; the cross-boundary merge updates partition 2's
+#: original rows only.
+_SSE_SCORE_MOD = 97
+_SSE_SCORE_MUL = 3
+_SSE_MERGE_MOD = 1000
+
+
+def q_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema evolution under snapshot versioning (VERDICT r12 #5,
+    operators/snapshots.py::alter_add_column): Delta's ``ALTER TABLE
+    ADD COLUMN`` as a pure METADATA commit —
+
+      v1 create (narrow schema: event_id/event_type/user_id/pt) →
+      v2 alter add ``score bigint`` (no data moves: the manifest
+      re-lists v1's files verbatim and declares the widened schema) →
+      v3 append populating the new column → v4 partition-scoped COW
+      merge writing ``score`` into OLD-generation rows of partition 2
+
+    — then reads every version back AFTER all mutations.  Each version
+    reads with its own declared schema (``n_cols`` is measured from the
+    returned frame): pre-alter time travel keeps the narrow schema;
+    post-alter reads NULL-backfill the column for old generations at
+    scan time (the parquet reader's by-name resolution — no rewrite,
+    no extra pass).  ``score_rows``/``score_sum`` track the column's
+    population across the boundary and the 4-column checksum stays
+    constant through v3→v4 (the merge touched only the new column).
+    The oracle reconstructs all four states independently in SQL.
+
+    At 100 TB this is the difference between evolving a table with a
+    metadata write and rewriting 100 TB: the alter commit costs one
+    catalog-sized JSON, every historical snapshot stays readable with
+    its own schema, and the backfill rides each later scan for free."""
+    import os
+    import shutil
+    import tempfile
+
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id",
+        F.pmod(F.col("event_id"), F.lit(_STT_PARTS)).alias("pt"),
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), "fluvio_duck_schema_evo",
+        f"{os.path.basename(sf_dir.rstrip('/'))}-{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    snap.create_table(spark, root, ev, "pt", _STT_COLS)          # v1
+    snap.alter_add_column(root, "score", "bigint")               # v2
+    scored = ev.filter(F.col("event_id") % 7 == 2).select(
+        (F.col("event_id") + _STT_APPEND_SHIFT).alias("event_id"),
+        F.lit("scored").alias("event_type"),
+        "user_id", "pt",
+        (F.pmod(F.col("event_id"), F.lit(_SSE_SCORE_MOD))
+         * _SSE_SCORE_MUL).cast("long").alias("score"),
+    )
+    snap.append(spark, root, scored)                             # v3
+    feed = ev.filter(
+        (F.col("pt") == 2) & (F.col("event_id") % 5 == 1)
+    ).select(
+        "event_id", F.lit("U").alias("_op"),
+        F.pmod(F.col("event_id") * 7, F.lit(_SSE_MERGE_MOD))
+        .cast("long").alias("ns"),
+        "pt",
+    )
+    snap.merge_into(spark, root, feed, key="event_id",           # v4
+                    set_cols={"score": "ns"})
+
+    ops = {1: "create", 2: "alter", 3: "append", 4: "merge"}
+    audits = []
+    for v, op in ops.items():
+        df = snap.read_version_as_of(spark, root, v)
+        has_score = "score" in df.columns
+        aggs = [
+            F.count("*").cast("long").alias("n_rows"),
+            (F.count("score") if has_score else F.lit(0))
+            .cast("long").alias("score_rows"),
+            (F.coalesce(F.sum("score"), F.lit(0)) if has_score
+             else F.lit(0)).cast("long").alias("score_sum"),
+            fold_sum(row_checksum(_STT_COLS)).alias("checksum"),
+        ]
+        audits.append(
+            df.agg(*aggs).select(
+                F.lit(v).cast("long").alias("version"),
+                F.lit(op).alias("op"),
+                F.lit(len(df.columns)).cast("long").alias("n_cols"),
+                "n_rows", "score_rows", "score_sum", "checksum",
+            )
+        )
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionAll(a)
+    return out
+
+
+def _snapshot_schema_evolution_oracle() -> str:
+    from fluvio_duck_spark.functions.checksum import checksum_sql
+
+    base = (
+        "SELECT event_id, event_type, user_id, "
+        f"CAST(event_id % {_STT_PARTS} AS BIGINT) AS pt FROM events"
+    )
+    scored = (
+        f"SELECT event_id + {_STT_APPEND_SHIFT} AS event_id, "
+        "'scored' AS event_type, user_id, "
+        f"CAST(event_id % {_STT_PARTS} AS BIGINT) AS pt, "
+        f"CAST((event_id % {_SSE_SCORE_MOD}) * {_SSE_SCORE_MUL} "
+        "AS BIGINT) AS score "
+        "FROM events WHERE event_id % 7 = 2"
+    )
+    v3 = (
+        f"SELECT *, CAST(NULL AS BIGINT) AS score FROM ({base}) "
+        f"UNION ALL {scored}"
+    )
+    # v4: merge writes score into ORIGINAL rows of partition 2 with
+    # event_id % 5 = 1 (appended ids sit past the shift, never matched)
+    v4 = (
+        "SELECT event_id, event_type, user_id, pt, "
+        f"CASE WHEN event_id < {_STT_APPEND_SHIFT} AND pt = 2 "
+        f"AND event_id % 5 = 1 "
+        f"THEN CAST((event_id * 7) % {_SSE_MERGE_MOD} AS BIGINT) "
+        f"ELSE score END AS score FROM ({v3})"
+    )
+    states = {1: (base, 4, False), 2: (base, 5, False),
+              3: (v3, 5, True), 4: (v4, 5, True)}
+    ops = {1: "create", 2: "alter", 3: "append", 4: "merge"}
+    branches = []
+    for v, (expr, n_cols, has_score) in states.items():
+        a = checksum_sql(f"({expr})", _STT_COLS, label=f"v{v}")
+        score_rows = (
+            f"(SELECT COUNT(score) FROM ({expr}))" if has_score
+            else "CAST(0 AS BIGINT)"
+        )
+        score_sum = (
+            f"(SELECT COALESCE(SUM(score), 0) FROM ({expr}))"
+            if has_score else "CAST(0 AS BIGINT)"
+        )
+        branches.append(
+            f"SELECT CAST({v} AS BIGINT) AS version, '{ops[v]}' AS op, "
+            f"CAST({n_cols} AS BIGINT) AS n_cols, n_rows, "
+            f"CAST({score_rows} AS BIGINT) AS score_rows, "
+            f"CAST({score_sum} AS BIGINT) AS score_sum, checksum "
+            f"FROM ({a})"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+QUERIES.update({
+    "snapshot_schema_evolution": QuerySpec(
+        q_snapshot_schema_evolution, _snapshot_schema_evolution_oracle(),
+        doc="ALTER ADD COLUMN as a metadata-only snapshot commit: every "
+            "version reads with its own declared schema, old "
+            "generations NULL-backfill the new column at scan time, a "
+            "post-alter COW merge populates it in old rows — all four "
+            "states hash-matched against independent SQL reconstruction",
+    ),
+})
+
+
 #: Z-order refresh geometry: 8-bit (hour, user) buckets → 16-bit key;
 #: shift 12 → ≤16 z-files per table partition.  Day 20 splits base from
 #: the late-arriving delta (which touches ONE event_type partition).
