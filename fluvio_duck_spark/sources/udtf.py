@@ -47,18 +47,32 @@ class FluvioTopicsUDTF:
     src/topic.rs:52-53."""
 
     def eval(self, sf_dir: str):  # noqa: D102
+        # vectorized pyarrow group_by (VERDICT r12 #7): the stand-in's
+        # derivation cost stays flat as the fixture grows instead of a
+        # per-row Python loop; a real connector replaces this whole body
+        # with one metadata-sized admin RPC
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         t = pq.read_table(
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
         )
-        parts: dict[str, set[int]] = {}
-        for name, uid in zip(
-            t.column("event_type").to_pylist(), t.column("user_id").to_pylist()
-        ):
-            parts.setdefault(name, set()).add(uid % 4)
-        for name in sorted(parts):
-            yield name, len(parts[name])
+        # user_id % 4 == user_id & 3 on the fixture's non-negative ids
+        part = pc.bit_wise_and(t.column("user_id"), 3)
+        g = (
+            pa.table({"name": t.column("event_type"), "part": part})
+            .group_by("name")
+            .aggregate([("part", "count_distinct")])
+        )
+        rows = sorted(
+            zip(
+                g.column("name").to_pylist(),
+                g.column("part_count_distinct").to_pylist(),
+            )
+        )
+        for name, n in rows:
+            yield name, n
 
 
 @udtf(returnType="topic string, partition string, LEO long")
@@ -67,21 +81,33 @@ class FluvioPartitionsUDTF:
     reference src/partition.rs:52-54; LEO widened to long (SURVEY §1.4)."""
 
     def eval(self, sf_dir: str):  # noqa: D102
+        # vectorized pyarrow group_by (VERDICT r12 #7) — see
+        # FluvioTopicsUDTF.eval; LEO = max(offset) + 1 per (topic, part)
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         t = pq.read_table(
-            f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "event_id"]
+            f"{sf_dir}/events.parquet",
+            columns=["event_type", "user_id", "event_id"],
         )
-        leo: dict[tuple[str, int], int] = {}
-        for name, uid, off in zip(
-            t.column("event_type").to_pylist(),
-            t.column("user_id").to_pylist(),
-            t.column("event_id").to_pylist(),
-        ):
-            k = (name, uid % 4)
-            if off >= leo.get(k, -1):
-                leo[k] = off
-        for (name, p), off in sorted(leo.items()):
+        g = (
+            pa.table({
+                "name": t.column("event_type"),
+                "part": pc.bit_wise_and(t.column("user_id"), 3),
+                "off": t.column("event_id"),
+            })
+            .group_by(["name", "part"])
+            .aggregate([("off", "max")])
+        )
+        rows = sorted(
+            zip(
+                g.column("name").to_pylist(),
+                g.column("part").to_pylist(),
+                g.column("off_max").to_pylist(),
+            )
+        )
+        for name, p, off in rows:
             yield name, str(p), off + 1
 
 
