@@ -225,14 +225,19 @@ def q_eval_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness discipline (the KM/char-entropy pattern):
     every per-step term is computed in pure INTEGER arithmetic —
-    e-term = (10^6·n1·d) div n, v-term factored as
-    a = (10^6·n1·n2) div n², then (a·d·(n−d)) div (n−1) — so fold
-    order cannot move the hash (terms are exact longs; the factored div
-    is the definition both engines execute, keeping every intermediate
-    under ~2.5e17 for corpora to ~6M at-risk users).  The only float op
-    is the final χ² from the three scalar totals.  Scale shape: one
-    user-keyed aggregation touches the corpus; everything after runs on
-    the horizon-bounded duration table."""
+    e-term = (10^6·n1·d) div n, v-term a = (10^6·n1·n2) div n², then
+    (a·d·(n−d)) div (n−1) — with each multiply-then-divide expanded
+    through the EXACT decomposition (K·m) div n = (K div n)·m +
+    ((K mod n)·m) div n and the nested-floor identity A div n² =
+    (A div n) div n (ADVICE r12: the naive products 10^6·n1·d and
+    10^6·n1·n2 pass int64 near n ≈ 6M with heavy ties, where Spark
+    and DuckDB overflow differently).  The decomposition leaves every
+    intermediate ≤ max(10^6·n1, n², 10^6·n), so the stated domain is
+    n ≤ ~3.0e9 at-risk users (n² < 2^63) — identical values on the
+    old domain, three decades more headroom.  The only float op is the
+    final χ² from the three scalar totals.  Scale shape: one
+    user-keyed aggregation touches the corpus; everything after runs
+    on the horizon-bounded duration table."""
     ev = load(spark, sf_dir, "events")
     d_ = F.to_date("ts")
     spans = ev.groupBy("user_id").agg(
@@ -267,12 +272,21 @@ def q_eval_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("entering").over(w_desc).alias("n"),
         F.sum("entering1").over(w_desc).alias("n1"),
     )
-    e6 = F.expr("(1000000 * n1 * d) div n")
+    # q/r split 10^6·n1 by n once; 'a' nests the second div-by-n
+    at_risk = at_risk.select(
+        "*",
+        F.expr("(1000000 * n1) div n").alias("q"),
+        F.expr("(1000000 * n1) % n").alias("r"),
+    ).select(
+        "*",
+        F.expr("(q * (n - n1) + ((r * (n - n1)) div n)) div n").alias("a"),
+    )
+    e6 = F.expr("q * d + (r * d) div n")
     v6 = F.when(
         F.col("n") > 1,
         F.expr(
-            "(((1000000 * n1 * (n - n1)) div (n * n)) * d * (n - d)) "
-            "div (n - 1)"
+            "((a * d) div (n - 1)) * (n - d) "
+            "+ (((a * d) % (n - 1)) * (n - d)) div (n - 1)"
         ),
     ).otherwise(F.lit(0).cast("long"))
     totals = at_risk.agg(
@@ -326,14 +340,23 @@ at_risk AS (
          sum(entering1) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
            AS n1
   FROM tbl),
-terms AS (
-  SELECT d1,
-         (1000000 * n1 * d) // n AS e6,
-         CASE WHEN n > 1
-              THEN (((1000000 * n1 * (n - n1)) // (n * n)) * d * (n - d))
-                   // (n - 1)
-              ELSE 0 END AS v6
+qr AS (
+  SELECT *, (1000000 * n1) // n AS q, (1000000 * n1) % n AS r
   FROM at_risk),
+ar2 AS (
+  SELECT *, (q * (n - n1) + ((r * (n - n1)) // n)) // n AS a
+  FROM qr),
+terms AS (
+  -- exact decomposition (K*m)//n = (K//n)*m + ((K%n)*m)//n and
+  -- A//n^2 = (A//n)//n: same values as the direct products, every
+  -- intermediate <= max(10^6*n1, n^2, 10^6*n)
+  SELECT d1,
+         q * d + (r * d) // n AS e6,
+         CASE WHEN n > 1
+              THEN ((a * d) // (n - 1)) * (n - d)
+                   + (((a * d) % (n - 1)) * (n - d)) // (n - 1)
+              ELSE 0 END AS v6
+  FROM ar2),
 tot AS (
   SELECT CAST(count(*) AS BIGINT) AS n_steps,
          CAST(sum(d1) AS BIGINT) AS o1,
