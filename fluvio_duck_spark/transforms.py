@@ -367,6 +367,31 @@ def load_transform_chain(opts: ConsumeOptions) -> list[TransformSpec]:
 def apply_transform_chain(df: DataFrame, chain: list[TransformSpec]) -> DataFrame:
     for spec in chain:
         fn = _REGISTRY.get(spec.uses)
+        if fn is None and spec.uses.endswith(".wasm"):
+            # the one reference capability this rebuild rejects
+            # (reference src/consume.rs:535-560 loads arbitrary user
+            # .wasm): executing it requires a wasm runtime this
+            # environment does not ship.  The contract (CONNECTOR.md
+            # §wasm) is: raise here with the two supported escape
+            # hatches rather than silently skipping the transform.
+            try:
+                import wasmtime  # noqa: F401 — gate, not a dependency
+            except ImportError:
+                raise TransformError(
+                    f"cannot execute {spec.uses!r}: arbitrary .wasm "
+                    "SmartModules need the optional 'wasmtime' runtime, "
+                    "which is not installed.  Either (a) re-express the "
+                    "module as a named transform via "
+                    "fluvio_duck_spark.transforms.register_smartmodule "
+                    "(all five standard kinds are built in), or (b) "
+                    "install wasmtime to enable the Arrow-batch wasm "
+                    "seam (CONNECTOR.md §wasm)"
+                ) from None
+            raise TransformError(
+                f"wasmtime is importable but the wasm execution seam is "
+                f"not wired for {spec.uses!r}; see CONNECTOR.md §wasm "
+                "for the invocation contract a runtime must implement"
+            )
         if fn is None:
             raise TransformError(
                 f"unknown smartmodule {spec.uses!r}; register it with "

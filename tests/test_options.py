@@ -130,3 +130,25 @@ def test_no_duplicate_query_registrations_within_modules():
         )
         dups = [n for n, c in Counter(names).items() if c > 1]
         assert not dups, f"{mod.name}: duplicate registrations {dups}"
+
+
+def test_wasm_path_rejection_contract(spark):
+    """CONNECTOR.md §wasm: a .wasm smartmodule path parses (surface
+    parity) but applying the chain raises the documented TransformError
+    naming both escape hatches — never a silent skip."""
+    import pytest
+
+    from fluvio_duck_spark.options import parse_consume_opts
+    from fluvio_duck_spark.transforms import (
+        TransformError,
+        apply_transform_chain,
+        load_transform_chain,
+    )
+
+    opts = parse_consume_opts("events -B --smartmodule-path mod.wasm")
+    assert opts.smartmodule_path == "mod.wasm"
+    chain = load_transform_chain(opts)
+    assert len(chain) == 1 and chain[0].uses == "mod.wasm"
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS value")
+    with pytest.raises(TransformError, match="wasmtime|register_smartmodule"):
+        apply_transform_chain(df, chain)
