@@ -421,7 +421,13 @@ def alter_add_column(root: str, name: str, sql_type: str) -> int:
     read back NULL for the new column via the scan-time backfill in
     :func:`read_version_as_of`, later appends/merges may populate it.
     No data moves, no Spark job; time travel to pre-alter versions
-    still reads with THEIR declared schema (VERDICT r12 #5)."""
+    still reads with THEIR declared schema (VERDICT r12 #5).
+
+    Documented divergence from Delta's column-mapping mode: columns
+    are matched BY NAME, so re-adding a previously dropped name makes
+    old generations' bytes for that name readable again (Delta's id
+    mapping would keep them hidden).  Pinned in
+    test_maintenance.py::test_snapshot_alter_drop_column."""
     head = current_version(root)
     m = load_manifest(root, head)
     s = m.get("schema")
@@ -443,6 +449,44 @@ def alter_add_column(root: str, name: str, sql_type: str) -> int:
         root, v, "alter", head, m["files"], m["partition_col"],
         m["audit_cols"], m.get("stats_col"),
         schema=json.loads(widened.json()),
+    )
+
+
+def alter_drop_column(root: str, name: str) -> int:
+    """The companion metadata-only evolution commit (Delta's ``ALTER
+    TABLE DROP COLUMN`` under column mapping): the new version re-lists
+    the parent's files and declares the NARROWED schema — the bytes
+    stay in the files, the scan-time schema conformance in
+    :func:`read_version_as_of` simply stops projecting them, and time
+    travel to pre-drop versions still reads the column.  Structural
+    columns (partition / audit / pruning-stats) cannot be dropped —
+    the commit protocol depends on them."""
+    head = current_version(root)
+    m = load_manifest(root, head)
+    s = m.get("schema")
+    if s is None:
+        raise ValueError(
+            "table predates schema tracking; recreate it to enable "
+            "schema evolution"
+        )
+    if not any(f["name"] == name for f in s["fields"]):
+        raise ValueError(f"column {name!r} is not declared")
+    protected = {m["partition_col"], *m["audit_cols"]}
+    if m.get("stats_col") is not None:
+        protected.add(m["stats_col"])
+    if name in protected:
+        raise ValueError(
+            f"column {name!r} is structural "
+            f"(partition/audit/stats: {sorted(protected)}); "
+            f"it cannot be dropped"
+        )
+    narrowed = {
+        **s, "fields": [f for f in s["fields"] if f["name"] != name],
+    }
+    v = head + 1
+    return _commit(
+        root, v, "alter", head, m["files"], m["partition_col"],
+        m["audit_cols"], m.get("stats_col"), schema=narrowed,
     )
 
 
