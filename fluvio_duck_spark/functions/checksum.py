@@ -50,18 +50,23 @@ def row_checksum(cols: list[str]) -> Column:
     encode as the literal string ``\\N`` AFTER escaping, so NULL differs
     from every real string including '' and a literal backslash-N
     (whose backslash doubles under escaping)."""
-    vals = []
-    for c in cols:
-        v = F.col(c).cast("string")
-        v = F.replace(v, F.lit("\\"), F.lit("\\\\"))
-        v = F.replace(v, F.lit("|"), F.lit("\\|"))
-        vals.append(F.coalesce(v, F.lit("\\N")))
-    h = F.md5(F.concat_ws("|", *vals))
-    term = None
-    for i, w in enumerate(_WEIGHTS, start=1):
-        t = F.ascii(F.substring(h, i, 1)).cast("long") * F.lit(w)
-        term = t if term is None else term + t
-    return term
+    # One parsed SQL string (the Column-API loop cost ~120 py4j round
+    # trips of plan construction per call, paid by every audit query
+    # and every snapshot commit).  Spark SQL string literals process
+    # backslash escapes, so '\\' below is ONE backslash in the SQL
+    # text; the expression tree is identical to the former
+    # F.replace/F.coalesce/F.ascii chain.
+    canon = ", ".join(
+        f"COALESCE(replace(replace(CAST(`{c}` AS STRING), "
+        f"'\\\\', '\\\\\\\\'), '|', '\\\\|'), '\\\\N')"
+        for c in cols
+    )
+    h = f"md5(concat_ws('|', {canon}))"
+    terms = " + ".join(
+        f"CAST(ascii(substring({h}, {i}, 1)) AS BIGINT) * {w}"
+        for i, w in enumerate(_WEIGHTS, start=1)
+    )
+    return F.expr(terms)
 
 
 def fold_sum(rc: Column) -> Column:

@@ -328,8 +328,12 @@ def minhash_signatures(
         df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s"))
         .select(id_col, F.xxhash64("s").alias("h"))
     )
+    # one parsed SQL string per aggregate (identical expression tree to
+    # the F.min(F.xxhash64(F.lit(i), ...)) form — xxhash64's SQL spelling
+    # uses the same default seed 42 and INT literal): the Column-API loop
+    # cost n_hashes × ~5 py4j round trips of plan construction per call
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}")
+        F.expr(f"min(xxhash64({i}, h))").alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -346,17 +350,16 @@ def band_buckets(
     the streaming gate so both sides hash identically."""
     assert n_hashes % n_bands == 0
     rows_per_band = n_hashes // n_bands
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bh"),
-            )
-            for band in range(n_bands)
-        ]
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64({cols}))".format(
+            b=band,
+            cols=", ".join(
+                f"mh{band * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for band in range(n_bands)
     )
+    bands = F.expr(f"array({structs})")
     return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
@@ -409,8 +412,16 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, k, n_hashes, text_col, id_col)
     buckets = band_buckets(sig, n_hashes, n_bands, id_col)
     a, b = buckets.alias("a"), buckets.alias("b")
+    # Sort-merge hint on the bucket self-join: without it the tiny local
+    # estimate makes AQE broadcast one side, whose BroadcastExchange
+    # subtree is planned separately — the whole signature pipeline
+    # (shingle explode + n_hashes min-aggs, the expensive stage) runs
+    # TWICE.  A shuffle join hashes both sides on (band, bh) with
+    # identical children, so ReuseExchange computes the signatures once
+    # (guide §2.4).  It is also the only plan that exists at scale:
+    # the bucket table is corpus-sized and can never be broadcast.
     cands = (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
@@ -890,7 +901,18 @@ _PMH_V = [((r + 7) * 2654435761) % 1000003 for r in range(16)]
 
 def portable_text_hash(col) -> F.Column:
     """Engine-portable string → long: weighted ascii fold of the first
-    16 md5 hex chars (~2^31 span — plenty for within-doc MinHash)."""
+    16 md5 hex chars (~2^31 span — plenty for within-doc MinHash).
+
+    Accepts a plain column NAME (preferred — the 16-term fold parses as
+    ONE SQL string instead of ~100 py4j round trips of Column-API plan
+    construction per call) or any Column expression (loop fallback,
+    same expression tree)."""
+    if isinstance(col, str):
+        terms = " + ".join(
+            f"CAST(ascii(substring(md5(`{col}`), {i}, 1)) AS BIGINT) * {w}"
+            for i, w in enumerate(_PMH_W16, start=1)
+        )
+        return F.expr(terms)
     h = F.md5(col)
     term = None
     for i, w in enumerate(_PMH_W16, start=1):
@@ -923,32 +945,30 @@ def minhash_portable_buckets(
     assert n_hashes % n_bands == 0 and n_hashes <= 64
     rpb = n_hashes // n_bands
 
+    # single parsed SQL strings throughout (identical expression trees
+    # to the former Column-API loops, ~300 fewer py4j round trips of
+    # plan construction per call — see minhash_signatures)
     ex = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
-    ).select(id_col, portable_text_hash(F.col("s")).alias("h"))
+    ).select(id_col, portable_text_hash("s").alias("h"))
     aggs = [
-        F.min(
-            F.pmod(F.col("h") * _PMH_A[i] + _PMH_B[i], F.lit(_PMH_P))
-        ).alias(f"mh{i}")
+        F.expr(f"min(pmod(h * {_PMH_A[i]} + {_PMH_B[i]}, {_PMH_P}))")
+        .alias(f"mh{i}")
         for i in range(n_hashes)
     ]
     sig = ex.groupBy(id_col).agg(*aggs)
 
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.pmod(
-                    sum(
-                        F.col(f"mh{band * rpb + r}") * F.lit(_PMH_V[r])
-                        for r in range(rpb)
-                    ),
-                    F.lit(_PMH_P2),
-                ).alias("bh"),
-            )
-            for band in range(n_bands)
-        ]
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bh', pmod({terms}, {p2}))".format(
+            b=band,
+            terms="0 + " + " + ".join(
+                f"mh{band * rpb + r} * {_PMH_V[r]}" for r in range(rpb)
+            ),
+            p2=_PMH_P2,
+        )
+        for band in range(n_bands)
     )
+    bands = F.expr(f"array({structs})")
     return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
     )
@@ -984,8 +1004,12 @@ def minhash_lsh_pairs_portable(
         df, k, n_hashes, n_bands, text_col, id_col
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    # merge hint: see minhash_lsh_pairs — a broadcast self-join would
+    # plan the signature pipeline twice; the shuffle join's identical
+    # exchanges are computed once via ReuseExchange, and a broadcast of
+    # the corpus-sized bucket table is impossible at scale anyway
     cands = (
-        a.join(
+        a.hint("merge").join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
@@ -1128,28 +1152,26 @@ def simhash_portable_signatures(
     toks = df.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("token")
     ).filter(F.col("token") != "")
-    h = portable_text_hash(F.col("token"))
+    h = portable_text_hash("token")
+    # single parsed SQL strings (identical expression trees to the
+    # former Column-API loops — 60 aggs × ~12 + 60 sig terms × ~5 py4j
+    # round trips of plan construction saved per call)
     votes = toks.select(F.col(id_col), h.alias("h")).groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.pmod(
-                        F.pmod(F.col("h") * _PMH_A[b] + _PMH_B[b], F.lit(_PMH_P)),
-                        F.lit(2),
-                    )
-                    == 1,
-                    F.lit(1),
-                ).otherwise(F.lit(-1))
+            F.expr(
+                f"sum(CASE WHEN pmod(pmod(h * {_PMH_A[b]} + {_PMH_B[b]}, "
+                f"{_PMH_P}), 2) = 1 THEN 1 ELSE -1 END)"
             ).alias(f"v{b}")
             for b in range(_SIMHASH_BITS)
         ]
     )
-    sig = None
-    for b in range(_SIMHASH_BITS):
-        t = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    sig = F.expr(
+        " + ".join(
+            f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+            for b in range(_SIMHASH_BITS)
         )
-        sig = t if sig is None else sig + t
+    )
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 

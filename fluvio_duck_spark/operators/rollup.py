@@ -99,6 +99,16 @@ def time_bucket(ts: Column | str, width_seconds: int) -> Column:
     )
 
 
+def _with_hist_bins(df: DataFrame, measures: list[Measure]) -> DataFrame:
+    """Project each hist measure's clamped bin index ONCE per row
+    (``__bin_<name>``) before the aggregation consumes it nbuckets
+    times.  Dropped implicitly by the groupBy."""
+    for m in measures:
+        if m.kind == "hist":
+            df = df.withColumn(f"__bin_{m.name}", m._bin_index())
+    return df
+
+
 def _initial_aggs(measures: list[Measure]) -> list[Column]:
     out: list[Column] = []
     for m in measures:
@@ -117,14 +127,23 @@ def _initial_aggs(measures: list[Measure]) -> list[Column]:
         elif m.kind == "hist":
             # one-hot expansion: nbuckets conditional counts in ONE
             # partial+final agg pass (all whole-stage codegen; no UDF,
-            # no collect) packed into the array state
-            idx = m._bin_index()
-            out.append(
-                F.array(*[
-                    F.count(F.when((idx == i) & c.isNotNull(), True))
-                    for i in range(m.nbuckets)
-                ]).alias(m.name)
+            # no collect) packed into the array state.  The clamped bin
+            # index is PRE-PROJECTED by _with_hist_bins — referencing
+            # the raw expression here made Catalyst inline the whole
+            # floor/divide/clamp chain into every one of the nbuckets
+            # conditional counts (nbuckets arithmetic evaluations per
+            # row, visible verbatim in the plan's Functions list).
+            # Built as ONE parsed SQL string: the per-bucket Column-API
+            # loop cost nbuckets × ~10 py4j round trips of plan
+            # CONSTRUCTION per query call — driver-side latency the
+            # bench pays on every invocation (guide §7.3: very large
+            # expression trees are built, not just executed)
+            cnts = ", ".join(
+                f"count(CASE WHEN (`__bin_{m.name}` = {i}) "
+                f"AND (`{m.col}` IS NOT NULL) THEN true END)"
+                for i in range(m.nbuckets)
             )
+            out.append(F.expr(f"array({cnts})").alias(m.name))
         else:  # approx_distinct → HLL sketch state (binary, mergeable)
             out.append(F.hll_sketch_agg(c).alias(m.name))
     return out
@@ -147,11 +166,12 @@ def _merge_aggs(measures: list[Measure]) -> list[Column]:
         elif m.kind == "hist":
             # elementwise array addition as nbuckets scalar sums — the
             # exact merge that makes cascaded quantiles ≡ direct ones
-            out.append(
-                F.array(*[
-                    F.sum(F.col(m.name)[i]) for i in range(m.nbuckets)
-                ]).alias(m.name)
+            # (one parsed SQL string, same construction-cost note as
+            # the one-hot pass above)
+            sums = ", ".join(
+                f"sum(`{m.name}`[{i}])" for i in range(m.nbuckets)
             )
+            out.append(F.expr(f"array({sums})").alias(m.name))
         else:
             out.append(F.hll_union_agg(m.name).alias(m.name))
     return out
@@ -168,7 +188,8 @@ def hypertable_rollup(
     """The finest-granularity continuous aggregate: one shuffle on
     (bucket, keys); every measure lands as mergeable state."""
     return (
-        df.withColumn(bucket_col, time_bucket(ts_col, width_seconds))
+        _with_hist_bins(df, measures)
+        .withColumn(bucket_col, time_bucket(ts_col, width_seconds))
         .groupBy(bucket_col, *keys)
         .agg(*_initial_aggs(measures))
     )

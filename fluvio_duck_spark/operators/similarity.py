@@ -396,6 +396,47 @@ def embedding_near_dup_pairs(
     )
 
 
+def _block_pair_rows(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    """Expand each row into its (bi, bj, side) block-pair memberships in
+    ONE map-only pass: a row in block b is side 0 of every pair (b, j≥b)
+    and side 1 of every pair (i<b, b).
+
+    This used to be two broadcast joins against a (bi, bj) literal table
+    plus a union — which scanned (and deserialized) the vector column
+    twice and planned two join stages.  The explode over a filtered
+    literal pair array produces the identical rows from a single scan
+    with no join at all; the only exchange left in a block-pair pipeline
+    is the groupBy(bi, bj) the GEMM stage needs anyway (guide §2.4:
+    remove shuffles outright; §2.3: project before the exchange)."""
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+    )
+    all_pairs = F.array(*[
+        F.struct(F.lit(i).alias("bi"), F.lit(j).alias("bj"))
+        for i in range(n_blocks) for j in range(i, n_blocks)
+    ])
+    blk = F.col("blk")
+    mine = F.filter(
+        all_pairs, lambda p: (p.bi == blk) | ((p.bj == blk) & (p.bi != p.bj))
+    )
+    return (
+        tagged.select("id", "v", "blk", F.explode(mine).alias("p"))
+        .select(
+            F.col("p.bi").alias("bi"),
+            F.col("p.bj").alias("bj"),
+            "id",
+            "v",
+            F.when(F.col("p.bi") == F.col("blk"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("side"),
+        )
+    )
+
+
 def blocked_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.45,
@@ -423,23 +464,7 @@ def blocked_near_dup_pairs(
     makes the result comparable across engines while the 1e-16-scale
     difference is far below any real threshold margin).
     """
-    tagged = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
-    )
-    spark = df.sparkSession
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int",
-    )
-    side_a = tagged.join(F.broadcast(pairs), tagged.blk == pairs.bi).select(
-        "bi", "bj", "id", "v", F.lit(0).alias("side")
-    )
-    side_b = tagged.join(
-        F.broadcast(pairs), (tagged.blk == pairs.bj) & (pairs.bi != pairs.bj)
-    ).select("bi", "bj", "id", "v", F.lit(1).alias("side"))
-    both = side_a.unionByName(side_b)
+    both = _block_pair_rows(df, id_col, vec_col, n_blocks)
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
@@ -504,23 +529,7 @@ def knn_graph_blocked(
     """
     from pyspark.sql import Window as W
 
-    tagged = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
-    )
-    spark = df.sparkSession
-    pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi int, bj int",
-    )
-    side_a = tagged.join(F.broadcast(pairs), tagged.blk == pairs.bi).select(
-        "bi", "bj", "id", "v", F.lit(0).alias("side")
-    )
-    side_b = tagged.join(
-        F.broadcast(pairs), (tagged.blk == pairs.bj) & (pairs.bi != pairs.bj)
-    ).select("bi", "bj", "id", "v", F.lit(1).alias("side"))
-    both = side_a.unionByName(side_b)
+    both = _block_pair_rows(df, id_col, vec_col, n_blocks)
 
     def partial_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id": pd.Series(dtype="int64"),

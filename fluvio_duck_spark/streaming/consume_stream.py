@@ -36,6 +36,24 @@ from fluvio_duck_spark.options import ConsumeOptError, ConsumeOptions, parse_con
 from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR, STANDIN_PARTITIONS
 from fluvio_duck_spark.transforms import apply_transform_chain, load_transform_chain
 
+#: (path, mtime) → parquet schema.  The file-stream source needs an
+#: explicit schema, derived from a batch footer read of the fixture;
+#: that read costs a driver-side file listing + footer parse on EVERY
+#: stream construction, and ~20 registered streaming queries each build
+#: one or more streams per invocation.  The schema is static METADATA
+#: (a real connector caches topic schemas the same way); the mtime key
+#: invalidates the entry if the fixture is rewritten.  No row data is
+#: cached.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
+def _events_schema(spark: SparkSession, path: str):
+    key = (path, os.path.getmtime(path))
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
+
 def event_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """readStream over the events fixture with its native typed schema
     (event_id, ts, user_id, event_type, value, props).
@@ -47,7 +65,7 @@ def event_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame
     we truncate ns→µs) and as plain TIMESTAMP(MICROS)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, "events.parquet")
-    schema = spark.read.parquet(path).schema
+    schema = _events_schema(spark, path)
     if os.path.isdir(path):
         # multi-file table layout (e.g. bench.py's multi-row-group cache):
         # the table IS a directory — stream it directly

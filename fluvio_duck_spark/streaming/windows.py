@@ -77,10 +77,14 @@ def stream_rollup(
     unchanged downstream.  This is how the hourly level stays fresh at
     100 TB: the stream maintains the finest rollup, the batch cascade
     derives every coarser granularity from it."""
-    from fluvio_duck_spark.operators.rollup import _initial_aggs
+    from fluvio_duck_spark.operators.rollup import (
+        _initial_aggs,
+        _with_hist_bins,
+    )
 
     out = (
-        stream.withWatermark(ts_col, watermark)
+        _with_hist_bins(stream, measures)
+        .withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), f"{width_seconds} seconds"), *keys)
         .agg(*_initial_aggs(measures))
     )
