@@ -159,9 +159,34 @@ def _dist2_to_literal(v, cent: list[float]):
     )
 
 
+def _dist2_sql(v_sql: str, cent: list[float]) -> str:
+    """The SQL spelling of :func:`_dist2_to_literal` — identical
+    expression tree (double literals round-trip through ``repr``;
+    CAST-from-string parses the shortest repr back to the same IEEE
+    double)."""
+    lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cent)
+    return (
+        f"aggregate(zip_with({v_sql}, array({lits}), "
+        f"(x, y) -> (x - y) * (x - y)), "
+        f"CAST('0.0' AS DOUBLE), (acc, t) -> acc + t)"
+    )
+
+
 def _argmin_cell(v, cents: list[list[float]]):
     """Nearest-centroid index with ties toward the lower cell: array_min
-    over (d2, cell) structs compares lexicographically."""
+    over (d2, cell) structs compares lexicographically.
+
+    ``v`` may be a SQL expression STRING (preferred — the whole k×d
+    literal distance tree parses as one expression instead of
+    k·(d + ~10) py4j round trips of Column construction per call, paid
+    once per k-means iteration) or a Column (loop fallback, same
+    tree)."""
+    if isinstance(v, str):
+        structs = ", ".join(
+            f"named_struct('d2', {_dist2_sql(v, c)}, 'cell', {i})"
+            for i, c in enumerate(cents)
+        )
+        return F.expr(f"array_min(array({structs})).cell")
     return F.array_min(
         F.array(
             *[
@@ -213,9 +238,11 @@ def kmeans_fit_portable(
     cents = [list(r.v) for r in init]
     d = len(cents[0])
     for _ in range(iters):
-        assigned = emb.select(_argmin_cell(F.col("v"), cents).alias("cell"), "v")
+        assigned = emb.select(_argmin_cell("v", cents).alias("cell"), "v")
         aggs = [
-            F.sum(F.element_at("v", i + 1).cast("decimal(38,12)")).alias(f"s{i}")
+            F.expr(
+                f"sum(CAST(element_at(v, {i + 1}) AS DECIMAL(38,12)))"
+            ).alias(f"s{i}")
             for i in range(d)
         ] + [F.count("*").alias("cnt")]
         rows = {r["cell"]: r for r in assigned.groupBy("cell").agg(*aggs).collect()}

@@ -234,7 +234,7 @@ def pq_topk_portable(
     for j in range(m):
         qsub = qv[j * sub:(j + 1) * sub]
         adc = [_py_d2(qsub, c) for c in books[j]]
-        code = _argmin_cell(F.slice(F.col("__v"), j * sub + 1, sub), books[j])
+        code = _argmin_cell(f"slice(__v, {j * sub + 1}, {sub})", books[j])
         term = F.element_at(
             F.array(*[F.lit(d) for d in adc]), code + 1
         )

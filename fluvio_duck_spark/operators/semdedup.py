@@ -158,7 +158,7 @@ def semantic_dup_pairs_portable(
         work, k=k, iters=iters, vec_col="__nv", id_col=id_col
     )
     assigned = work.withColumn(
-        "cell", _argmin_cell(F.col("__nv"), cents)
+        "cell", _argmin_cell("__nv", cents)
     ).localCheckpoint(eager=False)
     a = assigned.select(
         "cell", F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")

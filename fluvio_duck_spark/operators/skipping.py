@@ -139,11 +139,19 @@ def write_with_bloom_sidecar(
     """Write ``df`` as one physical parquet file per ``file_col`` value
     and persist a per-file bloom + min/max sidecar for ``key_col``.
 
-    The write is ``repartition(file_col)`` (each file id wholly in one
-    task) + ``partitionBy(file_col)`` — the same value-derived
-    one-file-per-leaf contract the compaction/zorder writers use.  The
-    sidecar aggregate is file-count-sized state collected to the driver
-    (catalog-sized; a million files ≈ 16 MB).
+    The write is ``repartition(N, file_col)`` (each file id wholly in
+    one task) + ``partitionBy(file_col)`` — the same value-derived
+    one-file-per-leaf contract the compaction/zorder writers use.  N is
+    pinned to the cluster's default parallelism: without an explicit
+    count AQE coalesces this byte-tiny exchange to ONE partition and a
+    single task writes every leaf file sequentially (~16 ms of writer
+    setup per file — measured 5.5 s for 313 leaves vs 1.4-2 s
+    parallel).  Partition-coalescing targets bytes; this write is
+    file-COUNT-bound, so the byte heuristic is the wrong one (guide
+    §2.2/§6: partitioning must be scale-adaptive, and defaultParallelism
+    is — it grows with the cluster).  The sidecar aggregate is
+    file-count-sized state collected to the driver (catalog-sized; a
+    million files ≈ 16 MB).
 
     The stats pass reads the FRESHLY WRITTEN files, not ``df`` — the
     ``_write_generation`` pattern (``snapshots.py``).  Re-aggregating
@@ -153,7 +161,9 @@ def write_with_bloom_sidecar(
     thing the contract forbids); reading the files back costs one
     bounded scan of exactly the bytes just written (VERDICT r12 #4)."""
     (
-        df.repartition(F.col(file_col))
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(file_col)
+        )
         .write.mode("overwrite")
         .partitionBy(file_col)
         .parquet(path)
@@ -258,7 +268,9 @@ def write_with_token_index(
     (single pipeline execution; sidecar provably consistent with the
     bytes on disk even for a nondeterministic input — VERDICT r12 #4)."""
     (
-        df.repartition(F.col(file_col))
+        df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, F.col(file_col)
+        )
         .write.mode("overwrite")
         .partitionBy(file_col)
         .parquet(path)

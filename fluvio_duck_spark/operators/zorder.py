@@ -137,7 +137,17 @@ def write_zordered_exact_partitioned(
     (
         df.withColumn("__zfile", F.shiftright(zkey, file_shift))
         .withColumn("__z", zkey)
-        .repartition(part_col, "__zfile")
+        # explicit partition count: a keyed repartition with no N lets
+        # AQE coalesce this byte-tiny exchange to one partition, and a
+        # single task then pays the per-leaf parquet writer setup for
+        # EVERY (partition, z-file) pair sequentially (guide §2.2/§6 —
+        # this write is file-count-bound, not byte-bound; see
+        # operators/skipping.py for the measured 4× effect)
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            part_col,
+            "__zfile",
+        )
         .sortWithinPartitions("__z")
         .drop("__z")
         .write.mode(mode)

@@ -4118,8 +4118,11 @@ def q_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     cents = kmeans_fit_portable(emb, k=8, iters=3)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    asg = emb.select(_argmin_cell(v, cents).alias("cell"))
+    asg = emb.select(
+        _argmin_cell(
+            "transform(embedding, x -> CAST(x AS DOUBLE))", cents
+        ).alias("cell")
+    )
     counts = asg.groupBy("cell").agg(F.count("*").alias("n_vecs"))
     tot = counts.agg(F.sum("n_vecs").alias("n"))
     return counts.crossJoin(F.broadcast(tot)).select(

@@ -220,7 +220,13 @@ def apply_compaction_plan(
     df = spark.read.parquet(src_path)
     (
         df.join(F.broadcast(mapping), key, "inner")
-        .repartition(*(list(partition_cols) + [bin_col_name]))
+        # explicit partition count — without it AQE coalesces the tiny
+        # exchange to one task that writes every bin's file sequentially
+        # (file-count-bound write; see operators/skipping.py)
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            *(list(partition_cols) + [bin_col_name]),
+        )
         .write.mode("overwrite")
         .partitionBy(*(list(partition_cols) + [bin_col_name]))
         .parquet(out_path)

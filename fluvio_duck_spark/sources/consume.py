@@ -74,7 +74,14 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     as long (legacy conf) and truncate to microseconds in the plan —
     integer ``div`` so the truncation matches DuckDB's ns→µs narrowing."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    from fluvio_duck_spark.sources.tables import table_schema
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # schema pinned from the cached footer inference (sources/tables.py)
+    # — the nanosAsLong conf above is set before the first inference, so
+    # the cached schema carries the same ts flavor inference would see
+    schema = table_schema(spark, path)
+    events = spark.read.schema(schema).parquet(path)
     if isinstance(events.schema["ts"].dataType, T.LongType):
         events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return events

@@ -36,22 +36,14 @@ from fluvio_duck_spark.options import ConsumeOptError, ConsumeOptions, parse_con
 from fluvio_duck_spark.sources.consume import DEFAULT_SF_DIR, STANDIN_PARTITIONS
 from fluvio_duck_spark.transforms import apply_transform_chain, load_transform_chain
 
-#: (path, mtime) → parquet schema.  The file-stream source needs an
-#: explicit schema, derived from a batch footer read of the fixture;
-#: that read costs a driver-side file listing + footer parse on EVERY
-#: stream construction, and ~20 registered streaming queries each build
-#: one or more streams per invocation.  The schema is static METADATA
-#: (a real connector caches topic schemas the same way); the mtime key
-#: invalidates the entry if the fixture is rewritten.  No row data is
-#: cached.
-_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
-
-
 def _events_schema(spark: SparkSession, path: str):
-    key = (path, os.path.getmtime(path))
-    if key not in _SCHEMA_CACHE:
-        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
-    return _SCHEMA_CACHE[key]
+    """The fixture's parquet schema from the shared per-(path, mtime)
+    metadata cache (sources/tables.py::table_schema) — the file-stream
+    source needs an explicit schema, and re-running footer inference on
+    every stream construction cost ~0.2 s × ~20 streaming queries."""
+    from fluvio_duck_spark.sources.tables import table_schema
+
+    return table_schema(spark, path)
 
 
 def event_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
