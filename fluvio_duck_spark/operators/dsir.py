@@ -38,9 +38,20 @@ _HASH_WEIGHTS = [(i * 2654435761) % 1000003 for i in range(1, 9)]
 N_BUCKETS = 256
 
 
-def hash_bucket(col: Column, n_buckets: int = N_BUCKETS) -> Column:
+def hash_bucket(col: Column | str, n_buckets: int = N_BUCKETS) -> Column:
     """Engine-portable string → [0, n_buckets) hash: weighted ascii fold
-    of the first 8 md5 hex chars (md5/ascii/substr exist everywhere)."""
+    of the first 8 md5 hex chars (md5/ascii/substr exist everywhere).
+
+    ``col`` may be a SQL expression STRING (preferred where the caller
+    builds many hashes — the fold parses as one expression instead of
+    ~50 py4j round trips of Column construction; see
+    operators/dedup.py::portable_text_hash) or a Column."""
+    if isinstance(col, str):
+        terms = " + ".join(
+            f"ascii(substring(md5({col}), {i}, 1)) * {w}"
+            for i, w in enumerate(_HASH_WEIGHTS, start=1)
+        )
+        return F.expr(f"pmod(CAST(({terms}) AS BIGINT), {n_buckets})")
     h = F.md5(col)
     term = None
     for i, w in enumerate(_HASH_WEIGHTS, start=1):

@@ -207,7 +207,28 @@ def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
 
 def lsh_signature(vec_col, planes: list[list[float]]):
     """Pack sign bits of plane projections into one integer signature.
-    Pure expression — evaluated JVM-side per row."""
+    Pure expression — evaluated JVM-side per row.
+
+    ``vec_col`` may be a SQL expression STRING (preferred — the
+    n_planes × dim literal projection tree parses as ONE expression
+    instead of ~600 py4j round trips of Column construction per call)
+    or a Column (loop fallback, same tree).  Double literals round-trip
+    through ``repr`` + CAST-from-string, the same exactness contract as
+    operators/kmeans.py::_dist2_sql."""
+    if isinstance(vec_col, str):
+        def proj(plane):
+            lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane)
+            return (
+                f"aggregate(zip_with({vec_col}, array({lits}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST('0.0' AS DOUBLE), (acc, v) -> acc + v)"
+            )
+
+        terms = " + ".join(
+            f"(CASE WHEN {proj(plane)} >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST({terms} AS INT)")
     bits = [
         F.when(
             dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) >= 0, F.lit(1 << i)
@@ -236,7 +257,7 @@ def ann_lsh_topk(
     precomputed and the table is partitioned/bucketed by it, turning each
     query into a partition-pruned scan."""
     planes = _planes(dim, n_planes, seed)
-    signed = df.withColumn("__sig", lsh_signature(F.col(vec_col), planes))
+    signed = df.withColumn("__sig", lsh_signature(f"`{vec_col}`", planes))
     q = (
         signed.filter(F.col(id_col) == query_id)
         .select(F.col(vec_col).alias("__qv"), F.col("__sig").alias("__qsig"))
@@ -385,8 +406,8 @@ def embedding_near_dup_pairs(
         b = F.broadcast(b.coalesce(1).limit(max_rows))
     if bucketed:
         planes = _planes(dim, n_planes, seed)
-        a = a.withColumn("__sig", lsh_signature(F.col("va"), planes))
-        b = b.withColumn("__sig", lsh_signature(F.col("vb"), planes))
+        a = a.withColumn("__sig", lsh_signature("va", planes))
+        b = b.withColumn("__sig", lsh_signature("vb", planes))
         joined = a.join(b, ["__sig"]).filter(F.col("id_a") < F.col("id_b"))
     else:
         joined = a.join(b, F.col("id_a") < F.col("id_b"))

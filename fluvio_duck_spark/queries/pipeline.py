@@ -4460,16 +4460,16 @@ def q_sketch_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("long").alias("key")
     ).distinct()
 
-    def positions(keycol):
+    def positions(key_sql):
+        # SQL-text form: 3 hashes × ~50 Column calls each per use site
+        # collapse into one parsed expression (hash_bucket str path)
         return [
-            hash_bucket(
-                F.concat(keycol.cast("string"), F.lit(f"#b{h}")), M
-            )
+            hash_bucket(f"concat(CAST({key_sql} AS STRING), '#b{h}')", M)
             for h in range(K)
         ]
 
     bloom = (
-        cust.select(F.explode(F.array(*positions(F.col("key")))).alias("pos"))
+        cust.select(F.explode(F.array(*positions("key"))).alias("pos"))
         .distinct()
     )
 
@@ -4490,7 +4490,7 @@ def q_sketch_bloom_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exploded = probes.select(
-        "key", "cls", F.explode(F.array(*positions(F.col("key")))).alias("pos")
+        "key", "cls", F.explode(F.array(*positions("key"))).alias("pos")
     )
     hits = (
         exploded.join(F.broadcast(bloom), "pos")
