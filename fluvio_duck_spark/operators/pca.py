@@ -52,6 +52,28 @@ def _fix(col):
     return F.round(col * F.lit(SCALE), 0).cast("long")
 
 
+# SQL spelling of F.lit(SCALE): repr('1000000000000.0') parses back to
+# the identical IEEE double (operators/kmeans.py::_dist2_sql contract).
+_SCALE_SQL = f"CAST('{SCALE!r}' AS DOUBLE)"
+
+
+def _fix_sql(col_sql: str) -> str:
+    """The SQL spelling of :func:`_fix` — identical expression tree."""
+    return f"CAST(round(({col_sql}) * {_SCALE_SQL}, 0) AS BIGINT)"
+
+
+def _dot_literal_sql(v_sql: str, vec: list[float]) -> str:
+    """The SQL spelling of :func:`_dot_literal`: the d-term literal dot
+    tree as ONE parseable string instead of ~4·d py4j round trips of
+    Column construction (double literals round-trip through ``repr``)."""
+    lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
+    return (
+        f"(CAST(aggregate(zip_with({v_sql}, array({lits}), "
+        f"(x, y) -> {_fix_sql('x * y')}), CAST(0 AS BIGINT), "
+        f"(acc, t) -> acc + t) AS DOUBLE) / {_SCALE_SQL})"
+    )
+
+
 def _pyfix(x: float) -> int:
     """The driver-side twin of ``_fix``/SQL ``round(x*1e12)``: half-away
     ties on the exact double value."""
@@ -88,12 +110,20 @@ def power_iteration_portable(
     v = [0.125] * DIM  # 1/sqrt(64), exactly representable
     eig = 0.0
     for _ in range(iters):
-        dot = _dot_literal(F.col("v"), v)
+        # project the per-row dot once (the oracle's d{t} CTE does the
+        # same), then 64 small fixed-point sums — identical per-row
+        # doubles, but the expression tree shrinks from 64 inlined
+        # d-term dots to one, and each piece parses as SQL text instead
+        # of ~500 py4j round trips of Column construction per iteration
+        # (see kmeans.py::_argmin_cell)
+        proj = emb.select("v", F.expr(_dot_literal_sql("v", v)).alias("d"))
         aggs = [
-            F.sum(_fix(F.element_at("v", j + 1) * dot)).alias(f"w{j}")
+            F.expr(
+                f"sum({_fix_sql(f'element_at(v, {j + 1}) * d')})"
+            ).alias(f"w{j}")
             for j in range(DIM)
         ]
-        row = emb.agg(*aggs).collect()[0]
+        row = proj.agg(*aggs).collect()[0]
         # w_j: float(int)/1e12 — both steps correctly rounded, matching
         # the engine's CAST(SUM AS DOUBLE)/1e12
         w = [float(int(row[f"w{j}"])) / SCALE for j in range(DIM)]

@@ -4188,18 +4188,21 @@ def q_whiten_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast eigenvector (in-row fixed-point dots), one label-sized
     aggregate of fixed-point fractions — cross-engine exact end to end."""
     from fluvio_duck_spark.operators.pca import (
-        _dot_literal,
+        _dot_literal_sql,
         _fix,
         power_iteration_portable,
     )
 
     emb = load(spark, sf_dir, "embeddings")
     vec, _eig = power_iteration_portable(emb, iters=3)
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # SQL-text forms: identical expression trees to the Column loops,
+    # parsed as two expressions instead of ~500 py4j round trips
+    # (operators/pca.py::_dot_literal_sql)
+    v_sql = "transform(embedding, x -> CAST(x AS DOUBLE))"
     d = emb.select(
         "label",
-        _dot_literal(v, vec).alias("p"),
-        _dot_literal_self(v).alias("n2"),
+        F.expr(_dot_literal_sql(v_sql, vec)).alias("p"),
+        F.expr(_dot_literal_self_sql(v_sql)).alias("n2"),
     )
     frac = F.col("p") * F.col("p") / F.col("n2")
     scored = d.select("label", _fix(frac).alias("f"))
@@ -4215,15 +4218,15 @@ def q_whiten_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot_literal_self(v):
-    """Fixed-point ‖x‖² (dot of the column with itself)."""
-    from fluvio_duck_spark.operators.pca import SCALE, _fix
+def _dot_literal_self_sql(v_sql: str) -> str:
+    """Fixed-point ‖x‖² (dot of the column with itself) as SQL text —
+    the same tree the Column form (transform → _fix → aggregate) built."""
+    from fluvio_duck_spark.operators.pca import _SCALE_SQL, _fix_sql
 
-    prods = F.transform(v, lambda a: _fix(a * a))
     return (
-        F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
-        .cast("double")
-        / F.lit(SCALE)
+        f"(CAST(aggregate(transform({v_sql}, x -> {_fix_sql('x * x')}), "
+        f"CAST(0 AS BIGINT), (acc, t) -> acc + t) AS DOUBLE) "
+        f"/ {_SCALE_SQL})"
     )
 
 
