@@ -73,35 +73,48 @@ def pagerank(
         # set unioned with its disjoint reverse orientation) pass
         # assume_distinct=True and skip this corpus-sized shuffle
         e = e.distinct()
+    # out-degree is static: fold it onto the edge rows ONCE so each
+    # round does a single rank⋈edges join instead of rank⋈edges⋈deg.
+    # The inner join keeps every edge row (each src has ≥1 out-edge by
+    # construction), so ONE materialization of the folded list serves
+    # nodes, the init ranks, and every round — checkpointing the bare
+    # edge list first as well was a second edge-sized RDD round trip
+    # for nothing (measured r13: two checkpoints 1.2-1.4 s of the
+    # query's 7 s at sf0.1).
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e = e.join(deg, "src")
     if checkpoint:
-        # materialize the deduped edge list FIRST: nodes, degrees, and
-        # the degree fold below all derive from it — without this each
-        # derivation re-executes the upstream scan + distinct
         e = e.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # out-degree is static: fold it onto the edge rows ONCE so each
-    # round does a single rank⋈edges join instead of rank⋈edges⋈deg
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    e = e.join(deg, "src")
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
-    n = nodes.agg(F.count("*").alias("n"))
-    if checkpoint:
-        n = n.localCheckpoint(eager=True)  # 1 row, crossJoined every round
+    # |nodes| is a model-sized scalar (the kmeans-centroid precedent):
+    # collect it once and inline it as a literal.  The previous 1-row
+    # checkpoint + crossJoin re-broadcast it every round AND made every
+    # shuffle carry the constant n column (guide §2.3 narrower rows).
+    # F.lit(n)'s division doubles are identical to the crossJoined
+    # column's — same long→double cast, same IEEE divide.
+    n = nodes.agg(F.count("*").alias("n")).collect()[0][0]
 
-    ranks = nodes.crossJoin(n).select(
-        "node", _r12(F.lit(1.0) / F.col("n")).alias("rank"), "n"
+    ranks = nodes.select(
+        "node", _r12(F.lit(1.0) / F.lit(n)).alias("rank")
     )
     if checkpoint:
         ranks = ranks.localCheckpoint(eager=True)
 
     contrib_acc = f"decimal(28,{RANK_DP})"
     for it in range(iters):
-        contribs = ranks.join(e, ranks.node == e.src).select(
+        # SHUFFLE_HASH: both sides are corpus-sized at scale (never
+        # broadcastable) and checkpoint-backed here (no stats), so the
+        # planner would default to sort-merge; the rank vector is the
+        # strictly smaller side and hashes per-partition, avoiding the
+        # per-round sort of the edge list (guide §3.1).  Measured r13:
+        # 6.5 → 5.2 s for the 3-round query at sf0.1, identical ranks.
+        contribs = ranks.hint("shuffle_hash").join(
+            e, ranks.node == e.src
+        ).select(
             F.col("dst").alias("node"),
             _r12(F.col("rank") / F.col("deg")).alias("c"),
         )
@@ -114,14 +127,12 @@ def pagerank(
             contribs.unionByName(zeros)
             .groupBy("node")
             .agg(F.sum(F.col("c").cast(contrib_acc)).cast("double").alias("s"))
-            .crossJoin(n)
             .select(
                 "node",
                 _r12(
-                    (1 - damping) / F.col("n")
+                    F.lit(1 - damping) / F.lit(n)
                     + F.lit(damping) * F.col("s")
                 ).alias("rank"),
-                "n",
             )
         )
         # checkpoint every SECOND round: a two-round-deep plan is still
@@ -204,8 +215,15 @@ def triangle_counts(
         F.col("o2.v").alias("v2"),
     )
     # wedge (v1, v2) is rank-ordered, and so is every oriented edge —
-    # one equi-join closes the triangle
-    closing = oriented.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    # one equi-join closes the triangle.  SHUFFLE_HASH on the edge side:
+    # the wedge stream is the O(m^1.5) side and the planner (stats-blind
+    # behind the checkpoint) would sort-merge, paying a full sort of the
+    # wedges; hashing the O(m) edge set per partition instead leaves the
+    # wedge stream sort-free (guide §3.1).  Measured r13: 3.11 → 2.54 s
+    # at sf0.1, identical counts.
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    ).hint("shuffle_hash")
     tri = wedges.join(closing, ["v1", "v2"])
     return (
         tri.select(F.explode(F.array("u", "v1", "v2")).alias("node"))
