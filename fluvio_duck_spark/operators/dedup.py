@@ -567,7 +567,14 @@ def connected_components(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    )
+    ).localCheckpoint()
+    # ^ materialize the symmetric edge list ONCE (edge-sized — the same
+    # bound as the per-round shuffles below): without this, every
+    # propagation round's join re-executes the caller's pair-generation
+    # pipeline (LSH banding / blocked GEMM — usually the most expensive
+    # subtree in the query) from scratch, max_iter times.  Measured r13
+    # (same-session A/B, warm best-of-3): dedup_survivorship
+    # 3.99 → 2.83 s, dedup_components 3.18 → 2.29 s at sf0.1.
     labels = (
         sym.select(F.col("src").alias("id")).distinct()
         .withColumn("component", F.col("id"))
