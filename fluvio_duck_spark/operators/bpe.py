@@ -71,7 +71,12 @@ def bpe_fit(
     vocab = word_vocab(docs, text_col).select(
         "cnt",
         F.split(F.col("word"), "").alias("syms"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ lazy checkpoint of the |vocab|-sized word table: it materializes
+    # inside round 1's argmax job and every later round reads it back —
+    # without it rounds 1-3 each re-ran the corpus scan + word groupBy
+    # (the "scanned ONCE" contract this module's header promises; the
+    # mid-loop cadence below only starts paying off at round 3)
     merges = []
     for r in range(1, n_merges + 1):
         pairs = vocab.select(

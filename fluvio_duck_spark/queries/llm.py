@@ -3068,7 +3068,11 @@ def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fluvio_duck_spark.operators.similarity import knn_graph_blocked
 
     emb = load(spark, sf_dir, "embeddings")
-    edges = knn_graph_blocked(emb, k=5).select("id", "nbr")
+    # materialize the k-NN edge list ONCE (n·k-sized — the same bound as
+    # every per-round shuffle): both rounds join it, and without the
+    # checkpoint each round re-executes the blocked-GEMM graph build
+    # (the operators/dedup.py::connected_components lesson)
+    edges = knn_graph_blocked(emb, k=5).select("id", "nbr").localCheckpoint()
     is_seed = F.col("id") % 4 == 0
     cur = emb.select(
         F.col("vec_id").alias("id"),
