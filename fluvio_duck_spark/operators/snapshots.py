@@ -210,7 +210,14 @@ def _write_generation(
     exchange the write already pays."""
     gen_dir = os.path.join(root, "data", f"gen{version}")
     staged = df.withColumn(_PT, F.col(partition_col).cast("string"))
-    staged = staged.repartition(F.col(_PT))
+    # explicit partition count: a keyed repartition with no N lets AQE
+    # coalesce the byte-tiny exchange to ONE task, serializing the
+    # per-leaf file writes (same fix as zorder.py/skipping.py); hash
+    # partitioning by _PT still puts every row of a partition value in
+    # exactly one task, so the one-file-per-partition contract holds
+    staged = staged.repartition(
+        spark.sparkContext.defaultParallelism, F.col(_PT)
+    )
     if order_by is not None:
         staged = staged.sortWithinPartitions(F.col(_PT), order_by)
     (
@@ -243,7 +250,14 @@ def _write_generation(
         # feed deletes every row of its touched partitions): no leaves,
         # no stats job, an empty manifest entry list (ADVICE r12)
         return []
-    sdf = spark.read.parquet(*paths).withColumn("__f", F.input_file_name())
+    # the written files' schema is exactly the staged frame's minus the
+    # partition copy — passing it skips the footer-inference job the
+    # bare reader pays per commit (~0.14 s of driver-side listing+read)
+    sdf = (
+        spark.read.schema(staged.drop(_PT).schema)
+        .parquet(*paths)
+        .withColumn("__f", F.input_file_name())
+    )
     aggs = [
         F.count("*").cast("long").alias("rows"),
         fold_sum(row_checksum(audit_cols)).alias("fold"),

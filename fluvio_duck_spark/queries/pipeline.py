@@ -4959,9 +4959,16 @@ def q_layout_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(work, ignore_errors=True)
     # fragmented lake: one physical file per (event_type, file_date) —
     # repartition puts each leaf wholly in one task, partitionBy writes
-    # one file per leaf directory per task
+    # one file per leaf directory per task.  Explicit N: a keyed
+    # repartition with no count lets AQE coalesce the byte-tiny
+    # exchange to ONE task and the 150 leaf writes serialize
+    # (~16 ms/leaf); hashing over defaultParallelism tasks keeps each
+    # leaf wholly in one task while the writes run in parallel
     (
-        ev.repartition("event_type", "file_date")
+        ev.repartition(
+            spark.sparkContext.defaultParallelism,
+            "event_type", "file_date",
+        )
         .write.partitionBy("event_type", "file_date")
         .parquet(src)
     )
