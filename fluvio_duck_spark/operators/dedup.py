@@ -580,6 +580,14 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence probe: labels are monotonically non-increasing under
+    # min-propagation, so the label SUM strictly decreases on any change
+    # and is stationary exactly at the fixed point — one narrow
+    # aggregation over the freshly checkpointed labels replaces the
+    # old per-round join(new, old) + filter + count probe (two
+    # node-sized shuffles per round).  DECIMAL(38,0) keeps the sum
+    # exact at any node-id magnitude/count.
+    prev_sum = None
     for _ in range(max_iter):
         nbr = (
             sym.join(labels, sym.dst == labels.id)
@@ -596,16 +604,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
