@@ -239,15 +239,14 @@ class FluvioConsumeUDTF:
 
         epoch = dt.datetime(1970, 1, 1)
 
-        def leaf(value: str, path: str):
-            """get_json_object twin: dot-path walk, leaf as token text,
-            non-leaf re-serialized compact, JSON null/missing → None."""
-            try:
-                cur = json.loads(value)
-            except (TypeError, ValueError):
-                return None
-            jp = json_path_expr(path)
-            for part in jp[2:].split("."):
+        def leaf(doc, parts: list[str]):
+            """get_json_object twin: dot-path walk over the already-parsed
+            document, leaf as token text, non-leaf re-serialized compact,
+            JSON null/missing → None.  The document is parsed ONCE per row
+            (guide §4.2 per-row work: n mapped columns share one parse)
+            and the dot-path split once per bind."""
+            cur = doc
+            for part in parts:
                 if isinstance(cur, dict) and part in cur:
                     cur = cur[part]
                 else:
@@ -260,20 +259,33 @@ class FluvioConsumeUDTF:
                 return json.dumps(cur, separators=(",", ":"))
             return str(cur)
 
+        import re as _re
+
+        _INT_RE = _re.compile(r"[+-]?\d+\Z")
+
         def cast(tok, code: str):
-            """try_cast twin: malformed → None, never an error."""
+            """try_cast twin: malformed → None, never an error.  Integral
+            codes mirror Spark's string→int try_cast exactly: optional
+            sign + digits only after whitespace trim — a decimal string
+            like '12.7' is NULL (r13: the twin previously truncated it,
+            matching neither Spark nor DuckDB; fixtures never hit it,
+            test_consume_udtf_quirk_values_parity pins it now)."""
             if tok is None:
                 return None
             try:
                 if code in ("i", "l"):
-                    from decimal import Decimal
-
-                    v = int(Decimal(tok))  # '12.7' truncates like CAST
+                    t = tok.strip()
+                    # int() alone would accept '1_0' etc. — Spark doesn't
+                    if not _INT_RE.match(t):
+                        return None
+                    v = int(t)
                     bound = 2**31 if code == "i" else 2**63
                     return v if -bound <= v < bound else None
                 if code in ("f", "d"):
                     import struct
 
+                    if "_" in tok:  # float('1_0') parses, try_cast NULLs
+                        return None
                     v = float(tok)
                     if code == "f":
                         v = struct.unpack("f", struct.pack("f", v))[0]
@@ -288,12 +300,21 @@ class FluvioConsumeUDTF:
 
         if o.columns:
             specs = [
-                (parse_column_spec(ns_)[0], ns_.partition(":")[2] or "s", p)
+                (
+                    parse_column_spec(ns_)[0],
+                    ns_.partition(":")[2] or "s",
+                    json_path_expr(p)[2:].split("."),
+                )
                 for ns_, p in o.columns
             ]
             for r in rows:
+                try:
+                    doc = json.loads(r[3])
+                except (TypeError, ValueError):
+                    doc = None
                 yield tuple(
-                    cast(leaf(r[3], path), code) for _n, code, path in specs
+                    cast(leaf(doc, parts) if doc is not None else None, code)
+                    for _n, code, parts in specs
                 )
         else:
             for r in rows:
@@ -305,4 +326,9 @@ def register_sql_table_functions(spark) -> None:
     function as SQL table functions on ``spark``."""
     spark.udtf.register("fluvio_topics", FluvioTopicsUDTF)
     spark.udtf.register("fluvio_partitions", FluvioPartitionsUDTF)
+    # NOT Arrow-optimized (measured r13): udtf(..., useArrow=True) read
+    # 3.27 s vs 2.58 s pickled on consume_udtf_mapped at sf0.1 — the
+    # Arrow path re-assembles per-row Python yields into batches with
+    # per-value coercion, costing more than batched-pickle transfer at
+    # this row shape.  Identical rows/hash either way.
     spark.udtf.register("fluvio_consume", udtf(FluvioConsumeUDTF))

@@ -610,3 +610,58 @@ def test_consume_udtf_bind_time_errors(spark):
     ):
         with pytest.raises(AnalysisException):
             spark.sql(bad).collect()
+
+
+def test_consume_udtf_quirk_values_parity(spark, tmp_path):
+    """The UDTF's mapped-column path parses each props document ONCE and
+    walks every -c path over the shared parse (r13 optimization) — this
+    pins the quirk semantics the shared-parse rewrite must preserve, on
+    shapes the sf fixtures never contain: JSON null leaf/doc, bool and
+    object/array leaves (re-serialized compact), nested paths, malformed
+    documents, and numeric-narrowing casts.  Parity target is the builder
+    (JVM get_json_object + try_cast), the oracle-checked semantics."""
+    import datetime as dt
+    import os
+
+    from fluvio_duck_spark.sources.udtf import register_sql_table_functions
+
+    props = [
+        '{"k": 7, "a": {"b": "12.7"}}',      # nested path, truncating cast
+        '{"k": null}',                        # JSON null leaf
+        'null',                               # whole doc is JSON null
+        '{"k": true}',                        # bool leaf -> "true"
+        '{"k": {"n": 1}}',                    # object leaf -> compact JSON
+        '{"k": [1, 2]}',                      # array leaf -> compact JSON
+        'not json at all',                    # malformed -> NULL column
+        '{"k": "3.5e300"}',                   # float overflow -> f NULL
+        '{"other": 1}',                       # missing key
+        '{"k": "-12"}',                       # negative in-range int
+    ]
+    ts0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, ts0 + dt.timedelta(seconds=i), i, "events", p)
+        for i, p in enumerate(props)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "props string",
+    )
+    sd = str(tmp_path / "quirks")
+    df.coalesce(1).write.parquet(os.path.join(sd, "events.parquet"))
+    register_sql_table_functions(spark)
+
+    opts = (
+        "events -A -B --rows 1000 -c ki:i=k -c ks=k -c kf:f=k -c kd:d=k "
+        "-c kl:l=k -c nested:i=a.b"
+    )
+    want_df = fluvio_consume(spark, opts, sd)
+    got_df = spark.sql(f"SELECT * FROM fluvio_consume('{opts}', '{sd}')")
+    assert got_df.schema == want_df.schema
+    want = sorted(map(tuple, want_df.collect()), key=repr)
+    got = sorted(map(tuple, got_df.collect()), key=repr)
+    assert got == want, f"{got} vs {want}"
+    # the quirk shapes actually exercise the branches: at least one
+    # non-NULL bool/object serialization and one all-NULL malformed row
+    ks_vals = {r[1] for r in got}
+    assert "true" in ks_vals and '{"n":1}' in ks_vals and "[1,2]" in ks_vals
