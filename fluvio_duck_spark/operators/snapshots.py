@@ -185,7 +185,13 @@ def read_as_of_pruned(
             planned,
             total,
         )
-    return spark.read.parquet(*paths), planned, total
+    # pin the version's declared schema like every other read path: the
+    # files ARE that schema, and the pin skips the per-call footer
+    # inference job (driver-side listing + footer read)
+    schema = manifest_schema(root, version)
+    if schema is None:
+        return spark.read.parquet(*paths), planned, total
+    return spark.read.schema(schema).parquet(*paths), planned, total
 
 
 def _write_generation(
@@ -522,6 +528,14 @@ def merge_into(
     head = current_version(root)
     m = load_manifest(root, head)
     pt = m["partition_col"]
+    # materialize the change feed ONCE (lazy: the touched-partition
+    # collect below is the action that runs it): the feed pipeline was
+    # previously executed twice — once for this collect, once inside the
+    # rewrite's write job — and a NONDETERMINISTIC feed could name
+    # partitions the second execution doesn't touch, silently breaking
+    # the carried/rewritten split.  Checkpoint size is change-feed-sized,
+    # bounded by the mutation (the sidecar single-pass precedent).
+    changes = changes.localCheckpoint(eager=False)
     touched = {
         str(r[0]) for r in changes.select(F.col(pt).cast("string"))
         .distinct().collect()

@@ -5454,27 +5454,83 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ops = {1: "create", 2: "append", 3: "merge", 4: "compact",
            5: "rollback"}
-    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+    from fluvio_duck_spark.functions.checksum import (
+        CHECKSUM_MODULUS,
+        fold_sum,
+        row_checksum,
+    )
 
-    audits = []
-    for v, op in ops.items():
-        m_rows, m_fold = snap.manifest_audit(root, v)
-        audits.append(
-            snap.read_version_as_of(spark, root, v).agg(
-                F.count("*").cast("long").alias("n_rows"),
-                fold_sum(row_checksum(_STT_COLS)).alias("checksum"),
-            ).select(
-                F.lit(v).cast("long").alias("version"),
-                F.lit(op).alias("op"),
-                "n_rows", "checksum",
-                F.lit(m_rows).cast("long").alias("manifest_rows"),
-                F.lit(m_fold).cast("long").alias("manifest_checksum"),
-            )
+    # Five separate read_version_as_of aggregates would scan every
+    # carried-over file once PER REFERENCING VERSION (v1's generation is
+    # live in v1, v2 and v5 → 29 file-scans for 13 distinct files).
+    # Data files are immutable, and the checksum fold is a sum mod P, so
+    # per-FILE audit pairs combine exactly into any version's pair: scan
+    # each distinct file ONCE, fold per file, then fan the 13 per-file
+    # rows out through a literal file→versions map (catalog-sized, from
+    # the manifests) and re-aggregate per version.  At 100 TB this is
+    # the difference between "read every version's snapshot" and "read
+    # each live generation once" — same audit, ~len(versions)× less I/O.
+    membership: dict[str, tuple[str, list[int]]] = {}
+    for v in ops:
+        for e in snap.load_manifest(root, v)["files"]:
+            bn = os.path.basename(e["path"])
+            membership.setdefault(bn, (e["path"], []))[1].append(v)
+    paths = sorted({p for p, _ in membership.values()})
+    vmap_sql = "map(" + ", ".join(
+        f"'{bn}', array({', '.join(str(v) for v in vs)})"
+        for bn, (_, vs) in sorted(membership.items())
+    ) + ")"
+    # file names are uuid-unique and %-escape-free, so basename equality
+    # is the safe join key (partition VALUES may URI-encode; the file
+    # name itself never does)
+    bn_col = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    schema = snap.manifest_schema(root, len(ops))
+    per_file = (
+        spark.read.schema(schema).parquet(*paths)
+        .select(
+            bn_col.alias("__bn"),
+            row_checksum(_STT_COLS).alias("__rc"),
         )
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionAll(a)
-    return out
+        .groupBy("__bn")
+        .agg(
+            F.count("*").cast("long").alias("fr"),
+            fold_sum(F.col("__rc")).alias("ff"),
+        )
+    )
+    op_case = "CASE version " + " ".join(
+        f"WHEN {v} THEN '{op}'" for v, op in ops.items()
+    ) + " END"
+    audits = {v: snap.manifest_audit(root, v) for v in ops}
+    mrows_case = "CASE version " + " ".join(
+        f"WHEN {v} THEN CAST({audits[v][0]} AS BIGINT)" for v in ops
+    ) + " END"
+    mfold_case = "CASE version " + " ".join(
+        f"WHEN {v} THEN CAST({audits[v][1]} AS BIGINT)" for v in ops
+    ) + " END"
+    return (
+        per_file.select(
+            F.explode(F.expr(vmap_sql)[F.col("__bn")]).alias("version"),
+            "fr", "ff",
+        )
+        .groupBy("version")
+        .agg(
+            F.sum("fr").cast("long").alias("n_rows"),
+            # per-file folds are each < P; their DECIMAL-exact sum mod P
+            # equals the whole version's fold (mod distributes over +)
+            F.pmod(
+                F.sum(F.col("ff").cast("decimal(38,0)")),
+                F.lit(CHECKSUM_MODULUS).cast("decimal(38,0)"),
+            ).cast("long").alias("checksum"),
+        )
+        .select(
+            F.col("version").cast("long").alias("version"),
+            F.expr(op_case).alias("op"),
+            "n_rows", "checksum",
+            F.expr(mrows_case).alias("manifest_rows"),
+            F.expr(mfold_case).alias("manifest_checksum"),
+        )
+        .orderBy("version")
+    )
 
 
 def _snapshot_time_travel_oracle() -> str:
