@@ -11,6 +11,8 @@ actions — and every entry is oracle-paired.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -5389,6 +5391,90 @@ _STT_APPEND_SHIFT = 1000000000
 _STT_COLS = ["event_id", "event_type", "user_id", "pt"]
 
 
+def _per_file_version_audits(
+    spark: SparkSession,
+    root: str,
+    versions: list[int],
+    cols: list[str],
+    file_aggs: dict | None = None,
+) -> DataFrame:
+    """Physical audit pairs for MANY snapshot versions from ONE scan of
+    the distinct live files.
+
+    Reading each version separately scans every carried-over file once
+    per referencing version; data files are immutable and the checksum
+    fold is a sum mod P, so per-FILE audit pairs combine exactly into
+    any version's pair: scan each distinct file once, fold per file,
+    fan the per-file rows out through a literal file→versions map
+    (catalog-sized, from the manifests), and re-aggregate per version.
+    At 100 TB this is "read each live generation once", not "read every
+    version's snapshot".  ``file_aggs`` adds per-file aggregate Columns
+    whose per-version combination is SUM (e.g. a column's non-NULL
+    count).  Files are keyed by basename: part-file names are
+    uuid-unique and %-escape-free (partition VALUES may URI-encode in
+    ``input_file_name``; the file name itself never does).  All files
+    read with the NEWEST requested version's declared schema — columns
+    a younger schema added NULL-backfill for older generations, exactly
+    as ``read_version_as_of`` resolves them.
+
+    Returns one row per version: (version int, n_rows, checksum,
+    <file_aggs sums>)."""
+    from fluvio_duck_spark.functions.checksum import (
+        CHECKSUM_MODULUS,
+        fold_sum,
+        row_checksum,
+    )
+    from fluvio_duck_spark.operators import snapshots as snap
+
+    membership: dict[str, tuple[str, list[int]]] = {}
+    for v in versions:
+        for e in snap.load_manifest(root, v)["files"]:
+            bn = os.path.basename(e["path"])
+            membership.setdefault(bn, (e["path"], []))[1].append(v)
+    paths = sorted({p for p, _ in membership.values()})
+    vmap_sql = "map(" + ", ".join(
+        f"'{bn}', array({', '.join(str(v) for v in vs)})"
+        for bn, (_, vs) in sorted(membership.items())
+    ) + ")"
+    schema = snap.manifest_schema(root, max(versions))
+    file_aggs = file_aggs or {}
+    reader = spark.read if schema is None else spark.read.schema(schema)
+    per_file = (
+        reader.parquet(*paths)
+        .withColumn(
+            "__bn", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        .withColumn("__rc", row_checksum(cols))
+        .groupBy("__bn")
+        .agg(
+            F.count("*").cast("long").alias("__fr"),
+            fold_sum(F.col("__rc")).alias("__ff"),
+            *[a.alias(f"__x_{n}") for n, a in file_aggs.items()],
+        )
+    )
+    return (
+        per_file.select(
+            F.explode(F.expr(vmap_sql)[F.col("__bn")]).alias("version"),
+            "__fr", "__ff",
+            *[f"__x_{n}" for n in file_aggs],
+        )
+        .groupBy("version")
+        .agg(
+            F.sum("__fr").cast("long").alias("n_rows"),
+            # per-file folds are each < P; their DECIMAL-exact sum mod P
+            # equals the whole version's fold (mod distributes over +)
+            F.pmod(
+                F.sum(F.col("__ff").cast("decimal(38,0)")),
+                F.lit(CHECKSUM_MODULUS).cast("decimal(38,0)"),
+            ).cast("long").alias("checksum"),
+            *[
+                F.sum(f"__x_{n}").cast("long").alias(n)
+                for n in file_aggs
+            ],
+        )
+    )
+
+
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot versioning / time travel over the maintenance surface
     (VERDICT r11 #4, operators/snapshots.py): a manifest-versioned
@@ -5454,49 +5540,11 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ops = {1: "create", 2: "append", 3: "merge", 4: "compact",
            5: "rollback"}
-    from fluvio_duck_spark.functions.checksum import (
-        CHECKSUM_MODULUS,
-        fold_sum,
-        row_checksum,
-    )
-
     # Five separate read_version_as_of aggregates would scan every
     # carried-over file once PER REFERENCING VERSION (v1's generation is
-    # live in v1, v2 and v5 → 29 file-scans for 13 distinct files).
-    # Data files are immutable, and the checksum fold is a sum mod P, so
-    # per-FILE audit pairs combine exactly into any version's pair: scan
-    # each distinct file ONCE, fold per file, then fan the 13 per-file
-    # rows out through a literal file→versions map (catalog-sized, from
-    # the manifests) and re-aggregate per version.  At 100 TB this is
-    # the difference between "read every version's snapshot" and "read
-    # each live generation once" — same audit, ~len(versions)× less I/O.
-    membership: dict[str, tuple[str, list[int]]] = {}
-    for v in ops:
-        for e in snap.load_manifest(root, v)["files"]:
-            bn = os.path.basename(e["path"])
-            membership.setdefault(bn, (e["path"], []))[1].append(v)
-    paths = sorted({p for p, _ in membership.values()})
-    vmap_sql = "map(" + ", ".join(
-        f"'{bn}', array({', '.join(str(v) for v in vs)})"
-        for bn, (_, vs) in sorted(membership.items())
-    ) + ")"
-    # file names are uuid-unique and %-escape-free, so basename equality
-    # is the safe join key (partition VALUES may URI-encode; the file
-    # name itself never does)
-    bn_col = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    schema = snap.manifest_schema(root, len(ops))
-    per_file = (
-        spark.read.schema(schema).parquet(*paths)
-        .select(
-            bn_col.alias("__bn"),
-            row_checksum(_STT_COLS).alias("__rc"),
-        )
-        .groupBy("__bn")
-        .agg(
-            F.count("*").cast("long").alias("fr"),
-            fold_sum(F.col("__rc")).alias("ff"),
-        )
-    )
+    # live in v1, v2 and v5 → 29 file-scans for 13 distinct files); the
+    # per-file audit combines them from ONE scan of the distinct files
+    # (see _per_file_version_audits).
     op_case = "CASE version " + " ".join(
         f"WHEN {v} THEN '{op}'" for v, op in ops.items()
     ) + " END"
@@ -5508,20 +5556,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHEN {v} THEN CAST({audits[v][1]} AS BIGINT)" for v in ops
     ) + " END"
     return (
-        per_file.select(
-            F.explode(F.expr(vmap_sql)[F.col("__bn")]).alias("version"),
-            "fr", "ff",
-        )
-        .groupBy("version")
-        .agg(
-            F.sum("fr").cast("long").alias("n_rows"),
-            # per-file folds are each < P; their DECIMAL-exact sum mod P
-            # equals the whole version's fold (mod distributes over +)
-            F.pmod(
-                F.sum(F.col("ff").cast("decimal(38,0)")),
-                F.lit(CHECKSUM_MODULUS).cast("decimal(38,0)"),
-            ).cast("long").alias("checksum"),
-        )
+        _per_file_version_audits(spark, root, list(ops), _STT_COLS)
         .select(
             F.col("version").cast("long").alias("version"),
             F.expr(op_case).alias("op"),
@@ -5887,20 +5922,24 @@ def q_snapshot_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     zk = exact_key(*dims)
     wf = W.partitionBy("__file").orderBy(F.monotonically_increasing_id())
-    viol = (
+    # head audit + sort-violation scan both read v3: one physical scan
+    # serves both (count/fold are row-order-insensitive, so they ride
+    # the violation window's per-file exchange unchanged)
+    head_and_viol = (
         snap.read_version_as_of(spark, root, 3)
         .withColumn("__file", F.input_file_name())
         .withColumn("__zk", zk)
         .withColumn("__prev", F.lag("__zk").over(wf))
         .agg(
+            F.count("*").cast("long").alias("head_rows"),
+            fold_sum(row_checksum(_STT_COLS)).alias("head_checksum"),
             F.count(F.when(F.col("__zk") < F.col("__prev"), 1))
-            .cast("long").alias("sort_violations")
+            .cast("long").alias("sort_violations"),
         )
     )
     return (
-        read_audit(3, "head")
+        head_and_viol
         .crossJoin(F.broadcast(read_audit(1, "v1")))
-        .crossJoin(F.broadcast(viol))
         .select(
             F.lit(files_before).cast("long").alias("files_before"),
             F.lit(files_after).cast("long").alias("files_after"),
@@ -5995,7 +6034,6 @@ def q_snapshot_schema_evolution(
     import shutil
     import tempfile
 
-    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
     from fluvio_duck_spark.operators import snapshots as snap
 
     ev = load(spark, sf_dir, "events").select(
@@ -6030,30 +6068,43 @@ def q_snapshot_schema_evolution(
                     set_cols={"score": "ns"})
 
     ops = {1: "create", 2: "alter", 3: "append", 4: "merge"}
-    audits = []
-    for v, op in ops.items():
-        df = snap.read_version_as_of(spark, root, v)
-        has_score = "score" in df.columns
-        aggs = [
-            F.count("*").cast("long").alias("n_rows"),
-            (F.count("score") if has_score else F.lit(0))
-            .cast("long").alias("score_rows"),
-            (F.coalesce(F.sum("score"), F.lit(0)) if has_score
-             else F.lit(0)).cast("long").alias("score_sum"),
-            fold_sum(row_checksum(_STT_COLS)).alias("checksum"),
-        ]
-        audits.append(
-            df.agg(*aggs).select(
-                F.lit(v).cast("long").alias("version"),
-                F.lit(op).alias("op"),
-                F.lit(len(df.columns)).cast("long").alias("n_cols"),
-                "n_rows", "score_rows", "score_sum", "checksum",
-            )
+    # One scan of the distinct live files serves all four version
+    # audits (see _per_file_version_audits); score_rows/score_sum
+    # combine per version as sums of per-file sums — pre-score
+    # generations read score as NULL under the widened schema, so their
+    # per-file contributions are exactly the 0 the narrow-schema read
+    # reported.  n_cols is each version's DECLARED schema width — the
+    # metadata statement "pre-alter time travel keeps the narrow
+    # schema" — read from the manifest as before, just as a literal.
+    n_cols = {
+        v: len(snap.manifest_schema(root, v).fields
+               if snap.manifest_schema(root, v) is not None
+               else snap.read_version_as_of(spark, root, v).columns)
+        for v in ops
+    }
+    op_case = "CASE version " + " ".join(
+        f"WHEN {v} THEN '{op}'" for v, op in ops.items()
+    ) + " END"
+    ncols_case = "CASE version " + " ".join(
+        f"WHEN {v} THEN CAST({n_cols[v]} AS BIGINT)" for v in ops
+    ) + " END"
+    return (
+        _per_file_version_audits(
+            spark, root, list(ops), _STT_COLS,
+            file_aggs={
+                "score_rows": F.count("score").cast("long"),
+                "score_sum": F.coalesce(F.sum("score"), F.lit(0))
+                .cast("long"),
+            },
         )
-    out = audits[0]
-    for a in audits[1:]:
-        out = out.unionAll(a)
-    return out
+        .select(
+            F.col("version").cast("long").alias("version"),
+            F.expr(op_case).alias("op"),
+            F.expr(ncols_case).alias("n_cols"),
+            "n_rows", "score_rows", "score_sum", "checksum",
+        )
+        .orderBy("version")
+    )
 
 
 def _snapshot_schema_evolution_oracle() -> str:
