@@ -5413,9 +5413,12 @@ def _per_file_version_audits(
     count).  Files are keyed by basename: part-file names are
     uuid-unique and %-escape-free (partition VALUES may URI-encode in
     ``input_file_name``; the file name itself never does).  All files
-    read with the NEWEST requested version's declared schema — columns
-    a younger schema added NULL-backfill for older generations, exactly
-    as ``read_version_as_of`` resolves them.
+    read with the WIDEST declared schema among the requested versions
+    (a rollback past an alter can make the newest schema the narrow
+    one) — columns a wider schema added NULL-backfill for generations
+    whose files lack them, exactly as ``read_version_as_of`` resolves
+    them, so per-file sums over such columns contribute the 0 a
+    narrow-schema read reports.
 
     Returns one row per version: (version int, n_rows, checksum,
     <file_aggs sums>)."""
@@ -5436,7 +5439,13 @@ def _per_file_version_audits(
         f"'{bn}', array({', '.join(str(v) for v in vs)})"
         for bn, (_, vs) in sorted(membership.items())
     ) + ")"
-    schema = snap.manifest_schema(root, max(versions))
+    schema = None
+    for v in sorted(versions):
+        s = snap.manifest_schema(root, v)
+        if s is not None and (
+            schema is None or len(s.fields) >= len(schema.fields)
+        ):
+            schema = s
     file_aggs = file_aggs or {}
     reader = spark.read if schema is None else spark.read.schema(schema)
     per_file = (

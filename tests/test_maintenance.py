@@ -1180,3 +1180,59 @@ def test_snapshot_alter_drop_column(spark, tmp_path):
             snap.alter_drop_column(root, col)
     with pytest.raises(ValueError, match="not declared"):
         snap.alter_drop_column(root, "ghost")
+
+
+def test_per_file_version_audits_match_per_version_reads(spark, tmp_path):
+    """The single-scan audit (queries/pipeline.py::
+    _per_file_version_audits) must equal the audit computed by reading
+    every version separately — across carried-over files, a COW merge,
+    an alter-added column (NULL-backfilled for old generations), and a
+    rollback that re-references v1's generation."""
+    from fluvio_duck_spark.functions.checksum import fold_sum, row_checksum
+    from fluvio_duck_spark.operators import snapshots as snap
+    from fluvio_duck_spark.queries.pipeline import _per_file_version_audits
+
+    root = str(tmp_path / "tbl")
+    _mk_table(spark, root, n=30, parts=3)                        # v1
+    snap.alter_add_column(root, "score", "bigint")               # v2
+    appended = spark.range(30, 40).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.pmod(F.col("id"), F.lit(3)).alias("pt"),
+        (F.col("id") * 10).alias("score"),
+    )
+    snap.append(spark, root, appended)                           # v3
+    feed = spark.range(0, 30, 3).select(
+        F.col("id").alias("k"), F.lit("U").alias("_op"),
+        (F.col("id") + 500).alias("ns"),
+        F.pmod(F.col("id"), F.lit(3)).alias("pt"),
+    ).where(F.col("pt") == 1)
+    snap.merge_into(spark, root, feed, key="k",                  # v4
+                    set_cols={"score": "ns"})
+    snap.rollback(root, 1)                                       # v5
+
+    versions = [1, 2, 3, 4, 5]
+    cols = ["k", "val", "pt"]
+    got = {
+        r["version"]: (r["n_rows"], r["checksum"],
+                       r["score_rows"], r["score_sum"])
+        for r in _per_file_version_audits(
+            spark, root, versions, cols,
+            file_aggs={
+                "score_rows": F.count("score").cast("long"),
+                "score_sum": F.coalesce(F.sum("score"), F.lit(0))
+                .cast("long"),
+            },
+        ).collect()
+    }
+    for v in versions:
+        df = snap.read_version_as_of(spark, root, v)
+        has_score = "score" in df.columns
+        exp = df.agg(
+            F.count("*").cast("long"),
+            fold_sum(row_checksum(cols)),
+            (F.count("score") if has_score else F.lit(0)).cast("long"),
+            (F.coalesce(F.sum("score"), F.lit(0)) if has_score
+             else F.lit(0)).cast("long"),
+        ).collect()[0]
+        assert got[v] == tuple(exp), f"version {v}: {got[v]} != {tuple(exp)}"
