@@ -204,6 +204,13 @@ def triangle_counts(
         # re-runs the distinct + degree-join lineage — measured 32
         # shuffles vs ~8 here), so materialize it once, edge-sized
         oriented = oriented.localCheckpoint(eager=True)
+    # The wedge self-join stays SORT-MERGE deliberately (r13 session 5
+    # measured the SHUFFLE_HASH form: warm best-of-8 2.418 vs 2.401 s —
+    # no win).  The two per-consumer sorts it pays are O(m log m) under
+    # an O(m^1.5) wedge output, a second-order term at every scale, and
+    # sort-merge spills gracefully where a forced hash build of a
+    # hot-degree u's edge group would not (guide §3.1) — unlike the
+    # closing join below, whose probe stream IS the dominant term.
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

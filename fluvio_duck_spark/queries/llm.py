@@ -3079,6 +3079,14 @@ def q_sim_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") % 4 == 0, F.col("label")).alias("lbl"),
     )
     for _ in range(2):
+        # NOT hinted (r13 session 5): the vote join's label side is n
+        # rows with live size estimates (its lineage is not behind the
+        # checkpoint), so the planner broadcasts it locally — zero
+        # shuffle of the n·k edges — and falls back to a shuffle join
+        # size-adaptively once labels outgrow the threshold.  Forcing
+        # SHUFFLE_HASH was measured to ADD the edge exchange the
+        # broadcast avoids; the pagerank-round argument does not apply
+        # because nothing blinds the planner here.
         votes = (
             edges.join(
                 cur.select(
