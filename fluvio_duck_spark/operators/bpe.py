@@ -18,10 +18,13 @@ Per round r:
      [aa, aa], not [aa, a, a]).
 
 Scale: corpus → vocab is the only corpus-sized shuffle; each of the K
-rounds then costs one pair-count aggregation plus a broadcast of the
-1-row argmax.  The 1-row winners are eagerly localCheckpointed (they're
-consumed twice — by the next round and by the output union — and the
-checkpoint caps the K-round lineage the way operators/graph.py does).
+rounds then costs one pair-count aggregation.  The 1-row argmax is
+collected to the driver (model-sized tokenizer state, the
+kmeans-codebook precedent — ``bpe_encode_tokens`` already holds the
+merge list as driver state) and re-enters round r+1's plan as string
+LITERALS, so no per-round broadcast exchange, no per-round eager
+checkpoint round trip, and the output table is assembled once from the
+collected rows instead of a K-way union of 1-row checkpoints.
 """
 
 from __future__ import annotations
@@ -67,7 +70,18 @@ def bpe_fit(
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges; returns (round, sym_a,
     sym_b, pair_count) — the merge table a tokenizer ships."""
-    spark = docs.sparkSession
+    return docs.sparkSession.createDataFrame(
+        bpe_fit_merges(docs, n_merges, text_col),
+        "round INT, sym_a STRING, sym_b STRING, pair_count BIGINT",
+    )
+
+
+def bpe_fit_merges(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """The fit loop itself: (round, sym_a, sym_b, pair_count) tuples as
+    driver state, for callers (``bpe_encode_tokens``) that consume the
+    merge list directly instead of re-collecting a 6-row DataFrame."""
     vocab = word_vocab(docs, text_col).select(
         "cnt",
         F.split(F.col("word"), "").alias("syms"),
@@ -94,23 +108,23 @@ def bpe_fit(
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
             .limit(1)
-            .select(F.lit(r).alias("round"), "sym_a", "sym_b", "pair_count")
-            .localCheckpoint(eager=True)
+            .collect()[0]
         )
-        merges.append(best)
-        vocab = vocab.crossJoin(F.broadcast(best)).select(
+        # ^ deterministic 1-row argmax (count desc, then lexicographic)
+        # collected as driver state: one job, same as the eager
+        # checkpoint it replaces, but the next round's plan gets string
+        # literals instead of a broadcast crossJoin of the 1-row frame.
+        merges.append((r, best.sym_a, best.sym_b, best.pair_count))
+        vocab = vocab.select(
             "cnt",
             _apply_merge(
-                F.col("syms"), F.col("sym_a"), F.col("sym_b")
+                F.col("syms"), F.lit(best.sym_a), F.lit(best.sym_b)
             ).alias("syms"),
         )
         if r % 2 == 0 and r < n_merges:
             vocab = vocab.localCheckpoint(eager=False)
 
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
-    return out
+    return merges
 
 
 def _spaced(word_col):

@@ -3399,12 +3399,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-bounded driver state (kmeans-codebook precedent); encoding
     runs over the DISTINCT-word table as K boundary-safe string
     replaces — zero Python, two shuffles."""
-    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens, bpe_fit
+    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens, bpe_fit_merges
 
     docs = load(spark, sf_dir, "documents")
     merges = [
-        (r.sym_a, r.sym_b)
-        for r in bpe_fit(docs, n_merges=6).orderBy("round").collect()
+        (a, b) for _, a, b, _ in bpe_fit_merges(docs, n_merges=6)
     ]
     return bpe_encode_tokens(docs, merges)
 
@@ -3604,12 +3603,11 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab-bounded driver state) with a per-source roll-up; fertility is
     an exact integer ratio surfaced as a 6-dp-rounded double so both
     engines agree at the hash level."""
-    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens, bpe_fit
+    from fluvio_duck_spark.operators.bpe import bpe_encode_tokens, bpe_fit_merges
 
     docs = load(spark, sf_dir, "documents")
     merges = [
-        (r.sym_a, r.sym_b)
-        for r in bpe_fit(docs, n_merges=6).orderBy("round").collect()
+        (a, b) for _, a, b, _ in bpe_fit_merges(docs, n_merges=6)
     ]
     enc = bpe_encode_tokens(docs, merges).join(
         docs.select("doc_id", "source"), "doc_id"
