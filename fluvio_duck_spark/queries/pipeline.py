@@ -6391,6 +6391,28 @@ def _bt_r12(col):
     return r12(col)
 
 
+def _bt_r12f(x: float) -> float:
+    """``functions/exact.py::r12`` in driver IEEE double ops: floor
+    yields an exact integer (Spark: LongType; exact long→double below
+    2^53), the divide is one IEEE op — bit-identical to the engine."""
+    import math
+
+    return math.floor(x * 1e12 + 0.5) / 1e12
+
+
+_BT_Q12 = __import__("decimal").Decimal("1e-12")
+
+
+def _bt_dec12(t: float):
+    """Spark's ``CAST(double AS DECIMAL(28,12))`` on the driver:
+    shortest round-trip decimal repr (Java ``Double.toString`` ==
+    Python ``repr``), then HALF_UP quantize to 12 dp — the exact
+    semantics ``Decimal.set(double)`` implements."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(t)).quantize(_BT_Q12, rounding=ROUND_HALF_UP)
+
+
 def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley–Terry strength ranking from pairwise comparisons — the
     arena/leaderboard fit an LLM-eval pipeline runs over millions of
@@ -6408,9 +6430,10 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one user-keyed shuffle builds per-user scores; the
     within-user pair join fans out C(types,2) ≤ 15 rows per user; one
     aggregation collapses to the |models|² pair table (bounded: dozens
-    of rows) — every MM round then runs on that TINY table (a
-    self-join + one DECIMAL agg), never re-touching the corpus.  At
-    100 TB of judgments only the first two steps see data."""
+    of rows), collected as model-sized driver state — every MM round is
+    then exact driver arithmetic over that TINY table, never
+    re-touching the corpus.  At 100 TB of judgments only the first two
+    steps see data."""
     ev = load(spark, sf_dir, "events")
     scores = ev.groupBy("user_id", "event_type").agg(
         F.sum(
@@ -6432,56 +6455,50 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wa").alias("wa"),
         (F.count("*") - F.sum("wa")).alias("wb"),
         F.count("*").alias("n"),
-    ).localCheckpoint(eager=True)  # |models|^2 rows; every round reuses it
-    # symmetric edge list: (i, j, wins_i_over_j, n_ij)
-    edges = pairs.select(
-        F.col("ta").alias("i"), F.col("tb").alias("j"),
-        F.col("wa").alias("w"), "n",
-    ).unionByName(pairs.select(
-        F.col("tb").alias("i"), F.col("ta").alias("j"),
-        F.col("wb").alias("w"), "n",
-    ))
-    totals = edges.groupBy("i").agg(
-        F.sum("w").alias("wins"), F.sum("n").alias("games")
     )
+    # |models|^2-bounded driver state (dozens of rows at ANY corpus
+    # scale — only scores→games→pairs touches data): collect it and run
+    # the MM fixpoint as driver arithmetic, mirroring the engine
+    # semantics op for op so the DuckDB oracle hash is unchanged.  The
+    # in-engine form paid two eager 1-row-scale checkpoints plus three
+    # rounds of broadcast joins over dozen-row tables — pure fixed
+    # overhead (the bpe_fit / kmeans-codebook precedent).
+    from decimal import Decimal
+
+    rows = pairs.collect()
+    r12f, dec12 = _bt_r12f, _bt_dec12
+
+    # symmetric edge list: (i, j, wins_i_over_j, n_ij) — exact ints
+    edges = [(r.ta, r.tb, r.wa, r.n) for r in rows] + [
+        (r.tb, r.ta, r.wb, r.n) for r in rows
+    ]
+    wins: dict = {}
+    games_n: dict = {}
+    for i, _j, w, n in edges:
+        wins[i] = wins.get(i, 0) + w
+        games_n[i] = games_n.get(i, 0) + n
     # The MM fixpoint is invariant to scaling every win/game count by a
     # constant, so normalize by the total game mass: all rounded MM
     # quantities then live in O(1) (r12's domain is ~9.2e6 — raw counts
     # at judgment scale would saturate Spark's floor-to-long where
     # DuckDB's floor stays DOUBLE, silently breaking engine parity).
-    g = edges.agg(F.sum("n").cast("double").alias("g"))
-    edges = edges.crossJoin(F.broadcast(g)).select(
-        "i", "j", _bt_r12(F.col("n") / F.col("g")).alias("nn")
-    ).localCheckpoint(eager=True)
-    totals_n = totals.crossJoin(F.broadcast(g)).select(
-        "i", _bt_r12(F.col("wins") / F.col("g")).alias("wn")
-    )
-    ratings = totals.select("i", F.lit(1.0).alias("p"))
-    # every relation in the loop is |models|-sized: broadcast-hint all
-    # join sides so the 3 rounds compile to broadcast hash joins instead
-    # of a tower of sort-merge exchanges over dozen-row tables
+    g = float(sum(n for _i, _j, _w, n in edges))
+    nn = {(i, j): r12f(n / g) for i, j, _w, n in edges}
+    wn = {i: r12f(w / g) for i, w in wins.items()}
+    p = {i: 1.0 for i in games_n}
     for _ in range(_BT_ITERS):
-        pj = ratings.select(F.col("i").alias("j"), F.col("p").alias("pj"))
-        denom = (
-            edges.join(F.broadcast(ratings), "i").join(F.broadcast(pj), "j")
-            .select(
-                "i",
-                _bt_r12(F.col("nn") / (F.col("p") + F.col("pj"))).alias("t"),
-            )
-            .groupBy("i")
-            .agg(F.sum(F.col("t").cast("decimal(28,12)")).cast("double")
-                 .alias("d"))
-        )
-        ratings = totals_n.join(F.broadcast(denom), "i").select(
-            "i",
-            F.greatest(
-                _bt_r12(F.col("wn") / F.col("d")), F.lit(_BT_EPS)
-            ).alias("p"),
-        )
-    return (
-        totals.join(F.broadcast(ratings), "i")
-        .select(F.col("i").alias("event_type"), "wins", "games",
-                F.col("p").alias("bt_strength"))
+        d: dict = {}
+        for (i, j), nnij in nn.items():
+            t = r12f(nnij / (p[i] + p[j]))
+            d[i] = d.get(i, Decimal(0)) + dec12(t)
+            # ^ exact decimal accumulation — order-independent, like
+            # the engine's SUM(DECIMAL(28,12))
+        p = {
+            i: max(r12f(wn[i] / float(d[i])), _BT_EPS) for i in p
+        }  # float(Decimal) == Spark's decimal→double: correctly rounded
+    return spark.createDataFrame(
+        [(i, wins[i], games_n[i], p[i]) for i in sorted(p)],
+        "event_type STRING, wins BIGINT, games BIGINT, bt_strength DOUBLE",
     )
 
 

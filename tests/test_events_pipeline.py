@@ -658,3 +658,51 @@ def test_hll_sliding_wau_within_error_bound(spark, sf_dir):
     assert len(common) >= len(exact) * 0.9
     for d in common:
         assert got[d] == exact[d], (d, exact[d], got[d])
+
+
+def test_bt_driver_arithmetic_matches_engine_cast(spark):
+    """eval_bradley_terry's MM fixpoint runs as driver arithmetic over
+    the collected |models|²-bounded pair table; its safety rests on the
+    driver kernels mirroring the engine ops bit for bit.  Pin all three
+    against Spark on adversarial doubles: r12 (floor fixed-point), the
+    double→DECIMAL(28,12) cast (shortest-repr + HALF_UP — the exact
+    ``Decimal.set(double)`` semantics), and the decimal-sum→double cast
+    (correctly rounded)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from fluvio_duck_spark.functions.exact import r12
+    from fluvio_duck_spark.queries.pipeline import _bt_dec12, _bt_r12f
+
+    # adversarial inputs: 12-dp grid points, >1 magnitudes near the
+    # 17-significant-digit repr edge (the MM domain bound is ~5e5),
+    # half-ulp-at-12dp neighbourhoods, tiny eps-floor survivors
+    vals = [
+        0.333333333333, 1.0 / 3.0, 2.0 / 3.0, 0.1, 0.2, 0.30000000000004,
+        1e-06, 5e-07, 1.5e-12, 4.9999999999995e-1, 0.4999999999995,
+        123456.789012345678, 499999.9999999999, 0.0000000000005,
+        7.0 / 11.0, 355.0 / 113.0, 1.0 / 7.0, 99999.000000000005,
+        2.5000000000005, 0.9999999999995,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    got = df.select(
+        "x",
+        r12(F.col("x")).alias("r"),
+        F.col("x").cast("decimal(28,12)").alias("d"),
+        F.col("x").cast("decimal(28,12)").cast("double").alias("rt"),
+    ).collect()
+    for row in got:
+        assert _bt_r12f(row.x) == row.r, (row.x, _bt_r12f(row.x), row.r)
+        assert _bt_dec12(row.x) == row.d, (row.x, _bt_dec12(row.x), row.d)
+        assert float(_bt_dec12(row.x)) == row.rt
+
+    # exact decimal accumulation → double: engine SUM(DECIMAL(28,12))
+    # cast to double vs driver sum of the same quantized decimals
+    eng = (
+        df.select(F.col("x").cast("decimal(28,12)").alias("d"))
+        .agg(F.sum("d").cast("double").alias("s"))
+        .collect()[0].s
+    )
+    drv = float(sum((_bt_dec12(v) for v in vals), Decimal(0)))
+    assert drv == eng, (drv, eng)
