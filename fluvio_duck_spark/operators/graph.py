@@ -139,7 +139,12 @@ def pagerank(
         # O(1) in iterations, and each eager materialization costs a
         # fixed RDD round-trip at toy scale (measured 10.3 s → 9.1 s
         # for 3 rounds at sf0.1); the final round always
-        # materializes so callers get a truncated lineage back
+        # materializes so callers get a truncated lineage back.
+        # eager=False was measured and REJECTED (r13 s6, alternating
+        # warm best-of-4 ×2: lazy 4.27/5.49 vs eager 4.04/5.34 s) —
+        # collapsing the per-round job launches into one chained action
+        # saves no wall time here; the rounds' cost is the shuffles and
+        # RDD round trips themselves, not driver job-launch latency
         if checkpoint and (it % 2 == 1 or it == iters - 1):
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
