@@ -103,13 +103,20 @@ def bpe_fit_merges(
                 )
             ).alias("p"),
         )
-        best = (
+        top = (
             pairs.groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
             .agg(F.sum("cnt").alias("pair_count"))
             .orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top:
+            # degenerate corpus: no adjacent symbol pairs left (n_merges
+            # exceeds what the corpus supports) — stop with the merges
+            # found so far, matching the pre-r13 limit(1)+union form
+            # which degraded to fewer output rows (ADVICE r13)
+            break
+        best = top[0]
         # ^ deterministic 1-row argmax (count desc, then lexicographic)
         # collected as driver state: one job, same as the eager
         # checkpoint it replaces, but the next round's plan gets string

@@ -6407,7 +6407,15 @@ def _bt_dec12(t: float):
     """Spark's ``CAST(double AS DECIMAL(28,12))`` on the driver:
     shortest round-trip decimal repr (Java ``Double.toString`` ==
     Python ``repr``), then HALF_UP quantize to 12 dp — the exact
-    semantics ``Decimal.set(double)`` implements."""
+    semantics ``Decimal.set(double)`` implements.
+
+    Bit-parity caveat (ADVICE r13): pre-JDK-19 JVMs may emit a
+    non-shortest (though round-tripping) ``Double.toString``
+    (JDK-4511638), which could in principle flip a HALF_UP tie at the
+    12th decimal.  Safe here because the inputs are ``_bt_r12f``
+    outputs — already rounded to 12 dp, so they never sit near a 12-dp
+    half-way point and extra trailing digits cannot change the
+    quantize."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return Decimal(repr(t)).quantize(_BT_Q12, rounding=ROUND_HALF_UP)
@@ -6494,8 +6502,13 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             # ^ exact decimal accumulation — order-independent, like
             # the engine's SUM(DECIMAL(28,12))
         p = {
-            i: max(r12f(wn[i] / float(d[i])), _BT_EPS) for i in p
-        }  # float(Decimal) == Spark's decimal→double: correctly rounded
+            i: (max(r12f(wn[i] / float(d[i])), _BT_EPS) if d[i] else _BT_EPS)
+            for i in p
+        }  # float(Decimal) == Spark's decimal→double: correctly rounded.
+        # d[i] == 0 (every nn term for a model floors to 0 — possible at
+        # extreme judgment scale where n/g < 5e-13) mirrors the engine
+        # form's NULL divide-by-zero → GREATEST(..., _BT_EPS) fallback
+        # instead of raising ZeroDivisionError (ADVICE r13).
     return spark.createDataFrame(
         [(i, wins[i], games_n[i], p[i]) for i in sorted(p)],
         "event_type STRING, wins BIGINT, games BIGINT, bt_strength DOUBLE",

@@ -665,3 +665,42 @@ def test_consume_udtf_quirk_values_parity(spark, tmp_path):
     # non-NULL bool/object serialization and one all-NULL malformed row
     ks_vals = {r[1] for r in got}
     assert "true" in ks_vals and '{"n":1}' in ks_vals and "[1,2]" in ks_vals
+
+
+def test_table_schema_cache_detects_in_place_rewrite(spark, tmp_path):
+    """VERDICT r13 #3: for a DIRECTORY table, rewriting one file in place
+    (same top-level entry set) does not bump the directory mtime, so a
+    (path, dir-mtime) cache key would pin the stale schema for the rest
+    of the session.  The key must also track the max child mtime."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluvio_duck_spark.sources.tables import table_schema
+
+    tbl_dir = tmp_path / "t.parquet"
+    tbl_dir.mkdir()
+    f = str(tbl_dir / "part-000.parquet")
+    pq.write_table(pa.table({"a": pa.array([1, 2], pa.int64())}), f)
+    old = table_schema(spark, str(tbl_dir))
+    assert [fld.name for fld in old.fields] == ["a"]
+
+    dir_mtime = os.path.getmtime(tbl_dir)
+    # in-place rewrite: same file name, wider schema
+    pq.write_table(
+        pa.table(
+            {
+                "a": pa.array([1, 2], pa.int64()),
+                "b": pa.array(["x", "y"], pa.string()),
+            }
+        ),
+        f,
+    )
+    # force the stale scenario deterministically: child mtime moves
+    # forward, directory mtime pinned to its pre-rewrite value
+    os.utime(f, (dir_mtime + 2, dir_mtime + 2))
+    os.utime(tbl_dir, (dir_mtime, dir_mtime))
+
+    new = table_schema(spark, str(tbl_dir))
+    assert [fld.name for fld in new.fields] == ["a", "b"]
