@@ -47,7 +47,6 @@ from pyspark.sql.types import StructType
 
 from fluvio_duck_spark.functions.checksum import (
     CHECKSUM_MODULUS,
-    fold_sum,
     row_checksum,
 )
 from fluvio_duck_spark.operators.merge import merge_upsert
@@ -207,101 +206,148 @@ def _write_generation(
     """Write ``df`` one physical file per partition value into this
     version's generation directory and return the manifest entries.
 
-    The stats pass (rows + checksum fold per file, plus — when the
-    table declares a ``stats_col`` — that column's min/max and 126-bit
-    bloom word pair, 16 extra bytes per manifest entry) scans ONLY the
-    freshly written files — cost bounded by the mutation, never the
-    table.  ``order_by`` clusters rows within each written file (the
-    OPTIMIZE ZORDER path): the sort rides the same per-partition
-    exchange the write already pays."""
+    FUSED write+stats (VERDICT r13 "Next round" #3): every commit used
+    to pay TWO jobs — Spark's parquet write, then a read-back scan of
+    the fresh files for the per-file stats (rows + checksum fold, plus
+    — when the table declares a ``stats_col`` — min/max and the 126-bit
+    bloom word pair).  The per-row pieces of every stat (the md5-fold
+    checksum term, the two bloom hash positions) are plain column
+    expressions, so they are projected BEFORE the partition exchange
+    and the group reductions (exact integer sums / min / max / bit-or)
+    run next to the file write itself: ``groupBy(__pt).applyInArrow``
+    writes each partition value's single file via pyarrow (native
+    columnar writer, guide §4.2) and RETURNS its manifest stats row —
+    one job, one shuffle, one pass over the generation, zero read-back.
+    ``order_by`` clusters rows within each written file (the OPTIMIZE
+    ZORDER path) via an in-group arrow sort on the projected key.
+
+    Memory bound: a group (one partition value) materializes as one
+    Arrow table in the Python worker — bounded by the one-file-per-
+    partition-value contract itself (a value too big for worker memory
+    would be too big for a single data file anyway).  The exact-sum
+    chunking below keeps the checksum fold overflow-free for any file
+    under ~2.3e9 rows per 2^30-row slice (row fold ≤ 3.9e9)."""
     gen_dir = os.path.join(root, "data", f"gen{version}")
+    if os.path.exists(gen_dir):
+        # parity with the former write.mode("errorifexists")
+        raise ValueError(f"generation dir already exists: {gen_dir}")
+    os.makedirs(gen_dir)
+    data_cols = list(df.columns)
     staged = df.withColumn(_PT, F.col(partition_col).cast("string"))
-    # explicit partition count: a keyed repartition with no N lets AQE
-    # coalesce the byte-tiny exchange to ONE task, serializing the
-    # per-leaf file writes (same fix as zorder.py/skipping.py); hash
-    # partitioning by _PT still puts every row of a partition value in
-    # exactly one task, so the one-file-per-partition contract holds
-    staged = staged.repartition(
-        spark.sparkContext.defaultParallelism, F.col(_PT)
-    )
-    if order_by is not None:
-        staged = staged.sortWithinPartitions(F.col(_PT), order_by)
-    (
-        staged.write.mode("errorifexists")
-        .partitionBy(_PT)
-        .parquet(gen_dir)
-    )
-    paths: dict[str, str] = {}  # physical path -> partition value
-    for d in os.listdir(gen_dir):
-        if not d.startswith(f"{_PT}="):
-            continue
-        # Spark %XX-escapes special characters in partition directory
-        # names (Hive convention); the manifest records the LOGICAL
-        # value so merge_into's touched-partition compare (raw strings
-        # from the change feed) and CDF's set algebra line up
-        pv = urllib.parse.unquote(d.split("=", 1)[1])
-        leaf = os.path.join(gen_dir, d)
-        parts = [
-            p for p in os.listdir(leaf)
-            if p.endswith(".parquet") and not p.startswith((".", "_"))
-        ]
-        if len(parts) != 1:
-            raise ValueError(
-                f"generation leaf {leaf} holds {len(parts)} files; the "
-                f"commit contract is one file per partition value"
-            )
-        paths[os.path.join(leaf, parts[0])] = pv
-    if not paths:
-        # an empty frame is a legal write (e.g. a MERGE whose change
-        # feed deletes every row of its touched partitions): no leaves,
-        # no stats job, an empty manifest entry list (ADVICE r12)
-        return []
-    # the written files' schema is exactly the staged frame's minus the
-    # partition copy — passing it skips the footer-inference job the
-    # bare reader pays per commit (~0.14 s of driver-side listing+read)
-    sdf = (
-        spark.read.schema(staged.drop(_PT).schema)
-        .parquet(*paths)
-        .withColumn("__f", F.input_file_name())
-    )
-    aggs = [
-        F.count("*").cast("long").alias("rows"),
-        fold_sum(row_checksum(audit_cols)).alias("fold"),
-    ]
-    if stats_col is not None:
-        from fluvio_duck_spark.operators.skipping import (
-            bloom_hash_cols,
-            bloom_word_aggs,
-        )
+    staged = staged.withColumn("__ck", row_checksum(audit_cols))
+    has_stats = stats_col is not None
+    if has_stats:
+        from fluvio_duck_spark.operators.skipping import bloom_hash_cols
 
         h1, h2 = bloom_hash_cols(F.col(stats_col).cast("long"))
-        sdf = sdf.withColumn("h1", h1).withColumn("h2", h2)
-        w0, w1 = bloom_word_aggs()
-        aggs += [
-            F.min(F.col(stats_col).cast("long")).alias("smin"),
-            F.max(F.col(stats_col).cast("long")).alias("smax"),
-            w0.alias("w0"),
-            w1.alias("w1"),
-        ]
-    stats = sdf.groupBy("__f").agg(*aggs).collect()
-    by_path = {}
-    for r in stats:
-        # input_file_name() returns a URI: strip the scheme AND
-        # percent-decode — a partition value containing ' ', ':' or '%'
-        # round-trips through URI encoding and a raw string compare
-        # against os.listdir would KeyError at commit time (ADVICE r12)
-        u = urllib.parse.urlparse(r["__f"])
-        p = urllib.parse.unquote(u.path) if u.scheme else \
-            urllib.parse.unquote(r["__f"])
-        by_path[p] = r
-    out = []
-    for p, pv in sorted(paths.items()):
-        r = by_path[p]
-        e = {"path": p, "partition": pv, "rows": r["rows"], "fold": r["fold"]}
-        if stats_col is not None:
-            e.update(
-                smin=r["smin"], smax=r["smax"], w0=r["w0"], w1=r["w1"]
+        staged = (
+            staged.withColumn("__sk", F.col(stats_col).cast("long"))
+            .withColumn("__h1", h1)
+            .withColumn("__h2", h2)
+        )
+    sort_in_group = order_by is not None
+    if sort_in_group:
+        staged = staged.withColumn("__ord", order_by)
+
+    out_schema = "partition string, path string, rows long, fold long"
+    if has_stats:
+        out_schema += ", smin long, smax long, w0 long, w1 long"
+    mod = CHECKSUM_MODULUS
+
+    def _write_one(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pv_raw = tbl.column(_PT)[0].as_py()
+        # mirror Hive's null-partition sentinel (the old writer's
+        # behavior via Spark's partitionBy)
+        pv = "__HIVE_DEFAULT_PARTITION__" if pv_raw is None else pv_raw
+        if sort_in_group:
+            tbl = tbl.sort_by([("__ord", "ascending")])
+        rows = tbl.num_rows
+        # exact checksum fold: per-row folds ≤ 3.9e9, so 2^30-row slices
+        # sum below 2^63 in int64; the Python-int accumulator is exact
+        # (the engine form's DECIMAL(38,0) discipline, same mod at end)
+        ck = tbl.column("__ck").to_numpy(zero_copy_only=False)
+        fold = 0
+        for i in range(0, rows, 1 << 30):
+            fold += int(
+                np.add.reduce(ck[i : i + (1 << 30)], dtype=np.int64)
             )
+        fold %= mod
+        extra = {}
+        if has_stats:
+            # nulls mirror the engine aggregates: min/max skip them,
+            # a null hash contributes no bloom bit (when→otherwise 0)
+            sk = tbl.column("__sk").drop_null().to_numpy(
+                zero_copy_only=False
+            )
+            extra["smin"] = int(sk.min()) if sk.size else None
+            extra["smax"] = int(sk.max()) if sk.size else None
+            w0 = 0
+            w1 = 0
+            for hname in ("__h1", "__h2"):
+                h = (
+                    tbl.column(hname)
+                    .drop_null()
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                lo = h[h < 63]
+                hi = h[h >= 63]
+                if lo.size:
+                    w0 |= int(np.bitwise_or.reduce(np.int64(1) << lo))
+                if hi.size:
+                    w1 |= int(np.bitwise_or.reduce(np.int64(1) << (hi - 63)))
+            extra["w0"] = w0
+            extra["w1"] = w1
+        # %XX-escape the partition value for the directory name (quote
+        # escapes a superset of Hive's set — injective, and decoded the
+        # same way); the manifest records the LOGICAL value so
+        # merge_into's touched-partition compare and CDF's set algebra
+        # line up (ADVICE r12)
+        leaf = os.path.join(
+            gen_dir, f"{_PT}={urllib.parse.quote(pv, safe='')}"
+        )
+        os.makedirs(leaf, exist_ok=True)
+        # file BASENAMES must be globally unique and %-escape-free
+        # (_per_file_version_audits keys its file→version map on the
+        # basename) yet deterministic (a retried task must rewrite the
+        # same path, keeping the write idempotent): an md5 of the
+        # partition value gives all three
+        import hashlib
+
+        tag = hashlib.md5(pv.encode("utf-8")).hexdigest()[:16]
+        path = os.path.join(leaf, f"part-00000-gen{version}-{tag}.parquet")
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(tbl.select(data_cols), tmp)
+        os.replace(tmp, path)  # atomic: a retried task rewrites in place
+        row = {"partition": pv, "path": path, "rows": rows, "fold": fold}
+        row.update(extra)
+        fields = [("partition", pa.string()), ("path", pa.string())] + [
+            (k, pa.int64()) for k in row if k not in ("partition", "path")
+        ]
+        # explicit arrow schema: a [None] cell would otherwise infer the
+        # null type and fail Spark's output-schema validation
+        return pa.table(
+            {k: [row[k]] for k, _t in fields}, schema=pa.schema(fields)
+        )
+
+    stats = staged.groupBy(_PT).applyInArrow(_write_one, out_schema).collect()
+    # an empty frame is a legal write (e.g. a MERGE whose change feed
+    # deletes every row of its touched partitions): no groups, no
+    # leaves, an empty manifest entry list (ADVICE r12)
+    out = []
+    for r in sorted(stats, key=lambda r: r["path"]):
+        e = {
+            "path": r["path"],
+            "partition": r["partition"],
+            "rows": r["rows"],
+            "fold": r["fold"],
+        }
+        if has_stats:
+            e.update(smin=r["smin"], smax=r["smax"], w0=r["w0"], w1=r["w1"])
         out.append(e)
     return out
 
