@@ -123,17 +123,25 @@ def _q_loopback_stream_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # drain via processAllAvailable (the stream_pp_* pattern): the
         # Python source's availableNow fallback pays a ~7 s termination
         # lag on its first use per session — same drain-to-LEO
-        # semantics without it
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("__loopback_stream_parity")
-            .outputMode("complete")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # semantics without it.  State partitions sized from the served
+        # log's on-disk bytes (the events table the server reads).
+        import os as _os
+
+        from fluvio_duck_spark.streaming.consume_stream import drain_scope
+
+        with drain_scope(
+            spark, (_os.path.join(sf_dir, "events.parquet"),)
+        ):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("__loopback_stream_parity")
+                .outputMode("complete")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return spark.table("__loopback_stream_parity")
 
 

@@ -21,6 +21,7 @@ from fluvio_duck_spark.queries.pipeline import ORACLE_CDC as ORACLE_STREAM_CDC
 from fluvio_duck_spark.queries.relational import ORACLE_OHLC as ORACLE_STREAM_OHLC
 from fluvio_duck_spark.sources.consume import fluvio_consume
 from fluvio_duck_spark.streaming.consume_stream import (
+    drain_scope,
     event_stream,
     fluvio_consume_stream,
     record_log_stream,
@@ -75,7 +76,7 @@ def q_stream_consume_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = fluvio_consume_stream(
         spark, "events -A -H 100 --end 699 -c k:i=k -c kd:d=k", sf_dir=sf_dir
     )
-    return run_stream_to_table(stream, spark)
+    return run_stream_to_table(stream, spark, drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_STREAM_PARITY = """
@@ -85,10 +86,24 @@ FROM events WHERE event_id >= 100 AND event_id <= 699
 """
 
 
+def _tbl_paths(sf_dir: str, name: str) -> tuple:
+    """Drain-source byte-sizing paths for a fixture-table stream."""
+    import os
+
+    return (os.path.join(sf_dir, f"{name}.parquet"),)
+
+
+def _events_paths(sf_dir: str) -> tuple:
+    """The drain-source byte-sizing paths for events-log streams."""
+    return _tbl_paths(sf_dir, "events")
+
+
 def q_stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = record_log_stream(spark, sf_dir)
     agg = tumbling_window_agg(stream, window="6 hours", watermark="12 hours")
-    return run_stream_to_table(agg, spark, output_mode="complete")
+    return run_stream_to_table(
+        agg, spark, output_mode="complete", drain_paths=_events_paths(sf_dir)
+    )
 
 
 ORACLE_TUMBLING = """
@@ -107,7 +122,7 @@ def q_stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = record_log_stream(spark, sf_dir)
     agg = tumbling_window_agg(stream, window="6 hours", slide="3 hours",
                               watermark="12 hours")
-    return run_stream_to_table(agg, spark, output_mode="complete")
+    return run_stream_to_table(agg, spark, output_mode="complete", drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_SLIDING = """
@@ -126,7 +141,7 @@ FROM w GROUP BY 1, 2
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = record_log_stream(spark, sf_dir)
     agg = session_window_agg(stream, gap="1 hour", watermark="2 hours", key_col="partition")
-    return run_stream_to_table(agg, spark, output_mode="complete")
+    return run_stream_to_table(agg, spark, output_mode="complete", drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_SESSION = """
@@ -151,7 +166,7 @@ FROM s GROUP BY p, sid
 def q_stream_stateful_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = record_log_stream(spark, sf_dir)
     folded = aggregate_fold_stream(stream, initial=0, json_field="k")
-    return run_stream_to_table(folded, spark, output_mode="update")
+    return run_stream_to_table(folded, spark, output_mode="update", drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_STATEFUL_FOLD = """
@@ -173,7 +188,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("value"), "$.k").try_cast("int"),
     )
     deduped = stream_dedup_keys(stream, ["k"], watermark="30 days")
-    return run_stream_to_table(deduped, spark, output_mode="append")
+    return run_stream_to_table(deduped, spark, output_mode="append", drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_STREAM_DEDUP = """
@@ -234,7 +249,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     ).select("click_id", "purchase_id")
-    return run_stream_to_table(joined, spark, output_mode="append")
+    return run_stream_to_table(joined, spark, output_mode="append", drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_STREAM_STREAM_JOIN = """
@@ -262,7 +277,10 @@ def q_stream_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = load(spark, sf_dir, "documents")
     index = band_buckets(minhash_signatures(corpus))
     gated = stream_neardup_gate(document_stream(spark, sf_dir), index)
-    return run_stream_to_table(gated, spark, output_mode="append")
+    return run_stream_to_table(
+        gated, spark, output_mode="append",
+        drain_paths=_tbl_paths(sf_dir, "documents"),
+    )
 
 
 def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,7 +307,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_above"))
     )
-    return run_stream_to_table(enriched, spark, output_mode="complete")
+    return run_stream_to_table(enriched, spark, output_mode="complete", drain_paths=_events_paths(sf_dir))
 
 
 ORACLE_STREAM_STATIC = """
@@ -370,7 +388,7 @@ def q_stream_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="12 hours",
     )
     return finalize_rollup(
-        run_stream_to_table(agg, spark, output_mode="complete"), m
+        run_stream_to_table(agg, spark, output_mode="complete", drain_paths=_events_paths(sf_dir)), m
     )
 
 
@@ -412,7 +430,7 @@ def q_stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dim.valid_to.isNull() | (clicks.ts < dim.valid_to)),
         "left",
     ).select("event_id", "user_id", "ts", "purchase_event", "purchase_value")
-    return run_stream_to_table(enriched, spark, output_mode="append")
+    return run_stream_to_table(enriched, spark, output_mode="append", drain_paths=_events_paths(sf_dir))
 
 
 def q_stream_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,7 +452,7 @@ def q_stream_rollup_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="48 hours",
     )
     return finalize_rollup(
-        run_stream_to_table(agg, spark, output_mode="complete"), m
+        run_stream_to_table(agg, spark, output_mode="complete", drain_paths=_events_paths(sf_dir)), m
     )
 
 
@@ -452,7 +470,7 @@ def q_stream_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["ts", "event_id"],
         payload=["ts", "event_type", "value"],
     )
-    return run_stream_to_table(compacted, spark, output_mode="complete")
+    return run_stream_to_table(compacted, spark, output_mode="complete", drain_paths=_events_paths(sf_dir))
 
 
 from fluvio_duck_spark.queries.consume_queries import ORACLE_COMPACT  # noqa: E402
@@ -560,10 +578,11 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(changes.schema).format("parquet")
         .option("maxFilesPerTrigger", "1").load(work + "/feed/b*")
     )
-    return run_stream_cdc(
-        spark, snapshot, stream, "user_id", "ts", "op", ["value"],
-        state_dir=work + "/state", tiebreak_col="event_id",
-    )
+    with drain_scope(spark, (work + "/feed",)):
+        return run_stream_cdc(
+            spark, snapshot, stream, "user_id", "ts", "op", ["value"],
+            state_dir=work + "/state", tiebreak_col="event_id",
+        )
 
 
 QUERIES.update({
@@ -587,7 +606,7 @@ def q_stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, "ts", "event_id", "value", ["event_type"],
         width_seconds=3600, sum_scale=2,
     )
-    return run_stream_to_table(bars, spark, output_mode="complete")
+    return run_stream_to_table(bars, spark, output_mode="complete", drain_paths=_events_paths(sf_dir))
 
 
 QUERIES.update({
@@ -623,16 +642,17 @@ def q_stream_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("offset").alias("min_offset"),
         F.max("offset").alias("max_offset"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("__ds_stream_parity")
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with drain_scope(spark, _events_paths(sf_dir)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("__ds_stream_parity")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("__ds_stream_parity")
 
 
@@ -663,7 +683,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = record_log_stream(spark, sf_dir)
     out = ewma_stream(stream, alpha=0.2, json_field="k")
-    res = run_stream_to_table(out, spark, output_mode="update")
+    res = run_stream_to_table(out, spark, output_mode="update", drain_paths=_events_paths(sf_dir))
     return res.select(
         "partition", "n_records", F.round("ewma", 6).alias("ewma")
     )
@@ -701,7 +721,7 @@ def q_stream_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     s = ols_sufficient_stats(event_stream(spark, sf_dir))
-    return ols_finalize(run_stream_to_table(s, spark, output_mode="complete"))
+    return ols_finalize(run_stream_to_table(s, spark, output_mode="complete", drain_paths=_events_paths(sf_dir)))
 
 
 QUERIES.update({
@@ -737,7 +757,7 @@ def q_stream_audit_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         fold_sum(F.col("rc")).alias("checksum"),
     )
-    out = run_stream_to_table(agg, spark, output_mode="complete")
+    out = run_stream_to_table(agg, spark, output_mode="complete", drain_paths=_events_paths(sf_dir))
     return out.select(
         F.lit("events").alias("table_name"), "n_rows", "checksum"
     )
@@ -811,18 +831,19 @@ def q_stream_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         state["f"] = _sweep(local, "p_retailprice", "p_size")
 
 
-    q = (
-        stream.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        # fresh checkpoint per invocation: a reused location would mark
-        # the files committed and deliver ZERO batches on a re-run
-        .option(
-            "checkpointLocation",
-            _run_dir("skyline", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "part")):
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            # fresh checkpoint per invocation: a reused location would mark
+            # the files committed and deliver ZERO batches on a re-run
+            .option(
+                "checkpointLocation",
+                _run_dir("skyline", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.createDataFrame(
         state["f"], "p_partkey long, p_retailprice double, p_size int"
     )
@@ -894,7 +915,10 @@ def q_stream_ivm_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(28,2)")
         ).alias("ds"),
     )
-    dt = run_stream_to_table(delta, spark, output_mode="complete")
+    dt = run_stream_to_table(
+        delta, spark, output_mode="complete",
+        drain_paths=_tbl_paths(sf_dir, "orders"),
+    )
 
     base = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 != 4)
     view = agg_state(
@@ -992,16 +1016,17 @@ def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("dirty_name", "clean_name", "jaccard")
         out.write.mode("append").parquet(out_dir)
 
-    q = (
-        dirty_stream.writeStream.foreachBatch(match_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("er_gate", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "part")):
+        q = (
+            dirty_stream.writeStream.foreachBatch(match_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("er_gate", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "dirty_name string, clean_name string, jaccard double"
     if not os.path.isdir(out_dir):  # stream had zero batches
         return spark.createDataFrame([], out_schema)
@@ -1059,17 +1084,18 @@ def q_stream_dsir_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score_batch(batch_df, _bid) -> None:
         dsir_score(batch_df, lam).write.mode("append").parquet(out_dir)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(score_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("dsir_gate", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("dsir_gate", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "doc_id long, n_grams int, dsir_logweight double"
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], out_schema)
@@ -1123,17 +1149,18 @@ def q_stream_neardup_gate_portable(spark: SparkSession, sf_dir: str) -> DataFram
         )
         hits.write.mode("append").parquet(out_dir)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(gate_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("ndgate", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("ndgate", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "doc_id long, n_partners int"
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], out_schema)
@@ -1190,17 +1217,18 @@ def q_stream_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         scored.write.mode("append").parquet(out_dir)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(score_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("dsir_sel", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(score_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("dsir_sel", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = (
         "doc_id long, n_grams int, dsir_logweight double, "
         "source string, n_tok int"
@@ -1272,17 +1300,18 @@ def q_stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_dir
         )
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(gate_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("decon_gate", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("decon_gate", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "doc_id long, n_shared_grams long"
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], out_schema)
@@ -1381,14 +1410,15 @@ def q_stream_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .write.mode("append").parquet(out_dir)
         )
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(gate_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _run_dir("bloom_gate", "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _run_dir("bloom_gate", "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
     out_schema = "doc_id long, flagged int"
     if not os.path.isdir(out_dir):
         gated = spark.createDataFrame([], out_schema)
@@ -1500,17 +1530,18 @@ def q_stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         scored.write.mode("append").parquet(out_dir)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(gate_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("clf_gate", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("clf_gate", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "doc_id long, source string, logit_ppm long"
     if not os.path.isdir(out_dir):
         return spark.createDataFrame(
@@ -1592,17 +1623,18 @@ def q_stream_novelty_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         scored.write.mode("append").parquet(out_dir)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(gate_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("novelty_gate", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("novelty_gate", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "doc_id long, n_shingles int, n_novel int, novelty double"
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], out_schema)
@@ -1678,17 +1710,18 @@ def q_stream_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_hits.write.mode("append").parquet(out_dir)
         same_batch.write.mode("append").parquet(idx_dir)  # index grows
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(gate_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            _run_dir("ndinc", "ckpt"),
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(gate_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                _run_dir("ndinc", "ckpt"),
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     out_schema = "doc_id long, other long"
     if not os.path.isdir(out_dir):
         return spark.createDataFrame([], "doc_id long, n_prior_dups int")
@@ -1765,14 +1798,15 @@ def q_stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new_state.write.mode("overwrite").parquet(state_dir)
 
-    q = (
-        event_stream(spark, sf_dir)
-        .writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _run_dir("kmvstream", "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
+    with drain_scope(spark, _events_paths(sf_dir)):
+        q = (
+            event_stream(spark, sf_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _run_dir("kmvstream", "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
 
     state = spark.read.schema(st_schema).parquet(state_dir)
     w = W.partitionBy("event_type").orderBy("h")
@@ -1858,16 +1892,17 @@ def q_stream_pp_datasource_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("offset").alias("max_offset"),
         (F.max("offset") + 1).alias("leo"),
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("__pp_stream_parity")
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with drain_scope(spark, (log_dir,)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("__pp_stream_parity")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("__pp_stream_parity")
 
 
@@ -1924,16 +1959,17 @@ def q_stream_pp_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n"),
         )
     )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("__pp_stream_windows")
-        .outputMode("complete")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with drain_scope(spark, (log_dir,)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("__pp_stream_windows")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table("__pp_stream_windows")
 
 
@@ -1997,7 +2033,7 @@ def q_stream_pp_consume_opts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "events -p 2 --start 5 --end 60 -c kk:i=k -c kd:d=k",
         sf_dir=sf_dir, source=s,
     )
-    return run_stream_to_table(out, spark)
+    return run_stream_to_table(out, spark, drain_paths=(log_dir,))
 
 
 ORACLE_STREAM_PP_CONSUME = """
@@ -2057,14 +2093,15 @@ def q_stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)  # sever lineage before overwrite
         new_state.write.mode("overwrite").parquet(state_dir)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _run_dir("reservoir", "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _run_dir("reservoir", "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(st_schema).parquet(state_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -2128,14 +2165,15 @@ def q_stream_snapshot_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             snap.create_table(s, root, df, "pt", cols)
 
-    q = (
-        document_stream(spark, sf_dir)
-        .writeStream.foreachBatch(commit_batch)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", _run_dir("snapshot_commits", "ckpt"))
-        .start()
-    )
-    q.awaitTermination()
+    with drain_scope(spark, _tbl_paths(sf_dir, "documents")):
+        q = (
+            document_stream(spark, sf_dir)
+            .writeStream.foreachBatch(commit_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _run_dir("snapshot_commits", "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
 
     head = snap.current_version(root)
     consistent = True

@@ -127,27 +127,106 @@ def fluvio_consume_stream(
     return log.select(projection(opts.columns))
 
 
+def _input_bytes(paths) -> int:
+    """Total on-disk bytes of the drain's source (file or directory
+    table) — the size AQE would see as the exchange's input."""
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for base, _dirs, files in os.walk(p):
+                for f in files:
+                    if not f.startswith((".", "_")):
+                        total += os.path.getsize(os.path.join(base, f))
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def drain_state_partitions(spark: SparkSession, paths) -> int:
+    """Scale-adaptive shuffle-partition count for a BOUNDED stream drain
+    (guide §2.2: size partitions from the data, never from a core-count
+    constant).
+
+    Stateful streaming exchanges cannot be AQE-coalesced (Spark disables
+    AQE for streaming plans), and the state-partition count is frozen at
+    the first batch from ``spark.sql.shuffle.partitions`` — so a bounded
+    drain over an 11 MB log was paying 32 state-store instances whose
+    per-instance commit cost grows with instance count (measured:
+    ~80 ms/instance at 8 instances vs ~375 ms at 32, pure contention).
+    Derive the count the way AQE sizes batch exchanges: one partition
+    per ``spark.sql.adaptive.advisoryPartitionSizeInBytes`` of input
+    (the SAME knob that tunes batch coalescing), floor 1 — so partitions
+    grow with the log, not with the host's core count.  At 100 TB the
+    derived count is input/advisory, far above any core count; at
+    fixture scale it is the 1-2 partitions AQE would coalesce the
+    equivalent batch exchange to."""
+    raw = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    s = str(raw).strip().lower().removesuffix("b")
+    mult = 1
+    if s and s[-1] in "kmg":
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
+        s = s[:-1]
+    advisory = max(1, int(s) * mult)
+    return max(1, -(-_input_bytes(paths) // advisory))
+
+
+class drain_scope:
+    """Context manager pinning ``spark.sql.shuffle.partitions`` to the
+    input-derived count for the duration of one bounded drain, restoring
+    the session value afterwards.  Safe because the streaming harnesses
+    are sequential by contract (see ``_run_dir``'s single-invocation
+    note); the conf is captured by the stream at first-batch planning,
+    inside the scope."""
+
+    def __init__(self, spark: SparkSession, paths) -> None:
+        self.spark = spark
+        self.n = drain_state_partitions(spark, paths)
+
+    def __enter__(self) -> "drain_scope":
+        self._old = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.spark.conf.set("spark.sql.shuffle.partitions", self._old)
+
+
 def run_stream_to_table(
     df: DataFrame,
     spark: SparkSession,
     output_mode: str = "append",
     name: str | None = None,
+    drain_paths=None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow
     semantics into a memory sink; returns the materialized batch result.
 
     This is the bounded-parity runner (reference default mode: consume
     everything available, then stop); it is also what lets streaming
-    pipelines participate in the batch correctness harness."""
+    pipelines participate in the batch correctness harness.
+
+    ``drain_paths`` (source files/dirs) opts the drain into the
+    input-derived state-partition count (:func:`drain_state_partitions`)
+    instead of the session's core-tracking default."""
     name = name or f"stream_out_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+
+    def _run() -> None:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if drain_paths:
+        with drain_scope(spark, drain_paths):
+            _run()
+    else:
+        _run()
     return spark.table(name)
 
 

@@ -47,6 +47,14 @@ def main() -> None:
         t_construct = time.perf_counter() - t0
 
         name = f"prof_stream_{rep}"
+        scope = None
+        if os.environ.get("PROFILE_DRAIN_SCOPE"):
+            from fluvio_duck_spark.streaming.consume_stream import drain_scope
+
+            scope = drain_scope(
+                spark, (os.path.join(bench_dir, "events.parquet"),)
+            )
+            scope.__enter__()
         t0 = time.perf_counter()
         q = (
             agg.writeStream.outputMode("complete")
@@ -59,17 +67,34 @@ def main() -> None:
         t0 = time.perf_counter()
         q.awaitTermination()
         t_drain = time.perf_counter() - t0
+        if scope is not None:
+            scope.__exit__()
         t0 = time.perf_counter()
         spark.table(name).write.format("noop").mode("overwrite").save()
         t_read = time.perf_counter() - t0
 
         batches = []
         for p in q.recentProgress:
+            so = [
+                {
+                    k: s.get(k)
+                    for k in (
+                        "operatorName",
+                        "commitTimeMs",
+                        "stateOnCurrentVersionSizeBytes",
+                        "numStateStoreInstances",
+                        "allUpdatesTimeMs",
+                        "allRemovalsTimeMs",
+                    )
+                }
+                for s in p.get("stateOperators", [])
+            ]
             batches.append(
                 {
                     "batchId": p["batchId"],
                     "numInputRows": p["numInputRows"],
                     "durationMs": p["durationMs"],
+                    "stateOperators": so,
                 }
             )
         print(
