@@ -216,6 +216,13 @@ def triangle_counts(
     # sort-merge spills gracefully where a forced hash build of a
     # hot-degree u's edge group would not (guide §3.1) — unlike the
     # closing join below, whose probe stream IS the dominant term.
+    # r14 re-adjudicated this at sf1 under a 32-core/8-core A/B: an
+    # apparent 4× SMJ collapse at local[32] turned out to be a
+    # 64 GB-driver-heap artifact (GC geometry, not the join — at the
+    # default 8 GB heap SMJ reads 9.0 s warm vs SHUFFLE_HASH 10.2 s and
+    # a grouped in-row pair explosion ~equal, fresh-process best-of-2
+    # on the sf1 co-purchase graph).  SMJ stays; see OPTIMIZATION_r14.md
+    # for the heap-size finding.
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(
         o2,

@@ -334,6 +334,16 @@ def _write_generation(
             {k: [row[k]] for k, _t in fields}, schema=pa.schema(fields)
         )
 
+    # explicit partition count BEFORE the groupBy: the grouped exchange
+    # is byte-tiny and AQE would coalesce it to a handful of tasks,
+    # serializing the per-leaf file writes (measured at sf1: 313 leaves
+    # written by 7 coalesced tasks).  A keyed repartition with an
+    # explicit N is exempt from AQE coalescing and the groupBy reuses
+    # its partitioning (guide §2.4), so leaf writes stay parallel —
+    # the same adjudication as r13 #6, carried into the fused form.
+    staged = staged.repartition(
+        spark.sparkContext.defaultParallelism, F.col(_PT)
+    )
     stats = staged.groupBy(_PT).applyInArrow(_write_one, out_schema).collect()
     # an empty frame is a legal write (e.g. a MERGE whose change feed
     # deletes every row of its touched partitions): no groups, no
