@@ -3498,7 +3498,15 @@ def q_keep_drop_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_containment_pairs_prefix(
         docs, k=5, threshold_num=9, threshold_den=10
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+    # ^ lazy checkpoint of the candidate-pair table (pair-count-bounded):
+    # it feeds BOTH the forward and the reversed (mutuality) side of the
+    # left join below.  r13 measured no win at sf0.1 and left it to AQE
+    # stage reuse; the r14 sf1 event-log profile showed reuse only
+    # covers the EXCHANGE — the post-shuffle containment computation ran
+    # twice (two ~30 s-CPU stages reading the same 49 MB shuffle).
+    # Checkpointing materializes the pairs once: the duplicated ~30 s
+    # stage disappears from the sf1 profile (61 → 31 s of stage CPU).
     rev = pairs.select(
         F.col("doc_a").alias("doc_b"), F.col("doc_b").alias("doc_a")
     ).withColumn("mutual", F.lit(1))
